@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the lasutility_ray engine (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) initializes or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one callable per implemented operator/pipeline
+from SURVEY.md §2; ``oracle_sql()`` carries the DuckDB-equivalent SQL
+for every SQL-expressible one (identical column names and, where it
+matters, identical IEEE float arithmetic — see
+``lasutility_ray.corpus.geocode.sql_exprs``). Non-SQL-expressible
+ops (TIN rasterization, raster burns, MinHash-LSH, ...) have
+``queries()`` entries only (driver records rows-only checks).
 """
 
 from __future__ import annotations
@@ -19,26 +18,202 @@ from collections.abc import Callable
 from typing import Any
 
 
+# --------------------------------------------------------------- entry
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: pages -> geocode/tile -> per-tile
+    TIN summary (plus a consumed PIP join). Returns the tile summary
+    Dataset."""
+    from lasutility_ray.pipelines.flagship import flagship
+
+    tiles, pip = flagship("/root/testdata/sf0.001")
+    pip.count()  # drive the join too
+    return tiles
+
+
+# ------------------------------------------------------------- queries
+
+
+def _points(sf_dir: str):
+    from lasutility_ray.pipelines.flagship import documents_to_points
+
+    return documents_to_points(sf_dir)
+
+
+def q_tile_counts(sf_dir: str):
+    from lasutility_ray.stages.voxelize import tile_counts
+
+    return tile_counts(_points(sf_dir))
+
+
+def q_bbox(sf_dir: str):
+    import pandas as pd
+
+    from lasutility_ray.stages.voxelize import bbox_aggregate
+
+    row = bbox_aggregate(_points(sf_dir))
+    return pd.DataFrame([row])
+
+
+def q_cell_ground_max(sf_dir: str):
+    from lasutility_ray.stages.voxelize import cell_ground_max
+
+    return cell_ground_max(_points(sf_dir))
+
+
+def q_cell_top1_class35(sf_dir: str):
+    import pyarrow as pa
+
+    from lasutility_ray.stages.voxelize import cell_top1_in_class_range
+
+    out = cell_top1_in_class_range(_points(sf_dir), 3, 5)
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("classification"),
+            "classification",
+            t.column("classification").cast(pa.int32()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_pip_join_rect(sf_dir: str):
+    from lasutility_ray.corpus.polygons import build_feature_table
+    from lasutility_ray.stages.pip_join import rect_pip_join
+
+    return rect_pip_join(_points(sf_dir), build_feature_table())
+
+
+def q_extract_invariant(sf_dir: str):
+    """Byte-identical text extraction check: one row (n_docs,
+    n_exact_match)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from lasutility_ray.pipelines.flagship import _pages_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    pages = docs.map_batches(_pages_stage, batch_format="pyarrow")
+
+    def agg(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "n_match": pa.array(
+                    [pc.sum(pc.cast(t.column("extract_ok"), pa.int64())).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = pages.map_batches(agg, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {"n_docs": [int(parts["n"].sum())], "n_exact_match": [int(parts["n_match"].sum())]}
+    )
+
+
+def q_tin_tile_summary(sf_dir: str):
+    """Per-tile TIN/DEM summary (rows-only check: Delaunay is not
+    SQL-expressible)."""
+    from lasutility_ray.stages.tin import tin_summary
+
+    return tin_summary(_points(sf_dir))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "q_tile_counts": q_tile_counts,
+        "q_bbox": q_bbox,
+        "q_cell_ground_max": q_cell_ground_max,
+        "q_cell_top1_class35": q_cell_top1_class35,
+        "q_pip_join_rect": q_pip_join_rect,
+        "q_extract_invariant": q_extract_invariant,
+        "q_tin_tile_summary": q_tin_tile_summary,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------- oracle SQL
+
+
+def _pts_cte() -> str:
+    from lasutility_ray.corpus.geocode import sql_exprs
+
+    e = sql_exprs("doc_id")
+    return (
+        "pts AS (SELECT doc_id, "
+        f"{e['x']} AS x, {e['y']} AS y, {e['z']} AS z, "
+        f"CAST({e['classification']} AS INT) AS classification, "
+        f"{e['is_ground']} AS is_ground FROM documents)"
+    )
+
+
+def _tiled_sql() -> str:
+    from lasutility_ray.corpus.geocode import tile_name_sql_ctes
+
+    return tile_name_sql_ctes("pts")
+
+
+def _cells_cte() -> str:
+    # in-tile 10 m voxel cell indices; identical IEEE arithmetic to
+    # stages.tiling.add_point_columns
+    return (
+        "cells AS (SELECT *, "
+        "CAST(floor((y - floor(y / 1000) * 1000) / 10.0) AS BIGINT) AS row, "
+        "CAST(floor((x - floor(x / 1000) * 1000) / 10.0) AS BIGINT) AS col "
+        "FROM tiled)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lasutility_ray.corpus.pages import HTML_PREFIX, HTML_SUFFIX
+    from lasutility_ray.corpus.polygons import rects_sql_cte
+
+    pts = _pts_cte()
+    tiled = _tiled_sql()
+    cells = _cells_cte()
+
+    return {
+        "q_tile_counts": (
+            f"WITH {pts}, {tiled} "
+            "SELECT tile_id, count(*) AS n_docs FROM tiled GROUP BY tile_id"
+        ),
+        "q_bbox": (
+            f"WITH {pts} "
+            "SELECT min(x) AS min_x, max(x) AS max_x, "
+            "min(y) AS min_y, max(y) AS max_y FROM pts"
+        ),
+        "q_cell_ground_max": (
+            f"WITH {pts}, {tiled}, {cells} "
+            "SELECT tile_id, row, col, max(z) AS max_ground_z, "
+            "count(*) AS n_ground FROM cells WHERE is_ground "
+            "GROUP BY tile_id, row, col"
+        ),
+        "q_cell_top1_class35": (
+            f"WITH {pts}, {tiled}, {cells}, ranked AS ("
+            "  SELECT tile_id, row, col, z, classification, doc_id, "
+            "         row_number() OVER (PARTITION BY tile_id, row, col "
+            "                            ORDER BY z DESC, doc_id) AS rn "
+            "  FROM cells WHERE classification BETWEEN 3 AND 5) "
+            "SELECT tile_id, row, col, z, classification, doc_id "
+            "FROM ranked WHERE rn = 1"
+        ),
+        "q_pip_join_rect": (
+            f"WITH {pts}, {rects_sql_cte('rects')} "
+            "SELECT p.doc_id, r.k AS feature_id, CAST(r.luokka AS INT) AS luokka "
+            "FROM pts p JOIN rects r ON p.x >= r.min_x AND p.x < r.max_x "
+            "AND p.y >= r.min_y AND p.y < r.max_y"
+        ),
+        "q_extract_invariant": (
+            "WITH pages AS (SELECT doc_id, "
+            f"'{HTML_PREFIX}' || text || '{HTML_SUFFIX}' AS html, text "
+            "FROM documents) "
+            "SELECT count(*) AS n_docs, "
+            "CAST(sum(CASE WHEN substr(html, "
+            f"{len(HTML_PREFIX) + 1}, length(html) - {len(HTML_PREFIX) + len(HTML_SUFFIX)}"
+            ") = text THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match FROM pages"
+        ),
+    }

@@ -1,0 +1,159 @@
+"""Benchmark harness: flagship pipeline throughput + per-query times.
+
+Prints ONE JSON line:
+  {"metric": "flagship_e2e", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+- headline: pages corpus synthesized deterministically at
+  ``GRAFT_BENCH_DOCS`` docs (default 200k) -> extract -> geocode/tile
+  -> broadcast PIP join + per-tile TIN rasterization -> parquet sink
+  under /tmp. Metric = end-to-end docs/sec (BASELINE.json).
+- queries: each oracle-checked query timed over ``GRAFT_SF_DIR``
+  (default /root/testdata/sf0.1).
+- ``--scaling``: runs the headline twice in fresh processes at
+  num_cpus=8 and 32 on the same input and reports throughput at both
+  + efficiency = (docs_s_32 / docs_s_8) / 4 (the sandbox stand-in for
+  the N vs 4N node rule; see BASELINE.md).
+
+Owns its Ray session (the one place besides tests allowed to).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_flagship(n_docs: int, out_dir: str) -> dict:
+    import ray.data as rd
+
+    from lasutility_ray.corpus.pages import synth_pages_batch
+    from lasutility_ray.corpus.polygons import build_feature_table
+    from lasutility_ray.pipelines.flagship import _pages_stage  # extraction check
+    from lasutility_ray.stages.pip_join import rect_pip_join
+    from lasutility_ray.stages.tiling import points_dataset
+    from lasutility_ray.stages.tin import tin_tiles
+
+    t0 = time.perf_counter()
+    pages = rd.range(n_docs).map_batches(
+        lambda b: synth_pages_batch(b["id"]), batch_format="numpy"
+    )
+    # extraction invariant runs inline (html -> text, byte-identical)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from lasutility_ray.corpus.pages import extract_text_from_html
+
+    def check_extract(t: pa.Table) -> pa.Table:
+        ok = pc.equal(extract_text_from_html(t.column("html")), t.column("text"))
+        return t.append_column("extract_ok", ok)
+
+    pages = pages.map_batches(check_extract, batch_format="pyarrow")
+    points = points_dataset(pages)
+
+    pip = rect_pip_join(points, build_feature_table(), concurrency=4)
+    n_pip = pip.count()
+
+    tiles = tin_tiles(points, include_rasters=True)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    tiles.write_parquet(out_dir)
+    dt = time.perf_counter() - t0
+    return {"sec": dt, "docs_per_sec": n_docs / dt, "n_pip_rows": n_pip}
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # consume
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "200000"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    try:
+        head = run_flagship(n_docs, f"/tmp/bench_tiles_{num_cpus}")
+        queries = run_queries(sf_dir)
+        sf = sf_dir.rstrip("/").split("sf")[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": "flagship_e2e",
+                    "value": round(head["sec"], 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                    "num_cpus": num_cpus,
+                    "docs_per_sec": round(head["docs_per_sec"], 1),
+                    "n_docs": n_docs,
+                    "n_pip_rows": head["n_pip_rows"],
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    warm = run(8)  # warm page cache / compile, untimed baseline discard
+    lo = run(8)
+    hi = run(32)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "docs_per_sec_8": lo["docs_per_sec"],
+                "docs_per_sec_32": hi["docs_per_sec"],
+                "sec_8": lo["value"],
+                "sec_32": hi["value"],
+                "scaling_efficiency": round(eff, 3),
+                "n_docs": lo["n_docs"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -102,27 +102,21 @@ class SurfaceTriangulation:
         if not ok.all():
             raise IndexError("Polygon envelope out of bounds")
 
-        n_rows_per_tri = (r1 - r0 + 1) * (c1 - c0 + 1)
-        total = int(n_rows_per_tri.sum())
-        tri_ids = np.repeat(np.arange(len(t), dtype=np.int64), n_rows_per_tri)
-
-        # expand each (triangle, cell-window) into flat cell ids
-        cells = np.empty(total, dtype=np.int64)
-        pos = 0
-        ncols = b.n_cols
-        # vectorized expansion per distinct window height (windows are
-        # tiny — typically 1x1 or 2x2 cells at index resolution)
         widths = (c1 - c0 + 1).astype(np.int64)
         heights = (r1 - r0 + 1).astype(np.int64)
+        n_cells_per_tri = widths * heights
+        total = int(n_cells_per_tri.sum())
+        tri_ids = np.repeat(np.arange(len(t), dtype=np.int64), n_cells_per_tri)
+
+        # flat vectorized window expansion: pair j of triangle i maps
+        # to (r0 + local // w, c0 + local % w)
+        ncols = b.n_cols
         offs = np.zeros(len(t) + 1, dtype=np.int64)
-        np.cumsum(n_rows_per_tri, out=offs[1:])
-        for i in range(len(t)):
-            w = widths[i]
-            h = heights[i]
-            rr = np.arange(r0[i], r0[i] + h, dtype=np.int64)
-            cc = np.arange(c0[i], c0[i] + w, dtype=np.int64)
-            cells[offs[i] : offs[i + 1]] = (rr[:, None] * ncols + cc[None, :]).ravel()
-        pos = total
+        np.cumsum(n_cells_per_tri, out=offs[1:])
+        local = np.arange(total, dtype=np.int64) - offs[tri_ids]
+        rr = r0[tri_ids] + local // widths[tri_ids]
+        cc = c0[tri_ids] + local % widths[tri_ids]
+        cells = rr * ncols + cc
 
         order = np.lexsort((tri_ids, cells))  # cell asc, tri id asc within cell
         cells = cells[order]
@@ -159,59 +153,60 @@ class SurfaceTriangulation:
         classes = np.zeros(n, dtype=np.uint8)
         if self._tris is None:
             raise ValueError("Triangulation is not created.")
+        if n == 0:
+            return heights, classes
 
         b = self.bounds
         rows, cols, valid = b.proj_to_cell(xs, ys)
-        cells = np.where(valid, rows * b.n_cols + cols, -1)
-        order = np.argsort(cells, kind="stable")
-        sorted_cells = cells[order]
-        starts = np.flatnonzero(np.diff(sorted_cells, prepend=-2) != 0)
-        bounds_idx = np.append(starts, n)
+        cells = np.where(valid, rows * b.n_cols + cols, 0)
+
+        # flat (point, candidate) pair expansion over the CSR index —
+        # no python loop over cells/points
+        starts = self._cell_starts
+        c0 = starts[cells]
+        counts = np.where(valid, starts[cells + 1] - c0, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return heights, classes
+        pt = np.repeat(np.arange(n, dtype=np.int64), counts)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        within = np.arange(total, dtype=np.int64) - offs[pt]
+        cand = self._cell_tris[c0[pt] + within]
 
         t = self._tris
         x, y, z, cl = self._x, self._y, self._z, self._cls
+        i0, i1, i2 = t[cand, 0], t[cand, 1], t[cand, 2]
+        px, py = xs[pt], ys[pt]
+        x0, y0 = x[i0], y[i0]
+        x1, y1 = x[i1], y[i1]
+        x2, y2 = x[i2], y[i2]
 
-        for s, e_ in zip(bounds_idx[:-1], bounds_idx[1:]):
-            cell = sorted_cells[s]
-            if cell < 0:
-                continue
-            cand = self._cell_tris[self._cell_starts[cell] : self._cell_starts[cell + 1]]
-            if len(cand) == 0:
-                continue
-            pidx = order[s:e_]
-            px = xs[pidx][:, None]
-            py = ys[pidx][:, None]
-            i0, i1, i2 = t[cand, 0], t[cand, 1], t[cand, 2]
-            x0, y0 = x[i0][None, :], y[i0][None, :]
-            x1, y1 = x[i1][None, :], y[i1][None, :]
-            x2, y2 = x[i2][None, :], y[i2][None, :]
+        # sign-based PIP, boundary inclusive (Triangulation.cs:349-360)
+        d1 = (px - x1) * (y0 - y1) - (x0 - x1) * (py - y1)
+        d2 = (px - x2) * (y1 - y2) - (x1 - x2) * (py - y2)
+        d3 = (px - x0) * (y2 - y0) - (x2 - x0) * (py - y0)
+        has_neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+        has_pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+        inside = ~(has_neg & has_pos)
 
-            # sign-based PIP, boundary inclusive (Triangulation.cs:349-360)
-            d1 = (px - x1) * (y0 - y1) - (x0 - x1) * (py - y1)
-            d2 = (px - x2) * (y1 - y2) - (x1 - x2) * (py - y2)
-            d3 = (px - x0) * (y2 - y0) - (x2 - x0) * (py - y0)
-            has_neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
-            has_pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
-            inside = ~(has_neg & has_pos)  # (n_pts, n_cand)
+        hit_idx = np.flatnonzero(inside)
+        if len(hit_idx) == 0:
+            return heights, classes
+        # first containing candidate per point, in candidate (= tri id)
+        # order: pairs are grouped by point in that order already
+        gi_all, first_pos = np.unique(pt[hit_idx], return_index=True)
+        sel = hit_idx[first_pos]
 
-            any_hit = inside.any(axis=1)
-            if not any_hit.any():
-                continue
-            first = inside.argmax(axis=1)  # first containing in tri-id order
-            hit_pts = np.flatnonzero(any_hit)
-            kc = first[hit_pts]
-            gi = pidx[hit_pts]
-
-            j0, j1, j2 = i0[kc], i1[kc], i2[kc]
-            qx, qy = xs[gi], ys[gi]
-            det = (y[j1] - y[j2]) * (x[j0] - x[j2]) + (x[j2] - x[j1]) * (y[j0] - y[j2])
-            l1 = ((y[j1] - y[j2]) * (qx - x[j2]) + (x[j2] - x[j1]) * (qy - y[j2])) / det
-            l2 = ((y[j2] - y[j0]) * (qx - x[j2]) + (x[j0] - x[j2]) * (qy - y[j2])) / det
-            l3 = 1.0 - l1 - l2
-            h = l1 * z[j0] + l2 * z[j1] + l3 * z[j2]
-            heights[gi] = h
-            classes[gi] = _closest_class(qx, qy, h, x, y, z, cl, j0, j1, j2)
-
+        j0, j1, j2 = i0[sel], i1[sel], i2[sel]
+        qx, qy = xs[gi_all], ys[gi_all]
+        det = (y[j1] - y[j2]) * (x[j0] - x[j2]) + (x[j2] - x[j1]) * (y[j0] - y[j2])
+        l1 = ((y[j1] - y[j2]) * (qx - x[j2]) + (x[j2] - x[j1]) * (qy - y[j2])) / det
+        l2 = ((y[j2] - y[j0]) * (qx - x[j2]) + (x[j0] - x[j2]) * (qy - y[j2])) / det
+        l3 = 1.0 - l1 - l2
+        h = l1 * z[j0] + l2 * z[j1] + l3 * z[j2]
+        heights[gi_all] = h
+        classes[gi_all] = _closest_class(qx, qy, h, x, y, z, cl, j0, j1, j2)
         return heights, classes
 
     # -- rasterization (Triangulation.cs:202-298) --------------------

@@ -1,0 +1,217 @@
+"""Point-in-polygon join + polygon raster burn.
+
+Two paths, per SURVEY.md §2.4:
+
+- **Broadcast PIP join** (J1/J2 shape with a small polygon side): the
+  feature table is put into the object store once (``ray.put``) and
+  every actor builds a uniform-grid candidate index in ``__init__``
+  (the reference's TriangleIndexGrid idea, ``DEM/TriangleGrid.cs``);
+  each batch probes vectorized. No shuffle. When the polygon side is
+  large, flat-map features to tiles and co-group on ``tile_id``
+  instead (the burn path below does exactly that).
+
+- **Per-tile raster burn** (J3): features are exploded to the tiles
+  their envelope touches (clipped, ``RasteriserEvenOdd.cs:43-48``),
+  sorted by the deterministic burn order ``(source, feature_seq)``
+  (O4), then ``groupby(tile_id).map_groups`` burns a byte raster per
+  tile with even-odd fill / Bresenham lines and the class-code value
+  map (M5, ``Nls/TopographicDb.cs``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..corpus.nls import ALL_CLASS_MAPS
+from ..geom.bounds import EPSILON, RasterBounds
+from ..geom.clip import clip_geometry, envelope_contains
+from ..geom.fill import burn_polygon_with_holes
+from ..geom.lines import burn_line
+from ..geom.tilenamer import decode
+from ..geom.wkbgeom import LineString, MultiLineString, MultiPolygon, Polygon, from_wkb
+
+TILE_SIZE_M = 1000
+
+
+class RectPipJoin:
+    """Actor-pool stage: probe points against broadcast axis-aligned
+    rectangles with half-open [min,max) containment. Index built once
+    per actor (sorted interval arrays); probe is vectorized
+    O(points x candidate rects)."""
+
+    def __init__(self, rects_ref):
+        rects = ray.get(rects_ref) if isinstance(rects_ref, ray.ObjectRef) else rects_ref
+        self.min_x = rects["min_x"]
+        self.min_y = rects["min_y"]
+        self.max_x = rects["max_x"]
+        self.max_y = rects["max_y"]
+        self.luokka = rects["luokka"]
+        self.feature_id = rects["feature_id"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        doc_id = batch.column("doc_id").to_numpy()
+        # (points, rects) containment matrix; rect side is small
+        inside = (
+            (x[:, None] >= self.min_x[None, :])
+            & (x[:, None] < self.max_x[None, :])
+            & (y[:, None] >= self.min_y[None, :])
+            & (y[:, None] < self.max_y[None, :])
+        )
+        pi, ri = np.nonzero(inside)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id[pi], pa.int64()),
+                "feature_id": pa.array(self.feature_id[ri], pa.int64()),
+                "luokka": pa.array(self.luokka[ri], pa.int32()),
+            }
+        )
+
+
+def rect_pip_join(points_ds, feature_table: pa.Table, concurrency=4):
+    """points x rect features -> (doc_id, feature_id, luokka) rows."""
+    mask = pa.compute.equal(feature_table.column("kind"), "rect")
+    rects_tbl = feature_table.filter(mask)
+    rects = {
+        c: rects_tbl.column(c).to_numpy()
+        for c in ("min_x", "min_y", "max_x", "max_y", "luokka", "feature_id")
+    }
+    rects_ref = ray.put(rects)
+    return points_ds.map_batches(
+        RectPipJoin,
+        fn_constructor_args=(rects_ref,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+# ------------------------------------------------------------------
+# per-tile raster burn (J3)
+# ------------------------------------------------------------------
+
+
+def explode_features_to_tiles(feature_table: pa.Table) -> pa.Table:
+    """Flat-map: one row per (feature, touched 1 km tile), geometry
+    clipped to the tile (the flat-map in SURVEY.md §3.2). Small side
+    — runs on the driver once; at scale this becomes a map_batches
+    over the feature dataset with identical body."""
+    rows = {k: [] for k in ("tile_id", "geom_wkb", "luokka", "source", "feature_seq", "kind")}
+    fs = feature_table.to_pylist()
+    for f in fs:
+        geom = from_wkb(f["geom_wkb"])
+        min_x, min_y, max_x, max_y = geom.envelope
+        t0e = int(np.floor(min_x / TILE_SIZE_M)) * TILE_SIZE_M
+        t0n = int(np.floor(min_y / TILE_SIZE_M)) * TILE_SIZE_M
+        te = t0e
+        while te <= max_x:
+            tn = t0n
+            while tn <= max_y:
+                tile_env = (te, tn, te + TILE_SIZE_M, tn + TILE_SIZE_M)
+                # clip to the tile area shrunk by epsilon
+                # (RasteriserEvenOdd.cs:24, 43-48)
+                if envelope_contains(
+                    (te, tn, te + TILE_SIZE_M - EPSILON, tn + TILE_SIZE_M - EPSILON),
+                    geom.envelope,
+                ):
+                    clipped = geom
+                else:
+                    clipped = clip_geometry(
+                        geom, te, tn, te + TILE_SIZE_M - EPSILON, tn + TILE_SIZE_M - EPSILON
+                    )
+                if clipped is not None:
+                    from ..geom.tilenamer import encode
+                    from ..geom.wkbgeom import to_wkb
+
+                    rows["tile_id"].append(str(encode(te, tn, TILE_SIZE_M)))
+                    rows["geom_wkb"].append(to_wkb(clipped))
+                    rows["luokka"].append(f["luokka"])
+                    rows["source"].append(f["source"])
+                    rows["feature_seq"].append(f["feature_seq"])
+                    rows["kind"].append(f["kind"])
+                tn += TILE_SIZE_M
+            te += TILE_SIZE_M
+    return pa.table(
+        {
+            "tile_id": pa.array(rows["tile_id"], pa.string()),
+            "geom_wkb": pa.array(rows["geom_wkb"], pa.binary()),
+            "luokka": pa.array(rows["luokka"], pa.int32()),
+            "source": pa.array(rows["source"], pa.string()),
+            "feature_seq": pa.array(rows["feature_seq"], pa.int64()),
+            "kind": pa.array(rows["kind"], pa.string()),
+        }
+    )
+
+
+def burn_tile(group: pd.DataFrame, cell_size: float = 1.0) -> pd.DataFrame:
+    """Burn one tile's features into a byte raster
+    (RasteriserEvenOdd.cs:22-148). Features are processed in the
+    deterministic order (source, feature_seq) — later overwrite
+    earlier (J3/O4)."""
+    tile_id = group["tile_id"].iloc[0]
+    env = decode(tile_id)
+    bounds = RasterBounds.for_tile(env, cell_size)
+    raster = np.zeros((bounds.n_rows, bounds.n_cols), dtype=np.uint8)
+    temp = None
+
+    g = group.sort_values(["source", "feature_seq"], kind="stable")
+    for wkb, luokka in zip(g["geom_wkb"], g["luokka"]):
+        if luokka not in ALL_CLASS_MAPS:
+            continue  # M5 class filter
+        value = ALL_CLASS_MAPS[luokka]
+        geom = from_wkb(wkb)
+        temp = _burn_geometry(bounds, raster, temp, value, geom)
+
+    return pd.DataFrame(
+        {
+            "tile_id": [tile_id],
+            "n_features": [len(g)],
+            "n_burned_cells": [int((raster != 0).sum())],
+            "raster": [raster.tobytes()],
+        }
+    )
+
+
+def _burn_geometry(bounds, raster, temp, value, geom):
+    if isinstance(geom, Polygon):
+        geoms = [geom]
+    elif isinstance(geom, MultiPolygon):
+        geoms = geom.parts
+    elif isinstance(geom, LineString):
+        _burn_linestring(bounds, raster, value, geom)
+        return temp
+    elif isinstance(geom, MultiLineString):
+        for p in geom.parts:
+            _burn_linestring(bounds, raster, value, p)
+        return temp
+    else:
+        raise TypeError(f"Unsupported geometry {type(geom)}")
+
+    for p in geoms:
+        e = p.envelope
+        rc_min = bounds.proj_to_cell_scalar(e[0], e[1])
+        rc_max = bounds.proj_to_cell_scalar(e[2], e[3])
+        if rc_min is None or rc_max is None:
+            raise ValueError("Still outside raster")
+        temp = burn_polygon_with_holes(
+            bounds, raster, temp, value, p.exterior, list(p.interiors), rc_min, rc_max
+        )
+    return temp
+
+
+def _burn_linestring(bounds, raster, value, ls: LineString):
+    """RasteriseLine (RasteriserEvenOdd.cs:84-101)."""
+    coords = ls.coords
+    rows, cols, _ = bounds.proj_to_cell(coords[:, 0], coords[:, 1])
+    for i in range(1, len(coords)):
+        burn_line(raster, int(cols[i - 1]), int(rows[i - 1]), int(cols[i]), int(rows[i]), value)
+
+
+def burned_tiles(features_by_tile_ds, cell_size: float = 1.0):
+    return features_by_tile_ds.groupby("tile_id").map_groups(
+        lambda g: burn_tile(g, cell_size), batch_format="pandas"
+    )

@@ -1,0 +1,57 @@
+"""Tiling stage: pages/documents -> geocoded, tile-keyed points.
+
+The map-side of every wide step (SURVEY.md §3.1 "Ray shape"):
+``read_parquet -> map_batches(add_tile_columns, batch_format=
+"pyarrow")``. The emitted ``tile_id`` (1 km NLS name,
+``Nls/TileNamer.cs:314-481``) is the engine's partition/shuffle key;
+``row``/``col`` are the in-tile voxel cell indices at ``CELL_SIZE_M``
+(half-open bounds semantics, ``Common/RasterBounds.cs:118-133``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..corpus.geocode import geocode
+from ..geom import tilenamer
+
+CELL_SIZE_M = 10.0
+TILE_SIZE_M = 1000
+CELLS_PER_EDGE = int(TILE_SIZE_M / CELL_SIZE_M)  # 100
+
+
+def add_point_columns(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
+    """Append x, y, z, classification, is_ground, tile_id, row, col.
+
+    Pure vectorized numpy; the cell arithmetic mirrors
+    ``RasterBounds.proj_to_cell`` for the tile-local grid (tile min
+    is the 1 km-aligned floor, so ``row = trunc((y - tile_min_n) /
+    cell)`` — identical IEEE ops to the DuckDB oracle SQL).
+    """
+    doc_id = batch.column(doc_col).to_numpy()
+    x, y, z, cls, is_ground = geocode(doc_id)
+    tile_id = tilenamer.encode(x, y, TILE_SIZE_M)
+
+    tile_min_e = np.floor(x / TILE_SIZE_M) * TILE_SIZE_M
+    tile_min_n = np.floor(y / TILE_SIZE_M) * TILE_SIZE_M
+    col = ((x - tile_min_e) / CELL_SIZE_M).astype(np.int64)
+    row = ((y - tile_min_n) / CELL_SIZE_M).astype(np.int64)
+
+    return (
+        batch.append_column("x", pa.array(x, pa.float64()))
+        .append_column("y", pa.array(y, pa.float64()))
+        .append_column("z", pa.array(z, pa.float64()))
+        .append_column("classification", pa.array(cls, pa.uint8()))
+        .append_column("is_ground", pa.array(is_ground, pa.bool_()))
+        .append_column("tile_id", pa.array(tile_id, pa.string()))
+        .append_column("row", pa.array(row, pa.int64()))
+        .append_column("col", pa.array(col, pa.int64()))
+    )
+
+
+def points_dataset(ds, doc_col: str = "doc_id"):
+    """documents/pages Dataset -> points Dataset (no shuffle)."""
+    return ds.map_batches(
+        lambda b: add_point_columns(b, doc_col), batch_format="pyarrow"
+    )
