@@ -124,6 +124,144 @@ def q_tin_tile_summary(sf_dir: str):
     return tin_summary(_points(sf_dir))
 
 
+# ------------------------------------------- webtext / dedup / ANN
+
+
+def q_token_stats(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.text import text_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text_stats(docs).drop_columns(["text"])
+
+
+def q_exact_dedup(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.dedup import exact_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+def q_minhash_dedup_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.dedup import minhash_dedup_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(docs)
+
+
+def q_simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.dedup import simhash_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_pairs(docs)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.dedup import ngram_jaccard_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs)
+
+
+def q_embed_nn_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.dedup import embedding_nn_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_nn_pairs(emb, threshold=0.45)
+
+
+def q_embed_lsh_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.dedup import embedding_lsh_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_lsh_pairs(emb, threshold=0.45)
+
+
+def q_ann_topk(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.similarity import ann_topk, default_queries
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qids, qmat = default_queries(emb)
+    return ann_topk(emb, qids, qmat, k=5)
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.similarity import ann_topk_ivf, default_queries
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qids, qmat = default_queries(emb)
+    return ann_topk_ivf(emb, qids, qmat, k=5)
+
+
+def q_knn_spatial(sf_dir: str):
+    from lasutility_ray.stages.knn import knn_join
+
+    return knn_join(_points(sf_dir), lambda ids: ids % 50 == 0)
+
+
+def q_lang_id(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.text import lang_id
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return lang_id(docs).drop_columns(["text"])
+
+
+def q_fingerprint(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.text import fingerprint_batch
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(fingerprint_batch, batch_format="pyarrow").drop_columns(["text"])
+
+
+def q_tumbling_windows(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.events import tumbling_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return tumbling_window(ev)
+
+
+def q_sessionize(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.events import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sessionize(ev)
+
+
+def q_image_features(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import attach_images, image_feature_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    with_imgs = docs.map_batches(attach_images, batch_format="pyarrow")
+    return image_feature_stage(with_imgs).drop_columns(["image_meta"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_tile_counts": q_tile_counts,
@@ -133,6 +271,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_join_rect": q_pip_join_rect,
         "q_extract_invariant": q_extract_invariant,
         "q_tin_tile_summary": q_tin_tile_summary,
+        "q_token_stats": q_token_stats,
+        "q_exact_dedup": q_exact_dedup,
+        "q_minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_embed_nn_pairs": q_embed_nn_pairs,
+        "q_embed_lsh_pairs": q_embed_lsh_pairs,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_topk_ivf": q_ann_topk_ivf,
+        "q_knn_spatial": q_knn_spatial,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_tumbling_windows": q_tumbling_windows,
+        "q_sessionize": q_sessionize,
+        "q_image_features": q_image_features,
     }
 
 
@@ -206,6 +359,66 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.doc_id, r.k AS feature_id, CAST(r.luokka AS INT) AS luokka "
             "FROM pts p JOIN rects r ON p.x >= r.min_x AND p.x < r.max_x "
             "AND p.y >= r.min_y AND p.y < r.max_y"
+        ),
+        "q_token_stats": (
+            "SELECT doc_id, length(text) AS n_chars, "
+            "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "length(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars, "
+            "length(list_filter(regexp_extract_all(lower(text), '\\S+'), "
+            "x -> x IN ('the','and','of','to','a','in','is','it','you','that')"
+            ")) AS stop_hits_en FROM documents"
+        ),
+        "q_exact_dedup": (
+            "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
+            "count(*) AS n_copies FROM documents GROUP BY md5(text)"
+        ),
+        "q_embed_nn_pairs": (
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_cosine_similarity("
+            "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.45"
+        ),
+        "q_ann_topk": (
+            "WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings ORDER BY vec_id LIMIT 10), "
+            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM qs q JOIN embeddings e ON e.vec_id <> q.query_id), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) "
+            "SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine "
+            "FROM ranked WHERE rank <= 5"
+        ),
+        "q_knn_spatial": (
+            f"WITH {pts}, "
+            "qs AS (SELECT doc_id AS q_doc_id, x AS qx, y AS qy FROM pts "
+            "WHERE doc_id % 50 = 0), "
+            "scored AS (SELECT q.q_doc_id, p.doc_id AS neighbor_id, "
+            "(q.qx - p.x) * (q.qx - p.x) + (q.qy - p.y) * (q.qy - p.y) AS d2 "
+            "FROM qs q JOIN pts p ON p.doc_id <> q.q_doc_id), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY q_doc_id "
+            "ORDER BY d2, neighbor_id) AS rank FROM scored WHERE d2 <= 250000.0) "
+            "SELECT q_doc_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d2 "
+            "FROM ranked WHERE rank <= 3"
+        ),
+        "q_tumbling_windows": (
+            "SELECT user_id, (epoch_ms(ts) // 300000) * 300000 AS window_start, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents, "
+            "min(value) AS min_value, max(value) AS max_value "
+            "FROM events GROUP BY user_id, (epoch_ms(ts) // 300000) * 300000"
+        ),
+        "q_sessionize": (
+            "WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events), "
+            "m AS (SELECT user_id, ms, CASE WHEN lag(ms) OVER w IS NULL "
+            "OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)), "
+            "s AS (SELECT user_id, ms, sum(new_s) OVER "
+            "(PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms, "
+            "count(*) AS n_events FROM s GROUP BY user_id, sid"
         ),
         "q_extract_invariant": (
             "WITH pages AS (SELECT doc_id, "

@@ -47,18 +47,31 @@ def make_urls(doc_id: np.ndarray) -> np.ndarray:
     )
 
 
+NEAR_DUP_SLOT = 12
+NEAR_DUP_TAIL = " appended near duplicate tail words"
+
+
 def synth_text(doc_id: np.ndarray) -> np.ndarray:
-    """Deterministic word-salad text; length varies by hash. Rows with
-    ``doc_id % DUP_EVERY == DUP_EVERY - 1`` copy the previous row's
-    content (exact duplicates under different urls)."""
+    """Deterministic word-salad text; length varies by hash.
+    Duplicate fixtures at every scale: ``doc_id % 25 == 24`` copies
+    the previous row's text verbatim (exact dup, different url);
+    ``doc_id % 25 == 12`` copies the previous row's text + a short
+    tail (near dup, Jaccard ~0.9)."""
     doc_id = np.asarray(doc_id, dtype=np.int64)
-    base = np.where(doc_id % DUP_EVERY == DUP_EVERY - 1, doc_id - 1, doc_id)
+    mod = doc_id % DUP_EVERY
+    base = np.where((mod == DUP_EVERY - 1) | (mod == NEAR_DUP_SLOT), doc_id - 1, doc_id)
     h1, h2 = hashes(base)
     out = np.empty(len(doc_id), dtype=object)
-    for i, (b, a, c) in enumerate(zip(base.tolist(), h1.tolist(), h2.tolist())):
+    for i, (a, c, m) in enumerate(zip(h1.tolist(), h2.tolist(), mod.tolist())):
         n_words = 20 + (a % 80)
         idx = (np.arange(n_words) * (1 + c % 7) + a) % len(_WORDS)
-        out[i] = " ".join(_WORDS[j] for j in idx)
+        # leading token d<h1:08x> is unique per base doc (h1 is a
+        # bijection of doc_id), so the only exact/near duplicates are
+        # the injected ones
+        t = f"d{a:08x} " + " ".join(_WORDS[j] for j in idx)
+        if m == NEAR_DUP_SLOT:
+            t += NEAR_DUP_TAIL
+        out[i] = t
     return out
 
 

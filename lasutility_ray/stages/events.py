@@ -1,0 +1,83 @@
+"""Windowed aggregates over the events stream table.
+
+Ray Data has no event-time windows; tumbling windows become a
+grouped aggregate on ``(user_id, window_start)`` where
+``window_start = (epoch_ms(ts) // W) * W`` — with a map-side partial
+combine so the shuffle carries one row per (batch, user, window).
+Order-independent aggregates (count, min, max) are exact; the float
+sum is rounded to 4 dp in both engines (addition order differs
+between partial merges and the oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Max, Min, Sum
+
+WINDOW_MS = 300_000  # 5 min
+
+
+def _partial(batch: pa.Table) -> pa.Table:
+    df = batch.select(["user_id", "ts", "value"]).to_pandas()
+    ms = df["ts"].astype("datetime64[ms]").astype("int64")
+    df["window_start"] = (ms // WINDOW_MS) * WINDOW_MS
+    # exact cross-engine sums: values are 2-decimal -> integer cents
+    df["cents"] = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+    agg = (
+        df.groupby(["user_id", "window_start"], sort=False)
+        .agg(
+            pc=("value", "count"),
+            ps=("cents", "sum"),
+            pmin=("value", "min"),
+            pmax=("value", "max"),
+        )
+        .reset_index()
+    )
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def tumbling_window(events_ds):
+    """(user_id, window_start, n_events, sum_value_cents, min_value,
+    max_value) per 5-minute tumbling window. The sum is integer
+    cents — order-independent and bit-identical to any SQL engine."""
+    return (
+        events_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Sum("pc", alias_name="n_events"),
+            Sum("ps", alias_name="sum_value_cents"),
+            Min("pmin", alias_name="min_value"),
+            Max("pmax", alias_name="max_value"),
+        )
+    )
+
+
+def sessionize(events_ds, gap_ms: int = 1_800_000):
+    """Session windows per user: events sorted by ts within the user
+    group; a gap > ``gap_ms`` starts a new session. Returns one row
+    per session (user_id, session_start_ms, session_end_ms, n_events).
+    State is group-local (sorted pandas scan) — the Ray-shaped
+    replacement for a streaming session window."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        ms = g["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
+        new_session = np.empty(len(ms), dtype=bool)
+        new_session[0] = True
+        new_session[1:] = (ms[1:] - ms[:-1]) > gap_ms
+        sid = np.cumsum(new_session) - 1
+        df = pd.DataFrame({"sid": sid, "ms": ms})
+        agg = df.groupby("sid")["ms"].agg(["min", "max", "count"]).reset_index()
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(agg), g["user_id"].iloc[0], dtype=np.int64),
+                "session_start_ms": agg["min"].astype(np.int64),
+                "session_end_ms": agg["max"].astype(np.int64),
+                "n_events": agg["count"].astype(np.int64),
+            }
+        )
+
+    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")

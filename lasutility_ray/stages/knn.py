@@ -1,0 +1,163 @@
+"""Spatial kNN over tiled points with halo exchange.
+
+Radius-bounded kNN (radius <= tile edge): every point is emitted as a
+*candidate* to its own tile and its 8 neighbor tiles (halo rows, the
+J6 pattern of SURVEY.md §2.4); query points stay keyed by their own
+tile. One ``groupby(tile_id)`` co-groups queries with all candidates
+that can be within the radius, so the per-tile brute-force is exact.
+
+Distance ranking uses squared distance (same IEEE ops as the SQL
+oracle: ``(dx*dx + dy*dy)``), ties broken by neighbor doc_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geom import tilenamer
+
+RADIUS_M = 500.0
+K_NEIGHBORS = 3
+TILE = 1000
+
+
+def _halo_candidates(batch: pa.Table) -> pa.Table:
+    """Each point -> 9 rows keyed by its tile and the 8 neighbors
+    (only tiles inside the valid envelope)."""
+    x = batch.column("x").to_numpy()
+    y = batch.column("y").to_numpy()
+    doc_id = batch.column("doc_id").to_numpy()
+    te = np.floor(x / TILE).astype(np.int64) * TILE
+    tn = np.floor(y / TILE).astype(np.int64) * TILE
+
+    xs, ys, ids, keys = [], [], [], []
+    for de in (-TILE, 0, TILE):
+        for dn in (-TILE, 0, TILE):
+            ce = te + de
+            cn = tn + dn
+            ok = (
+                (ce >= tilenamer.MIN_ALLOWED_EAST)
+                & (ce < tilenamer.MAX_ALLOWED_EAST)
+                & (cn >= tilenamer.MIN_ALLOWED_NORTH)
+                & (cn < tilenamer.MAX_ALLOWED_NORTH)
+            )
+            if not ok.any():
+                continue
+            keys.append(tilenamer.encode(ce[ok], cn[ok], TILE))
+            xs.append(x[ok])
+            ys.append(y[ok])
+            ids.append(doc_id[ok])
+    return pa.table(
+        {
+            "tile_id": pa.array(np.concatenate(keys), pa.string()),
+            "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+            "x": pa.array(np.concatenate(xs), pa.float64()),
+            "y": pa.array(np.concatenate(ys), pa.float64()),
+        }
+    )
+
+
+def knn_join(points_ds, query_pred, k: int = K_NEIGHBORS, radius: float = RADIUS_M):
+    """(query doc_id, neighbor doc_id, rank, d2) for every query point
+    (query_pred selects queries from the same points table).
+
+    ``radius`` must be <= the tile edge for the 1-ring halo to be
+    exact."""
+    if radius > TILE:
+        raise ValueError("radius must be <= tile edge for 1-ring halo exactness")
+    r2 = radius * radius
+
+    cands = points_ds.map_batches(_halo_candidates, batch_format="pyarrow")
+
+    def is_query(batch: pa.Table) -> pa.Table:
+        mask = query_pred(batch.column("doc_id").to_numpy())
+        t = batch.filter(pa.array(mask))
+        return pa.table(
+            {
+                "tile_id": t.column("tile_id"),
+                "q_doc_id": t.column("doc_id"),
+                "qx": t.column("x"),
+                "qy": t.column("y"),
+            }
+        )
+
+    queries = points_ds.map_batches(is_query, batch_format="pyarrow")
+
+    # co-group queries and halo candidates on tile_id via union +
+    # role column (one shuffle)
+    def tag(role):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column("role", pa.array([role] * t.num_rows, pa.int8()))
+        return fn
+
+    qt = queries.map_batches(tag(0), batch_format="pyarrow").map_batches(
+        lambda t: pa.table(
+            {
+                "tile_id": t.column("tile_id"),
+                "id": t.column("q_doc_id"),
+                "x": t.column("qx"),
+                "y": t.column("qy"),
+                "role": t.column("role"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    ct = cands.map_batches(tag(1), batch_format="pyarrow").map_batches(
+        lambda t: pa.table(
+            {
+                "tile_id": t.column("tile_id"),
+                "id": t.column("doc_id"),
+                "x": t.column("x"),
+                "y": t.column("y"),
+                "role": t.column("role"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    both = qt.union(ct)
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        q = g[g["role"] == 0]
+        c = g[g["role"] == 1]
+        if len(q) == 0 or len(c) == 0:
+            return pd.DataFrame(
+                {
+                    "q_doc_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "rank": pd.Series(dtype="int64"),
+                    "d2": pd.Series(dtype="float64"),
+                }
+            )
+        qx = q["x"].to_numpy()[:, None]
+        qy = q["y"].to_numpy()[:, None]
+        cx = c["x"].to_numpy()[None, :]
+        cy = c["y"].to_numpy()[None, :]
+        dx = qx - cx
+        dy = qy - cy
+        d2 = dx * dx + dy * dy
+        qids = q["id"].to_numpy()
+        cids = c["id"].to_numpy()
+        rows = {"q_doc_id": [], "neighbor_id": [], "rank": [], "d2": []}
+        for i in range(len(qids)):
+            mask = (d2[i] <= r2) & (cids != qids[i])
+            if not mask.any():
+                continue
+            cd = d2[i][mask]
+            ci = cids[mask]
+            order = np.lexsort((ci, cd))[:k]
+            rows["q_doc_id"].extend([qids[i]] * len(order))
+            rows["neighbor_id"].extend(ci[order].tolist())
+            rows["rank"].extend(range(1, len(order) + 1))
+            rows["d2"].extend(cd[order].tolist())
+        return pd.DataFrame(
+            {
+                "q_doc_id": pd.Series(rows["q_doc_id"], dtype="int64"),
+                "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
+                "rank": pd.Series(rows["rank"], dtype="int64"),
+                "d2": pd.Series(rows["d2"], dtype="float64"),
+            }
+        )
+
+    return both.groupby("tile_id").map_groups(per_tile, batch_format="pandas")

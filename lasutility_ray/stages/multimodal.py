@@ -1,0 +1,127 @@
+"""Multimodal (image/audio) columns as opaque binary + typed metadata.
+
+The container ships no image/audio codecs (no PIL/ffmpeg), so the
+*decode* kernels are stubbed per the build contract: a clearly marked
+``NotImplementedError`` for real formats, plus a deterministic fake
+codec ("GRID" format: 16-byte header ``b'GRD1' + u32 width + u32
+height + u32 channels`` followed by raw u8 pixels) so the Ray-side
+plumbing — schema, actor-pool signature, batch sizing, output layout
+— is real and tested end to end.
+
+Stages are actor pools (codec tables "loaded" once per actor in
+``__init__``); batches stay in Arrow with ``large_binary`` payloads
+and small ``batch_size`` (large rows — see the memory note in
+SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC = b"GRD1"
+HEADER = struct.Struct("<4sIII")
+
+
+def synth_image_bytes(doc_id: np.ndarray, width: int = 32, height: int = 32):
+    """Deterministic fake image per doc (seeded by doc_id)."""
+    out = []
+    for d in np.asarray(doc_id, dtype=np.int64).tolist():
+        rng = np.random.default_rng(d)
+        pixels = rng.integers(0, 256, width * height, dtype=np.uint8)
+        out.append(HEADER.pack(MAGIC, width, height, 1) + pixels.tobytes())
+    return out
+
+
+def attach_images(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
+    imgs = synth_image_bytes(batch.column(doc_col).to_numpy())
+    meta = pa.array([{"width": 32, "height": 32, "channels": 1}] * batch.num_rows,
+                    pa.struct([("width", pa.int32()), ("height", pa.int32()),
+                               ("channels", pa.int32())]))
+    return batch.append_column("image", pa.array(imgs, pa.large_binary())).append_column(
+        "image_meta", meta
+    )
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode one image payload. Real formats are STUBBED — this
+    container has no image codecs."""
+    if data[:4] != MAGIC:
+        raise NotImplementedError(
+            "real image decoding (jpeg/png/...) is stubbed in this "
+            "environment; only the deterministic GRD1 fake format is supported"
+        )
+    _, w, h, c = HEADER.unpack_from(data, 0)
+    return np.frombuffer(data, dtype=np.uint8, offset=HEADER.size).reshape(h, w * c)
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode + feature-extract (mean/std/edges)."""
+
+    def __init__(self):
+        # codec/config load happens once per actor
+        self.header = HEADER
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        means, stds, edges = [], [], []
+        for data in batch.column("image").to_pylist():
+            img = decode_image(data).astype(np.float64)
+            means.append(float(img.mean()))
+            stds.append(float(img.std()))
+            edges.append(float(np.abs(np.diff(img, axis=1)).mean()))
+        return (
+            batch.drop_columns(["image"])
+            .append_column("img_mean", pa.array(means, pa.float64()))
+            .append_column("img_std", pa.array(stds, pa.float64()))
+            .append_column("img_edge_energy", pa.array(edges, pa.float64()))
+        )
+
+
+class ImageResize:
+    """Actor-pool stage: nearest-neighbor resize of the fake format
+    (the real-codec path raises NotImplementedError by design)."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8):
+        self.out_w = out_w
+        self.out_h = out_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for data in batch.column("image").to_pylist():
+            img = decode_image(data)
+            h, w = img.shape
+            ri = (np.arange(self.out_h) * h // self.out_h)
+            ci = (np.arange(self.out_w) * w // self.out_w)
+            small = img[ri][:, ci]
+            out.append(HEADER.pack(MAGIC, self.out_w, self.out_h, 1) + small.tobytes())
+        idx = batch.schema.get_field_index("image")
+        return batch.set_column(idx, "image", pa.array(out, pa.large_binary()))
+
+
+def frame_sample(batch: pa.Table, every: int = 4) -> pa.Table:
+    """Video frame-sampling stub: treats the binary payload as a
+    concatenation of GRD1 frames and keeps every ``every``-th one."""
+    out = []
+    for data in batch.column("video").to_pylist():
+        frames = []
+        off = 0
+        while off < len(data):
+            _, w, h, c = HEADER.unpack_from(data, off)
+            size = HEADER.size + w * h * c
+            frames.append(data[off : off + size])
+            off += size
+        out.append(b"".join(frames[::every]))
+    idx = batch.schema.get_field_index("video")
+    return batch.set_column(idx, "video", pa.array(out, pa.large_binary()))
+
+
+def image_feature_stage(ds, concurrency: int = 4, batch_size: int = 256):
+    """Small batches: payload rows are large (binary images)."""
+    return ds.map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,128 @@
+"""Similarity search over the embeddings table.
+
+- ``ann_topk``: brute-force cosine top-k — the exactness baseline.
+  The query matrix is broadcast once (``ray.put``); every batch does
+  one float64 matmul against it (no shuffle). DuckDB-checkable
+  (scores rounded to 6 dp; rank ties broken by vec_id).
+- ``ann_topk_ivf``: IVF-style scale path — coarse k-means-ish
+  centroids (deterministic seeding), vectors bucketed by nearest
+  centroid, queries probe the ``n_probe`` nearest buckets only.
+  Approximate by design -> rows-only checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def default_queries(ds, n_queries: int = 10):
+    """Deterministic query set: the n_queries lowest vec_ids."""
+    df = ds.sort("vec_id").limit(n_queries).to_pandas()
+    ids = df["vec_id"].to_numpy()
+    mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    return ids, mat
+
+
+def ann_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5):
+    """(query_id, neighbor_id, rank, cosine): top-k cosine neighbors
+    per query (self excluded). Map side emits per-batch local top-k;
+    the tiny final reduce runs on the driver — at scale this is a
+    ``groupby(query_id)`` merge of k-row partials."""
+    qn = _normalize(query_mat.astype(np.float64))
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q_ids, q = ray.get(ref)
+        ids = batch.column("vec_id").to_numpy()
+        m = _normalize(np.stack(batch.column("embedding").to_numpy()).astype(np.float64))
+        sims = q @ m.T  # (n_q, n_batch)
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi in range(len(q_ids)):
+            s = sims[qi]
+            mask = ids != q_ids[qi]
+            cand_ids = ids[mask]
+            cand_s = np.round(s[mask], 6)
+            order = np.lexsort((cand_ids, -cand_s))[:k]
+            rows["query_id"].extend([q_ids[qi]] * len(order))
+            rows["neighbor_id"].extend(cand_ids[order].tolist())
+            rows["cosine"].extend(cand_s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                "cosine": pa.array(rows["cosine"], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = partials.groupby("query_id", group_keys=False, sort=True).apply(final)
+    return out.reset_index(drop=True)
+
+
+def ann_topk_ivf(ds, query_ids, query_mat, k: int = 5, n_lists: int = 16,
+                 n_probe: int = 4):
+    """IVF-bucketed ANN: one pass assigns vectors to the nearest of
+    ``n_lists`` deterministic centroids (seeded from fixed RNG); each
+    query probes its ``n_probe`` closest lists. Recall < 1 by design."""
+    rng = np.random.default_rng(123)
+    dim = query_mat.shape[1]
+    centroids = _normalize(rng.standard_normal((n_lists, dim)))
+    cref = ray.put(centroids)
+    qn = _normalize(np.asarray(query_mat, dtype=np.float64))
+    q_lists = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qn, q_lists))
+
+    def local(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        q_ids, q, q_l = ray.get(qref)
+        ids = batch.column("vec_id").to_numpy()
+        m = _normalize(np.stack(batch.column("embedding").to_numpy()).astype(np.float64))
+        assign = np.argmax(m @ c.T, axis=1)
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi in range(len(q_ids)):
+            probe_mask = np.isin(assign, q_l[qi]) & (ids != q_ids[qi])
+            if not probe_mask.any():
+                continue
+            cand_ids = ids[probe_mask]
+            s = np.round(m[probe_mask] @ q[qi], 6)
+            order = np.lexsort((cand_ids, -s))[:k]
+            rows["query_id"].extend([q_ids[qi]] * len(order))
+            rows["neighbor_id"].extend(cand_ids[order].tolist())
+            rows["cosine"].extend(s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                "cosine": pa.array(rows["cosine"], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    if len(partials) == 0:
+        return partials.assign(rank=pd.Series(dtype="int64"))
+    out = partials.groupby("query_id", group_keys=False, sort=True).apply(final)
+    return out.reset_index(drop=True)

@@ -1,0 +1,109 @@
+"""Text-analysis stages over the documents/pages corpus: token
+counting, quality scoring, language ID, document fingerprinting.
+
+All per-batch bodies are vectorized (compiled regex applied via
+pandas str ops / numpy); stateful pieces (compiled patterns, stopword
+arrays) live in actor ``__init__``. The token/quality ops are
+DuckDB-mirrorable (same regex / arithmetic); langid + fingerprint are
+rows-only ops with pure-python pytest oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_RE = r"\S+"
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "fi": ("ja", "on", "ei", "se", "että", "hän", "oli", "mutta", "kun", "niin"),
+    "sv": ("och", "att", "det", "som", "en", "på", "är", "av", "för", "med"),
+    "de": ("und", "der", "die", "das", "ist", "nicht", "ein", "mit", "sie", "auf"),
+}
+LANG_ORDER = ("de", "en", "fi", "sv")  # deterministic tie-break: alphabetical
+
+FP_BASE = 1000003
+FP_MOD = (1 << 61) - 1
+
+
+class TextStats:
+    """Actor-pool stage: token counts + quality columns.
+
+    Mirrored by SQL: n_chars = length(text); n_tokens = count of
+    ``\\S+`` matches; alpha_chars = count of [A-Za-z]; stop_hits_en =
+    tokens (lowercased) in the English stopword list.
+    """
+
+    def __init__(self):
+        import re
+
+        self.token_re = re.compile(TOKEN_RE)
+        self.stop_en = frozenset(STOPWORDS["en"])
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"]
+        toks = s.str.findall(self.token_re)
+        batch["n_chars"] = s.str.len().astype("int64")
+        batch["n_tokens"] = toks.map(len).astype("int64")
+        batch["alpha_chars"] = s.str.count(r"[A-Za-z]").astype("int64")
+        stop = self.stop_en
+        batch["stop_hits_en"] = toks.map(
+            lambda ws: sum(1 for w in ws if w.lower() in stop)
+        ).astype("int64")
+        return batch
+
+
+def text_stats(ds):
+    return ds.map_batches(TextStats, batch_format="pandas", concurrency=4)
+
+
+class LangId:
+    """n-gram-free heuristic language ID: stopword hit counts per
+    language over lowercased tokens; argmax with alphabetical
+    tie-break. Deterministic; pytest carries the pure-python oracle."""
+
+    def __init__(self):
+        import re
+
+        self.token_re = re.compile(TOKEN_RE)
+        self.tables = {lang: frozenset(STOPWORDS[lang]) for lang in LANG_ORDER}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.findall(self.token_re)
+        scores = {
+            lang: toks.map(lambda ws, t=t: sum(1 for w in ws if w in t))
+            for lang, t in self.tables.items()
+        }
+        m = pd.DataFrame(scores)
+        best = m.idxmax(axis=1)  # first max in column order = LANG_ORDER
+        best = best.where(m.max(axis=1) > 0, "und")
+        batch["lang_pred"] = best.to_numpy()
+        return batch
+
+
+def lang_id(ds):
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=4)
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Rolling-hash document fingerprint: the utf-8 byte string read
+    as a base-256 polynomial, reduced mod 2^61-1. One C-speed bigint
+    op per row (no per-byte python loop)."""
+    texts = batch.column("text").to_pylist()
+    out = np.fromiter(
+        (int.from_bytes(t.encode(), "big") % FP_MOD for t in texts),
+        dtype=np.int64,
+        count=len(texts),
+    )
+    return batch.append_column("fingerprint", pa.array(out, pa.int64()))
+
+
+def fingerprint_py(text: str) -> int:
+    """Pure-python oracle: Horner base-256 mod 2^61-1 (equals
+    :func:`fingerprint_batch` by construction)."""
+    acc = 0
+    for v in text.encode():
+        acc = (acc * 256 + v) % FP_MOD
+    return acc
