@@ -1,0 +1,8 @@
+"""Checkpoint / lineage state for resumable pipelines."""
+
+from .manifest import (  # noqa: F401
+    finished_keys,
+    manifest_table,
+    resumable_tin_tiles,
+    write_partition_atomic,
+)

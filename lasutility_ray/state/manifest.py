@@ -1,0 +1,185 @@
+"""Per-partition checkpoint manifest + resumable tile output.
+
+The reference's only crash-consistency idea is the tmp-file + atomic
+rename around the VoxelGrid snapshot (``LasUtility/VoxelGrid/
+VoxelGrid.cs:347-359``) and the ``LockedCells`` "don't redo finished
+cells" mask (``LasUtility/DEM/Triangulation.cs:275-276``). This module
+generalizes both to the engine's unit of work, the 1 km tile:
+
+- every finished tile writes its output parquet atomically
+  (``write_partition_atomic``: tmp file + ``os.replace``), then a
+  one-row manifest parquet recording lineage + metrics
+  (``{key, n_rows, content_hash, output_path, metrics...}``);
+  the manifest row is written *after* the data file, so a manifest
+  entry implies a complete, readable output partition;
+- a resumed run lists the manifest (cheap: one dir listing), broadcasts
+  the finished-key set once via ``ray.put`` (read once per actor in
+  ``DropFinished.__init__``, never re-shipped per batch), anti-joins
+  pending rows with a vectorized mask, and only processes the rest.
+
+At 100 TB the manifest stays tiny relative to data (one row per tile);
+the broadcast set is a few MB for ~10^5 tiles per job shard, read once
+per actor.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_DIR = "_manifest"
+TILES_DIR = "tiles"
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, MANIFEST_DIR)
+
+
+def _tiles_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, TILES_DIR)
+
+
+def write_partition_atomic(table: pa.Table, path: str) -> None:
+    """tmp-file + rename, the reference's snapshot pattern
+    (VoxelGrid.cs:349-358): readers never observe a torn file."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+def finished_keys(out_dir: str) -> frozenset[str]:
+    """Keys with a committed manifest row (= completed partitions)."""
+    mdir = _manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return frozenset()
+    return frozenset(
+        f[: -len(".parquet")] for f in os.listdir(mdir) if f.endswith(".parquet")
+    )
+
+
+def manifest_table(out_dir: str) -> pa.Table:
+    """All lineage/metrics rows: one per finished partition."""
+    mdir = _manifest_dir(out_dir)
+    files = (
+        sorted(
+            os.path.join(mdir, f) for f in os.listdir(mdir) if f.endswith(".parquet")
+        )
+        if os.path.isdir(mdir)
+        else []
+    )
+    if not files:
+        return pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "n_rows": pa.array([], pa.int64()),
+                "content_hash": pa.array([], pa.string()),
+                "output_path": pa.array([], pa.string()),
+                "wall_s": pa.array([], pa.float64()),
+            }
+        )
+    return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+
+
+class DropFinished:
+    """Actor-pool batch filter: drop rows whose key is already in the
+    checkpoint manifest. The finished-key set is ``ray.put`` once by
+    the driver and ``ray.get`` once per actor here — a broadcast
+    lookup, not a shuffle anti-join and not a per-batch reship."""
+
+    def __init__(self, done_ref, key_col: str):
+        import ray
+
+        ref = done_ref[0] if isinstance(done_ref, list) else done_ref
+        self.done = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.done:
+            return batch
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        mask = np.array([k not in self.done for k in keys], dtype=bool)
+        return batch.filter(pa.array(mask))
+
+
+def _commit_partition(out_dir: str, key: str, df: pd.DataFrame, metrics: dict) -> dict:
+    """Atomically write a partition's output + manifest row; returns
+    the manifest row as a dict."""
+    out_path = os.path.join(_tiles_dir(out_dir), f"{key}.parquet")
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    write_partition_atomic(table, out_path)
+
+    h = hashlib.md5()
+    for name in sorted(table.column_names):
+        h.update(name.encode())
+        for chunk in table.column(name).chunks:
+            for buf in chunk.buffers():
+                if buf is not None:
+                    h.update(buf)
+    row = {
+        "key": key,
+        "n_rows": len(df),
+        "content_hash": h.hexdigest(),
+        "output_path": out_path,
+        **metrics,
+    }
+    write_partition_atomic(
+        pa.Table.from_pylist([row]), os.path.join(_manifest_dir(out_dir), f"{key}.parquet")
+    )
+    return row
+
+
+def resumable_tin_tiles(points_ds, out_dir: str, concurrency: int = 4):
+    """Checkpointed flagship wide step: per-tile TIN+DEM rasterization
+    (stages.tin.rasterize_tile) where every tile commits its own
+    atomic parquet + manifest row. A killed job resumes by skipping
+    every tile already in the manifest (LockedCells at tile
+    granularity). Returns the manifest table (lineage + metrics) after
+    driving the pipeline.
+    """
+    import ray
+
+    from ..stages.tin import rasterize_tile
+
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    done = finished_keys(out_dir)
+
+    if done:
+        done_ref = ray.put(done)
+        # autoscaling pool (min 1): never reserves every CPU, so the
+        # downstream groupby shuffle can always make progress
+        pending = points_ds.map_batches(
+            DropFinished,
+            fn_constructor_kwargs={"done_ref": [done_ref], "key_col": "tile_id"},
+            batch_format="pyarrow",
+            concurrency=(1, concurrency),
+        )
+    else:
+        pending = points_ds
+
+    def process_and_commit(group: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        out = rasterize_tile(group)
+        tile_id = out["tile_id"].iloc[0]
+        metrics = {
+            "n_points": int(out["n_points"].iloc[0]),
+            "n_triangles": int(out["n_triangles"].iloc[0]),
+            "missing_before": int(out["missing_before"].iloc[0]),
+            "missing_after": int(out["missing_after"].iloc[0]),
+            "wall_s": round(time.perf_counter() - t0, 6),
+        }
+        row = _commit_partition(out_dir, tile_id, out, metrics)
+        return pd.DataFrame([row])
+
+    # drive: the groupby shuffle + per-tile commit; result is the
+    # (small) manifest delta, then read the authoritative manifest dir
+    pending.groupby("tile_id").map_groups(
+        process_and_commit, batch_format="pandas"
+    ).count()
+    return manifest_table(out_dir)

@@ -1,0 +1,110 @@
+"""Checkpoint manifest + resume (state/manifest.py).
+
+Models the reference's crash-consistency seed (VoxelGrid.cs:347-359
+tmp+rename; Triangulation.cs:275-276 LockedCells) at tile granularity:
+a killed run's finished tiles are never recomputed on resume.
+"""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from lasutility_ray.state import finished_keys, manifest_table, resumable_tin_tiles
+from lasutility_ray.stages.tiling import points_dataset
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    d = str(tmp_path / "ckpt")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _points():
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    return points_dataset(docs)
+
+
+def test_full_run_then_resume_is_noop(out_dir, ray_session):
+    m1 = resumable_tin_tiles(_points(), out_dir)
+    assert m1.num_rows > 0
+    keys = set(m1.column("key").to_pylist())
+    assert keys == set(finished_keys(out_dir))
+
+    # record mtimes of committed outputs
+    mtimes = {
+        k: os.path.getmtime(os.path.join(out_dir, "tiles", f"{k}.parquet"))
+        for k in keys
+    }
+
+    m2 = resumable_tin_tiles(_points(), out_dir)
+    assert set(m2.column("key").to_pylist()) == keys
+    for k in keys:
+        assert (
+            os.path.getmtime(os.path.join(out_dir, "tiles", f"{k}.parquet"))
+            == mtimes[k]
+        ), f"finished tile {k} was recomputed on resume"
+
+
+def test_partial_run_resumes_only_pending(out_dir, ray_session):
+    pts = _points()
+    all_tiles = sorted(
+        t["tile_id"] for t in pts.groupby("tile_id").count().take_all()
+    )
+    assert len(all_tiles) >= 4
+    half = set(all_tiles[: len(all_tiles) // 2])
+
+    # simulate a killed job: only process half the tiles
+    import pyarrow as pa
+
+    def keep_half(t: pa.Table) -> pa.Table:
+        keys = t.column("tile_id").to_pylist()
+        return t.filter(pa.array([k in half for k in keys]))
+
+    resumable_tin_tiles(pts.map_batches(keep_half, batch_format="pyarrow"), out_dir)
+    assert set(finished_keys(out_dir)) == half
+
+    mtimes = {
+        k: os.path.getmtime(os.path.join(out_dir, "tiles", f"{k}.parquet"))
+        for k in half
+    }
+
+    # resume with the FULL input: finishes the rest, skips the done
+    m = resumable_tin_tiles(pts, out_dir)
+    assert set(m.column("key").to_pylist()) == set(all_tiles)
+    for k in half:
+        assert (
+            os.path.getmtime(os.path.join(out_dir, "tiles", f"{k}.parquet"))
+            == mtimes[k]
+        ), f"finished tile {k} was recomputed on resume"
+
+    # every committed partition is a complete readable parquet whose
+    # row count matches its manifest lineage row
+    man = manifest_table(out_dir)
+    for row in man.to_pylist():
+        t = pq.read_table(row["output_path"])
+        assert t.num_rows == row["n_rows"]
+        assert row["content_hash"]
+        assert row["n_points"] >= 1
+
+
+def test_manifest_metrics_columns(out_dir, ray_session):
+    m = resumable_tin_tiles(_points(), out_dir)
+    cols = set(m.column_names)
+    assert {
+        "key",
+        "n_rows",
+        "content_hash",
+        "output_path",
+        "n_points",
+        "n_triangles",
+        "missing_before",
+        "missing_after",
+        "wall_s",
+    } <= cols
