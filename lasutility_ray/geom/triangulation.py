@@ -237,65 +237,81 @@ class SurfaceTriangulation:
 
         x, y, z, cl = self._x, self._y, self._z, self._cls
         cw, ch = bounds.cell_width, bounds.cell_height
+        t = self._tris
+        n_tri = len(t)
+        if n_tri == 0:
+            return
 
-        for i0, i1, i2 in self._tris:
-            x0, y0, z0 = x[i0], y[i0], z[i0]
-            x1, y1, z1 = x[i1], y[i1], z[i1]
-            x2, y2, z2 = x[i2], y[i2], z[i2]
+        # vectorized triangle-push: expand every triangle into its
+        # covered-cell window as flat (tri, cell) pairs, test the cell
+        # bottom-left corner with barycentric coords, and resolve
+        # overlaps with last-triangle-wins (max tri id per cell) —
+        # bit-identical to the reference's sequential overwrite loop
+        # (Triangulation.cs:242-297) for every cell, including shared
+        # edges, because the winner and its barycentric math match.
+        i0, i1, i2 = t[:, 0], t[:, 1], t[:, 2]
+        x0, y0, z0 = x[i0], y[i0], z[i0]
+        x1, y1, z1 = x[i1], y[i1], z[i1]
+        x2, y2, z2 = x[i2], y[i2], z[i2]
 
-            min_x = max(min(x0, x1, x2), bounds.min_x)
-            min_y = max(min(y0, y1, y2), bounds.min_y)
-            max_x = min(max(x0, x1, x2), bounds.max_x - EPSILON)
-            max_y = min(max(y0, y1, y2), bounds.max_y - EPSILON)
+        det = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
+        keep = np.abs(det) >= DEGENERATE_DET  # Triangulation.cs:266
 
-            rc_min = bounds.proj_to_cell_scalar(min_x, min_y)
-            rc_max = bounds.proj_to_cell_scalar(max_x, max_y)
-            if rc_min is None or rc_max is None:
-                continue
+        min_x = np.maximum(np.minimum(np.minimum(x0, x1), x2), bounds.min_x)
+        min_y = np.maximum(np.minimum(np.minimum(y0, y1), y2), bounds.min_y)
+        max_x = np.minimum(np.maximum(np.maximum(x0, x1), x2), bounds.max_x - EPSILON)
+        max_y = np.minimum(np.maximum(np.maximum(y0, y1), y2), bounds.max_y - EPSILON)
 
-            det = (y1 - y2) * (x0 - x2) + (x2 - x1) * (y0 - y2)
-            if abs(det) < DEGENERATE_DET:
-                continue
-            inv_det = 1.0 / det
+        r0, c0, v0 = bounds.proj_to_cell(min_x, min_y)
+        r1, c1, v1 = bounds.proj_to_cell(max_x, max_y)
+        keep &= v0 & v1
+        tri_idx = np.flatnonzero(keep)
+        if len(tri_idx) == 0:
+            return
 
-            rr = np.arange(rc_min[0], rc_max[0] + 1)
-            cc = np.arange(rc_min[1], rc_max[1] + 1)
-            px = bounds.min_x + cc * cw  # cell bottom-left corners
-            py = bounds.min_y + rr * ch
-            pxg = px[None, :]
-            pyg = py[:, None]
+        widths = (c1[tri_idx] - c0[tri_idx] + 1).astype(np.int64)
+        heights_w = (r1[tri_idx] - r0[tri_idx] + 1).astype(np.int64)
+        n_cells_per_tri = widths * heights_w
+        total = int(n_cells_per_tri.sum())
+        pair_tri = np.repeat(np.arange(len(tri_idx), dtype=np.int64), n_cells_per_tri)
+        offs = np.zeros(len(tri_idx) + 1, dtype=np.int64)
+        np.cumsum(n_cells_per_tri, out=offs[1:])
+        local = np.arange(total, dtype=np.int64) - offs[pair_tri]
+        rr = r0[tri_idx][pair_tri] + local // widths[pair_tri]
+        cc = c0[tri_idx][pair_tri] + local % widths[pair_tri]
 
-            l1 = ((y1 - y2) * (pxg - x2) + (x2 - x1) * (pyg - y2)) * inv_det
-            l2 = ((y2 - y0) * (pxg - x2) + (x0 - x2) * (pyg - y2)) * inv_det
-            l3 = 1.0 - l1 - l2
-            mask = (l1 >= 0) & (l2 >= 0) & (l3 >= 0)
-            if locked_cells is not None:
-                mask &= ~locked_cells[rc_min[0] : rc_max[0] + 1, rc_min[1] : rc_max[1] + 1]
-            if not mask.any():
-                continue
+        px = bounds.min_x + cc * cw  # cell bottom-left corners
+        py = bounds.min_y + rr * ch
+        g = tri_idx[pair_tri]  # global triangle id per pair
+        inv_det = 1.0 / det[g]
+        l1 = ((y1[g] - y2[g]) * (px - x2[g]) + (x2[g] - x1[g]) * (py - y2[g])) * inv_det
+        l2 = ((y2[g] - y0[g]) * (px - x2[g]) + (x0[g] - x2[g]) * (py - y2[g])) * inv_det
+        l3 = 1.0 - l1 - l2
+        inside = (l1 >= 0) & (l2 >= 0) & (l3 >= 0)
+        if locked_cells is not None:
+            inside &= ~locked_cells[rr, cc]
+        hit = np.flatnonzero(inside)
+        if len(hit) == 0:
+            return
 
-            h = l1 * z0 + l2 * z1 + l3 * z2
-            window = dem[rc_min[0] : rc_max[0] + 1, rc_min[1] : rc_max[1] + 1]
-            window[mask] = h[mask].astype(np.float32)
+        # last-wins: among pairs hitting a cell, the largest tri id
+        cell_flat = rr[hit] * bounds.n_cols + cc[hit]
+        order = np.lexsort((g[hit], cell_flat))
+        cell_sorted = cell_flat[order]
+        last = np.flatnonzero(
+            np.diff(cell_sorted, append=cell_sorted[-1] + 1) != 0
+        )
+        win = hit[order[last]]
 
-            if classification_raster is not None:
-                qx = np.broadcast_to(pxg, mask.shape)[mask]
-                qy = np.broadcast_to(pyg, mask.shape)[mask]
-                cls_win = classification_raster[
-                    rc_min[0] : rc_max[0] + 1, rc_min[1] : rc_max[1] + 1
-                ]
-                cls_win[mask] = _closest_class(
-                    qx,
-                    qy,
-                    h[mask],
-                    x,
-                    y,
-                    z,
-                    cl,
-                    np.full(mask.sum(), i0),
-                    np.full(mask.sum(), i1),
-                    np.full(mask.sum(), i2),
-                )
+        wg = g[win]
+        h = l1[win] * z0[wg] + l2[win] * z1[wg] + l3[win] * z2[wg]
+        wr, wc = rr[win], cc[win]
+        dem[wr, wc] = h.astype(np.float32)
+
+        if classification_raster is not None:
+            classification_raster[wr, wc] = _closest_class(
+                px[win], py[win], h, x, y, z, cl, i0[wg], i1[wg], i2[wg]
+            )
 
 
 def _closest_class(qx, qy, qz, x, y, z, cl, j0, j1, j2) -> np.ndarray:

@@ -1,0 +1,317 @@
+"""Skew salting: split hot tiles into sub-tile shuffle keys.
+
+SURVEY.md §4: hash-groupby alone straggles on dense urban tiles. The
+cure is the reference's own hierarchy — a 1 km tile subdivides into
+2^level × 2^level sub-cells (the quad-split idea of
+``Nls/TileNamer.cs:269-301``) — applied to the shuffle key:
+
+1. **count pass**: per-batch partial ``(tile_id, n)`` counts combined
+   on the driver (no shuffle; the partial table is tiny — one row per
+   distinct tile per batch);
+2. **salt**: points in hot tiles get ``salt_key =
+   "{tile_id}#{sr}_{sc}_{level}"``; points within ``halo_m`` of a
+   sub-cell border are *replicated* to the neighboring sub-cells with
+   ``owned = False`` (TIN support only, never written);
+3. **per-sub-cell work**: Delaunay TIN over owned+halo points,
+   DEM/classification rasterized ONLY into the sub-cell's cell window
+   (the ``LockedCells`` idea of ``Triangulation.cs:275-276`` — each
+   sub-task owns a disjoint window), voxel DEM + gap fill over owned
+   points;
+4. **merge**: a second (tiny) groupby on ``tile_id`` pastes the
+   disjoint windows into the full-tile raster and sums counters.
+
+Two modes (tests/test_salting.py covers both):
+
+- ``exact=True`` (default): **replicate-build, partition-probe** —
+  every window task receives ALL of the hot tile's points (split
+  level forced to 1, so 4 windows / 3 replicas), builds the identical
+  full-tile Delaunay TIN, and rasterizes only its disjoint window.
+  Output is bit-identical to the unsalted path by construction; wall
+  time of the straggler drops to build + window/4 work.
+- ``exact=False``: **halo mode**, the 100 TB path for extreme tiles —
+  windows get only points within ``halo_m`` of their border, split
+  level grows with density, and build cost is divided too. The DEM is
+  bit-identical wherever the containing Delaunay triangle's
+  circumdisk is local (< ``halo_m``); convex-hull sliver triangles at
+  the tile border can differ (measured < 0.5 % of cells on the urban
+  fixture). Use when one tile's build alone would straggle a stage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..geom.bounds import RasterBounds
+from ..geom.tilenamer import decode
+from ..geom.triangulation import SurfaceTriangulation
+from ..geom import voxel as vx
+from .tiling import CELL_SIZE_M, CELLS_PER_EDGE, TILE_SIZE_M
+
+HOT_THRESHOLD = 4000  # points per 1 km tile before splitting
+HALO_M = 30.0
+MAX_LEVEL = 3  # 8x8 sub-cells => 125 m windows
+
+
+def tile_count_partials(points_ds) -> dict[str, int]:
+    """Count pass: per-batch partial counts, merged on the driver.
+    One row per distinct tile per batch crosses the wire — never the
+    points themselves."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("tile_id"))
+        return pa.table(
+            {
+                "tile_id": vc.field("values"),
+                "n": vc.field("counts"),
+            }
+        )
+
+    out: dict[str, int] = {}
+    for row in points_ds.map_batches(partial, batch_format="pyarrow").take_all():
+        out[row["tile_id"]] = out.get(row["tile_id"], 0) + int(row["n"])
+    return out
+
+
+def salt_levels(
+    counts: dict[str, int], threshold: int = HOT_THRESHOLD, exact: bool = False
+) -> dict[str, int]:
+    """tile -> split level (1 => 2x2 windows, 2 => 4x4, ...); only hot
+    tiles appear. Exact (replicate-build) mode always uses level 1."""
+    levels: dict[str, int] = {}
+    for tile, n in counts.items():
+        if n > threshold:
+            if exact:
+                levels[tile] = 1
+            else:
+                level = int(np.ceil(np.log2(max(n / threshold, 2.0)) / 2))
+                levels[tile] = min(max(level, 1), MAX_LEVEL)
+    return levels
+
+
+def _salt_batch(
+    t: pa.Table, levels: dict[str, int], halo_m: float, exact: bool = False
+) -> pa.Table:
+    tile_ids = t.column("tile_id").to_numpy(zero_copy_only=False)
+    lv = np.array([levels.get(k, 0) for k in tile_ids], dtype=np.int64)
+
+    x = t.column("x").to_numpy()
+    y = t.column("y").to_numpy()
+    rel_x = x - np.floor(x / TILE_SIZE_M) * TILE_SIZE_M
+    rel_y = y - np.floor(y / TILE_SIZE_M) * TILE_SIZE_M
+
+    n_sub = 1 << lv  # sub-cells per edge
+    sub_size = TILE_SIZE_M / n_sub
+    sc = np.minimum((rel_x / sub_size).astype(np.int64), n_sub - 1)
+    sr = np.minimum((rel_y / sub_size).astype(np.int64), n_sub - 1)
+
+    keys, owned, take = [], [], []
+    hot = lv > 0
+    # owned rows (every point exactly once)
+    base_keys = np.where(
+        hot,
+        np.char.add(
+            np.char.add(tile_ids.astype(str), "#"),
+            np.char.add(
+                np.char.add(sr.astype(str), "_"),
+                np.char.add(sc.astype(str), np.char.add("_", lv.astype(str))),
+            ),
+        ),
+        tile_ids,
+    )
+    keys.append(base_keys)
+    owned.append(np.ones(len(t), dtype=bool))
+    take.append(np.arange(len(t), dtype=np.int64))
+
+    # halo replicas: neighbors of hot-tile sub-cells within halo_m
+    for dr in (-1, 0, 1):
+        for dcol in (-1, 0, 1):
+            if dr == 0 and dcol == 0:
+                continue
+            nr = sr + dr
+            nc = sc + dcol
+            valid = hot & (nr >= 0) & (nr < n_sub) & (nc >= 0) & (nc < n_sub)
+            if not valid.any():
+                continue
+            # halo mode: distance from point to the neighbor window
+            # along each shifted axis must be < halo_m; exact mode
+            # (level 1, 2x2 grid): replicate to every other window
+            near = valid.copy()
+            if not exact:
+                if dr == -1:
+                    near &= rel_y - sr * sub_size < halo_m
+                elif dr == 1:
+                    near &= (sr + 1) * sub_size - rel_y < halo_m
+                if dcol == -1:
+                    near &= rel_x - sc * sub_size < halo_m
+                elif dcol == 1:
+                    near &= (sc + 1) * sub_size - rel_x < halo_m
+            idx = np.flatnonzero(near)
+            if len(idx) == 0:
+                continue
+            k = np.char.add(
+                np.char.add(tile_ids[idx].astype(str), "#"),
+                np.char.add(
+                    np.char.add(nr[idx].astype(str), "_"),
+                    np.char.add(
+                        np.char.add(nc[idx].astype(str), "_"), lv[idx].astype(str)
+                    ),
+                ),
+            )
+            keys.append(k)
+            owned.append(np.zeros(len(idx), dtype=bool))
+            take.append(idx)
+
+    all_idx = np.concatenate(take)
+    out = t.take(pa.array(all_idx))
+    return out.append_column(
+        "salt_key", pa.array(np.concatenate(keys).astype(object), pa.string())
+    ).append_column("owned", pa.array(np.concatenate(owned)))
+
+
+def rasterize_salted(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-salt-key TIN + rasterize into the owned window only.
+
+    Emits a window row ``{tile_id, r_off, c_off, n_rows_w, n_cols_w,
+    dem_win, cls_win, counters...}``; unsalted (cold) tiles emit their
+    full tile as one window."""
+    key = group["salt_key"].iloc[0]
+    if "#" in key:
+        tile_id, sub = key.split("#")
+        sr_s, sc_s, lv_s = sub.split("_")
+        sr, sc, level = int(sr_s), int(sc_s), int(lv_s)
+    else:
+        tile_id, sr, sc, level = key, 0, 0, 0
+
+    env = decode(tile_id)
+    n_sub = 1 << level
+    cells_w = CELLS_PER_EDGE // n_sub
+    sub_m = TILE_SIZE_M // n_sub
+    wenv = (
+        env[0] + sc * sub_m,
+        env[1] + sr * sub_m,
+        env[0] + (sc + 1) * sub_m,
+        env[1] + (sr + 1) * sub_m,
+    )
+    wbounds = RasterBounds.for_tile(wenv, CELL_SIZE_M)
+    tile_bounds = RasterBounds.for_tile(env, CELL_SIZE_M)
+
+    own = group["owned"].to_numpy()
+    x = group["x"].to_numpy()
+    y = group["y"].to_numpy()
+    z = group["z"].to_numpy()
+    cls = group["classification"].to_numpy()
+    is_ground = group["is_ground"].to_numpy()
+
+    # voxel/DEM state from owned points only (they lie in the window)
+    tile = vx.build_voxel_tile(
+        wbounds, x[own], y[own], z[own], cls[own], is_ground[own]
+    )
+
+    n_triangles = 0
+    missing_before = missing_after = -1
+    dem = np.full((cells_w, cells_w), np.nan, dtype=np.float32)
+    cls_raster = np.zeros((cells_w, cells_w), dtype=np.uint8)
+
+    if len(x) >= 3:
+        tri = SurfaceTriangulation(tile_bounds)
+        tri.set_points(x, y, z, cls)  # owned + halo support
+        try:
+            tri.create()
+            n_triangles = tri.triangle_count()
+        except ValueError:
+            n_triangles = 0
+        if n_triangles:
+            tri.rasterise_dem(wbounds, dem, classification_raster=cls_raster)
+            # gap fill only NaN voxel-DEM cells inside the window
+            missing_before, missing_after = vx.fill_missing_from_tin(
+                tile, tri, int(wenv[0]), int(wenv[1]), int(wenv[2]), int(wenv[3])
+            )
+
+    return pd.DataFrame(
+        {
+            "tile_id": [tile_id],
+            "r_off": [sr * cells_w],
+            "c_off": [sc * cells_w],
+            "n_w": [cells_w],
+            "n_points": [int(own.sum())],
+            "n_ground": [int(is_ground[own].sum())],
+            "n_triangles": [n_triangles],
+            "missing_before": [missing_before],
+            "missing_after": [missing_after],
+            "n_voxel_cells": [int((np.diff(tile.bin_starts) > 0).sum())],
+            "tin_dem_win": [dem.tobytes()],
+            "cls_win": [cls_raster.tobytes()],
+        }
+    )
+
+
+def merge_tile_windows(group: pd.DataFrame) -> pd.DataFrame:
+    """Paste disjoint sub-cell windows into the full-tile raster
+    (LockedCells merge: windows never overlap)."""
+    tile_id = group["tile_id"].iloc[0]
+    n = CELLS_PER_EDGE
+    dem = np.full((n, n), np.nan, dtype=np.float32)
+    cls_raster = np.zeros((n, n), dtype=np.uint8)
+    for _, r in group.iterrows():
+        w = int(r["n_w"])
+        r0, c0 = int(r["r_off"]), int(r["c_off"])
+        dem[r0 : r0 + w, c0 : c0 + w] = np.frombuffer(
+            r["tin_dem_win"], dtype=np.float32
+        ).reshape(w, w)
+        cls_raster[r0 : r0 + w, c0 : c0 + w] = np.frombuffer(
+            r["cls_win"], dtype=np.uint8
+        ).reshape(w, w)
+    mb = group["missing_before"].to_numpy()
+    ma = group["missing_after"].to_numpy()
+    return pd.DataFrame(
+        {
+            "tile_id": [tile_id],
+            "n_points": [int(group["n_points"].sum())],
+            "n_ground": [int(group["n_ground"].sum())],
+            "n_triangles": [int(group["n_triangles"].sum())],
+            "n_dem_cells": [int((~np.isnan(dem)).sum())],
+            "missing_before": [int(mb[mb >= 0].sum()) if (mb >= 0).any() else -1],
+            "missing_after": [int(ma[ma >= 0].sum()) if (ma >= 0).any() else -1],
+            "n_voxel_cells": [int(group["n_voxel_cells"].sum())],
+            "dem": [dem.tobytes()],
+            "classification_raster": [cls_raster.tobytes()],
+        }
+    )
+
+
+def salted_tin_tiles(
+    points_ds,
+    threshold: int = HOT_THRESHOLD,
+    halo_m: float = HALO_M,
+    include_rasters: bool = True,
+    exact: bool = True,
+):
+    """Skew-aware variant of ``stages.tin.tin_tiles``: hot tiles are
+    split into sub-cell shuffle keys so no single group dominates the
+    stage (see module docstring for the exact vs halo trade-off).
+    Falls back to plain per-tile processing when nothing is hot.
+    Output schema matches ``rasterize_tile`` (``n_triangles`` for
+    salted tiles sums the per-window TINs — a work counter, not a
+    surface invariant)."""
+    from .tin import tin_tiles
+
+    counts = tile_count_partials(points_ds)
+    levels = salt_levels(counts, threshold, exact=exact)
+    if not levels:
+        return tin_tiles(points_ds, include_rasters=include_rasters)
+
+    salted = points_ds.map_batches(
+        lambda t: _salt_batch(t, levels, halo_m, exact=exact), batch_format="pyarrow"
+    )
+    windows = salted.groupby("salt_key").map_groups(
+        rasterize_salted, batch_format="pandas"
+    )
+    out = windows.groupby("tile_id").map_groups(
+        merge_tile_windows, batch_format="pandas"
+    )
+    if not include_rasters:
+        out = out.drop_columns(["dem", "classification_raster"])
+    return out

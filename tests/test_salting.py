@@ -1,0 +1,126 @@
+"""Skew salting (stages/salting.py): salted output must equal the
+unsalted per-tile output on the skewed urban fixture (SURVEY.md §7.5
+calls this test mandatory)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from lasutility_ray.corpus.geocode import geocode
+from lasutility_ray.geom.tilenamer import encode
+from lasutility_ray.stages.salting import (
+    salt_levels,
+    salted_tin_tiles,
+    tile_count_partials,
+)
+from lasutility_ray.stages.tiling import points_dataset
+from lasutility_ray.stages.tin import tin_tiles
+
+N_DOCS = 60_000  # urban tiles get ~4.5k points each at 30% skew
+
+
+def _points():
+    return points_dataset(rd.range(N_DOCS), doc_col="id")
+
+
+def test_count_pass_and_levels(ray_session):
+    counts = tile_count_partials(_points())
+    doc_id = np.arange(N_DOCS)
+    x, y, *_ = geocode(doc_id)
+    expect = pd.Series(encode(x, y, 1000)).value_counts()
+    assert counts == expect.to_dict()
+
+    levels = salt_levels(counts, threshold=3000)
+    # exactly the 4 urban tiles are hot at this threshold (two at ~6k, two at ~3k points)
+    assert len(levels) == 4
+    assert all(lv >= 1 for lv in levels.values())
+
+
+def test_salted_equals_unsalted(ray_session):
+    pts = _points()
+    plain = (
+        tin_tiles(pts, include_rasters=True)
+        .to_pandas()
+        .set_index("tile_id")
+        .sort_index()
+    )
+    salted = (
+        salted_tin_tiles(pts, threshold=3000, include_rasters=True)
+        .to_pandas()
+        .set_index("tile_id")
+        .sort_index()
+    )
+    assert list(plain.index) == list(salted.index)
+
+    counts = tile_count_partials(pts)
+    hot = set(salt_levels(counts, threshold=3000))
+    assert hot  # fixture must actually exercise the split path
+
+    for tid in plain.index:
+        p = plain.loc[tid]
+        s = salted.loc[tid]
+        assert p["n_points"] == s["n_points"], tid
+        assert p["n_ground"] == s["n_ground"], tid
+        assert p["missing_before"] == s["missing_before"], tid
+        assert p["missing_after"] == s["missing_after"], tid
+        pd_dem = np.frombuffer(p["dem"], dtype=np.float32)
+        sd_dem = np.frombuffer(s["dem"], dtype=np.float32)
+        # bit-identical DEM: same containing triangle per cell corner
+        # (halo covers local triangle edges in dense tiles)
+        neq = ~(
+            (pd_dem == sd_dem) | (np.isnan(pd_dem) & np.isnan(sd_dem))
+        )
+        assert not neq.any(), f"{tid}: {neq.sum()} DEM cells differ"
+        pc = np.frombuffer(p["classification_raster"], dtype=np.uint8)
+        sc = np.frombuffer(s["classification_raster"], dtype=np.uint8)
+        assert (pc == sc).all(), f"{tid}: classification raster differs"
+
+    # n_triangles is a work counter in salted mode (replicated
+    # builds); cold tiles must still match exactly
+    for tid in plain.index:
+        if tid not in hot:
+            assert (
+                plain.loc[tid, "n_triangles"] == salted.loc[tid, "n_triangles"]
+            ), tid
+
+
+def test_halo_mode_bounded_difference(ray_session):
+    """Halo mode (the 100 TB path for extreme tiles) is bit-identical
+    except at convex-hull sliver triangles near tile borders; bound
+    the deviation on the skewed fixture."""
+    pts = _points()
+    plain = (
+        tin_tiles(pts, include_rasters=True)
+        .to_pandas()
+        .set_index("tile_id")
+        .sort_index()
+    )
+    salted = (
+        salted_tin_tiles(
+            pts, threshold=3000, halo_m=100.0, include_rasters=True, exact=False
+        )
+        .to_pandas()
+        .set_index("tile_id")
+        .sort_index()
+    )
+    assert list(plain.index) == list(salted.index)
+    total = bad = 0
+    for tid in plain.index:
+        pd_dem = np.frombuffer(plain.loc[tid, "dem"], dtype=np.float32)
+        sd_dem = np.frombuffer(salted.loc[tid, "dem"], dtype=np.float32)
+        neq = ~((pd_dem == sd_dem) | (np.isnan(pd_dem) & np.isnan(sd_dem)))
+        total += len(pd_dem)
+        bad += int(neq.sum())
+        assert plain.loc[tid, "n_points"] == salted.loc[tid, "n_points"]
+    assert bad / total < 0.005, f"halo mode deviates on {bad}/{total} cells"
+
+
+def test_no_hot_tiles_falls_back(ray_session):
+    pts = _points()
+    out = salted_tin_tiles(pts, threshold=10**9, include_rasters=False)
+    plain = tin_tiles(pts, include_rasters=False)
+    a = out.to_pandas().sort_values("tile_id").reset_index(drop=True)
+    b = plain.to_pandas().sort_values("tile_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
