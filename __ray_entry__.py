@@ -216,6 +216,25 @@ def q_knn_spatial(sf_dir: str):
     return knn_join(_points(sf_dir), lambda ids: ids % 50 == 0)
 
 
+def q_neighborhood_peaks(sf_dir: str):
+    """J6 neighborhood-max window query with cross-tile halo exchange
+    (VoxelGrid.cs:267-303 generalized across tile borders)."""
+    from lasutility_ray.stages.neighborhood import neighborhood_peaks_ds
+
+    return neighborhood_peaks_ds(_points(sf_dir), lo=3, hi=5, radius=2)
+
+
+def q_salted_tile_summary(sf_dir: str):
+    """Skew-salted per-tile aggregation (hot tiles split + merged);
+    must equal the plain per-tile summary (oracle-checked)."""
+    from lasutility_ray.stages.salting import salted_tin_tiles
+
+    out = salted_tin_tiles(
+        _points(sf_dir), threshold=20, include_rasters=False, exact=True
+    )
+    return out.select_columns(["tile_id", "n_points", "n_ground"])
+
+
 def q_lang_id(sf_dir: str):
     import ray.data as rd
 
@@ -281,6 +300,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_knn_spatial": q_knn_spatial,
+        "q_neighborhood_peaks": q_neighborhood_peaks,
+        "q_salted_tile_summary": q_salted_tile_summary,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_tumbling_windows": q_tumbling_windows,
@@ -402,6 +423,22 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY d2, neighbor_id) AS rank FROM scored WHERE d2 <= 250000.0) "
             "SELECT q_doc_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d2 "
             "FROM ranked WHERE rank <= 3"
+        ),
+        "q_neighborhood_peaks": (
+            f"WITH {pts}, "
+            "cls AS (SELECT CAST(floor(y / 10.0) AS BIGINT) AS gr, "
+            "CAST(floor(x / 10.0) AS BIGINT) AS gc, max(z) AS best "
+            "FROM pts WHERE classification BETWEEN 3 AND 5 GROUP BY 1, 2) "
+            "SELECT a.gr, a.gc, a.best FROM cls a WHERE NOT EXISTS ("
+            "SELECT 1 FROM cls b WHERE b.gr BETWEEN a.gr - 2 AND a.gr + 2 "
+            "AND b.gc BETWEEN a.gc - 2 AND a.gc + 2 "
+            "AND NOT (b.gr = a.gr AND b.gc = a.gc) AND b.best >= a.best)"
+        ),
+        "q_salted_tile_summary": (
+            f"WITH {pts}, {tiled} "
+            "SELECT tile_id, count(*) AS n_points, "
+            "CAST(sum(CASE WHEN is_ground THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_ground FROM tiled GROUP BY tile_id"
         ),
         "q_tumbling_windows": (
             "SELECT user_id, (epoch_ms(ts) // 300000) * 300000 AS window_start, "
