@@ -216,6 +216,20 @@ def q_knn_spatial(sf_dir: str):
     return knn_join(_points(sf_dir), lambda ids: ids % 50 == 0)
 
 
+def q_burned_tiles(sf_dir: str):
+    """J3 vector->raster burn (even-odd fill + Bresenham, class-map
+    M5, deterministic burn order O4). Rows-only check: scanline fill
+    is not SQL-expressible; the fill kernel has cell-exact unit tests
+    vs the reference algorithm (tests/test_fill.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.corpus.polygons import build_feature_table
+    from lasutility_ray.stages.pip_join import burned_tiles, explode_features_to_tiles
+
+    feats = explode_features_to_tiles(build_feature_table())
+    return burned_tiles(rd.from_arrow(feats)).drop_columns(["raster"])
+
+
 def q_neighborhood_peaks(sf_dir: str):
     """J6 neighborhood-max window query with cross-tile halo exchange
     (VoxelGrid.cs:267-303 generalized across tile borders)."""
@@ -300,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_knn_spatial": q_knn_spatial,
+        "q_burned_tiles": q_burned_tiles,
         "q_neighborhood_peaks": q_neighborhood_peaks,
         "q_salted_tile_summary": q_salted_tile_summary,
         "q_lang_id": q_lang_id,

@@ -1,0 +1,7 @@
+"""Ray-layer sources/sinks for the reference's file formats."""
+
+from .ascii_tiles import (  # noqa: F401
+    read_ascii_tiles,
+    write_burned_tiles_ascii,
+    write_dem_tiles_ascii,
+)

@@ -1,0 +1,161 @@
+"""ESRI ASCII-grid tile sink/source at the Ray Data layer.
+
+The reference reads/writes whole grids as ``.asc`` (plain) / ``.asp``
+(RLE) text files (``Common/ByteRaster.cs:27-122,181-284``) and DEM
+floats via ``WriteDemAsAscii`` (``VoxelGrid/VoxelGrid.cs:319-345``).
+The engine's unit is the 1 km tile, so the sink writes **one file per
+tile row** from a tiles Dataset (atomic tmp+rename, the reference's
+snapshot pattern) and returns a manifest Dataset — resumable,
+partitioned output per the driver contract. The source reads a
+directory of such files back into a tiles Dataset with
+``ray.data.read_binary_files`` (streaming, no driver-side loop).
+
+Text formats are byte-compatible with the reference writers (golden
+round-trip tests in tests/test_ascii_grid.py cover the codec;
+tests/test_sources.py covers the Ray layer).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geom.ascii_grid import ByteRaster
+from ..geom.bounds import RasterBounds
+from ..geom.tilenamer import decode
+from ..geom.voxel import VoxelTile, write_dem_ascii
+
+
+def _atomic_write_text(path: str, text: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w", newline="\n") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
+def write_burned_tiles_ascii(
+    tiles_ds, out_dir: str, compressed: bool = True, cell_size: float = 1.0
+):
+    """Sink for ``stages.pip_join.burned_tiles`` rows: one ``.asp``
+    (RLE, ``ByteRaster.cs:94-122``) or ``.asc`` file per tile.
+    Returns the manifest Dataset {tile_id, path, n_bytes, md5} after
+    driving the write."""
+    ext = ".asp" if compressed else ".asc"
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        tile_ids = t.column("tile_id").to_pylist()
+        rasters = t.column("raster").to_pylist()
+        paths, sizes, hashes = [], [], []
+        for tid, blob in zip(tile_ids, rasters):
+            env = decode(tid)
+            bounds = RasterBounds.for_tile(env, cell_size)
+            data = np.frombuffer(blob, dtype=np.uint8).reshape(
+                bounds.n_rows, bounds.n_cols
+            )
+            text = ByteRaster(bounds, data.copy()).to_ascii(compressed=compressed)
+            path = os.path.join(out_dir, f"{tid}{ext}")
+            _atomic_write_text(path, text)
+            paths.append(path)
+            sizes.append(len(text))
+            hashes.append(hashlib.md5(text.encode()).hexdigest())
+        return pa.table(
+            {
+                "tile_id": pa.array(tile_ids, pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+                "md5": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return tiles_ds.map_batches(write_batch, batch_format="pyarrow").materialize()
+
+
+def read_ascii_tiles(dir_path: str):
+    """Source: directory of per-tile ``.asc``/``.asp`` files -> tiles
+    Dataset {tile_id, n_rows, n_cols, min_x, min_y, cell_size,
+    raster}. Streaming decode inside ``map_batches`` (S3/S4 codec,
+    strict header validation preserved)."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(dir_path, include_paths=True)
+
+    def decode_batch(t: pa.Table) -> pa.Table:
+        rows = {
+            "tile_id": [],
+            "n_rows": [],
+            "n_cols": [],
+            "min_x": [],
+            "min_y": [],
+            "cell_size": [],
+            "raster": [],
+        }
+        for path, data in zip(t.column("path").to_pylist(), t.column("bytes").to_pylist()):
+            name = os.path.basename(path)
+            tile_id, ext = os.path.splitext(name)
+            raster = ByteRaster.from_ascii_text(
+                data.decode("ascii"), compressed=(ext == ".asp")
+            )
+            rows["tile_id"].append(tile_id)
+            rows["n_rows"].append(raster.bounds.n_rows)
+            rows["n_cols"].append(raster.bounds.n_cols)
+            rows["min_x"].append(raster.bounds.min_x)
+            rows["min_y"].append(raster.bounds.min_y)
+            rows["cell_size"].append(raster.bounds.cell_width)
+            rows["raster"].append(raster.data.tobytes())
+        return pa.table(
+            {
+                "tile_id": pa.array(rows["tile_id"], pa.string()),
+                "n_rows": pa.array(rows["n_rows"], pa.int32()),
+                "n_cols": pa.array(rows["n_cols"], pa.int32()),
+                "min_x": pa.array(rows["min_x"], pa.float64()),
+                "min_y": pa.array(rows["min_y"], pa.float64()),
+                "cell_size": pa.array(rows["cell_size"], pa.float64()),
+                "raster": pa.array(rows["raster"], pa.binary()),
+            }
+        )
+
+    return ds.map_batches(decode_batch, batch_format="pyarrow")
+
+
+def write_dem_tiles_ascii(tin_tiles_ds, out_dir: str, cell_size: float = 10.0):
+    """Sink for ``stages.tin.tin_tiles`` rows: the float DEM of every
+    tile as ``WriteDemAsAscii`` text (top-down rows, float32
+    formatting, NODATA -999 — ``VoxelGrid.cs:319-345``). Returns the
+    manifest Dataset."""
+
+    def write_batch(df: pd.DataFrame) -> pd.DataFrame:
+        paths, sizes, hashes = [], [], []
+        for tid, blob in zip(df["tile_id"], df["dem"]):
+            env = decode(tid)
+            bounds = RasterBounds.for_tile(env, cell_size)
+            dem = np.frombuffer(blob, dtype=np.float32).reshape(
+                bounds.n_rows, bounds.n_cols
+            )
+            tile = VoxelTile(
+                bounds,
+                dem.copy(),
+                np.zeros(bounds.n_rows * bounds.n_cols + 1, dtype=np.int64),
+                np.empty(0, dtype=np.float32),
+                np.empty(0, dtype=np.uint8),
+            )
+            text = write_dem_ascii(tile)
+            path = os.path.join(out_dir, f"{tid}.asc")
+            _atomic_write_text(path, text)
+            paths.append(path)
+            sizes.append(len(text))
+            hashes.append(hashlib.md5(text.encode()).hexdigest())
+        return pd.DataFrame(
+            {
+                "tile_id": df["tile_id"].to_numpy(),
+                "path": paths,
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "md5": hashes,
+            }
+        )
+
+    return tin_tiles_ds.map_batches(write_batch, batch_format="pandas").materialize()
