@@ -249,6 +249,96 @@ def q_salted_tile_summary(sf_dir: str):
     return out.select_columns(["tile_id", "n_points", "n_ground"])
 
 
+def q_orders_customer_join(sf_dir: str):
+    """Distributed hash equi-join (Dataset.join, both sides
+    shuffled)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    return hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+
+def q_customer_nation_broadcast(sf_dir: str):
+    """Broadcast join (small side ray.put once, probed per batch; no
+    shuffle) — the J2 dict-lookup pattern generalized."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import broadcast_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    return broadcast_join(cust, nation, on="c_nationkey", right_on="n_nationkey")
+
+
+def q_lineitem_agg(sf_dir: str):
+    """TPC-H-Q1-shaped wide aggregate: vectorized per-batch partial
+    combine + small final groupby (the A1/A4 pattern at relational
+    scale)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        # integer cents: float sums are order-dependent in the last
+        # bits; int64 sums are exact regardless of combine order
+        cents = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64())
+        qty = pc.cast(t.column("l_quantity"), pa.int64())
+        t2 = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": qty,
+                "cents": cents,
+            }
+        )
+        return pa.TableGroupBy(t2, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("cents", "sum"), ("qty", "count")]
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow")
+
+    def final(df):
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=True)
+        out = g.agg(
+            sum_qty=("qty_sum", "sum"),
+            sum_price_cents=("cents_sum", "sum"),
+            count_order=("qty_count", "sum"),
+        ).reset_index()
+        return out
+
+    return parts.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def q_tin_triangles(sf_dir: str):
+    """S11 triangle export: one PolygonZ WKB row per (tile, triangle);
+    rows-only (Delaunay not SQL-expressible; triangle sets verified in
+    tests/test_tin_triangles.py)."""
+    from lasutility_ray.stages.tin import tin_triangles
+
+    return tin_triangles(_points(sf_dir)).drop_columns(["wkb"])
+
+
 def q_lang_id(sf_dir: str):
     import ray.data as rd
 
@@ -317,6 +407,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_burned_tiles": q_burned_tiles,
         "q_neighborhood_peaks": q_neighborhood_peaks,
         "q_salted_tile_summary": q_salted_tile_summary,
+        "q_orders_customer_join": q_orders_customer_join,
+        "q_customer_nation_broadcast": q_customer_nation_broadcast,
+        "q_lineitem_agg": q_lineitem_agg,
+        "q_tin_triangles": q_tin_triangles,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
         "q_tumbling_windows": q_tumbling_windows,
@@ -454,6 +548,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tile_id, count(*) AS n_points, "
             "CAST(sum(CASE WHEN is_ground THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_ground FROM tiled GROUP BY tile_id"
+        ),
+        "q_orders_customer_join": (
+            "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "
+            "c.c_name, c.c_nationkey FROM orders o "
+            "JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "q_customer_nation_broadcast": (
+            "SELECT c.c_custkey, c.c_nationkey, n.n_name "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey"
+        ),
+        "q_lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_cents, "
+            "count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "q_tumbling_windows": (
             "SELECT user_id, (epoch_ms(ts) // 300000) * 300000 AS window_start, "

@@ -138,6 +138,19 @@ def from_wkb(data: bytes):
     return geom
 
 
+def polygon_z_wkb(xs, ys, zs) -> bytes:
+    """ISO WKB PolygonZ (type 1003) of one closed 3-vertex ring — the
+    triangle feature payload of ExportToShp (DEM/Triangulation.cs:
+    132-157: PolygonZ per triangle)."""
+    import struct
+
+    n = len(xs)
+    parts = [struct.pack("<BII I", 1, 1003, 1, n + 1)]
+    for i in list(range(n)) + [0]:
+        parts.append(struct.pack("<ddd", float(xs[i]), float(ys[i]), float(zs[i])))
+    return b"".join(parts)
+
+
 def box_polygon(min_x, min_y, max_x, max_y) -> Polygon:
     """Closed CCW rectangle ring, like NTS factory.ToGeometry(Envelope)."""
     ring = np.array(

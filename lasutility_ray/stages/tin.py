@@ -94,3 +94,52 @@ def tin_tiles(points_ds, include_rasters: bool = True):
 
 def tin_summary(points_ds):
     return tin_tiles(points_ds, include_rasters=False)
+
+
+def triangles_tile(group: pd.DataFrame) -> pd.DataFrame:
+    """One row per Delaunay triangle: PolygonZ WKB + per-tile id —
+    ExportToShp re-expressed as a table (Triangulation.cs:132-157;
+    attribute ``ID = t`` becomes ``tri_id``). Triangle *sets* are the
+    conformance surface, not array order (Delaunator order is
+    library-specific, SURVEY.md §7.5)."""
+    from ..geom.wkbgeom import polygon_z_wkb
+
+    tile_id = group["tile_id"].iloc[0]
+    env = decode(tile_id)
+    bounds = RasterBounds.for_tile(env, CELL_SIZE_M)
+    x = group["x"].to_numpy()
+    y = group["y"].to_numpy()
+    z = group["z"].to_numpy()
+    empty = pd.DataFrame(
+        {
+            "tile_id": pd.Series(dtype="object"),
+            "tri_id": pd.Series(dtype="int64"),
+            "wkb": pd.Series(dtype="object"),
+        }
+    )
+    if len(x) < 3:
+        return empty
+    tri = SurfaceTriangulation(bounds)
+    tri.set_points(x, y, z, group["classification"].to_numpy())
+    try:
+        tri.create()
+    except ValueError:
+        return empty
+    tx, ty, tz = tri.triangles_xyz()
+    wkbs = [
+        polygon_z_wkb(tx[i], ty[i], tz[i]) for i in range(len(tx))
+    ]
+    return pd.DataFrame(
+        {
+            "tile_id": [tile_id] * len(wkbs),
+            "tri_id": pd.Series(range(len(wkbs)), dtype="int64"),
+            "wkb": wkbs,
+        }
+    )
+
+
+def tin_triangles(points_ds):
+    """points -> one row per (tile, triangle) with PolygonZ WKB (S11)."""
+    return points_ds.groupby("tile_id").map_groups(
+        triangles_tile, batch_format="pandas"
+    )
