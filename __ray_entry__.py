@@ -230,6 +230,22 @@ def q_burned_tiles(sf_dir: str):
     return burned_tiles(rd.from_arrow(feats)).drop_columns(["raster"])
 
 
+def q_raster_value_lookup(sf_dir: str):
+    """J4/M9 raster->vector lookup: points gather cell values from
+    the burned tile rasters (one co-group shuffle). Rows-only: the
+    burn is not SQL-expressible; tests/test_raster_lookup_png.py
+    checks every value against ByteRaster.GetValue."""
+    import ray.data as rd
+
+    from lasutility_ray.corpus.polygons import build_feature_table
+    from lasutility_ray.stages.pip_join import burned_tiles, explode_features_to_tiles
+    from lasutility_ray.stages.raster_lookup import raster_value_lookup
+
+    feats = explode_features_to_tiles(build_feature_table())
+    tiles = burned_tiles(rd.from_arrow(feats))
+    return raster_value_lookup(_points(sf_dir), tiles)
+
+
 def q_neighborhood_peaks(sf_dir: str):
     """J6 neighborhood-max window query with cross-tile halo exchange
     (VoxelGrid.cs:267-303 generalized across tile borders)."""
@@ -375,6 +391,102 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev)
 
 
+def q_checkpoint_manifest(sf_dir: str):
+    """Resumable checkpointed TIN run (state/manifest.py): first call
+    processes + commits per-tile parquet atomically; the second call
+    inside the same invocation proves resume-is-noop. Returns the
+    lineage manifest (rows-only: wall_s is nondeterministic)."""
+    import shutil
+
+    from lasutility_ray.state import resumable_tin_tiles
+
+    out_dir = f"/tmp/ckpt_query_{abs(hash(sf_dir)) % 10**8}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pts = _points(sf_dir)
+    resumable_tin_tiles(pts, out_dir)
+    manifest = resumable_tin_tiles(pts, out_dir)  # resume: no recompute
+    return manifest.select(["key", "n_rows", "n_points", "n_triangles"])
+
+
+def q_image_resize(sf_dir: str):
+    """Multimodal resize stage (actor pool over binary image
+    column)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import ImageResize, attach_images
+
+    import pyarrow as pa
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    with_imgs = docs.map_batches(attach_images, batch_format="pyarrow")
+    out = with_imgs.map_batches(
+        ImageResize, batch_format="pyarrow", concurrency=(1, 4), batch_size=256
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        import struct
+
+        sizes, ws, hs = [], [], []
+        for data in t.column("image").to_pylist():
+            _, w, h, _c = struct.unpack_from("<4sIII", data, 0)
+            sizes.append(len(data))
+            ws.append(w)
+            hs.append(h)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "resized_w": pa.array(ws, pa.int32()),
+                "resized_h": pa.array(hs, pa.int32()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_frame_sample(sf_dir: str):
+    """Multimodal frame sampling (video-style every-Nth selection)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import attach_images, frame_sample
+
+    import pyarrow as pa
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    with_imgs = docs.map_batches(attach_images, batch_format="pyarrow")
+
+    def to_video(t: pa.Table) -> pa.Table:
+        # fake video: 8 concatenated GRD1 frames per doc
+        vids = [data * 8 for data in t.column("image").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "video": pa.array(vids, pa.large_binary()),
+            }
+        )
+
+    sampled = with_imgs.map_batches(to_video, batch_format="pyarrow").map_batches(
+        frame_sample, batch_format="pyarrow"
+    )
+
+    def count_frames(t: pa.Table) -> pa.Table:
+        import struct
+
+        n = []
+        for data in t.column("video").to_pylist():
+            off = cnt = 0
+            while off < len(data):
+                _, w, h, c = struct.unpack_from("<4sIII", data, off)
+                off += 16 + w * h * c
+                cnt += 1
+            n.append(cnt)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_frames": pa.array(n, pa.int64())}
+        )
+
+    return sampled.map_batches(count_frames, batch_format="pyarrow")
+
+
 def q_image_features(sf_dir: str):
     import ray.data as rd
 
@@ -405,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_knn_spatial": q_knn_spatial,
         "q_burned_tiles": q_burned_tiles,
+        "q_raster_value_lookup": q_raster_value_lookup,
         "q_neighborhood_peaks": q_neighborhood_peaks,
         "q_salted_tile_summary": q_salted_tile_summary,
         "q_orders_customer_join": q_orders_customer_join,
@@ -416,6 +529,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tumbling_windows": q_tumbling_windows,
         "q_sessionize": q_sessionize,
         "q_image_features": q_image_features,
+        "q_image_resize": q_image_resize,
+        "q_frame_sample": q_frame_sample,
+        "q_checkpoint_manifest": q_checkpoint_manifest,
     }
 
 

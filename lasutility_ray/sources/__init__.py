@@ -3,5 +3,6 @@
 from .ascii_tiles import (  # noqa: F401
     read_ascii_tiles,
     write_burned_tiles_ascii,
+    write_burned_tiles_png,
     write_dem_tiles_ascii,
 )

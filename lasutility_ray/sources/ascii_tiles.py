@@ -122,6 +122,43 @@ def read_ascii_tiles(dir_path: str):
     return ds.map_batches(decode_batch, batch_format="pyarrow")
 
 
+def write_burned_tiles_png(tiles_ds, out_dir: str, cell_size: float = 1.0):
+    """PNG sink (S8, ``ByteRaster.cs:125-152``): one greyscale PNG per
+    burned tile, rows top-down; pure-stdlib encoder (geom/png.py).
+    Returns the manifest Dataset."""
+    from ..geom.png import encode_grey_png
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        tile_ids = t.column("tile_id").to_pylist()
+        paths, sizes, hashes = [], [], []
+        for tid, blob in zip(tile_ids, t.column("raster").to_pylist()):
+            env = decode(tid)
+            bounds = RasterBounds.for_tile(env, cell_size)
+            data = np.frombuffer(blob, dtype=np.uint8).reshape(
+                bounds.n_rows, bounds.n_cols
+            )
+            png = encode_grey_png(data)
+            path = os.path.join(out_dir, f"{tid}.png")
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(png)
+            os.replace(tmp, path)
+            paths.append(path)
+            sizes.append(len(png))
+            hashes.append(hashlib.md5(png).hexdigest())
+        return pa.table(
+            {
+                "tile_id": pa.array(tile_ids, pa.string()),
+                "path": pa.array(paths, pa.string()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+                "md5": pa.array(hashes, pa.string()),
+            }
+        )
+
+    return tiles_ds.map_batches(write_batch, batch_format="pyarrow").materialize()
+
+
 def write_dem_tiles_ascii(tin_tiles_ds, out_dir: str, cell_size: float = 10.0):
     """Sink for ``stages.tin.tin_tiles`` rows: the float DEM of every
     tile as ``WriteDemAsAscii`` text (top-down rows, float32
