@@ -78,6 +78,25 @@ def q_cell_top1_class35(sf_dir: str):
     )
 
 
+def q_cell_bins(sf_dir: str):
+    """The VoxelGrid bins table (A2/T6/T7): per-cell desc-z-sorted
+    non-ground points, flattened with a rank column (tie rule pinned
+    to doc_id; oracle mirrors it via row_number)."""
+    import pyarrow as pa
+
+    from lasutility_ray.stages.voxelize import cell_bins
+
+    out = cell_bins(_points(sf_dir))
+    return out.map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("classification"),
+            "classification",
+            t.column("classification").cast(pa.int32()),
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_pip_join_rect(sf_dir: str):
     from lasutility_ray.corpus.polygons import build_feature_table
     from lasutility_ray.stages.pip_join import rect_pip_join
@@ -503,6 +522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bbox": q_bbox,
         "q_cell_ground_max": q_cell_ground_max,
         "q_cell_top1_class35": q_cell_top1_class35,
+        "q_cell_bins": q_cell_bins,
         "q_pip_join_rect": q_pip_join_rect,
         "q_extract_invariant": q_extract_invariant,
         "q_tin_tile_summary": q_tin_tile_summary,
@@ -599,6 +619,14 @@ def oracle_sql() -> dict[str, str]:
             "  FROM cells WHERE classification BETWEEN 3 AND 5) "
             "SELECT tile_id, row, col, z, classification, doc_id "
             "FROM ranked WHERE rn = 1"
+        ),
+        "q_cell_bins": (
+            f"WITH {pts}, {tiled}, {cells} "
+            "SELECT tile_id, row, col, "
+            "row_number() OVER (PARTITION BY tile_id, row, col "
+            "ORDER BY z DESC, doc_id) - 1 AS pos, "
+            "z, CAST(classification AS INT) AS classification, doc_id "
+            "FROM cells WHERE NOT is_ground"
         ),
         "q_pip_join_rect": (
             f"WITH {pts}, {rects_sql_cte('rects')} "

@@ -91,6 +91,33 @@ def cell_top1_in_class_range(points_ds, lo: int, hi: int):
     )
 
 
+def cell_bins(points_ds):
+    """The VoxelGrid bins table itself (A2/T6/T7): every non-ground
+    point as (tile_id, row, col, pos, z, classification, doc_id) where
+    ``pos`` is the point's 0-based rank within its cell sorted by
+    (z desc, doc_id asc) — the flattened, deterministic form of the
+    reference's per-cell desc-sorted ``Bin.Points`` list
+    (``Bin.cs:27-39``; tie rule pinned because C# List.Sort is
+    unstable, SURVEY.md §7.5). Fully SQL-checkable via
+    ``row_number()``."""
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["z", "doc_id"], ascending=[False, True], kind="stable")
+        g = g.assign(pos=np.arange(len(g), dtype=np.int64))
+        return g[["tile_id", "row", "col", "pos", "z", "classification", "doc_id"]]
+
+    def project(t: pa.Table) -> pa.Table:
+        keep = ~t.column("is_ground").to_numpy(zero_copy_only=False)
+        return t.select(
+            ["tile_id", "row", "col", "z", "classification", "doc_id"]
+        ).filter(pa.array(keep))
+
+    ng = points_ds.map_batches(project, batch_format="pyarrow")
+    return ng.groupby(["tile_id", "row", "col"]).map_groups(
+        per_cell, batch_format="pandas"
+    )
+
+
 def tile_counts(points_ds):
     """docs per 1 km tile — the first wide step / skew measurement
     pass (SURVEY.md §7.2 step 3)."""
