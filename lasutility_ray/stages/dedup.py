@@ -85,20 +85,63 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+# ------------------------------------------- vectorized word hashing
+
+_WORD_W = 16  # hashed prefix width; length mixed in to break prefix ties
+_FNV = np.uint64(1099511628211)
+_POW16 = np.empty(_WORD_W, dtype=np.uint64)
+_POW16[0] = 1
+for _i in range(1, _WORD_W):
+    _POW16[_i] = _POW16[_i - 1] * _FNV  # wraps mod 2^64 by design
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _word_hashes(words: list[str]) -> np.ndarray:
+    """Deterministic uint64 hash per word, vectorized: polynomial
+    hash of the (padded) first 16 bytes with the length mixed in.
+    One cheap python loop packs bytes; all arithmetic is numpy
+    (wrap-around mod 2^64). Replaces per-word md5 (SURVEY 'stay
+    vectorized' rule: the old path was 1 python hashlib call per
+    word)."""
+    n = len(words)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    buf = bytearray(n * _WORD_W)
+    lens = np.empty(n, dtype=np.uint64)
+    for i, w in enumerate(words):
+        b = w.encode("utf-8", "surrogatepass")[:_WORD_W]
+        off = i * _WORD_W
+        buf[off : off + len(b)] = b
+        lens[i] = len(w)
+    arr = np.frombuffer(bytes(buf), dtype=np.uint8).reshape(n, _WORD_W)
+    h = (arr.astype(np.uint64) * _POW16[None, :]).sum(axis=1)
+    h = (h ^ (lens * _MIX2)) * _MIX1
+    return h ^ (h >> np.uint64(29))
+
+
 # ----------------------------------------------------------- minhash
+
+_SH_C = np.array([0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D], dtype=np.uint64)
+
+
+def _shingle_hashes_words(hw: np.ndarray, k: int = 3) -> np.ndarray:
+    """Word-hash array -> 32-bit k-shingle hashes (vectorized)."""
+    n = len(hw)
+    if n == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if n < k:
+        v = (hw * _SH_C[:n]).sum()
+        return np.array([v >> np.uint64(32)], dtype=np.uint64)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc += hw[j : n - k + 1 + j] * _SH_C[j]
+    return acc >> np.uint64(32)  # 32-bit (minhash uint64-safety contract)
 
 
 def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingles -> 32-bit hashes (deterministic, md5-based)."""
-    words = text.split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
-    return out
+    """Word k-shingles -> 32-bit hashes (deterministic, vectorized)."""
+    return _shingle_hashes_words(_word_hashes(text.split()), k)
 
 
 def minhash_signature(text: str) -> np.ndarray:
@@ -109,26 +152,52 @@ def minhash_signature(text: str) -> np.ndarray:
     return vals.min(axis=0)
 
 
+_BAND_C = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def _signatures_batch(texts: list[str], chunk_docs: int = 512) -> np.ndarray:
+    """(n_docs, N_PERM) minhash signatures via flat reduceat passes.
+    Chunked so the (shingles x 64) uint64 work matrix stays bounded
+    (~50 MB per chunk) regardless of batch size."""
+    out = np.empty((len(texts), N_PERM), dtype=np.uint64)
+    for lo in range(0, len(texts), chunk_docs):
+        part = texts[lo : lo + chunk_docs]
+        sh_list = [_shingle_hashes(t) for t in part]
+        counts = np.array([len(s) for s in sh_list], dtype=np.int64)
+        flat = np.concatenate(sh_list)
+        vals = (flat[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % MERSENNE
+        starts = np.zeros(len(part), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        out[lo : lo + len(part)] = np.minimum.reduceat(vals, starts, axis=0)
+    return out
+
+
 def minhash_band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """Explode each doc into N_BANDS (band_id, band_hash, id) rows."""
+    """Explode each doc into N_BANDS (band_id, band_hash, id) rows —
+    fully vectorized (band hash = mixed fold of the band's 4 values)."""
     ids = batch.column(id_col).to_numpy()
     texts = batch.column(text_col).to_pylist()
-    band_ids = []
-    band_hashes = []
-    out_ids = []
-    for i, t in enumerate(texts):
-        sig = minhash_signature(t)
-        for b in range(N_BANDS):
-            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
-            h = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-            band_ids.append(b)
-            band_hashes.append(h)
-            out_ids.append(ids[i])
+    if len(texts) == 0:
+        return pa.table(
+            {
+                "band_id": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+            }
+        )
+    sig = _signatures_batch(texts)  # (n, 64)
+    chunks = sig.reshape(len(texts), N_BANDS, ROWS_PER_BAND)
+    bh = (chunks * _BAND_C[None, None, :]).sum(axis=2)
+    bh = (bh ^ (bh >> np.uint64(31))).astype(np.int64)  # (n, N_BANDS)
+    band_ids = np.tile(np.arange(N_BANDS, dtype=np.int32), len(texts))
     return pa.table(
         {
             "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.string()),
-            "id": pa.array(out_ids, pa.int64()),
+            "band_hash": pa.array(bh.ravel(), pa.int64()),
+            "id": pa.array(np.repeat(ids, N_BANDS), pa.int64()),
         }
     )
 
@@ -141,17 +210,55 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": ids[a], "b": ids[b]})
 
 
-def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """LSH candidate pairs (a < b), deduplicated across bands."""
+N_SHUFFLE_BUCKETS = 64
+
+
+def _dedup_pairs(pairs_ds):
+    """Distinct (a, b) via a vectorized Count aggregate (NOT a
+    per-pair map_groups: millions of 1-row python groups would
+    dominate)."""
+    from ray.data.aggregate import Count
+
+    return pairs_ds.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+def minhash_candidate_pairs(
+    ds, id_col: str = "doc_id", text_col: str = "text", distinct: bool = True
+):
+    """LSH candidate pairs (a < b), deduplicated across bands
+    (``distinct=False`` skips the final dedup shuffle when the caller
+    collects the small candidate set anyway).
+
+    The shuffle key is a coarse hash bucket (64 partitions); the fine
+    (band_id, band_hash) grouping runs inside each bucket with a
+    C-speed pandas groupby — one python call per bucket, not per
+    band-hash (tiny-group map_groups overhead dominates otherwise)."""
     bands = ds.map_batches(
         lambda t: minhash_band_rows(t, id_col, text_col), batch_format="pyarrow"
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t.column("band_hash").to_numpy()
+        return t.append_column(
+            "bucket", pa.array((h % N_SHUFFLE_BUCKETS).astype(np.int64))
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _bucket_pairs(sub)
+            for _, sub in g.groupby(["band_id", "band_hash"], sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
+
+    pairs = (
+        bands.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs) if distinct else pairs
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -169,7 +276,12 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     Verification broadcasts the candidate docs' texts (the candidate
     set is tiny relative to the corpus; at larger candidate volumes
     this becomes a co-grouped join on id)."""
-    cands = minhash_candidate_pairs(ds, id_col, text_col).to_pandas()
+    cands = (
+        minhash_candidate_pairs(ds, id_col, text_col, distinct=False)
+        .to_pandas()
+        .drop_duplicates(["a", "b"])
+        .reset_index(drop=True)
+    )
     if len(cands) == 0:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64"),
@@ -193,19 +305,30 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 # ----------------------------------------------------------- simhash
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (md5 word hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
+def _simhash_batch(texts: list[str]) -> np.ndarray:
+    """uint64 SimHash per doc, vectorized: one bit matrix over all
+    words of the batch + per-doc reduceat (no per-word python)."""
+    hw_list = [_word_hashes(t.split()) for t in texts]
+    counts = np.array([len(h) for h in hw_list], dtype=np.int64)
+    flat = np.concatenate(hw_list) if hw_list else np.empty(0, np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
-    for w in text.split():
-        h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+    out = np.zeros(len(texts), dtype=np.uint64)
+    nonempty = counts > 0
+    if flat.size:
+        bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
+        signed = bits * 2 - 1  # +1 / -1 per bit
+        starts = np.zeros(len(texts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        # reduceat repeats rows for empty docs; mask them after
+        acc = np.add.reduceat(signed.astype(np.int32), starts, axis=0)
+        sim = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
+        out[nonempty] = sim[nonempty]
     return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (vectorized word hashes)."""
+    return int(_simhash_batch([text])[0])
 
 
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -216,11 +339,7 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def to_chunks(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy()
-        sims = np.fromiter(
-            (simhash64(t) for t in batch.column(text_col).to_pylist()),
-            dtype=np.uint64,
-            count=batch.num_rows,
-        )
+        sims = _simhash_batch(batch.column(text_col).to_pylist())
         rows_id, rows_chunk, rows_key, rows_sim = [], [], [], []
         for c in range(4):
             key = (sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)
@@ -237,7 +356,7 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             }
         )
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def one_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("id").sort_values("id")
         if len(g) < 2:
             return pd.DataFrame(
@@ -254,9 +373,37 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         m = ham <= max_hamming
         return pd.DataFrame({"a": ids[ai][m], "b": ids[bi][m], "hamming": ham[m]})
 
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy()
+        return t.append_column(
+            "bucket", pa.array((k % N_SHUFFLE_BUCKETS).astype(np.int64))
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            one_bucket(sub) for _, sub in g.groupby(["chunk", "key"], sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("a", "b", "hamming")}
+            )
+        return (
+            pd.concat(outs, ignore_index=True)
+            .sort_values(["a", "b", "hamming"])
+            .drop_duplicates(["a", "b"])
+        )
+
     chunks = ds.map_batches(to_chunks, batch_format="pyarrow")
-    pairs = chunks.groupby(["chunk", "key"]).map_groups(bucket, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    pairs = (
+        chunks.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    # cross-bucket dedup: vectorized Min aggregate keeps one hamming
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ------------------------------------------------- n-gram jaccard
