@@ -104,6 +104,34 @@ def q_pip_join_rect(sf_dir: str):
     return rect_pip_join(_points(sf_dir), build_feature_table())
 
 
+def q_polygon_pip_join(sf_dir: str):
+    """General polygon PIP join (even-odd membership incl. holes,
+    uniform-grid candidate index per actor). Rows-only: general
+    even-odd membership is checked against a no-index single-process
+    oracle in tests/test_polygon_pip_idw.py."""
+    from lasutility_ray.corpus.polygons import build_feature_table
+    from lasutility_ray.stages.pip_join import polygon_pip_join
+
+    return polygon_pip_join(_points(sf_dir), build_feature_table())
+
+
+def q_idw_interpolate(sf_dir: str):
+    """IDW (power-2) interpolation at query points with cross-tile
+    halo exchange; exact SQL mirror (weights are 1/d² — no sqrt)."""
+    from lasutility_ray.stages.idw import idw_join
+
+    return idw_join(_points(sf_dir), lambda ids: ids % 50 == 0)
+
+
+def q_sliding_windows(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.stages.events import sliding_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return sliding_window(ev)
+
+
 def q_extract_invariant(sf_dir: str):
     """Byte-identical text extraction check: one row (n_docs,
     n_exact_match)."""
@@ -297,7 +325,7 @@ def q_orders_customer_join(sf_dir: str):
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
     )
-    return hash_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    return hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
 
 
 def q_customer_nation_broadcast(sf_dir: str):
@@ -524,6 +552,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cell_top1_class35": q_cell_top1_class35,
         "q_cell_bins": q_cell_bins,
         "q_pip_join_rect": q_pip_join_rect,
+        "q_polygon_pip_join": q_polygon_pip_join,
+        "q_idw_interpolate": q_idw_interpolate,
+        "q_sliding_windows": q_sliding_windows,
         "q_extract_invariant": q_extract_invariant,
         "q_tin_tile_summary": q_tin_tile_summary,
         "q_token_stats": q_token_stats,
@@ -676,6 +707,31 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY d2, neighbor_id) AS rank FROM scored WHERE d2 <= 250000.0) "
             "SELECT q_doc_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d2 "
             "FROM ranked WHERE rank <= 3"
+        ),
+        "q_idw_interpolate": (
+            f"WITH {pts}, "
+            "qs AS (SELECT doc_id AS q_doc_id, x AS qx, y AS qy FROM pts "
+            "WHERE doc_id % 50 = 0), "
+            "scored AS (SELECT q.q_doc_id, p.z, p.doc_id, "
+            "(q.qx - p.x) * (q.qx - p.x) + (q.qy - p.y) * (q.qy - p.y) AS d2 "
+            "FROM qs q JOIN pts p ON p.doc_id <> q.q_doc_id) "
+            "SELECT q_doc_id, "
+            "round(CASE WHEN min(d2) = 0 THEN "
+            "  min(CASE WHEN d2 = 0 THEN z END) "
+            "ELSE sum(z / d2) / sum(1.0 / d2) END, 6) AS idw_z, "
+            "count(*) AS n_neighbors "
+            "FROM scored WHERE d2 <= 250000.0 GROUP BY q_doc_id"
+        ),
+        "q_sliding_windows": (
+            "WITH rep AS ("
+            "  SELECT user_id, (epoch_ms(ts) // 300000) * 300000 AS window_start, "
+            "         CAST(round(value * 100.0, 0) AS BIGINT) AS cents FROM events "
+            "  UNION ALL "
+            "  SELECT user_id, (epoch_ms(ts) // 300000) * 300000 - 300000, "
+            "         CAST(round(value * 100.0, 0) AS BIGINT) FROM events) "
+            "SELECT user_id, window_start, count(*) AS n_events, "
+            "CAST(sum(cents) AS BIGINT) AS sum_value_cents "
+            "FROM rep GROUP BY user_id, window_start"
         ),
         "q_neighborhood_peaks": (
             f"WITH {pts}, "

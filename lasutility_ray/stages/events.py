@@ -55,6 +55,50 @@ def tumbling_window(events_ds):
     )
 
 
+def sliding_window(events_ds, size_ms: int = 600_000, hop_ms: int = 300_000):
+    """Sliding (hopping) windows: every event lands in
+    ``size_ms // hop_ms`` windows; flat-map replication to each
+    window's start, then the tumbling partial+final shape. Aggregates
+    stay order-independent (count + integer-cent sum)."""
+    if size_ms % hop_ms:
+        raise ValueError("size_ms must be a multiple of hop_ms")
+    k = size_ms // hop_ms
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        df = batch.select(["user_id", "ts", "value"]).to_pandas()
+        ms = df["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
+        cents = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        uid = df["user_id"].to_numpy()
+        base = (ms // hop_ms) * hop_ms
+        outs = []
+        for j in range(k):
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": uid,
+                        "window_start": base - j * hop_ms,
+                        "cents": cents,
+                    }
+                )
+            )
+        rep = pd.concat(outs, ignore_index=True)
+        agg = (
+            rep.groupby(["user_id", "window_start"], sort=False)
+            .agg(pc=("cents", "count"), ps=("cents", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        events_ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(
+            Sum("pc", alias_name="n_events"),
+            Sum("ps", alias_name="sum_value_cents"),
+        )
+    )
+
+
 def sessionize(events_ds, gap_ms: int = 1_800_000):
     """Session windows per user: events sorted by ts within the user
     group; a gap > ``gap_ms`` starts a new session. Returns one row

@@ -95,6 +95,110 @@ def rect_pip_join(points_ds, feature_table: pa.Table, concurrency=4):
 # ------------------------------------------------------------------
 
 
+class PolygonPipJoin:
+    """Actor-pool stage: probe points against broadcast *polygon*
+    features (even-odd membership, geom/pip.py) — the general J1
+    shape. Per-actor init builds a uniform-grid candidate index over
+    feature envelopes (the TriangleGrid idea, ``DEM/TriangleGrid.cs:
+    25-89``, standing in for an STRtree: same candidate-pruning
+    role); probes test only the grid cell's candidates."""
+
+    GRID = 250.0  # index cell size (m)
+
+    def __init__(self, features_ref):
+        from ..geom.pip import points_in_polygon
+
+        feats = (
+            ray.get(features_ref[0])
+            if isinstance(features_ref, list)
+            else features_ref
+        )
+        self._pip = points_in_polygon
+        self.polys = []  # (feature_id, luokka, exterior, interiors, env)
+        envs = []
+        for f in feats.to_pylist():
+            geom = from_wkb(f["geom_wkb"])
+            parts = (
+                geom.parts
+                if isinstance(geom, MultiPolygon)
+                else [geom]
+                if isinstance(geom, Polygon)
+                else []
+            )
+            for p in parts:
+                self.polys.append(
+                    (f["feature_id"], f["luokka"], p.exterior, list(p.interiors))
+                )
+                envs.append(p.envelope)
+        if not self.polys:
+            self.grid = {}
+            return
+        envs = np.asarray(envs, dtype=np.float64)
+        self.min_x = envs[:, 0].min()
+        self.min_y = envs[:, 1].min()
+        g = self.GRID
+        self.grid: dict[tuple[int, int], list[int]] = {}
+        for i, e in enumerate(envs):
+            c0 = int((e[0] - self.min_x) // g)
+            c1 = int((e[2] - self.min_x) // g)
+            r0 = int((e[1] - self.min_y) // g)
+            r1 = int((e[3] - self.min_y) // g)
+            for r in range(r0, r1 + 1):
+                for c in range(c0, c1 + 1):
+                    self.grid.setdefault((r, c), []).append(i)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy()
+        y = batch.column("y").to_numpy()
+        doc_id = batch.column("doc_id").to_numpy()
+        out_doc, out_fid, out_luokka = [], [], []
+        if self.grid:
+            g = self.GRID
+            rr = ((y - self.min_y) // g).astype(np.int64)
+            cc = ((x - self.min_x) // g).astype(np.int64)
+            # group probe points by index cell, test each candidate
+            # polygon once against all of the cell's points
+            order = np.lexsort((cc, rr))
+            bounds_change = np.flatnonzero(
+                np.diff(rr[order], prepend=rr[order][0] - 1)
+                | np.diff(cc[order], prepend=cc[order][0] - 1)
+            )
+            starts = list(bounds_change) + [len(order)]
+            for si in range(len(starts) - 1):
+                sel = order[starts[si] : starts[si + 1]]
+                key = (int(rr[sel[0]]), int(cc[sel[0]]))
+                cands = self.grid.get(key)
+                if not cands:
+                    continue
+                px, py_, pids = x[sel], y[sel], doc_id[sel]
+                for ci in cands:
+                    fid, luokka, ext, holes = self.polys[ci]
+                    m = self._pip(px, py_, ext, holes)
+                    if m.any():
+                        out_doc.extend(pids[m].tolist())
+                        out_fid.extend([fid] * int(m.sum()))
+                        out_luokka.extend([luokka] * int(m.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "feature_id": pa.array(out_fid, pa.int64()),
+                "luokka": pa.array(out_luokka, pa.int32()),
+            }
+        )
+
+
+def polygon_pip_join(points_ds, feature_table: pa.Table, concurrency: int = 4):
+    """Points x polygon-features PIP join; the polygon side is
+    broadcast once (``ray.put``), index built once per actor."""
+    ref = ray.put(feature_table)
+    return points_ds.map_batches(
+        PolygonPipJoin,
+        fn_constructor_kwargs={"features_ref": [ref]},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+
+
 def explode_features_to_tiles(feature_table: pa.Table) -> pa.Table:
     """Flat-map: one row per (feature, touched 1 km tile), geometry
     clipped to the tile (the flat-map in SURVEY.md §3.2). Small side
