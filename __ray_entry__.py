@@ -237,6 +237,18 @@ def q_embed_lsh_pairs(sf_dir: str):
     return embedding_lsh_pairs(emb, threshold=0.45)
 
 
+def q_dup_components(sf_dir: str):
+    """Connected components over the embedding near-dup graph
+    (iterative distributed min-label propagation); oracle = recursive
+    CTE transitive closure in DuckDB."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.dedup import duplicate_components, embedding_nn_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return duplicate_components(embedding_nn_pairs(emb, threshold=0.45))
+
+
 def q_ann_topk(sf_dir: str):
     import ray.data as rd
 
@@ -564,6 +576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_embed_nn_pairs": q_embed_nn_pairs,
         "q_embed_lsh_pairs": q_embed_lsh_pairs,
+        "q_dup_components": q_dup_components,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_knn_spatial": q_knn_spatial,
@@ -666,12 +679,19 @@ def oracle_sql() -> dict[str, str]:
             "AND p.y >= r.min_y AND p.y < r.max_y"
         ),
         "q_token_stats": (
-            "SELECT doc_id, length(text) AS n_chars, "
+            "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
             "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
             "length(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars, "
             "length(list_filter(regexp_extract_all(lower(text), '\\S+'), "
             "x -> x IN ('the','and','of','to','a','in','is','it','you','that')"
-            ")) AS stop_hits_en FROM documents"
+            ")) AS stop_hits_en, "
+            "length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) "
+            "AS n_bpe_tokens FROM documents) "
+            "SELECT *, CAST("
+            "(CASE WHEN n_chars > 0 THEN alpha_chars * 1000 // greatest(n_chars, 1) ELSE 0 END) + "
+            "(CASE WHEN n_tokens > 0 THEN stop_hits_en * 1000 // greatest(n_tokens, 1) ELSE 0 END) - "
+            "(CASE WHEN n_tokens < 10 THEN 500 ELSE 0 END) AS BIGINT) AS quality_millis "
+            "FROM s"
         ),
         "q_exact_dedup": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
@@ -684,6 +704,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.45"
+        ),
+        "q_dup_components": (
+            "WITH RECURSIVE edges AS ("
+            "  SELECT a.vec_id AS u, b.vec_id AS v FROM embeddings a "
+            "  JOIN embeddings b ON a.vec_id < b.vec_id "
+            "  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "  CAST(b.embedding AS DOUBLE[])) >= 0.45), "
+            "sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
+            "reach AS ("
+            "  SELECT u AS node, v AS r FROM sym "
+            "  UNION SELECT node, node FROM (SELECT DISTINCT u AS node FROM sym) "
+            "  UNION SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u) "
+            "SELECT node, min(r) AS component FROM reach GROUP BY node"
         ),
         "q_ann_topk": (
             "WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "

@@ -88,11 +88,10 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 # ------------------------------------------- vectorized word hashing
 
 _WORD_W = 16  # hashed prefix width; length mixed in to break prefix ties
-_FNV = np.uint64(1099511628211)
-_POW16 = np.empty(_WORD_W, dtype=np.uint64)
-_POW16[0] = 1
-for _i in range(1, _WORD_W):
-    _POW16[_i] = _POW16[_i - 1] * _FNV  # wraps mod 2^64 by design
+_FNV = 1099511628211
+_POW16 = np.array(
+    [pow(_FNV, _i, 1 << 64) for _i in range(_WORD_W)], dtype=np.uint64
+)  # FNV-prime powers mod 2^64
 _MIX1 = np.uint64(0x9E3779B97F4A7C15)
 _MIX2 = np.uint64(0xBF58476D1CE4E5B9)
 
@@ -453,6 +452,97 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         ds.map_batches(keyed, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket, batch_format="pandas")
+    )
+
+
+# ------------------------------------- duplicate-group resolution
+
+
+def duplicate_components(pairs_ds, max_iters: int = 50):
+    """Connected components over a near-dup pair graph -> (node,
+    component) where component = min node id reachable — the
+    "keep one per duplicate cluster" resolution step (keep id ==
+    component id).
+
+    Distributed min-label propagation: labels start as node ids; each
+    round joins labels across edges (both directions) and takes the
+    per-node min; converges in O(diameter) rounds. Each round is one
+    map + one vectorized groupby-aggregate over the (small relative
+    to corpus) edge list — no per-group python.
+    """
+    from ray.data.aggregate import Min
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [
+                        t.column("a").combine_chunks().cast(pa.int64()),
+                        t.column("b").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "v": pa.concat_arrays(
+                    [
+                        t.column("b").combine_chunks().cast(pa.int64()),
+                        t.column("a").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # labels: start from self-labels of every endpoint
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table({"node": t.column("u"), "plabel": t.column("u")}),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("plabel", alias_name="label"))
+        .materialize()
+    )
+
+    for _ in range(max_iters):
+        # candidate labels flowing across edges: join edges u->v with
+        # label(u); broadcast the (small) label table into the map
+        label_tbl = pa.Table.from_pandas(labels.to_pandas(), preserve_index=False)
+        import ray as _ray
+
+        ref = _ray.put(label_tbl)
+
+        def push(t: pa.Table) -> pa.Table:
+            lt = _ray.get(ref)
+            import pyarrow.compute as pc
+
+            idx = pc.index_in(t.column("u"), value_set=lt.column("node"))
+            lab = lt.column("label").take(idx)
+            return pa.table({"node": t.column("v"), "plabel": lab})
+
+        new_labels = (
+            edges.map_batches(push, batch_format="pyarrow")
+            .union(
+                labels.map_batches(
+                    lambda t: pa.table(
+                        {"node": t.column("node"), "plabel": t.column("label")}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            .groupby("node")
+            .aggregate(Min("plabel", alias_name="label"))
+            .materialize()
+        )
+        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
+        new = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
+        labels = new_labels
+        if old.equals(new):
+            break
+    return labels.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node"), "component": t.column("label")}
+        ),
+        batch_format="pyarrow",
     )
 
 

@@ -15,6 +15,9 @@ import pandas as pd
 import pyarrow as pa
 
 TOKEN_RE = r"\S+"
+# GPT-2-style pretokenizer shape without lookahead (RE2-compatible):
+# letter runs, digit runs, non-space-punct runs
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
 
 STOPWORDS = {
     "en": ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
@@ -52,6 +55,23 @@ class TextStats:
         batch["stop_hits_en"] = toks.map(
             lambda ws: sum(1 for w in ws if w.lower() in stop)
         ).astype("int64")
+        # BPE-ish pretokenizer count: letter runs / digit runs /
+        # punctuation runs (the GPT-2 pretokenizer shape minus
+        # lookahead, so the same regex runs in RE2/DuckDB)
+        batch["n_bpe_tokens"] = s.str.count(BPE_RE).astype("int64")
+        # quality score in integer millipoints (order-independent,
+        # engine-exact): alpha ratio + stopword ratio - short-doc
+        # penalty, mirrored 1:1 in SQL
+        n_chars = batch["n_chars"].to_numpy()
+        n_tokens = batch["n_tokens"].to_numpy()
+        alpha = batch["alpha_chars"].to_numpy()
+        stop_hits = batch["stop_hits_en"].to_numpy()
+        alpha_ratio = np.where(n_chars > 0, alpha * 1000 // np.maximum(n_chars, 1), 0)
+        stop_ratio = np.where(
+            n_tokens > 0, stop_hits * 1000 // np.maximum(n_tokens, 1), 0
+        )
+        short_pen = np.where(n_tokens < 10, 500, 0)
+        batch["quality_millis"] = (alpha_ratio + stop_ratio - short_pen).astype("int64")
         return batch
 
 

@@ -148,6 +148,17 @@ def resumable_tin_tiles(points_ds, out_dir: str, concurrency: int = 4):
     from ..stages.tin import rasterize_tile
 
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    # sweep orphan tmp files from a crashed writer: a *.tmp.* without
+    # a manifest row is a torn write, safe to delete (the tmp+rename
+    # protocol guarantees committed files never carry the suffix)
+    for d in (_tiles_dir(out_dir), _manifest_dir(out_dir)):
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if ".tmp." in f:
+                    try:
+                        os.remove(os.path.join(d, f))
+                    except OSError:
+                        pass
     done = finished_keys(out_dir)
 
     if done:

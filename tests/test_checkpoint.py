@@ -108,3 +108,17 @@ def test_manifest_metrics_columns(out_dir, ray_session):
         "missing_after",
         "wall_s",
     } <= cols
+
+
+def test_orphan_tmp_files_swept(out_dir, ray_session):
+    """A crashed writer's torn tmp file must be removed on resume and
+    never shadow a real partition."""
+    import pathlib
+
+    m1 = resumable_tin_tiles(_points(), out_dir)
+    tiles_dir = pathlib.Path(out_dir) / "tiles"
+    orphan = tiles_dir / "L9999Z9_9.parquet.tmp.1234"
+    orphan.write_bytes(b"torn write")
+    m2 = resumable_tin_tiles(_points(), out_dir)
+    assert not orphan.exists()
+    assert m2.num_rows == m1.num_rows

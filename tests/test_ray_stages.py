@@ -296,3 +296,29 @@ class TestBurn:
         assert (out["n_burned_cells"] > 0).any()
         # rasters are full 1km tiles at 1m cells
         assert len(out["raster"].iloc[0]) == 1000 * 1000
+
+
+class TestComponents:
+    def test_min_label_components(self, ray_session):
+        """duplicate_components on a known graph: two chains and an
+        isolated edge resolve to min-id labels."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from lasutility_ray.stages.dedup import duplicate_components
+
+        # components: {1,2,3,4} (chain), {10,11}, {20,21,22} (star)
+        pairs = pa.table(
+            {
+                "a": pa.array([1, 2, 3, 10, 20, 20], pa.int64()),
+                "b": pa.array([2, 3, 4, 11, 21, 22], pa.int64()),
+            }
+        )
+        out = (
+            duplicate_components(rd.from_arrow(pairs))
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+        assert dict(zip(out["node"], out["component"])) == want
