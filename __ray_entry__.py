@@ -47,6 +47,30 @@ def q_tile_counts(sf_dir: str):
     return tile_counts(_points(sf_dir))
 
 
+def q_tile_counts_3km(sf_dir: str):
+    """Hierarchical codec at the 3 km level (the NLS sheet size,
+    PointCloud05p.cs:86-88): counts per 3 km tile name."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from lasutility_ray.geom import tilenamer
+
+    def add_tile3(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy()
+        y = t.column("y").to_numpy()
+        return t.append_column(
+            "tile3_id", pa.array(tilenamer.encode(x, y, 3000), pa.string())
+        )
+
+    return (
+        _points(sf_dir)
+        .map_batches(add_tile3, batch_format="pyarrow")
+        .groupby("tile3_id")
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
 def q_bbox(sf_dir: str):
     import pandas as pd
 
@@ -559,6 +583,7 @@ def q_image_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "q_tile_counts": q_tile_counts,
+        "q_tile_counts_3km": q_tile_counts_3km,
         "q_bbox": q_bbox,
         "q_cell_ground_max": q_cell_ground_max,
         "q_cell_top1_class35": q_cell_top1_class35,
@@ -643,6 +668,15 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_counts": (
             f"WITH {pts}, {tiled} "
             "SELECT tile_id, count(*) AS n_docs FROM tiled GROUP BY tile_id"
+        ),
+        "q_tile_counts_3km": (
+            f"WITH {pts}, {tiled} "
+            "SELECT substr('KLMNPQRSTUVWX', CAST(in0 + 1 AS INT), 1) "
+            "|| CAST(ie0 + 2 AS VARCHAR) || CAST(1 + dn1 + 2 * de1 AS VARCHAR) "
+            "|| CAST(1 + dn2 + 2 * de2 AS VARCHAR) || CAST(1 + dn3 + 2 * de3 AS VARCHAR) "
+            "|| substr('ABCDEFGH', CAST(2 * ie4 + in4 + 1 AS INT), 1) "
+            "|| CAST(1 + dn5 + 2 * de5 AS VARCHAR) AS tile3_id, "
+            "count(*) AS n_docs FROM tiled GROUP BY 1"
         ),
         "q_bbox": (
             f"WITH {pts} "

@@ -28,7 +28,7 @@ def points_in_ring_parity(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> n
     px_ = px[:, None]
     crosses = (y0[None, :] <= py_) != (y1[None, :] <= py_)
     # x of edge at scan height py (only meaningful where crosses)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         t = (py_ - y0[None, :]) / (y1[None, :] - y0[None, :])
         xs = x0[None, :] + t * (x1[None, :] - x0[None, :])
     hits = crosses & (xs < px_)

@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the conformance-critical
+kernels: tile codec round trip, RLE codec round trip, PNG round trip,
+PIP kernel vs a scalar oracle, bounds projection invariants.
+
+The reference's suite is unit+golden only (SURVEY.md §5); properties
+harden the same semantics against the full input space. No Ray.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lasutility_ray.geom import tilenamer
+from lasutility_ray.geom.bounds import EPSILON, RasterBounds
+from lasutility_ray.geom.pip import points_in_polygon
+from lasutility_ray.geom.png import decode_grey_png, encode_grey_png
+from lasutility_ray.geom.rle import rle_decode_row, rle_encode_row
+
+coords = st.tuples(
+    st.floats(min_value=tilenamer.MIN_ALLOWED_EAST, max_value=691999.99,
+              allow_nan=False, allow_infinity=False),
+    st.floats(min_value=tilenamer.MIN_ALLOWED_NORTH, max_value=7817999.99,
+              allow_nan=False, allow_infinity=False),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(coords, st.sampled_from([1000, 3000, 6000, 12000, 24000, 48000, 96000]))
+def test_tile_encode_decode_roundtrip(xy, size):
+    """decode(encode(p)) is an envelope of the requested size that
+    contains p (the codec's defining invariant)."""
+    x, y = xy
+    name = str(tilenamer.encode(np.array([x]), np.array([y]), size)[0])
+    min_e, min_n, max_e, max_n = tilenamer.decode(name)
+    assert max_n - min_n == size
+    assert min_e <= x < max_e
+    assert min_n <= y < max_n
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=400))
+def test_rle_roundtrip(vals):
+    row = np.array(vals, dtype=np.uint8)
+    assert (rle_decode_row(rle_encode_row(row), len(row)) == row).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=1, max_value=40), st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_png_roundtrip(h, w, seed):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    assert (decode_grey_png(encode_grey_png(data)) == data).all()
+
+
+def _pip_scalar(px, py, ring):
+    """Slow scalar even-odd oracle."""
+    inside = False
+    n = len(ring)
+    j = n - 1
+    for i in range(n):
+        yi, yj = ring[i][1], ring[j][1]
+        if (yi <= py) != (yj <= py):
+            xs = ring[j][0] + (py - yj) / (yi - yj) * (ring[i][0] - ring[j][0])
+            if xs < px:
+                inside = not inside
+        j = i
+    return inside
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.floats(0, 10, allow_nan=False), st.floats(0, 10, allow_nan=False)),
+        min_size=3,
+        max_size=8,
+    ),
+    st.tuples(st.floats(-1, 11, allow_nan=False), st.floats(-1, 11, allow_nan=False)),
+)
+def test_pip_matches_scalar_oracle(ring_pts, probe):
+    ring = np.array(ring_pts + [ring_pts[0]], dtype=np.float64)
+    px, py = probe
+    got = points_in_polygon(np.array([px]), np.array([py]), ring)[0]
+    want = _pip_scalar(px, py, ring[:-1])
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(0, 999.999, allow_nan=False),
+    st.floats(0, 999.999, allow_nan=False),
+)
+def test_bounds_projection_invariants(dx, dy):
+    """Half-open semantics: every in-extent coordinate maps to a
+    valid cell whose [bottom-left, top-right) window contains it."""
+    b = RasterBounds(100, 100, 0.0, 0.0, 1000.0, 1000.0)
+    rows, cols, valid = b.proj_to_cell(np.array([dx]), np.array([dy]))
+    assert valid[0]
+    x0, y0 = b.cell_bottom_left(rows, cols)
+    assert x0[0] <= dx < x0[0] + b.cell_width + 1e-9
+    assert y0[0] <= dy < y0[0] + b.cell_height + 1e-9
+    # the max edge is outside; max - epsilon is the last cell
+    r2, c2, v2 = b.proj_to_cell(np.array([1000.0]), np.array([1000.0]))
+    assert not v2[0]
+    r3, c3, v3 = b.proj_to_cell(np.array([1000.0 - EPSILON]), np.array([1000.0 - EPSILON]))
+    assert v3[0] and r3[0] == 99 and c3[0] == 99
