@@ -570,6 +570,18 @@ def q_frame_sample(sf_dir: str):
     return sampled.map_batches(count_frames, batch_format="pyarrow")
 
 
+def q_audio_features(sf_dir: str):
+    """Multimodal audio feature extraction (actor pool over binary
+    PCM column; real codecs stubbed per build contract)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import attach_audio, audio_feature_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    with_audio = docs.map_batches(attach_audio, batch_format="pyarrow")
+    return audio_feature_stage(with_audio)
+
+
 def q_image_features(sf_dir: str):
     import ray.data as rd
 
@@ -618,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tumbling_windows": q_tumbling_windows,
         "q_sessionize": q_sessionize,
         "q_image_features": q_image_features,
+        "q_audio_features": q_audio_features,
         "q_image_resize": q_image_resize,
         "q_frame_sample": q_frame_sample,
         "q_checkpoint_manifest": q_checkpoint_manifest,

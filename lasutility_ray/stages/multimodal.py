@@ -117,6 +117,70 @@ def frame_sample(batch: pa.Table, every: int = 4) -> pa.Table:
     return batch.set_column(idx, "video", pa.array(out, pa.large_binary()))
 
 
+AUDIO_MAGIC = b"PCM1"
+AUDIO_HEADER = struct.Struct("<4sII")  # magic, sample_rate, n_samples
+
+
+def synth_audio_bytes(doc_id: np.ndarray, sample_rate: int = 8000, n: int = 1024):
+    """Deterministic fake PCM16 clip per doc (seeded by doc_id)."""
+    out = []
+    for d in np.asarray(doc_id, dtype=np.int64).tolist():
+        rng = np.random.default_rng(d ^ 0xA0D10)
+        pcm = rng.integers(-(1 << 15), 1 << 15, n, dtype=np.int16)
+        out.append(AUDIO_HEADER.pack(AUDIO_MAGIC, sample_rate, n) + pcm.tobytes())
+    return out
+
+
+def attach_audio(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
+    clips = synth_audio_bytes(batch.column(doc_col).to_numpy())
+    return batch.append_column("audio", pa.array(clips, pa.large_binary()))
+
+
+def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode one audio payload. Real codecs (mp3/flac/...) are
+    STUBBED — this container has no audio libraries."""
+    if data[:4] != AUDIO_MAGIC:
+        raise NotImplementedError(
+            "real audio decoding (mp3/flac/...) is stubbed in this "
+            "environment; only the deterministic PCM1 fake format is supported"
+        )
+    _, rate, n = AUDIO_HEADER.unpack_from(data, 0)
+    return rate, np.frombuffer(data, dtype=np.int16, offset=AUDIO_HEADER.size, count=n)
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode + per-clip features (RMS, zero
+    crossings, duration)."""
+
+    def __init__(self):
+        self.header = AUDIO_HEADER  # codec table loaded once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rms, zc, dur = [], [], []
+        for data in batch.column("audio").to_pylist():
+            rate, pcm = decode_audio(data)
+            x = pcm.astype(np.float64)
+            rms.append(float(np.sqrt((x * x).mean())))
+            zc.append(int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum()))
+            dur.append(len(pcm) / rate)
+        return (
+            batch.drop_columns(["audio"])
+            .append_column("audio_rms", pa.array(rms, pa.float64()))
+            .append_column("audio_zero_crossings", pa.array(zc, pa.int64()))
+            .append_column("audio_duration_s", pa.array(dur, pa.float64()))
+        )
+
+
+def audio_feature_stage(ds, concurrency: int = 4, batch_size: int = 256):
+    """Small batches: binary PCM rows are large."""
+    return ds.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
 def image_feature_stage(ds, concurrency: int = 4, batch_size: int = 256):
     """Small batches: payload rows are large (binary images)."""
     return ds.map_batches(
