@@ -863,6 +863,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms, "
             "count(*) AS n_events FROM s GROUP BY user_id, sid"
         ),
+        "q_lang_id": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_extract_all(lower(text), '\\S+') AS ws FROM documents), "
+            "scores AS (SELECT doc_id, "
+            "length(list_filter(ws, x -> x IN ('und','der','die','das','ist','nicht','ein','mit','sie','auf'))) AS s_de, "
+            "length(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','it','you','that'))) AS s_en, "
+            "length(list_filter(ws, x -> x IN ('ja','on','ei','se','että','hän','oli','mutta','kun','niin'))) AS s_fi, "
+            "length(list_filter(ws, x -> x IN ('och','att','det','som','en','på','är','av','för','med'))) AS s_sv "
+            "FROM toks) "
+            "SELECT doc_id, CASE "
+            "WHEN greatest(s_de, s_en, s_fi, s_sv) = 0 THEN 'und' "
+            "WHEN s_de >= s_en AND s_de >= s_fi AND s_de >= s_sv THEN 'de' "
+            "WHEN s_en >= s_fi AND s_en >= s_sv THEN 'en' "
+            "WHEN s_fi >= s_sv THEN 'fi' ELSE 'sv' END AS lang_pred "
+            "FROM scores"
+        ),
         "q_extract_invariant": (
             "WITH pages AS (SELECT doc_id, "
             f"'{HTML_PREFIX}' || text || '{HTML_SUFFIX}' AS html, text "
