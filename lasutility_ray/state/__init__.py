@@ -3,6 +3,8 @@
 from .manifest import (  # noqa: F401
     finished_keys,
     manifest_table,
+    resumable_salted_tin_tiles,
+    resumable_tiles,
     resumable_tin_tiles,
     write_partition_atomic,
 )

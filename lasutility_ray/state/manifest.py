@@ -135,17 +135,13 @@ def _commit_partition(out_dir: str, key: str, df: pd.DataFrame, metrics: dict) -
     return row
 
 
-def resumable_tin_tiles(points_ds, out_dir: str, concurrency: int = 4):
-    """Checkpointed flagship wide step: per-tile TIN+DEM rasterization
-    (stages.tin.rasterize_tile) where every tile commits its own
-    atomic parquet + manifest row. A killed job resumes by skipping
-    every tile already in the manifest (LockedCells at tile
-    granularity). Returns the manifest table (lineage + metrics) after
-    driving the pipeline.
-    """
-    import ray
+METRIC_COLS = ("n_points", "n_ground", "n_triangles", "missing_before", "missing_after")
 
-    from ..stages.tin import rasterize_tile
+
+def _pending_input(points_ds, out_dir: str, key_col: str, concurrency: int):
+    """Sweep torn tmp files, list finished keys, anti-join them out
+    of the input via the broadcast DropFinished pool."""
+    import ray
 
     os.makedirs(_manifest_dir(out_dir), exist_ok=True)
     # sweep orphan tmp files from a crashed writer: a *.tmp.* without
@@ -160,37 +156,83 @@ def resumable_tin_tiles(points_ds, out_dir: str, concurrency: int = 4):
                     except OSError:
                         pass
     done = finished_keys(out_dir)
+    if not done:
+        return points_ds
+    done_ref = ray.put(done)
+    # autoscaling pool (min 1): never reserves every CPU, so the
+    # downstream groupby shuffle can always make progress
+    return points_ds.map_batches(
+        DropFinished,
+        fn_constructor_kwargs={"done_ref": [done_ref], "key_col": key_col},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
 
-    if done:
-        done_ref = ray.put(done)
-        # autoscaling pool (min 1): never reserves every CPU, so the
-        # downstream groupby shuffle can always make progress
-        pending = points_ds.map_batches(
-            DropFinished,
-            fn_constructor_kwargs={"done_ref": [done_ref], "key_col": "tile_id"},
-            batch_format="pyarrow",
-            concurrency=(1, concurrency),
-        )
-    else:
-        pending = points_ds
 
-    def process_and_commit(group: pd.DataFrame) -> pd.DataFrame:
-        t0 = time.perf_counter()
-        out = rasterize_tile(group)
-        tile_id = out["tile_id"].iloc[0]
-        metrics = {
-            "n_points": int(out["n_points"].iloc[0]),
-            "n_triangles": int(out["n_triangles"].iloc[0]),
-            "missing_before": int(out["missing_before"].iloc[0]),
-            "missing_after": int(out["missing_after"].iloc[0]),
-            "wall_s": round(time.perf_counter() - t0, 6),
-        }
-        row = _commit_partition(out_dir, tile_id, out, metrics)
-        return pd.DataFrame([row])
+def resumable_tiles(
+    points_ds,
+    out_dir: str,
+    tiles_fn,
+    key_col: str = "tile_id",
+    concurrency: int = 4,
+):
+    """Checkpoint ANY tile-keyed wide step: ``tiles_fn`` maps the
+    pending points Dataset to a tiles Dataset (one row per key);
+    every output row commits its own atomic parquet + a manifest row
+    carrying lineage + whatever integer metrics the row exposes
+    (METRIC_COLS intersection). A killed job resumes by skipping keys
+    already in the manifest (the LockedCells idea at tile
+    granularity). Returns the manifest table after driving the
+    pipeline."""
+    pending = _pending_input(points_ds, out_dir, key_col, concurrency)
+    tiles = tiles_fn(pending)
 
-    # drive: the groupby shuffle + per-tile commit; result is the
-    # (small) manifest delta, then read the authoritative manifest dir
-    pending.groupby("tile_id").map_groups(
-        process_and_commit, batch_format="pandas"
-    ).count()
+    def commit_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for i in range(len(df)):
+            t0 = time.perf_counter()
+            one = df.iloc[i : i + 1]
+            key = str(one[key_col].iloc[0])
+            metrics = {
+                c: int(one[c].iloc[0]) for c in METRIC_COLS if c in one.columns
+            }
+            metrics["wall_s"] = round(time.perf_counter() - t0, 6)
+            rows.append(_commit_partition(out_dir, key, one, metrics))
+        if not rows:
+            return pd.DataFrame({"key": pd.Series(dtype="object")})
+        return pd.DataFrame(rows)
+
+    tiles.map_batches(commit_rows, batch_format="pandas").count()
     return manifest_table(out_dir)
+
+
+def resumable_tin_tiles(points_ds, out_dir: str, concurrency: int = 4):
+    """Checkpointed flagship wide step: per-tile TIN+DEM rasterization
+    (stages.tin.rasterize_tile), each tile committed atomically with
+    a lineage/metrics manifest row; resume skips finished tiles."""
+    from ..stages.tin import tin_tiles
+
+    return resumable_tiles(
+        points_ds,
+        out_dir,
+        lambda pending: tin_tiles(pending, include_rasters=True),
+        concurrency=concurrency,
+    )
+
+
+def resumable_salted_tin_tiles(
+    points_ds, out_dir: str, threshold: int = 4000, concurrency: int = 4, exact: bool = True
+):
+    """Skew-salted AND checkpointed: the hot-tile split happens inside
+    the pending computation; commits stay at tile granularity, so
+    resume semantics are identical to the unsalted path."""
+    from ..stages.salting import salted_tin_tiles
+
+    return resumable_tiles(
+        points_ds,
+        out_dir,
+        lambda pending: salted_tin_tiles(
+            pending, threshold=threshold, include_rasters=True, exact=exact
+        ),
+        concurrency=concurrency,
+    )

@@ -122,3 +122,20 @@ def test_orphan_tmp_files_swept(out_dir, ray_session):
     m2 = resumable_tin_tiles(_points(), out_dir)
     assert not orphan.exists()
     assert m2.num_rows == m1.num_rows
+
+
+def test_resumable_salted_equals_plain(out_dir, ray_session):
+    """Checkpointing composes with salting: same committed tiles and
+    metrics as the unsalted resumable path (exact replicate-build
+    mode), and resume is still a no-op."""
+    from lasutility_ray.state import resumable_salted_tin_tiles
+
+    m1 = resumable_tin_tiles(_points(), out_dir + "_plain")
+    m2 = resumable_salted_tin_tiles(_points(), out_dir, threshold=2)
+    a = m1.to_pandas().set_index("key").sort_index()
+    b = m2.to_pandas().set_index("key").sort_index()
+    assert list(a.index) == list(b.index)
+    for col in ("n_points", "missing_before", "missing_after"):
+        assert (a[col] == b[col]).all(), col
+    m3 = resumable_salted_tin_tiles(_points(), out_dir, threshold=2)
+    assert m3.num_rows == m2.num_rows
