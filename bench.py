@@ -133,7 +133,9 @@ def run_queries(sf_dir: str) -> dict:
 def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "1000000"))
+    # 4M docs: large enough that per-doc compute dominates cluster
+    # fixed costs at 32 cpus (smaller jobs under-report scaling)
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "4000000"))
 
     import ray
 

@@ -44,6 +44,23 @@ def _circumradius2(ax, ay, bx, by, cx, cy):
     return x * x + y * y
 
 
+def _circumradius2_vec(ax, ay, bx, by, cx, cy):
+    """Vectorized _circumradius2 over candidate arrays cx, cy."""
+    dx = bx - ax
+    dy = by - ay
+    ex = cx - ax
+    ey = cy - ay
+    bl = dx * dx + dy * dy
+    cl = ex * ex + ey * ey
+    d = dx * ey - dy * ex
+    with np.errstate(divide="ignore", invalid="ignore"):
+        d = 0.5 / d
+        px = (ey * bl - dy * cl) * d
+        py = (dx * cl - ex * bl) * d
+        out = px * px + py * py
+    return np.where(np.isfinite(out), out, np.inf)
+
+
 def _circumcenter(ax, ay, bx, by, cx, cy):
     dx = bx - ax
     dy = by - ay
@@ -85,18 +102,23 @@ class Delaunator:
             raise ValueError("needs at least 3 points")
         self._x = x
         self._y = y
+        # hot-loop state lives in python lists: the incremental
+        # insertion/legalization loops do scalar element access, where
+        # list indexing is several times faster than numpy boxing
+        self._xl = x.tolist()
+        self._yl = y.tolist()
 
         max_triangles = max(2 * n - 5, 0)
-        self._triangles = np.zeros(max_triangles * 3, dtype=np.int64)
-        self._halfedges = np.zeros(max_triangles * 3, dtype=np.int64)
+        self._triangles = [0] * (max_triangles * 3)
+        self._halfedges = [0] * (max_triangles * 3)
         self.triangles_len = 0
 
         self._hash_size = int(math.ceil(math.sqrt(n)))
-        self._hull_prev = np.zeros(n, dtype=np.int64)
-        self._hull_next = np.zeros(n, dtype=np.int64)
-        self._hull_tri = np.zeros(n, dtype=np.int64)
-        self._hull_hash = np.full(self._hash_size, -1, dtype=np.int64)
-        self._edge_stack = np.zeros(EDGE_STACK_SIZE, dtype=np.int64)
+        self._hull_prev = [0] * n
+        self._hull_next = [0] * n
+        self._hull_tri = [0] * n
+        self._hull_hash = [-1] * self._hash_size
+        self._edge_stack = [0] * EDGE_STACK_SIZE
 
         self._update()
 
@@ -104,11 +126,11 @@ class Delaunator:
 
     @property
     def triangles(self) -> np.ndarray:
-        return self._triangles[: self.triangles_len]
+        return np.array(self._triangles[: self.triangles_len], dtype=np.int64)
 
     @property
     def halfedges(self) -> np.ndarray:
-        return self._halfedges[: self.triangles_len]
+        return np.array(self._halfedges[: self.triangles_len], dtype=np.int64)
 
     @property
     def hull(self) -> np.ndarray:
@@ -117,34 +139,32 @@ class Delaunator:
     # -- core --------------------------------------------------------
 
     def _update(self):
-        x, y = self._x, self._y
+        xnp, ynp = self._x, self._y
+        x, y = self._xl, self._yl
         n = len(x)
 
-        min_x, min_y = x.min(), y.min()
-        max_x, max_y = x.max(), y.max()
+        min_x, min_y = xnp.min(), ynp.min()
+        max_x, max_y = xnp.max(), ynp.max()
         cx, cy = (min_x + max_x) / 2, (min_y + max_y) / 2
 
         # pick seed point close to centroid
-        d2 = (x - cx) ** 2 + (y - cy) ** 2
+        d2 = (xnp - cx) ** 2 + (ynp - cy) ** 2
         i0 = int(np.argmin(d2))
         i0x, i0y = x[i0], y[i0]
 
         # point closest to seed
-        d2 = (x - i0x) ** 2 + (y - i0y) ** 2
+        d2 = (xnp - i0x) ** 2 + (ynp - i0y) ** 2
         d2[i0] = np.inf
         i1 = int(np.argmin(d2))
         i1x, i1y = x[i1], y[i1]
 
         # third point: smallest circumcircle with first two
-        min_radius = math.inf
-        i2 = -1
-        for i in range(n):
-            if i == i0 or i == i1:
-                continue
-            r = _circumradius2(i0x, i0y, i1x, i1y, x[i], y[i])
-            if r < min_radius:
-                i2 = i
-                min_radius = r
+        # (vectorized: the python loop was the O(n) cold-start cost)
+        r2 = _circumradius2_vec(i0x, i0y, i1x, i1y, xnp, ynp)
+        r2[i0] = np.inf
+        r2[i1] = np.inf
+        i2 = int(np.argmin(r2))
+        min_radius = float(r2[i2])
         if not math.isfinite(min_radius):
             raise ValueError("collinear input: no Delaunay triangulation exists")
         i2x, i2y = x[i2], y[i2]
@@ -155,8 +175,8 @@ class Delaunator:
             i1y, i2y = i2y, i1y
 
         self._cx, self._cy = _circumcenter(i0x, i0y, i1x, i1y, i2x, i2y)
-        dists = (x - self._cx) ** 2 + (y - self._cy) ** 2
-        ids = np.argsort(dists, kind="stable").astype(np.int64)
+        dists = (xnp - self._cx) ** 2 + (ynp - self._cy) ** 2
+        ids = np.argsort(dists, kind="stable").tolist()
 
         hull_prev = self._hull_prev
         hull_next = self._hull_next
@@ -171,7 +191,7 @@ class Delaunator:
         hull_tri[i1] = 1
         hull_tri[i2] = 2
 
-        self._hull_hash[:] = -1
+        self._hull_hash = [-1] * self._hash_size
         self._hull_hash[self._hash_key(i0x, i0y)] = i0
         self._hull_hash[self._hash_key(i1x, i1y)] = i1
         self._hull_hash[self._hash_key(i2x, i2y)] = i2
@@ -287,7 +307,7 @@ class Delaunator:
     def _legalize(self, a: int) -> int:
         triangles = self._triangles
         halfedges = self._halfedges
-        coords_x, coords_y = self._x, self._y
+        coords_x, coords_y = self._xl, self._yl
         stack = self._edge_stack
         i = 0
         ar = 0
