@@ -270,7 +270,7 @@ def q_dup_components(sf_dir: str):
     from lasutility_ray.stages.dedup import duplicate_components, embedding_nn_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return duplicate_components(embedding_nn_pairs(emb, threshold=0.45))
+    return duplicate_components(embedding_nn_pairs(emb, threshold=0.45))  # pandas DataFrame
 
 
 def q_ann_topk(sf_dir: str):

@@ -503,13 +503,16 @@ def duplicate_components(pairs_ds, max_iters: int = 50):
         .materialize()
     )
 
+    import ray as _ray
+
+    cur = labels.to_pandas().sort_values("node").reset_index(drop=True)
+
     for _ in range(max_iters):
         # candidate labels flowing across edges: join edges u->v with
-        # label(u); broadcast the (small) label table into the map
-        label_tbl = pa.Table.from_pandas(labels.to_pandas(), preserve_index=False)
-        import ray as _ray
-
-        ref = _ray.put(label_tbl)
+        # label(u); broadcast the (small) label table into the map.
+        # ONE driver collection per round: the collected label table
+        # doubles as the broadcast payload and the convergence check.
+        ref = _ray.put(pa.Table.from_pandas(cur, preserve_index=False))
 
         def push(t: pa.Table) -> pa.Table:
             lt = _ray.get(ref)
@@ -517,33 +520,26 @@ def duplicate_components(pairs_ds, max_iters: int = 50):
 
             idx = pc.index_in(t.column("u"), value_set=lt.column("node"))
             lab = lt.column("label").take(idx)
-            return pa.table({"node": t.column("v"), "plabel": lab})
-
-        new_labels = (
-            edges.map_batches(push, batch_format="pyarrow")
-            .union(
-                labels.map_batches(
-                    lambda t: pa.table(
-                        {"node": t.column("node"), "plabel": t.column("label")}
-                    ),
-                    batch_format="pyarrow",
-                )
+            # self-labels ride along so every node keeps its current min
+            return pa.concat_tables(
+                [
+                    pa.table({"node": t.column("v"), "plabel": lab}),
+                    pa.table({"node": lt.column("node"), "plabel": lt.column("label")}),
+                ]
             )
+
+        new = (
+            edges.map_batches(push, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("plabel", alias_name="label"))
-            .materialize()
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
         )
-        old = labels.to_pandas().sort_values("node").reset_index(drop=True)
-        new = new_labels.to_pandas().sort_values("node").reset_index(drop=True)
-        labels = new_labels
-        if old.equals(new):
+        if new.equals(cur):
             break
-    return labels.map_batches(
-        lambda t: pa.table(
-            {"node": t.column("node"), "component": t.column("label")}
-        ),
-        batch_format="pyarrow",
-    )
+        cur = new
+    return cur.rename(columns={"label": "component"})
 
 
 # --------------------------------------------- embedding near-dup

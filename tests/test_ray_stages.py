@@ -316,7 +316,6 @@ class TestComponents:
         )
         out = (
             duplicate_components(rd.from_arrow(pairs))
-            .to_pandas()
             .sort_values("node")
             .reset_index(drop=True)
         )
