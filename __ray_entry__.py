@@ -429,6 +429,31 @@ def q_lineitem_agg(sf_dir: str):
     )
 
 
+def q_topk_orders(sf_dir: str):
+    """Per-group top-k (O2 generalized): top-3 orders per customer by
+    totalprice, partial top-k combined before the shuffle."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import topk_per_group
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    return topk_per_group(orders, "o_custkey", "o_totalprice", "o_orderkey", k=3)
+
+
+def q_hll_distinct(sf_dir: str):
+    """Mergeable HyperLogLog distinct sketch over lineitem partkeys
+    (rows-only: registers are engine-specific; accuracy and
+    mergeability pinned in tests/test_ray_stages.py::TestSketch)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.sketch import hll_count_distinct
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    return hll_count_distinct(li, "l_partkey")
+
+
 def q_tin_triangles(sf_dir: str):
     """S11 triangle export: one PolygonZ WKB row per (tile, triangle);
     rows-only (Delaunay not SQL-expressible; triangle sets verified in
@@ -624,6 +649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_customer_join": q_orders_customer_join,
         "q_customer_nation_broadcast": q_customer_nation_broadcast,
         "q_lineitem_agg": q_lineitem_agg,
+        "q_topk_orders": q_topk_orders,
+        "q_hll_distinct": q_hll_distinct,
         "q_tin_triangles": q_tin_triangles,
         "q_lang_id": q_lang_id,
         "q_fingerprint": q_fingerprint,
@@ -845,6 +872,13 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_price_cents, "
             "count(*) AS count_order "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "q_topk_orders": (
+            "WITH ranked AS (SELECT o_orderkey, o_custkey, o_totalprice, "
+            "row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS rank FROM orders) "
+            "SELECT o_orderkey, o_custkey, o_totalprice, CAST(rank AS BIGINT) AS rank "
+            "FROM ranked WHERE rank <= 3"
         ),
         "q_tumbling_windows": (
             "SELECT user_id, (epoch_ms(ts) // 300000) * 300000 AS window_start, "

@@ -41,6 +41,40 @@ def hash_join(
     )
 
 
+def topk_per_group(
+    ds,
+    group_col: str,
+    order_col: str,
+    tie_col: str,
+    k: int = 3,
+):
+    """Top-k rows per group by (order_col desc, tie_col asc) — the O2
+    top-1-per-cell shape generalized. Per-batch partial top-k shrinks
+    the shuffle to at most k rows per (batch, group); the final
+    per-group pass re-ranks the partials. ``tie_col`` must be unique
+    within a group so the ranking is total (oracle uses the same
+    ORDER BY)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values([order_col, tie_col], ascending=[False, True], kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(k), preserve_index=False
+        )
+
+    def final(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values([order_col, tie_col], ascending=[False, True], kind="stable").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 class _BroadcastProbe:
     """Actor-pool probe: the small side is read from the object store
     once per actor (never re-shipped per batch)."""

@@ -1,0 +1,90 @@
+"""Approximate/sketch aggregates for web-scale columns.
+
+The reference has no sketches (SURVEY.md §2.5); a 10^12-row engine
+needs mergeable ones. HyperLogLog here is the canonical shape: the
+per-batch partial is a 2^p-register array, the shuffle carries ONE
+row of registers per batch (never values), and the final combine is
+an element-wise max — associative, commutative, any partition order.
+
+Deterministic splitmix64 hashing makes the estimate reproducible
+across runs/partitionings (pytest pins the estimate vs the exact
+count; rows-only in the driver — no SQL engine shares our registers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+HLL_P = 12  # 4096 registers, ~1.6% standard error
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if pa.types.is_integer(col.type):
+        return _splitmix64(col.to_numpy(zero_copy_only=False).astype(np.int64))
+    # strings: vectorized word-hash from the dedup module
+    from .dedup import _word_hashes
+
+    return _splitmix64(_word_hashes(col.to_pylist()).astype(np.int64))
+
+
+def hll_registers(values: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """uint8 register array for one batch of 64-bit hashes."""
+    m = 1 << p
+    idx = (values >> np.uint64(64 - p)).astype(np.int64)
+    rest = values << np.uint64(p) | np.uint64(1 << (p - 1))  # sentinel stops clz
+    # rank = leading zeros of the remaining bits + 1
+    lz = np.zeros(len(values), dtype=np.uint8)
+    cur = rest.copy()
+    mask = np.ones(len(values), dtype=bool)
+    for _ in range(64):
+        mask &= (cur >> np.uint64(63)) == 0  # stop once the top bit is 1
+        if not mask.any():
+            break
+        lz[mask] += 1
+        cur = cur << np.uint64(1)
+    rank = lz + 1
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with small-range linear counting."""
+    m = len(regs)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    inv = np.ldexp(1.0, -regs.astype(np.int64))
+    e = alpha * m * m / inv.sum()
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)  # linear counting
+    return float(e)
+
+
+def hll_count_distinct(ds, col: str, p: int = HLL_P):
+    """One-row result {estimate, n_registers}: per-batch register
+    partials -> element-wise max combine. The shuffle moves 4 KB per
+    batch regardless of batch size."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        regs = hll_registers(_hash_column(t.column(col)), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.large_binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    combined = np.zeros(1 << p, dtype=np.uint8)
+    for row in parts:
+        combined = np.maximum(combined, np.frombuffer(row["regs"], dtype=np.uint8))
+    return pd.DataFrame(
+        {
+            "estimate": [round(hll_estimate(combined), 2)],
+            "n_registers": [1 << p],
+        }
+    )

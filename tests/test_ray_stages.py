@@ -362,3 +362,44 @@ class TestAudio:
 
         with pytest.raises(NotImplementedError):
             decode_audio(b"ID3\x04 not a fake clip")
+
+
+class TestSketch:
+    def test_hll_accuracy_and_mergeability(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from lasutility_ray.stages.sketch import (
+            hll_count_distinct,
+            hll_estimate,
+            hll_registers,
+            _splitmix64,
+        )
+
+        # 50k values with exactly 20k distinct
+        vals = np.arange(50000, dtype=np.int64) % 20000
+        ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).map_batches(
+            lambda t: t, batch_format="pyarrow", batch_size=4096
+        )
+        out = hll_count_distinct(ds, "v")
+        est = out["estimate"].iloc[0]
+        assert abs(est - 20000) / 20000 < 0.05
+
+        # mergeability: max-combine of two halves == whole
+        h = _splitmix64(vals)
+        whole = hll_registers(h)
+        merged = np.maximum(hll_registers(h[:25000]), hll_registers(h[25000:]))
+        assert (whole == merged).all()
+        assert hll_estimate(whole) == hll_estimate(merged)
+
+    def test_hll_string_column(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from lasutility_ray.stages.sketch import hll_count_distinct
+
+        words = [f"token_{i % 500}" for i in range(5000)]
+        ds = rd.from_arrow(pa.table({"w": pa.array(words)}))
+        est = hll_count_distinct(ds, "w")["estimate"].iloc[0]
+        assert abs(est - 500) / 500 < 0.1
