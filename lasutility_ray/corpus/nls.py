@@ -49,3 +49,23 @@ for _m in (WATER_LINE, ROAD_LINE, BUILDING_POLYGON, WATER_POLYGON,
 
 # point cloud classifications (PointCloud05p.cs); Ground = 2
 POINT_CLASSES = (1, 2, 3, 4, 5, 7, 12, 15, 16, 17)
+
+
+def add_rasterized_classes(base: dict | None, *maps: dict) -> dict:
+    """AddRasterizedClassesWithRasterValues (Shapefile/Rasteriser.cs:
+    43-49): union class->value dicts into a new registration (later
+    maps win on key conflicts, dict.update semantics)."""
+    out = dict(base or {})
+    for m in maps:
+        out.update(m)
+    return out
+
+
+def remove_rasterized_classes(base: dict, *maps: dict) -> dict:
+    """RemoveRasterizedClasses (Rasteriser.cs:51-56): subtract the
+    keys of the given dicts from a registration."""
+    out = dict(base)
+    for m in maps:
+        for k in m:
+            out.pop(k, None)
+    return out

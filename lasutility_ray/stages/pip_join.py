@@ -251,11 +251,16 @@ def explode_features_to_tiles(feature_table: pa.Table) -> pa.Table:
     )
 
 
-def burn_tile(group: pd.DataFrame, cell_size: float = 1.0) -> pd.DataFrame:
+def burn_tile(
+    group: pd.DataFrame, cell_size: float = 1.0, class_maps: dict | None = None
+) -> pd.DataFrame:
     """Burn one tile's features into a byte raster
     (RasteriserEvenOdd.cs:22-148). Features are processed in the
     deterministic order (source, feature_seq) — later overwrite
-    earlier (J3/O4)."""
+    earlier (J3/O4). ``class_maps`` is the M6 registration hook
+    (corpus.nls.add/remove_rasterized_classes); default = every NLS
+    map registered."""
+    cmaps = ALL_CLASS_MAPS if class_maps is None else class_maps
     tile_id = group["tile_id"].iloc[0]
     env = decode(tile_id)
     bounds = RasterBounds.for_tile(env, cell_size)
@@ -264,9 +269,9 @@ def burn_tile(group: pd.DataFrame, cell_size: float = 1.0) -> pd.DataFrame:
 
     g = group.sort_values(["source", "feature_seq"], kind="stable")
     for wkb, luokka in zip(g["geom_wkb"], g["luokka"]):
-        if luokka not in ALL_CLASS_MAPS:
+        if luokka not in cmaps:
             continue  # M5 class filter
-        value = ALL_CLASS_MAPS[luokka]
+        value = cmaps[luokka]
         geom = from_wkb(wkb)
         temp = _burn_geometry(bounds, raster, temp, value, geom)
 
@@ -315,7 +320,8 @@ def _burn_linestring(bounds, raster, value, ls: LineString):
         burn_line(raster, int(cols[i - 1]), int(rows[i - 1]), int(cols[i]), int(rows[i]), value)
 
 
-def burned_tiles(features_by_tile_ds, cell_size: float = 1.0, n_buckets: int = 32):
+def burned_tiles(features_by_tile_ds, cell_size: float = 1.0, n_buckets: int = 32,
+                 class_maps: dict | None = None):
     """One burned raster row per tile. The shuffle key is a coarse
     deterministic hash bucket; the per-tile grouping runs inside each
     bucket with a C-speed pandas groupby (per-tile map_groups pays
@@ -332,7 +338,8 @@ def burned_tiles(features_by_tile_ds, cell_size: float = 1.0, n_buckets: int = 3
 
     def burn_bucket(g: pd.DataFrame) -> pd.DataFrame:
         outs = [
-            burn_tile(sub, cell_size) for _, sub in g.groupby("tile_id", sort=True)
+            burn_tile(sub, cell_size, class_maps)
+            for _, sub in g.groupby("tile_id", sort=True)
         ]
         return pd.concat(outs, ignore_index=True)
 

@@ -403,3 +403,36 @@ class TestSketch:
         ds = rd.from_arrow(pa.table({"w": pa.array(words)}))
         est = hll_count_distinct(ds, "w")["estimate"].iloc[0]
         assert abs(est - 500) / 500 < 0.1
+
+
+class TestClassMapRegistration:
+    def test_add_remove_and_selective_burn(self, ray_session):
+        """M6 registration hook: burning with only ROAD_LINE
+        registered produces only road values (Rasteriser.cs:43-56)."""
+        import numpy as np
+        import ray.data as rd
+
+        from lasutility_ray.corpus.nls import (
+            ALL_CLASS_MAPS,
+            ROAD_LINE,
+            add_rasterized_classes,
+            remove_rasterized_classes,
+        )
+        from lasutility_ray.corpus.polygons import build_feature_table
+        from lasutility_ray.stages.pip_join import burned_tiles, explode_features_to_tiles
+
+        assert add_rasterized_classes(None, ROAD_LINE) == ROAD_LINE
+        merged = add_rasterized_classes(ROAD_LINE, {9: 1})
+        assert remove_rasterized_classes(merged, {9: 1}) == ROAD_LINE
+
+        feats = explode_features_to_tiles(build_feature_table())
+        only_roads = burned_tiles(
+            rd.from_arrow(feats), class_maps=dict(ROAD_LINE)
+        ).to_pandas()
+        vals = set()
+        for blob in only_roads["raster"]:
+            vals |= set(np.unique(np.frombuffer(blob, dtype=np.uint8)).tolist())
+        vals.discard(0)
+        assert vals and vals <= set(ROAD_LINE.values())
+        # sanity: the full registration burns more classes
+        assert set(ALL_CLASS_MAPS.values()) > set(ROAD_LINE.values())
