@@ -293,6 +293,34 @@ def q_ann_topk_ivf(sf_dir: str):
     return ann_topk_ivf(emb, qids, qmat, k=5)
 
 
+def q_ann_recall(sf_dir: str):
+    """IVF recall vs the brute-force ground truth (one row:
+    recall@5 over the default query set). Rows-only evidence that the
+    scale path tracks the exact path."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.similarity import ann_topk, ann_topk_ivf, default_queries
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qids, qmat = default_queries(emb)
+    def _pdf(x):
+        return x.to_pandas() if hasattr(x, "to_pandas") else x
+
+    truth = _pdf(ann_topk(emb, qids, qmat, k=5))
+    approx = _pdf(ann_topk_ivf(emb, qids, qmat, k=5))
+    t = set(zip(truth["query_id"], truth["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    return pd.DataFrame(
+        {
+            "n_truth": [len(t)],
+            "n_hit": [len(t & a)],
+            "recall_at_5": [round(len(t & a) / max(len(t), 1), 4)],
+        }
+    )
+
+
 def q_knn_spatial(sf_dir: str):
     from lasutility_ray.stages.knn import knn_join
 
@@ -641,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_components": q_dup_components,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_ivf": q_ann_topk_ivf,
+        "q_ann_recall": q_ann_recall,
         "q_knn_spatial": q_knn_spatial,
         "q_burned_tiles": q_burned_tiles,
         "q_raster_value_lookup": q_raster_value_lookup,
