@@ -43,8 +43,6 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
-    import ray.data as rd
-
     from lasutility_ray.corpus.polygons import build_feature_table
     from lasutility_ray.pipelines.flagship import documents_to_points
     from lasutility_ray.stages.pip_join import rect_pip_join
