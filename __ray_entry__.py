@@ -130,9 +130,12 @@ def q_pip_join_rect(sf_dir: str):
 
 def q_polygon_pip_join(sf_dir: str):
     """General polygon PIP join (even-odd membership incl. holes,
-    uniform-grid candidate index per actor). Rows-only: general
-    even-odd membership is checked against a no-index single-process
-    oracle in tests/test_polygon_pip_idw.py."""
+    uniform-grid candidate index per actor). Oracle-checked: the
+    synthetic polygons are axis-aligned, so even-odd membership
+    (left-exclusive/right-inclusive in x, bottom-inclusive/top-
+    exclusive in y — the ray-cast crossing rule) is exact SQL; also
+    checked against a no-index single-process oracle in
+    tests/test_polygon_pip_idw.py."""
     from lasutility_ray.corpus.polygons import build_feature_table
     from lasutility_ray.stages.pip_join import polygon_pip_join
 
@@ -843,6 +846,26 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY d2, neighbor_id) AS rank FROM scored WHERE d2 <= 250000.0) "
             "SELECT q_doc_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d2 "
             "FROM ranked WHERE rank <= 3"
+        ),
+        "q_polygon_pip_join": (
+            f"WITH {pts}, {rects_sql_cte('prects')}, "
+            "holed AS (SELECT k, "
+            "350000 + 1500 + (k * 104729) % (24000 - 3000) AS cx, "
+            "6700000 + 1500 + (k * 130363) % (24000 - 3000) AS cy, "
+            "200 + (k * 37) % 300 AS half, "
+            "(200 + (k * 37) % 300) // 3 AS hole_half "
+            "FROM (SELECT unnest(range(20)) AS k)) "
+            "SELECT p.doc_id, r.k AS feature_id, CAST(r.luokka AS INT) AS luokka "
+            "FROM pts p JOIN prects r ON p.x > r.min_x AND p.x <= r.max_x "
+            "AND p.y >= r.min_y AND p.y < r.max_y "
+            "UNION ALL "
+            "SELECT p.doc_id, 200 + h.k AS feature_id, "
+            "CAST([36200, 36211][CAST(h.k % 2 AS INT) + 1] AS INT) AS luokka "
+            "FROM pts p JOIN holed h "
+            "ON p.x > h.cx - h.half AND p.x <= h.cx + h.half "
+            "AND p.y >= h.cy - h.half AND p.y < h.cy + h.half "
+            "AND NOT (p.x > h.cx - h.hole_half AND p.x <= h.cx + h.hole_half "
+            "AND p.y >= h.cy - h.hole_half AND p.y < h.cy + h.hole_half)"
         ),
         "q_idw_interpolate": (
             f"WITH {pts}, "

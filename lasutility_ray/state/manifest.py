@@ -135,7 +135,15 @@ def _commit_partition(out_dir: str, key: str, df: pd.DataFrame, metrics: dict) -
     return row
 
 
-METRIC_COLS = ("n_points", "n_ground", "n_triangles", "missing_before", "missing_after")
+METRIC_COLS = (
+    "n_points",
+    "n_ground",
+    "n_triangles",
+    "missing_before",
+    "missing_after",
+    "n_features",
+    "n_burned_cells",
+)
 
 
 def _pending_input(points_ds, out_dir: str, key_col: str, concurrency: int):
@@ -217,6 +225,17 @@ def resumable_tin_tiles(points_ds, out_dir: str, concurrency: int = 4):
         out_dir,
         lambda pending: tin_tiles(pending, include_rasters=True),
         concurrency=concurrency,
+    )
+
+
+def resumable_burned_tiles(features_by_tile_ds, out_dir: str, concurrency: int = 4):
+    """Checkpointed J3 raster burn: features (already exploded/keyed
+    by tile) -> per-tile burned raster, each tile committed
+    atomically; resume skips burned tiles."""
+    from ..stages.pip_join import burned_tiles
+
+    return resumable_tiles(
+        features_by_tile_ds, out_dir, burned_tiles, concurrency=concurrency
     )
 
 

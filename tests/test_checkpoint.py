@@ -139,3 +139,35 @@ def test_resumable_salted_equals_plain(out_dir, ray_session):
         assert (a[col] == b[col]).all(), col
     m3 = resumable_salted_tin_tiles(_points(), out_dir, threshold=2)
     assert m3.num_rows == m2.num_rows
+
+
+def test_resumable_burned_tiles(out_dir, ray_session):
+    """Checkpointed raster burn: commit per tile, resume is a no-op,
+    committed rasters equal the direct burn."""
+    import numpy as np
+    import ray.data as rd
+
+    from lasutility_ray.corpus.polygons import build_feature_table
+    from lasutility_ray.stages.pip_join import burned_tiles, explode_features_to_tiles
+    from lasutility_ray.state import resumable_burned_tiles
+
+    feats = rd.from_arrow(explode_features_to_tiles(build_feature_table()))
+    m1 = resumable_burned_tiles(feats, out_dir)
+    direct = burned_tiles(
+        rd.from_arrow(explode_features_to_tiles(build_feature_table()))
+    ).to_pandas().set_index("tile_id")
+    assert m1.num_rows == len(direct)
+    assert set(m1.column("n_burned_cells").to_pylist()) == set(
+        direct["n_burned_cells"]
+    )
+    # committed parquet holds the same raster bytes
+    row = m1.to_pylist()[0]
+    t = pq.read_table(row["output_path"]).to_pandas()
+    tid = t["tile_id"].iloc[0]
+    assert np.frombuffer(t["raster"].iloc[0], dtype=np.uint8).tobytes() == bytes(
+        direct.loc[tid, "raster"]
+    )
+    m2 = resumable_burned_tiles(
+        rd.from_arrow(explode_features_to_tiles(build_feature_table())), out_dir
+    )
+    assert m2.num_rows == m1.num_rows
