@@ -2,6 +2,7 @@
 
 from .ascii_tiles import (  # noqa: F401
     read_ascii_tiles,
+    read_png_tiles,
     write_burned_tiles_ascii,
     write_burned_tiles_png,
     write_dem_tiles_ascii,

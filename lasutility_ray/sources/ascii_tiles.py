@@ -159,6 +159,37 @@ def write_burned_tiles_png(tiles_ds, out_dir: str, cell_size: float = 1.0):
     return tiles_ds.map_batches(write_batch, batch_format="pyarrow").materialize()
 
 
+def read_png_tiles(dir_path: str, cell_size: float = 1.0):
+    """Source: directory of per-tile greyscale PNGs (as written by
+    ``write_burned_tiles_png``) -> tiles Dataset {tile_id, n_rows,
+    n_cols, raster}. Streaming decode (geom/png.py, stdlib zlib)."""
+    import ray.data as rd
+
+    from ..geom.png import decode_grey_png
+
+    ds = rd.read_binary_files(dir_path, include_paths=True)
+
+    def decode_batch(t: pa.Table) -> pa.Table:
+        rows = {"tile_id": [], "n_rows": [], "n_cols": [], "raster": []}
+        for path, data in zip(t.column("path").to_pylist(), t.column("bytes").to_pylist()):
+            tile_id = os.path.splitext(os.path.basename(path))[0]
+            img = decode_grey_png(data)
+            rows["tile_id"].append(tile_id)
+            rows["n_rows"].append(img.shape[0])
+            rows["n_cols"].append(img.shape[1])
+            rows["raster"].append(img.tobytes())
+        return pa.table(
+            {
+                "tile_id": pa.array(rows["tile_id"], pa.string()),
+                "n_rows": pa.array(rows["n_rows"], pa.int32()),
+                "n_cols": pa.array(rows["n_cols"], pa.int32()),
+                "raster": pa.array(rows["raster"], pa.binary()),
+            }
+        )
+
+    return ds.map_batches(decode_batch, batch_format="pyarrow")
+
+
 def write_dem_tiles_ascii(tin_tiles_ds, out_dir: str, cell_size: float = 10.0):
     """Sink for ``stages.tin.tin_tiles`` rows: the float DEM of every
     tile as ``WriteDemAsAscii`` text (top-down rows, float32

@@ -60,3 +60,17 @@ def test_dem_export(ray_session, tmp_path):
     assert lines[1].split() == ["nrows", "100"]
     assert lines[5].split()[0] == "NODATA_value"
     assert len(lines) == 6 + 100
+
+
+def test_png_source_roundtrip(burned, tmp_path):
+    from lasutility_ray.sources import read_png_tiles, write_burned_tiles_png
+
+    out = str(tmp_path / "pngsrc")
+    write_burned_tiles_png(burned, out)
+    back = read_png_tiles(out).to_pandas().set_index("tile_id")
+    orig = burned.to_pandas().set_index("tile_id")
+    assert sorted(back.index) == sorted(orig.index)
+    for tid in orig.index:
+        a = np.frombuffer(orig.loc[tid, "raster"], dtype=np.uint8)
+        b = np.frombuffer(back.loc[tid, "raster"], dtype=np.uint8)
+        assert (a == b).all(), tid
