@@ -1,0 +1,92 @@
+"""Conformance against the reference's OWN checked-in golden files
+(read-only under /root/reference): our codecs must read and reproduce
+the reference's test fixtures byte-for-byte (modulo the newline
+normalization its FileCompare applies, LasUtility.Tests/Utils.cs:
+6-32). This is the direct "a user could switch" evidence for the
+S3-S7 text formats. No Ray needed."""
+
+import os
+
+import pytest
+
+from lasutility_ray.geom.ascii_grid import ByteRaster
+
+REF = "/root/reference/LasUtility.Tests/TestFiles"
+BIG = f"{REF}/HeightMap/AddRasterAndCrop/Input/buildings_roads.asc"
+SMALLER = f"{REF}/HeightMap/AddRasterAndCrop/Input/buildings_roads_smaller.asc"
+TERRA = f"{REF}/RasteriserEvenOdd/AddShapefileAndSave/Input/terraintype.asp"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(BIG), reason="reference fixtures not present"
+)
+
+
+def _lines(text: str):
+    """The reference's FileCompare: line-by-line, newline-normalized
+    (Utils.cs:6-32)."""
+    return [ln.rstrip("\r") for ln in text.strip().splitlines()]
+
+
+def test_golden_asc_roundtrip():
+    """AddRasterAndSave (HeightMap.Tests.cs:117-133): read the golden
+    .asc, write it back, compare byte-for-byte."""
+    hm = ByteRaster.read(BIG)
+    assert (hm.bounds.n_rows, hm.bounds.n_cols) == (791, 1423)
+    with open(BIG) as f:
+        assert _lines(hm.to_ascii()) == _lines(f.read())
+
+
+def test_golden_windowed_write():
+    """AddRasterAndSaveAsSmaller (HeightMap.Tests.cs:136-168): write
+    the 200 m-cropped window, compare with the golden smaller file."""
+    hm = ByteRaster.read(BIG)
+    b = hm.bounds
+    crop = 200
+    out = hm.to_ascii(
+        window=(
+            int(b.min_x) + crop,
+            int(b.min_y) + crop,
+            int(b.max_x) - crop,
+            int(b.max_y) - crop,
+        )
+    )
+    with open(SMALLER) as f:
+        assert _lines(out) == _lines(f.read())
+
+
+def test_golden_crop():
+    """AddRasterAndCrop (HeightMap.Tests.cs:171-190): Crop() then a
+    full write equals the golden smaller file."""
+    hm = ByteRaster.read(BIG)
+    b = hm.bounds
+    crop = 200
+    small = hm.crop(
+        int(b.min_x) + crop,
+        int(b.min_y) + crop,
+        int(b.max_x) - crop,
+        int(b.max_y) - crop,
+    )
+    with open(SMALLER) as f:
+        assert _lines(small.to_ascii()) == _lines(f.read())
+
+
+def test_golden_rle_roundtrip():
+    """The 12000x12000 RLE terrain sheet (the rasteriser flow's
+    golden output, RasteriserEvenOdd.Tests.cs:74-79) decodes and
+    re-encodes byte-for-byte."""
+    terra = ByteRaster.read(TERRA)
+    assert (terra.bounds.n_rows, terra.bounds.n_cols) == (12000, 12000)
+    with open(TERRA) as f:
+        assert _lines(terra.to_ascii(compressed=True)) == _lines(f.read())
+
+
+def test_golden_value_lookup():
+    """ReadRaster_ShouldContainBuilding (HeightMap.Tests.cs:96-105
+    semantics): known building cells carry byte values in the
+    building range after decode."""
+    import numpy as np
+
+    hm = ByteRaster.read(BIG)
+    vals = np.unique(hm.data)
+    # golden file uses 0 as NoData plus the topographic-db byte range
+    assert vals[0] == 0 and vals.max() <= 255 and len(vals) > 2
