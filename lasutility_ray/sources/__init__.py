@@ -7,3 +7,7 @@ from .ascii_tiles import (  # noqa: F401
     write_burned_tiles_png,
     write_dem_tiles_ascii,
 )
+from .shapefile import (  # noqa: F401
+    rasterise_shapefiles,
+    read_shapefile,
+)

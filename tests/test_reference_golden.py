@@ -90,3 +90,38 @@ def test_golden_value_lookup():
     vals = np.unique(hm.data)
     # golden file uses 0 as NoData plus the topographic-db byte range
     assert vals[0] == 0 and vals.max() <= 255 and len(vals) > 2
+
+
+def test_golden_shapefile_rasterisation():
+    """THE reference flagship golden test (AddShapefileAndSave,
+    RasteriserEvenOdd.Tests.cs:19-80) reproduced end-to-end from its
+    own inputs: read m_L4133L_p/_v shapefiles with the from-scratch
+    S9 reader, burn with the registered class maps in sorted file
+    order, write RLE .asp — byte-for-byte equal to the checked-in
+    terraintype.asp (12000x12000, 144M cells)."""
+    from lasutility_ray.corpus.nls import (
+        FIELD_POLYGON,
+        ROCK_POLYGON,
+        SAND_POLYGON,
+        SWAMP_POLYGON,
+        WATER_LINE,
+        WATER_POLYGON,
+        add_rasterized_classes,
+    )
+    from lasutility_ray.sources.shapefile import rasterise_shapefiles
+
+    base = f"{REF}/RasteriserEvenOdd/AddShapefileAndSave/Input"
+    cm = add_rasterized_classes(
+        None,
+        WATER_POLYGON,
+        WATER_LINE,
+        SWAMP_POLYGON,
+        FIELD_POLYGON,
+        ROCK_POLYGON,
+        SAND_POLYGON,
+    )
+    out = rasterise_shapefiles(
+        [f"{base}/m_L4133L_p.shp", f"{base}/m_L4133L_v.shp"], cm
+    )
+    with open(f"{base}/terraintype.asp") as f:
+        assert _lines(out.to_ascii(compressed=True)) == _lines(f.read())
