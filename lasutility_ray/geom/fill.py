@@ -32,6 +32,42 @@ MAX_NODES_PER_ROW = 100  # MathUtils.cs:119
 NO_DATA = 0  # ByteRaster.cs:13
 
 
+def fill_polygon_window(
+    bounds: RasterBounds,
+    raster: np.ndarray,
+    value: int,
+    ring_xy: np.ndarray,
+) -> None:
+    """Window-mode fill: the ring may extend (far) beyond ``bounds``;
+    cell coordinates are computed with floor in the global grid
+    (identical to the reference's ProjToCell for in-bounds vertices,
+    and the correct continuation outside), rows are restricted to the
+    window and spans clamped to its columns. Fill spans covering
+    window cells are therefore bit-identical to an unsplit
+    full-extent burn — the exactness basis of the tiled J3 burn (no
+    polygon clipping, no clip artifacts)."""
+    poly_x = np.floor((ring_xy[:, 0] - bounds.min_x) / bounds.cell_width)
+    poly_y = np.floor((ring_xy[:, 1] - bounds.min_y) / bounds.cell_height)
+    row_lo = max(int(poly_y.min()), 0)
+    row_hi = min(int(poly_y.max()), bounds.n_rows - 1)
+    if row_hi < row_lo:
+        return
+    # edge pre-filter: edges whose y-span misses the window rows can
+    # produce no crossings there — dropping them never changes row
+    # parity (an x-filter WOULD: off-window edges still flip parity)
+    jx = np.roll(poly_x, 1)
+    jy = np.roll(poly_y, 1)
+    lo = np.minimum(poly_y, jy)
+    hi = np.maximum(poly_y, jy)
+    keep = (hi >= row_lo) & (lo <= row_hi)
+    if not keep.any():
+        return
+    _fill_rows_edges(
+        raster, value, row_hi, row_lo,
+        poly_x[keep], poly_y[keep], jx[keep], jy[keep], clamp_cols=True,
+    )
+
+
 def fill_polygon(
     bounds: RasterBounds,
     raster: np.ndarray,
@@ -70,6 +106,7 @@ def _fill_rows(
     image_bot: int,
     poly_x: np.ndarray,
     poly_y: np.ndarray,
+    clamp_cols: bool = False,
 ) -> None:
     """Vectorized Finley fill (MathUtils.cs:114-170).
 
@@ -77,10 +114,24 @@ def _fill_rows(
     numpy pass; the per-row pair fill loops only over rows that have
     crossings.
     """
-    n = len(poly_x)
     jx = np.roll(poly_x, 1)  # polyX[j], j = i-1 with wraparound
     jy = np.roll(poly_y, 1)
+    _fill_rows_edges(
+        raster, value, image_top, image_bot, poly_x, poly_y, jx, jy, clamp_cols
+    )
 
+
+def _fill_rows_edges(
+    raster: np.ndarray,
+    value: int,
+    image_top: int,
+    image_bot: int,
+    poly_x: np.ndarray,
+    poly_y: np.ndarray,
+    jx: np.ndarray,
+    jy: np.ndarray,
+    clamp_cols: bool = False,
+) -> None:
     rows = np.arange(image_bot, image_top + 1, dtype=np.float64)
     if rows.size == 0:
         return
@@ -107,11 +158,15 @@ def _fill_rows(
             f"Cannot process polygons with more than {MAX_NODES_PER_ROW} edges per row."
         )
 
+    n_cols = raster.shape[1]
     for k in np.flatnonzero(counts):
         xs = np.sort(node_i[crossing[:, k], k])
         y = image_bot + k
         for i in range(0, len(xs) - 1, 2):
             a, b = xs[i], xs[i + 1]
+            if clamp_cols:
+                a = max(a, 0)
+                b = min(b, n_cols)
             if b > a:
                 raster[y, a:b] = value
 

@@ -72,7 +72,20 @@ def line_cells(ax: int, ay: int, bx: int, by: int) -> np.ndarray:
     return np.asarray(line_cells_ref(ax, ay, bx, by), dtype=np.int64)
 
 
-def burn_line(raster: np.ndarray, ax: int, ay: int, bx: int, by: int, value: int) -> None:
-    """Burn a line into ``raster[y][x]`` (RasteriserEvenOdd.cs:84-101)."""
+def burn_line(
+    raster: np.ndarray, ax: int, ay: int, bx: int, by: int, value: int,
+    clamp: bool = False,
+) -> None:
+    """Burn a line into ``raster[y][x]`` (RasteriserEvenOdd.cs:84-101).
+    ``clamp=True`` drops cells outside the raster (used by the tiled
+    burn, whose segments stay unclipped for Bresenham exactness)."""
     cells = line_cells(ax, ay, bx, by)
+    if clamp:
+        m = (
+            (cells[:, 0] >= 0)
+            & (cells[:, 0] < raster.shape[1])
+            & (cells[:, 1] >= 0)
+            & (cells[:, 1] < raster.shape[0])
+        )
+        cells = cells[m]
     raster[cells[:, 1], cells[:, 0]] = value

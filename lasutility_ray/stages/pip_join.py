@@ -199,15 +199,35 @@ def polygon_pip_join(points_ds, feature_table: pa.Table, concurrency: int = 4):
     )
 
 
-def explode_features_to_tiles(feature_table: pa.Table) -> pa.Table:
-    """Flat-map: one row per (feature, touched 1 km tile), geometry
-    clipped to the tile (the flat-map in SURVEY.md §3.2). Small side
-    — runs on the driver once; at scale this becomes a map_batches
-    over the feature dataset with identical body."""
+def explode_features_to_tiles(
+    feature_table: pa.Table, area: tuple | None = None
+) -> pa.Table:
+    """Flat-map: one row per (feature, touched 1 km tile). Geometry
+    is NOT clipped per tile — the tiled burn fills in global cell
+    space with clamped writes (geom.fill.fill_polygon_window), which
+    is bit-identical to an unsplit burn; per-tile clipping (any
+    algorithm) would perturb even-odd crossings for concave polygons
+    and Bresenham walks for lines. ``area`` applies the reference's
+    single global clip (RasteriserEvenOdd.cs:24, geometry.Intersection
+    with the raster area) once per feature. Small side — runs on the
+    driver once; at scale this becomes a map_batches over the feature
+    dataset with an identical body."""
+    from ..geom.tilenamer import encode
+    from ..geom.wkbgeom import to_wkb
+
     rows = {k: [] for k in ("tile_id", "geom_wkb", "luokka", "source", "feature_seq", "kind")}
-    fs = feature_table.to_pylist()
-    for f in fs:
+    ga = (
+        (area[0], area[1], area[2] - EPSILON, area[3] - EPSILON)
+        if area is not None
+        else None
+    )
+    for f in feature_table.to_pylist():
         geom = from_wkb(f["geom_wkb"])
+        if ga is not None and not envelope_contains(ga, geom.envelope):
+            geom = clip_geometry(geom, *ga)
+            if geom is None:
+                continue
+        wkb = to_wkb(geom)
         min_x, min_y, max_x, max_y = geom.envelope
         t0e = int(np.floor(min_x / TILE_SIZE_M)) * TILE_SIZE_M
         t0n = int(np.floor(min_y / TILE_SIZE_M)) * TILE_SIZE_M
@@ -215,28 +235,12 @@ def explode_features_to_tiles(feature_table: pa.Table) -> pa.Table:
         while te <= max_x:
             tn = t0n
             while tn <= max_y:
-                tile_env = (te, tn, te + TILE_SIZE_M, tn + TILE_SIZE_M)
-                # clip to the tile area shrunk by epsilon
-                # (RasteriserEvenOdd.cs:24, 43-48)
-                if envelope_contains(
-                    (te, tn, te + TILE_SIZE_M - EPSILON, tn + TILE_SIZE_M - EPSILON),
-                    geom.envelope,
-                ):
-                    clipped = geom
-                else:
-                    clipped = clip_geometry(
-                        geom, te, tn, te + TILE_SIZE_M - EPSILON, tn + TILE_SIZE_M - EPSILON
-                    )
-                if clipped is not None:
-                    from ..geom.tilenamer import encode
-                    from ..geom.wkbgeom import to_wkb
-
-                    rows["tile_id"].append(str(encode(te, tn, TILE_SIZE_M)))
-                    rows["geom_wkb"].append(to_wkb(clipped))
-                    rows["luokka"].append(f["luokka"])
-                    rows["source"].append(f["source"])
-                    rows["feature_seq"].append(f["feature_seq"])
-                    rows["kind"].append(f["kind"])
+                rows["tile_id"].append(str(encode(te, tn, TILE_SIZE_M)))
+                rows["geom_wkb"].append(wkb)
+                rows["luokka"].append(f["luokka"])
+                rows["source"].append(f["source"])
+                rows["feature_seq"].append(f["feature_seq"])
+                rows["kind"].append(f["kind"])
                 tn += TILE_SIZE_M
             te += TILE_SIZE_M
     return pa.table(
@@ -252,19 +256,31 @@ def explode_features_to_tiles(feature_table: pa.Table) -> pa.Table:
 
 
 def burn_tile(
-    group: pd.DataFrame, cell_size: float = 1.0, class_maps: dict | None = None
+    group: pd.DataFrame,
+    cell_size: float = 1.0,
+    class_maps: dict | None = None,
 ) -> pd.DataFrame:
     """Burn one tile's features into a byte raster
     (RasteriserEvenOdd.cs:22-148). Features are processed in the
     deterministic order (source, feature_seq) — later overwrite
-    earlier (J3/O4). ``class_maps`` is the M6 registration hook
-    (corpus.nls.add/remove_rasterized_classes); default = every NLS
-    map registered."""
+    earlier (J3/O4); ``class_maps`` is the M6 registration hook.
+
+    Fill runs in window mode: the (unclipped) geometry's crossings
+    are computed in the global cell grid and spans clamped to the
+    tile, so the tiled result is bit-identical to an unsplit
+    single-sheet burn (verified against the reference's
+    terraintype.asp golden in tests/test_reference_golden.py). The
+    temp-raster copy window for holed polygons uses the reference's
+    feature-level envelope with its strict-< bounds
+    (RasteriserEvenOdd.cs:134-136), clamped to the tile."""
+    from ..geom.fill import NO_DATA, fill_polygon_window
+
     cmaps = ALL_CLASS_MAPS if class_maps is None else class_maps
     tile_id = group["tile_id"].iloc[0]
     env = decode(tile_id)
     bounds = RasterBounds.for_tile(env, cell_size)
-    raster = np.zeros((bounds.n_rows, bounds.n_cols), dtype=np.uint8)
+    n_rows, n_cols = bounds.n_rows, bounds.n_cols
+    raster = np.zeros((n_rows, n_cols), dtype=np.uint8)
     temp = None
 
     g = group.sort_values(["source", "feature_seq"], kind="stable")
@@ -273,7 +289,34 @@ def burn_tile(
             continue  # M5 class filter
         value = cmaps[luokka]
         geom = from_wkb(wkb)
-        temp = _burn_geometry(bounds, raster, temp, value, geom)
+
+        if isinstance(geom, (Polygon, MultiPolygon)):
+            e = geom.envelope  # feature-level copy window (reference)
+            r0 = min(max(int(np.floor((e[1] - bounds.min_y) / bounds.cell_height)), 0), n_rows)
+            r1 = min(max(int(np.floor((e[3] - bounds.min_y) / bounds.cell_height)), 0), n_rows)
+            c0 = min(max(int(np.floor((e[0] - bounds.min_x) / bounds.cell_width)), 0), n_cols)
+            c1 = min(max(int(np.floor((e[2] - bounds.min_x) / bounds.cell_width)), 0), n_cols)
+            parts = geom.parts if isinstance(geom, MultiPolygon) else [geom]
+            for p in parts:
+                if not p.interiors:
+                    fill_polygon_window(bounds, raster, value, p.exterior)
+                    continue
+                if temp is None:
+                    temp = np.full_like(raster, NO_DATA)
+                fill_polygon_window(bounds, temp, value, p.exterior)
+                for ring in p.interiors:
+                    fill_polygon_window(bounds, temp, NO_DATA, ring)
+                win = temp[r0:r1, c0:c1]
+                mask = win != NO_DATA
+                raster[r0:r1, c0:c1][mask] = win[mask]
+                win[mask] = NO_DATA
+        elif isinstance(geom, LineString):
+            _burn_linestring(bounds, raster, value, geom)
+        elif isinstance(geom, MultiLineString):
+            for ls in geom.parts:
+                _burn_linestring(bounds, raster, value, ls)
+        else:
+            raise TypeError(f"Unsupported geometry {type(geom)}")
 
     return pd.DataFrame(
         {
@@ -313,11 +356,24 @@ def _burn_geometry(bounds, raster, temp, value, geom):
 
 
 def _burn_linestring(bounds, raster, value, ls: LineString):
-    """RasteriseLine (RasteriserEvenOdd.cs:84-101)."""
+    """RasteriseLine (RasteriserEvenOdd.cs:84-101). Lines arrive
+    UNCLIPPED (explode_features_to_tiles): endpoint cells use floor
+    (valid for coordinates outside the window too — trunc would round
+    negatives wrong) and writes are clamped to the raster, so the
+    in-window cells equal the unsplit sheet's Bresenham walk."""
     coords = ls.coords
-    rows, cols, _ = bounds.proj_to_cell(coords[:, 0], coords[:, 1])
+    cols = np.floor((coords[:, 0] - bounds.min_x) / bounds.cell_width).astype(np.int64)
+    rows = np.floor((coords[:, 1] - bounds.min_y) / bounds.cell_height).astype(np.int64)
     for i in range(1, len(coords)):
-        burn_line(raster, int(cols[i - 1]), int(rows[i - 1]), int(cols[i]), int(rows[i]), value)
+        burn_line(
+            raster,
+            int(cols[i - 1]),
+            int(rows[i - 1]),
+            int(cols[i]),
+            int(rows[i]),
+            value,
+            clamp=True,
+        )
 
 
 def burned_tiles(features_by_tile_ds, cell_size: float = 1.0, n_buckets: int = 32,

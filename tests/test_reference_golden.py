@@ -125,3 +125,84 @@ def test_golden_shapefile_rasterisation():
     )
     with open(f"{base}/terraintype.asp") as f:
         assert _lines(out.to_ascii(compressed=True)) == _lines(f.read())
+
+
+def test_golden_tiled_distributed_burn(ray_session):
+    """The golden sheet reproduced by the DISTRIBUTED engine path:
+    features exploded to 144 one-km tiles, burned per tile via the
+    Ray groupby (window-mode fill in global cell space, unclipped
+    lines with clamped writes), tiles reassembled — bit-identical to
+    terraintype.asp. The strongest partitioning-correctness statement
+    the fixture allows: splitting the work changes nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lasutility_ray.corpus.nls import (
+        FIELD_POLYGON,
+        ROCK_POLYGON,
+        SAND_POLYGON,
+        SWAMP_POLYGON,
+        WATER_LINE,
+        WATER_POLYGON,
+        add_rasterized_classes,
+    )
+    from lasutility_ray.geom.tilenamer import decode
+    from lasutility_ray.geom.wkbgeom import to_wkb
+    from lasutility_ray.sources.shapefile import read_shapefile
+    from lasutility_ray.stages.pip_join import burned_tiles, explode_features_to_tiles
+
+    base = f"{REF}/RasteriserEvenOdd/AddShapefileAndSave/Input"
+    cm = add_rasterized_classes(
+        None, WATER_POLYGON, WATER_LINE, SWAMP_POLYGON,
+        FIELD_POLYGON, ROCK_POLYGON, SAND_POLYGON,
+    )
+    rows = {k: [] for k in ("feature_id", "kind", "geom_wkb", "luokka",
+                            "source", "feature_seq", "min_x", "min_y",
+                            "max_x", "max_y")}
+    fid = 0
+    for fn in (f"{base}/m_L4133L_p.shp", f"{base}/m_L4133L_v.shp"):
+        for seq, (geom, attrs) in enumerate(read_shapefile(fn)):
+            if attrs.get("LUOKKA") not in cm:
+                continue
+            e = geom.envelope
+            rows["feature_id"].append(fid)
+            fid += 1
+            rows["kind"].append("x")
+            rows["geom_wkb"].append(to_wkb(geom))
+            rows["luokka"].append(attrs["LUOKKA"])
+            rows["source"].append(os.path.basename(fn))
+            rows["feature_seq"].append(seq)
+            for k, v in zip(("min_x", "min_y", "max_x", "max_y"), e):
+                rows[k].append(float(v))
+    tbl = pa.table(
+        {
+            "feature_id": pa.array(rows["feature_id"], pa.int64()),
+            "kind": pa.array(rows["kind"], pa.string()),
+            "geom_wkb": pa.array(rows["geom_wkb"], pa.binary()),
+            "luokka": pa.array(rows["luokka"], pa.int32()),
+            "source": pa.array(rows["source"], pa.string()),
+            "feature_seq": pa.array(rows["feature_seq"], pa.int64()),
+            "min_x": pa.array(rows["min_x"]),
+            "min_y": pa.array(rows["min_y"]),
+            "max_x": pa.array(rows["max_x"]),
+            "max_y": pa.array(rows["max_y"]),
+        }
+    )
+    area = (380000.0, 6666000.0, 392000.0, 6678000.0)
+    exploded = explode_features_to_tiles(tbl, area=area)
+
+    tiles = burned_tiles(rd.from_arrow(exploded), class_maps=cm).to_pandas()
+    sheet = np.zeros((12000, 12000), dtype=np.uint8)
+    for _, row in tiles.iterrows():
+        env = decode(row["tile_id"])
+        r0 = int(env[1]) - 6666000
+        c0 = int(env[0]) - 380000
+        if not (0 <= r0 < 12000 and 0 <= c0 < 12000):
+            continue
+        sheet[r0 : r0 + 1000, c0 : c0 + 1000] = np.frombuffer(
+            row["raster"], dtype=np.uint8
+        ).reshape(1000, 1000)
+
+    golden = ByteRaster.read(f"{REF}/RasteriserEvenOdd/AddShapefileAndSave/Input/terraintype.asp")
+    assert int((sheet != golden.data).sum()) == 0
