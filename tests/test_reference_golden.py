@@ -206,3 +206,32 @@ def test_golden_tiled_distributed_burn(ray_session):
 
     golden = ByteRaster.read(f"{REF}/RasteriserEvenOdd/AddShapefileAndSave/Input/terraintype.asp")
     assert int((sheet != golden.data).sum()) == 0
+
+
+def test_golden_voxel_snapshot_load():
+    """LoadPoints (VoxelGrid.Tests.cs:103-135) reproduced on the
+    reference's own MessagePack snapshot (S13): every assertion of
+    the reference test holds against our VoxelTile loaded straight
+    from points.obj with the from-scratch msgpack decoder."""
+    from lasutility_ray.sources.msgpack_snapshot import load_voxel_snapshot
+
+    path = f"{REF}/VoxelGrid/LoadPoints/Input/points.obj"
+    tile = load_voxel_snapshot(path)
+    b = tile.bounds
+    assert (b.n_rows, b.n_cols) == (10, 10)
+    assert (b.min_x, b.min_y, b.max_x, b.max_y) == (0.0, 100000.0, 10.0, 200000.0)
+
+    eps = 0.000001
+    r, c = b.proj_to_cell_scalar(0.0, 100000.0)
+    assert tile.dem[r, c] == 100.0  # p1 ground
+    r, c = b.proj_to_cell_scalar(10.0 - eps, 200000.0 - eps)
+    assert tile.dem[r, c] == 10.0  # p2 ground
+    r, c = b.proj_to_cell_scalar(5.0, 155000.0)
+    z, _cls = tile.cell_points(r, c)
+    assert len(z) == 3  # p3 non-ground count
+    assert z[0] == 10.0 and z[2] == 2.5  # sorted high to low
+
+    # our voxel queries run directly on the reference state
+    from lasutility_ray.geom.voxel import heights_by_class_range
+
+    assert heights_by_class_range(tile, r, c, 0, 255).tolist() == [10.0, 5.0, 2.5]
