@@ -104,6 +104,28 @@ def _parse_polygon(buf: bytes):
     return polys[0] if len(polys) == 1 else MultiPolygon(polys)
 
 
+def _parse_polygon_z(buf: bytes):
+    """PolygonZ: rings as in type 5, followed by z-range + z values.
+    Returns (rings, zs): list of (n,2) xy rings and matching (n,) z
+    arrays (the reference's ExportToShp triangles,
+    DEM/Triangulation.cs:132-157)."""
+    num_parts, num_points = struct.unpack("<ii", buf[36:44])
+    parts = struct.unpack(f"<{num_parts}i", buf[44 : 44 + 4 * num_parts])
+    pts_off = 44 + 4 * num_parts
+    pts = np.frombuffer(buf, dtype="<f8", count=num_points * 2, offset=pts_off).reshape(
+        num_points, 2
+    )
+    z_off = pts_off + 16 * num_points + 16  # skip zmin/zmax
+    zs = np.frombuffer(buf, dtype="<f8", count=num_points, offset=z_off)
+    rings, ring_zs = [], []
+    for i in range(num_parts):
+        lo = parts[i]
+        hi = parts[i + 1] if i + 1 < num_parts else num_points
+        rings.append(np.array(pts[lo:hi], dtype=np.float64))
+        ring_zs.append(np.array(zs[lo:hi], dtype=np.float64))
+    return rings, ring_zs
+
+
 def _parse_polyline(buf: bytes):
     num_parts, num_points = struct.unpack("<ii", buf[36:44])
     parts = struct.unpack(f"<{num_parts}i", buf[44 : 44 + 4 * num_parts])
@@ -140,6 +162,8 @@ def read_shapefile(shp_path: str):
             yield _parse_polygon(buf), a
         elif shape_type == 3:
             yield _parse_polyline(buf), a
+        elif shape_type == 15:  # PolygonZ (the reference's TIN export)
+            yield _parse_polygon_z(buf), a
         else:
             raise NotImplementedError(f"shape type {shape_type}")
 

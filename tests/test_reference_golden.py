@@ -235,3 +235,47 @@ def test_golden_voxel_snapshot_load():
     from lasutility_ray.geom.voxel import heights_by_class_range
 
     assert heights_by_class_range(tile, r, c, 0, 255).tolist() == [10.0, 5.0, 2.5]
+
+
+def test_golden_tin_triangle_set():
+    """AddPointCloudAndTriangulate (Triangulation.Tests.cs:15-37)
+    golden parity without the LAZ codec: the golden DEM.shp contains
+    every triangulated point as PolygonZ vertices — recover the point
+    set, run OUR Delaunay, and the triangle set (full xyz vertex
+    tuples) matches the reference's export exactly (2939 triangles).
+    Delaunay uniqueness in general position makes the set the
+    conformance surface (SURVEY.md §7.5)."""
+    import numpy as np
+
+    from lasutility_ray.geom.bounds import RasterBounds
+    from lasutility_ray.geom.triangulation import SurfaceTriangulation
+    from lasutility_ray.sources.shapefile import read_shapefile
+
+    path = f"{REF}/Triangulation/AddPointCloudAndTriangulate/Input/DEM.shp"
+    golden = set()
+    verts = set()
+    for (rings, zs), _attrs in read_shapefile(path):
+        ring, z = rings[0], zs[0]
+        tri = tuple(sorted(zip(ring[:3, 0], ring[:3, 1], z[:3])))
+        golden.add(tri)
+        verts.update(tri)
+    assert len(golden) == 2939
+
+    pts = np.array(sorted(verts))
+    x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+    b = RasterBounds(
+        100,
+        100,
+        float(np.floor(x.min() - 0.5)),
+        float(np.floor(y.min() - 0.5)),
+        float(np.ceil(x.max() + 0.5)),
+        float(np.ceil(y.max() + 0.5)),
+    )
+    tri = SurfaceTriangulation(b)
+    tri.set_points(x, y, z, np.zeros(len(x), dtype=np.uint8))
+    tri.create()
+    tx, ty, tz = tri.triangles_xyz()
+    ours = {
+        tuple(sorted(zip(tx[i], ty[i], tz[i]))) for i in range(len(tx))
+    }
+    assert ours == golden
