@@ -1,0 +1,646 @@
+"""From-scratch LAS/LAZ point reader (S1) — public formats only.
+
+- LAS 1.x header + uncompressed point formats 0/1.
+- LAZ (LASzip) decompression for the scheme the reference fixture
+  uses: compressor 2 (pointwise chunked), arithmetic coder 0 (the
+  public-domain FastAC coder by Amir Said), items POINT10 v2 +
+  GPSTIME11 v2 — i.e. the laszip.org specification (the reference
+  consumes it through LasZipNetStandard, ``LAS/LasZipNetReader.cs``).
+
+Validated against the reference's ``Q5232E1_cropped.laz`` fixture:
+the decoded, dequantized point set must equal the vertex set of the
+golden ``DEM.shp`` triangulation exactly
+(tests/test_reference_golden.py).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+U32 = 0xFFFFFFFF
+AC_MIN_LENGTH = 0x01000000
+DM_LENGTH_SHIFT = 15
+DM_MAX_COUNT = 1 << DM_LENGTH_SHIFT
+BM_LENGTH_SHIFT = 13
+BM_MAX_COUNT = 1 << BM_LENGTH_SHIFT
+
+
+# ------------------------------------------------------ entropy coder
+
+
+class _Model:
+    """FastAC adaptive symbol model (decode side; the decoder lookup
+    table is an optimization we skip — the binary search below is
+    bit-exact with or without it)."""
+
+    __slots__ = ("symbols", "symbol_count", "distribution", "total_count",
+                 "update_cycle", "symbols_until_update")
+
+    def __init__(self, symbols: int):
+        self.symbols = symbols
+        self.symbol_count = [1] * symbols
+        self.distribution = [0] * symbols
+        self.total_count = 0
+        self.update_cycle = symbols
+        self._update()
+        self.update_cycle = (symbols + 6) >> 1
+        self.symbols_until_update = self.update_cycle
+
+    def _update(self):
+        self.total_count += self.update_cycle
+        if self.total_count > DM_MAX_COUNT:
+            self.total_count = 0
+            for n in range(self.symbols):
+                self.symbol_count[n] = (self.symbol_count[n] + 1) >> 1
+                self.total_count += self.symbol_count[n]
+        scale = 0x80000000 // self.total_count
+        s = 0
+        dist = self.distribution
+        cnt = self.symbol_count
+        for k in range(self.symbols):
+            dist[k] = (scale * s) >> (31 - DM_LENGTH_SHIFT)
+            s += cnt[k]
+        self.update_cycle = (5 * self.update_cycle) >> 2
+        max_cycle = (self.symbols + 6) << 3
+        if self.update_cycle > max_cycle:
+            self.update_cycle = max_cycle
+        self.symbols_until_update = self.update_cycle
+
+
+class _BitModel:
+    __slots__ = ("bit_0_prob", "bit_0_count", "bit_count", "update_cycle",
+                 "bits_until_update")
+
+    def __init__(self):
+        self.bit_0_count = 1
+        self.bit_count = 2
+        self.bit_0_prob = 1 << (BM_LENGTH_SHIFT - 1)
+        self.update_cycle = self.bits_until_update = 4
+
+    def _update(self):
+        self.bit_count += self.update_cycle
+        if self.bit_count > BM_MAX_COUNT:
+            self.bit_count = (self.bit_count + 1) >> 1
+            self.bit_0_count = (self.bit_0_count + 1) >> 1
+            if self.bit_0_count == self.bit_count:
+                self.bit_count += 1
+        # FastAC's exact rounding: scale first, then multiply (NOT a
+        # single division — the ±1 difference drifts the interval)
+        scale = 0x80000000 // self.bit_count
+        self.bit_0_prob = (self.bit_0_count * scale) >> (31 - BM_LENGTH_SHIFT)
+        self.update_cycle = min((5 * self.update_cycle) >> 2, 64)
+        self.bits_until_update = self.update_cycle
+
+
+class _Decoder:
+    """FastAC arithmetic decoder (laszip arithmeticdecoder.cpp)."""
+
+    def __init__(self, data: bytes, off: int):
+        self.data = data
+        self.off = off
+        self.length = U32
+        v = 0
+        for _ in range(4):
+            v = (v << 8) | data[self.off]
+            self.off += 1
+        self.value = v
+
+    def _renorm(self):
+        data = self.data
+        while True:
+            self.value = ((self.value << 8) | data[self.off]) & U32
+            self.off += 1
+            self.length = (self.length << 8) & U32
+            if self.length >= AC_MIN_LENGTH:
+                break
+
+    def decode_bit(self, m: _BitModel) -> int:
+        x = m.bit_0_prob * (self.length >> BM_LENGTH_SHIFT)
+        if self.value < x:
+            sym = 0
+            self.length = x
+            m.bit_0_count += 1
+        else:
+            sym = 1
+            self.value -= x
+            self.length -= x
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.bits_until_update -= 1
+        if m.bits_until_update == 0:
+            m._update()
+        return sym
+
+    def decode_symbol(self, m: _Model) -> int:
+        y = self.length
+        x = sym = 0
+        self.length >>= DM_LENGTH_SHIFT
+        n = m.symbols
+        k = n >> 1
+        dist = m.distribution
+        value = self.value
+        length = self.length
+        while True:
+            z = length * dist[k]
+            if z > value:
+                n = k
+                y = z
+            else:
+                sym = k
+                x = z
+            k = (sym + n) >> 1
+            if k == sym:
+                break
+        self.value = value - x
+        self.length = y - x
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.symbol_count[sym] += 1
+        m.symbols_until_update -= 1
+        if m.symbols_until_update == 0:
+            m._update()
+        return sym
+
+    def read_bits(self, bits: int) -> int:
+        if bits > 19:
+            lo = self.read_short()
+            hi = self.read_bits(bits - 16)
+            return (hi << 16) | lo
+        self.length >>= bits
+        sym = self.value // self.length
+        self.value -= self.length * sym
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        return sym
+
+    def read_short(self) -> int:
+        self.length >>= 16
+        sym = self.value // self.length
+        self.value -= self.length * sym
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        return sym
+
+    def read_int(self) -> int:
+        lo = self.read_short()
+        hi = self.read_short()
+        return (hi << 16) | lo
+
+
+# ------------------------------------------- integer compressor
+
+
+def _i32(v: int) -> int:
+    v &= U32
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+class _IntegerDecompressor:
+    """laszip integercompressor.cpp, decompress side (bits=16/32)."""
+
+    BITS_HIGH = 8
+
+    def __init__(self, dec: _Decoder, bits: int, contexts: int = 1):
+        self.dec = dec
+        self.contexts = contexts
+        if bits and bits < 32:
+            self.corr_bits = bits
+            self.corr_range = 1 << bits
+            self.corr_min = -(self.corr_range >> 1)
+        else:
+            self.corr_bits = 32
+            self.corr_range = 0
+            self.corr_min = -(1 << 31)
+        self.k = 0
+        self.m_bits = [_Model(self.corr_bits + 1) for _ in range(contexts)]
+        self.m_corrector0 = _BitModel()
+        # models for k = 1 .. corr_bits (k == 32 is the corr_min
+        # special case and never uses a model)
+        self.m_corrector = [None]
+        for i in range(1, min(self.corr_bits, 31) + 1):
+            self.m_corrector.append(
+                _Model(1 << i) if i <= self.BITS_HIGH else _Model(1 << self.BITS_HIGH)
+            )
+
+    def decompress(self, pred: int, context: int = 0) -> int:
+        dec = self.dec
+        k = dec.decode_symbol(self.m_bits[context])
+        self.k = k
+        if k:
+            if k < 32:
+                if k <= self.BITS_HIGH:
+                    c = dec.decode_symbol(self.m_corrector[k])
+                else:
+                    k1 = k - self.BITS_HIGH
+                    c = dec.decode_symbol(self.m_corrector[k])
+                    c1 = dec.read_bits(k1)
+                    c = (c << k1) | c1
+                if c >= (1 << (k - 1)):
+                    c += 1
+                else:
+                    c -= (1 << k) - 1
+            else:
+                c = self.corr_min
+        else:
+            c = dec.decode_bit(self.m_corrector0)
+        real = pred + c
+        if self.corr_range:
+            if real < 0:
+                real += self.corr_range
+            elif real >= self.corr_range:
+                real -= self.corr_range
+        else:
+            real = _i32(real)
+        return real
+
+
+# ------------------------------------------------ POINT10 v2 item
+
+
+_NUMBER_RETURN_MAP = [
+    [15, 14, 13, 12, 11, 10, 9, 8],
+    [14, 0, 1, 3, 6, 10, 10, 9],
+    [13, 1, 2, 4, 7, 11, 11, 10],
+    [12, 3, 4, 5, 8, 12, 12, 11],
+    [11, 6, 7, 8, 9, 13, 13, 12],
+    [10, 10, 11, 12, 13, 14, 14, 13],
+    [9, 10, 11, 12, 13, 14, 15, 14],
+    [8, 9, 10, 11, 12, 13, 14, 15],
+]
+_NUMBER_RETURN_LEVEL = [
+    [0, 1, 2, 3, 4, 5, 6, 7],
+    [1, 0, 1, 2, 3, 4, 5, 6],
+    [2, 1, 0, 1, 2, 3, 4, 5],
+    [3, 2, 1, 0, 1, 2, 3, 4],
+    [4, 3, 2, 1, 0, 1, 2, 3],
+    [5, 4, 3, 2, 1, 0, 1, 2],
+    [6, 5, 4, 3, 2, 1, 0, 1],
+    [7, 6, 5, 4, 3, 2, 1, 0],
+]
+
+
+class _StreamingMedian5:
+    __slots__ = ("values", "high")
+
+    def __init__(self):
+        self.values = [0, 0, 0, 0, 0]
+        self.high = True
+
+    def add(self, v: int):
+        vals = self.values
+        if self.high:
+            if v < vals[2]:
+                vals[4] = vals[3]
+                vals[3] = vals[2]
+                if v < vals[0]:
+                    vals[2] = vals[1]
+                    vals[1] = vals[0]
+                    vals[0] = v
+                elif v < vals[1]:
+                    vals[2] = vals[1]
+                    vals[1] = v
+                else:
+                    vals[2] = v
+            else:
+                if v < vals[3]:
+                    vals[4] = vals[3]
+                    vals[3] = v
+                else:
+                    vals[4] = v
+                self.high = False
+        else:
+            if vals[2] < v:
+                vals[0] = vals[1]
+                vals[1] = vals[2]
+                if vals[4] < v:
+                    vals[2] = vals[3]
+                    vals[3] = vals[4]
+                    vals[4] = v
+                elif vals[3] < v:
+                    vals[2] = vals[3]
+                    vals[3] = v
+                else:
+                    vals[2] = v
+            else:
+                if vals[1] < v:
+                    vals[0] = vals[1]
+                    vals[1] = v
+                else:
+                    vals[0] = v
+                self.high = True
+
+    def get(self) -> int:
+        return self.values[2]
+
+
+class _Point10v2:
+    """lasreaditemcompressed_point10_v2."""
+
+    def __init__(self, dec: _Decoder, raw: bytes):
+        self.dec = dec
+        (x, y, z, intensity, flags, classification, sar, user, psid) = struct.unpack(
+            "<iiiHBBbBH", raw
+        )
+        self.x, self.y, self.z = x, y, z
+        self.intensity = 0  # v2 quirk: last intensity starts at 0
+        self.flags = flags
+        self.classification = classification
+        self.scan_angle_rank = sar & 0xFF
+        self.user_data = user
+        self.point_source_id = psid
+        self.first = (x, y, z, intensity, flags, classification, sar, user, psid)
+
+        self.m_changed_values = _Model(64)
+        self.m_scan_angle_rank = [_Model(256), _Model(256)]
+        self.m_bit_byte = [None] * 256
+        self.m_classification = [None] * 256
+        self.m_user_data = [None] * 256
+        self.ic_intensity = _IntegerDecompressor(dec, 16, 4)
+        self.ic_point_source = _IntegerDecompressor(dec, 16)
+        self.ic_dx = _IntegerDecompressor(dec, 32, 2)
+        self.ic_dy = _IntegerDecompressor(dec, 32, 22)
+        self.ic_z = _IntegerDecompressor(dec, 32, 20)
+        self.last_x_diff_median5 = [_StreamingMedian5() for _ in range(16)]
+        self.last_y_diff_median5 = [_StreamingMedian5() for _ in range(16)]
+        self.last_intensity = [0] * 16
+        self.last_height = [0] * 8
+
+    def read(self):
+        dec = self.dec
+        changed = dec.decode_symbol(self.m_changed_values)
+        if changed & 32:
+            if self.m_bit_byte[self.flags] is None:
+                self.m_bit_byte[self.flags] = _Model(256)
+            self.flags = dec.decode_symbol(self.m_bit_byte[self.flags])
+
+        r = self.flags & 7
+        n = (self.flags >> 3) & 7
+        m = _NUMBER_RETURN_MAP[n][r]
+        l = _NUMBER_RETURN_LEVEL[n][r]
+
+        if changed:
+            if changed & 16:
+                self.last_intensity[m] = self.ic_intensity.decompress(
+                    self.last_intensity[m], m if m < 3 else 3
+                )
+            self.intensity = self.last_intensity[m]
+            if changed & 8:
+                if self.m_classification[self.classification] is None:
+                    self.m_classification[self.classification] = _Model(256)
+                self.classification = dec.decode_symbol(
+                    self.m_classification[self.classification]
+                )
+            if changed & 4:
+                f = (self.flags >> 6) & 1
+                val = dec.decode_symbol(self.m_scan_angle_rank[f])
+                self.scan_angle_rank = (val + self.scan_angle_rank) & 0xFF
+            if changed & 2:
+                if self.m_user_data[self.user_data] is None:
+                    self.m_user_data[self.user_data] = _Model(256)
+                self.user_data = dec.decode_symbol(self.m_user_data[self.user_data])
+            if changed & 1:
+                self.point_source_id = self.ic_point_source.decompress(
+                    self.point_source_id
+                )
+        else:
+            self.intensity = self.last_intensity[m]
+
+        median = self.last_x_diff_median5[m].get()
+        diff = self.ic_dx.decompress(median, 1 if n == 1 else 0)
+        self.x = _i32(self.x + diff)
+        self.last_x_diff_median5[m].add(diff)
+
+        k_bits = self.ic_dx.k
+        median = self.last_y_diff_median5[m].get()
+        ctx = (1 if n == 1 else 0) + ((k_bits & ~1) if k_bits < 20 else 20)
+        diff = self.ic_dy.decompress(median, ctx)
+        self.y = _i32(self.y + diff)
+        self.last_y_diff_median5[m].add(diff)
+
+        k_bits = (self.ic_dx.k + self.ic_dy.k) // 2
+        ctx = (1 if n == 1 else 0) + ((k_bits & ~1) if k_bits < 18 else 18)
+        self.z = self.ic_z.decompress(self.last_height[l], ctx)
+        self.last_height[l] = self.z
+
+
+# ------------------------------------------------ GPSTIME11 v2 item
+
+_GT_MULTI = 500
+_GT_MULTI_MINUS = -10
+_GT_MULTI_UNCHANGED = _GT_MULTI - _GT_MULTI_MINUS + 1  # 511
+_GT_MULTI_CODE_FULL = _GT_MULTI - _GT_MULTI_MINUS + 2  # 512
+_GT_MULTI_TOTAL = _GT_MULTI - _GT_MULTI_MINUS + 6  # 516
+
+
+class _GpsTime11v2:
+    def __init__(self, dec: _Decoder, raw: bytes):
+        self.dec = dec
+        (t,) = struct.unpack("<d", raw)
+        (bits,) = struct.unpack("<q", raw)
+        self.m_gpstime_multi = _Model(_GT_MULTI_TOTAL)
+        self.m_gpstime_0diff = _Model(6)
+        self.ic_gpstime = _IntegerDecompressor(dec, 32, 9)
+        self.last = 0
+        self.next = 0
+        self.last_gpstime = [bits, 0, 0, 0]  # i64 bit patterns
+        self.last_gpstime_diff = [0, 0, 0, 0]
+        self.multi_extreme_counter = [0, 0, 0, 0]
+
+    def _u64(self, i: int) -> int:
+        return self.last_gpstime[i] & 0xFFFFFFFFFFFFFFFF
+
+    def read(self):
+        dec = self.dec
+        if self.last_gpstime_diff[self.last] == 0:
+            multi = dec.decode_symbol(self.m_gpstime_0diff)
+            if multi == 1:  # the difference fits in 32 bits
+                d = self.ic_gpstime.decompress(0, 0)
+                self.last_gpstime_diff[self.last] = d
+                self.last_gpstime[self.last] += d
+                self.multi_extreme_counter[self.last] = 0
+            elif multi == 2:  # a new full value
+                self.next = (self.next + 1) & 3
+                hi = self.ic_gpstime.decompress(
+                    _i32(self._u64(self.last) >> 32), 8
+                )
+                v = ((hi & U32) << 32) | dec.read_int()
+                self.last_gpstime[self.next] = v - (1 << 64) if v >= (1 << 63) else v
+                self.last = self.next
+                self.last_gpstime_diff[self.last] = 0
+                self.multi_extreme_counter[self.last] = 0
+            elif multi > 2:  # switch to another sequence
+                self.last = (self.last + multi - 2) & 3
+                self.read()
+        else:
+            multi = dec.decode_symbol(self.m_gpstime_multi)
+            if multi == 1:
+                self.last_gpstime[self.last] += self.ic_gpstime.decompress(
+                    self.last_gpstime_diff[self.last], 1
+                )
+                self.multi_extreme_counter[self.last] = 0
+            elif multi < _GT_MULTI_UNCHANGED:
+                if multi == 0:
+                    d = self.ic_gpstime.decompress(0, 7)
+                    self.multi_extreme_counter[self.last] += 1
+                    if self.multi_extreme_counter[self.last] > 3:
+                        self.last_gpstime_diff[self.last] = d
+                        self.multi_extreme_counter[self.last] = 0
+                elif multi < _GT_MULTI:
+                    ctx = 2 if multi < 10 else 3
+                    d = self.ic_gpstime.decompress(
+                        _i32(multi * self.last_gpstime_diff[self.last]), ctx
+                    )
+                elif multi == _GT_MULTI:
+                    d = self.ic_gpstime.decompress(
+                        _i32(_GT_MULTI * self.last_gpstime_diff[self.last]), 4
+                    )
+                    self.multi_extreme_counter[self.last] += 1
+                    if self.multi_extreme_counter[self.last] > 3:
+                        self.last_gpstime_diff[self.last] = d
+                        self.multi_extreme_counter[self.last] = 0
+                else:
+                    mneg = _GT_MULTI - multi  # in [-10 .. -1]
+                    if mneg > _GT_MULTI_MINUS:
+                        d = self.ic_gpstime.decompress(
+                            _i32(mneg * self.last_gpstime_diff[self.last]), 5
+                        )
+                    else:
+                        d = self.ic_gpstime.decompress(
+                            _i32(_GT_MULTI_MINUS * self.last_gpstime_diff[self.last]), 6
+                        )
+                        self.multi_extreme_counter[self.last] += 1
+                        if self.multi_extreme_counter[self.last] > 3:
+                            self.last_gpstime_diff[self.last] = d
+                            self.multi_extreme_counter[self.last] = 0
+                self.last_gpstime[self.last] += d
+            elif multi == _GT_MULTI_CODE_FULL:
+                self.next = (self.next + 1) & 3
+                hi = self.ic_gpstime.decompress(_i32(self._u64(self.last) >> 32), 8)
+                v = ((hi & U32) << 32) | dec.read_int()
+                self.last_gpstime[self.next] = v - (1 << 64) if v >= (1 << 63) else v
+                self.last = self.next
+                self.last_gpstime_diff[self.last] = 0
+                self.multi_extreme_counter[self.last] = 0
+            elif multi > _GT_MULTI_CODE_FULL:
+                self.last = (self.last + multi - _GT_MULTI_CODE_FULL) & 3
+                self.read()
+            # multi == _GT_MULTI_UNCHANGED: time stays the same
+
+    @property
+    def value(self) -> float:
+        return struct.unpack("<d", struct.pack("<q", self.last_gpstime[self.last]))[0]
+
+
+# ---------------------------------------------------------- reader
+
+
+def read_laz_points(path: str):
+    """Read a LAS or LAZ file -> dict of numpy arrays {x, y, z,
+    classification, intensity, gps_time} (dequantized doubles).
+    LAZ support covers the laszip POINT10 v2 (+ GPSTIME11 v2) scheme."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:4] != b"LASF":
+        raise ValueError("not a LAS/LAZ file")
+    (hdr_size,) = struct.unpack_from("<H", data, 94)
+    (pdr_off,) = struct.unpack_from("<I", data, 96)
+    (n_vlr,) = struct.unpack_from("<I", data, 100)
+    pfmt_raw = data[104]
+    (rec_len,) = struct.unpack_from("<H", data, 105)
+    (npoints,) = struct.unpack_from("<I", data, 107)
+    sx, sy, sz = struct.unpack_from("<3d", data, 131)
+    ox, oy, oz = struct.unpack_from("<3d", data, 155)
+    compressed = bool(pfmt_raw & 0x80)
+    pfmt = pfmt_raw & 0x7F
+
+    laszip_vlr = None
+    off = hdr_size
+    for _ in range(n_vlr):
+        (rid, rlen) = struct.unpack_from("<HH", data, off + 18)
+        if rid == 22204:
+            laszip_vlr = data[off + 54 : off + 54 + rlen]
+        off += 54 + rlen
+
+    if pfmt not in (0, 1):
+        raise NotImplementedError(f"point format {pfmt}")
+
+    raw_pts = []
+    if not compressed:
+        off = pdr_off
+        for _ in range(npoints):
+            raw_pts.append(data[off : off + rec_len])
+            off += rec_len
+    else:
+        if laszip_vlr is None:
+            raise ValueError("compressed LAZ without laszip VLR")
+        compressor, coder = struct.unpack_from("<HH", laszip_vlr, 0)
+        (chunk_size,) = struct.unpack_from("<i", laszip_vlr, 12)
+        (n_items,) = struct.unpack_from("<H", laszip_vlr, 32)
+        items = [struct.unpack_from("<HHH", laszip_vlr, 34 + 6 * j) for j in range(n_items)]
+        if compressor != 2 or coder != 0:
+            raise NotImplementedError(f"laszip compressor {compressor}/coder {coder}")
+        for t, _sz, v in items:
+            if (t, v) not in ((6, 2), (7, 2)):
+                raise NotImplementedError(f"laszip item type {t} v{v}")
+        has_gps = any(t == 7 for t, _s, _v in items)
+
+        off = pdr_off + 8  # skip chunk table offset
+        done = 0
+        while done < npoints:
+            n_chunk = min(chunk_size, npoints - done)
+            # first point of the chunk is raw
+            p10 = data[off : off + 20]
+            off += 20
+            gps_raw = b"\0" * 8
+            if has_gps:
+                gps_raw = data[off : off + 8]
+                off += 8
+            raw_pts.append(p10 + gps_raw)
+            dec = _Decoder(data, off)
+            pt = _Point10v2(dec, p10)
+            gt = _GpsTime11v2(dec, gps_raw) if has_gps else None
+            for _ in range(n_chunk - 1):
+                pt.read()
+                if gt is not None:
+                    gt.read()
+                raw_pts.append(
+                    struct.pack(
+                        "<iiiHBBbBH",
+                        pt.x,
+                        pt.y,
+                        pt.z,
+                        pt.intensity,
+                        pt.flags,
+                        pt.classification,
+                        pt.scan_angle_rank - 256 if pt.scan_angle_rank >= 128 else pt.scan_angle_rank,
+                        pt.user_data,
+                        pt.point_source_id,
+                    )
+                    + struct.pack("<d", gt.value if gt is not None else 0.0)
+                )
+            off = dec.off
+            done += n_chunk
+
+    n = len(raw_pts)
+    X = np.empty(n, dtype=np.int64)
+    Y = np.empty(n, dtype=np.int64)
+    Z = np.empty(n, dtype=np.int64)
+    cls = np.empty(n, dtype=np.uint8)
+    inten = np.empty(n, dtype=np.uint16)
+    gps = np.zeros(n, dtype=np.float64)
+    for i, rp in enumerate(raw_pts):
+        xi, yi, zi, it, _flags, c, _sar, _ud, _ps = struct.unpack_from("<iiiHBBbBH", rp, 0)
+        X[i], Y[i], Z[i], inten[i], cls[i] = xi, yi, zi, it, c
+        if len(rp) >= 28:
+            (gps[i],) = struct.unpack_from("<d", rp, 20)
+    return {
+        "x": X * sx + ox,
+        "y": Y * sy + oy,
+        "z": Z * sz + oz,
+        "classification": cls,
+        "intensity": inten,
+        "gps_time": gps,
+        "n_points": n,
+    }

@@ -279,3 +279,46 @@ def test_golden_tin_triangle_set():
         tuple(sorted(zip(tx[i], ty[i], tz[i]))) for i in range(len(tx))
     }
     assert ours == golden
+
+
+def test_golden_laz_to_tin_end_to_end():
+    """AddPointCloudAndTriangulate (Triangulation.Tests.cs:15-70)
+    fully end-to-end from the reference's own inputs: the LAZ point
+    cloud decoded with the from-scratch LASzip decoder (arithmetic
+    coder + POINT10/GPSTIME11 v2), triangulated with our Delaunay,
+    triangle set equal to the golden DEM.shp export."""
+    import numpy as np
+
+    from lasutility_ray.geom.bounds import RasterBounds
+    from lasutility_ray.geom.triangulation import SurfaceTriangulation
+    from lasutility_ray.sources.laz import read_laz_points
+    from lasutility_ray.sources.shapefile import read_shapefile
+
+    laz = f"{REF}/Triangulation/AddPointCloudAndTriangulate/Input/Q5232E1_cropped.laz"
+    pts = read_laz_points(laz)
+    assert pts["n_points"] == 1481
+
+    # grid sizing as the reference test does: bbox padded 0.5 m,
+    # floored/ceiled, 100x100 index (Triangulation.Tests.cs:39-52)
+    x, y, z = pts["x"], pts["y"], pts["z"]
+    b = RasterBounds(
+        100,
+        100,
+        float(np.floor(x.min() - 0.5)),
+        float(np.floor(y.min() - 0.5)),
+        float(np.ceil(x.max() + 0.5)),
+        float(np.ceil(y.max() + 0.5)),
+    )
+    tri = SurfaceTriangulation(b)
+    tri.set_points(x, y, z, pts["classification"])
+    tri.create()
+    tx, ty, tz = tri.triangles_xyz()
+    ours = {tuple(sorted(zip(tx[i], ty[i], tz[i]))) for i in range(len(tx))}
+
+    golden = set()
+    for (rings, zs), _ in read_shapefile(
+        f"{REF}/Triangulation/AddPointCloudAndTriangulate/Input/DEM.shp"
+    ):
+        golden.add(tuple(sorted(zip(rings[0][:3, 0], rings[0][:3, 1], zs[0][:3]))))
+    assert ours == golden
+    assert len(ours) == 2939
