@@ -7,6 +7,7 @@ from .ascii_tiles import (  # noqa: F401
     write_burned_tiles_png,
     write_dem_tiles_ascii,
 )
+from .laz import read_laz_dataset, read_laz_points  # noqa: F401
 from .shapefile import (  # noqa: F401
     rasterise_shapefiles,
     read_shapefile,

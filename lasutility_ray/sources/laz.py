@@ -644,3 +644,39 @@ def read_laz_points(path: str):
         "gps_time": gps,
         "n_points": n,
     }
+
+
+def read_laz_dataset(paths: list[str] | str):
+    """S1 at the Ray layer: LAS/LAZ file(s) -> points Dataset
+    (x, y, z, classification, intensity, gps_time, source). One
+    decode task per file (a LAZ chunk is a sequential arithmetic
+    stream; files/chunks are the parallelism unit, exactly the
+    reference's file-at-a-time model distributed)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = [paths]
+
+    def decode(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("path").to_pylist():
+            d = read_laz_points(p)
+            out.append(
+                pa.table(
+                    {
+                        "x": pa.array(d["x"], pa.float64()),
+                        "y": pa.array(d["y"], pa.float64()),
+                        "z": pa.array(d["z"], pa.float64()),
+                        "classification": pa.array(d["classification"], pa.uint8()),
+                        "intensity": pa.array(d["intensity"], pa.uint16()),
+                        "gps_time": pa.array(d["gps_time"], pa.float64()),
+                        "source": pa.array([p] * d["n_points"], pa.string()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    files = rd.from_items([{"path": p} for p in paths])
+    return files.map_batches(decode, batch_size=1, batch_format="pyarrow")

@@ -322,3 +322,15 @@ def test_golden_laz_to_tin_end_to_end():
         golden.add(tuple(sorted(zip(rings[0][:3, 0], rings[0][:3, 1], zs[0][:3]))))
     assert ours == golden
     assert len(ours) == 2939
+
+
+def test_laz_ray_source(ray_session):
+    """S1 Ray-layer source: the LAZ fixture as a streaming Dataset."""
+    from lasutility_ray.sources.laz import read_laz_dataset
+
+    laz = f"{REF}/Triangulation/AddPointCloudAndTriangulate/Input/Q5232E1_cropped.laz"
+    ds = read_laz_dataset(laz)
+    df = ds.to_pandas()
+    assert len(df) == 1481
+    assert df["classification"].isin(range(256)).all()
+    assert df["x"].between(561700, 561750).all()
