@@ -106,6 +106,80 @@ def decode_msgpack(data: bytes):
     return v
 
 
+def save_voxel_snapshot(tile: VoxelTile, path: str) -> None:
+    """Serialize a VoxelTile as the reference's MessagePack snapshot,
+    byte-identical to MessagePack-CSharp's output for the current
+    VoxelGrid layout (AddPointsAndSave golden): top fixarray(4) of
+    [union(int32 0, bounds), Bin[,] 2D, float[,] DEM, sorted]; float
+    payloads as float32 (0xca) with .NET's negative quiet NaN
+    (0xffc00000) for missing DEM cells; the tmp+rename atomicity of
+    Serialize (VoxelGrid.cs:347-359)."""
+    import os
+
+    b = tile.bounds
+    out = bytearray()
+
+    def arr(n: int):
+        if n <= 15:
+            out.append(0x90 | n)
+        else:
+            out.append(0xDC)
+            out.extend(struct.pack(">H", n))
+
+    def fixint(v: int):
+        if v <= 0x7F:
+            out.append(v)
+        else:
+            out.append(0xCC)
+            out.append(v)
+
+    out.append(0x94)  # VoxelGrid: 4 keyed members
+    out.append(0x92)  # union [type, object]
+    out.append(0xD2)
+    out.extend(struct.pack(">i", 0))  # RasterBounds union id as int32
+    arr(6)
+    fixint(b.n_rows)
+    fixint(b.n_cols)
+    for v in (b.min_x, b.min_y, b.max_x, b.max_y):
+        out.append(0xCB)
+        out.extend(struct.pack(">d", v))
+
+    # Bin[,] via the 2D-array formatter: [dim0, dim1, flat]
+    arr(3)
+    fixint(b.n_rows)
+    fixint(b.n_cols)
+    arr(b.n_rows * b.n_cols)
+    for cell in range(b.n_rows * b.n_cols):
+        s, e = int(tile.bin_starts[cell]), int(tile.bin_starts[cell + 1])
+        out.append(0x91)  # Bin: [Points]
+        arr(e - s)
+        for i in range(s, e):
+            out.append(0x92)  # BinPoint: [Z, Class]
+            out.append(0xCA)
+            out.extend(struct.pack(">f", float(tile.bin_z[i])))
+            fixint(int(tile.bin_cls[i]))
+
+    # float[,] DEM
+    arr(3)
+    fixint(b.n_rows)
+    fixint(b.n_cols)
+    arr(b.n_rows * b.n_cols)
+    flat = tile.dem.ravel()
+    for v in flat:
+        out.append(0xCA)
+        if np.isnan(v):
+            out.extend(b"\xff\xc0\x00\x00")  # .NET float.NaN bits
+        else:
+            out.extend(struct.pack(">f", float(v)))
+
+    out.append(0xC3)  # _bIsSorted = true
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(bytes(out))
+    os.replace(tmp, path)
+
+
 def load_voxel_snapshot(path: str) -> VoxelTile:
     """points.obj -> VoxelTile (bounds + ground DEM + desc-sorted
     bins), preserving the snapshot's stored per-bin order (the

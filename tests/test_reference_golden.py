@@ -334,3 +334,40 @@ def test_laz_ray_source(ray_session):
     assert len(df) == 1481
     assert df["classification"].isin(range(256)).all()
     assert df["x"].between(561700, 561750).all()
+
+
+def test_golden_voxel_snapshot_save(tmp_path):
+    """AddPointsAndSave (VoxelGrid.Tests.cs:52-101) byte-compare: our
+    voxel build + MessagePack writer reproduce the reference's
+    points.obj snapshot byte-for-byte (incl. MessagePack-CSharp's
+    int32 union key and .NET's 0xffc00000 NaN)."""
+    import numpy as np
+
+    from lasutility_ray.geom.bounds import RasterBounds
+    from lasutility_ray.geom.voxel import build_voxel_tile
+    from lasutility_ray.sources.msgpack_snapshot import (
+        load_voxel_snapshot,
+        save_voxel_snapshot,
+    )
+
+    eps = 0.000001
+    b = RasterBounds(10, 10, 0.0, 100000.0, 10.0, 200000.0)
+    x = np.array([0.0, 10.0 - eps, 5.0, 5.0, 5.0])
+    y = np.array([100000.0, 200000.0 - eps, 155000.0, 155000.0, 155000.0])
+    z = np.array([100.0, 10.0, 2.5, 10.0, 5.0])  # p3 added as z/2, z*2, z
+    cls = np.zeros(5, dtype=np.uint8)
+    is_ground = np.array([True, True, False, False, False])
+    tile = build_voxel_tile(b, x, y, z, cls, is_ground)
+
+    out = str(tmp_path / "points.obj")
+    save_voxel_snapshot(tile, out)
+    with open(out, "rb") as f:
+        ours = f.read()
+    with open(f"{REF}/VoxelGrid/AddPointsAndSave/Input/points.obj", "rb") as f:
+        golden = f.read()
+    assert ours == golden
+
+    # and our own round trip holds
+    back = load_voxel_snapshot(out)
+    assert (np.nan_to_num(back.dem) == np.nan_to_num(tile.dem)).all()
+    assert back.bin_z.tolist() == tile.bin_z.tolist()
