@@ -646,6 +646,71 @@ def read_laz_points(path: str):
     }
 
 
+def write_las(
+    path: str,
+    x: np.ndarray,
+    y: np.ndarray,
+    z: np.ndarray,
+    classification: np.ndarray | None = None,
+    gps_time: np.ndarray | None = None,
+    scale: tuple = (0.01, 0.01, 0.01),
+) -> None:
+    """Plain (uncompressed) LAS 1.2 writer, point format 0/1 — the S2
+    sink the reference stubs out (``LAS/LasZipNetWriter.cs:7-9``
+    throws NotImplementedException; we implement it). Offsets are the
+    floored minima; atomic tmp+rename."""
+    import os
+
+    n = len(x)
+    has_gps = gps_time is not None
+    pfmt = 1 if has_gps else 0
+    rec_len = 28 if has_gps else 20
+    ox, oy, oz = (float(np.floor(v.min())) for v in (x, y, z))
+    sx, sy, sz = scale
+    X = np.round((x - ox) / sx).astype(np.int64)
+    Y = np.round((y - oy) / sy).astype(np.int64)
+    Z = np.round((z - oz) / sz).astype(np.int64)
+    cls = (
+        np.zeros(n, dtype=np.uint8)
+        if classification is None
+        else np.asarray(classification, dtype=np.uint8)
+    )
+
+    hdr = bytearray(227)
+    hdr[0:4] = b"LASF"
+    hdr[24] = 1
+    hdr[25] = 2  # LAS 1.2
+    hdr[26:58] = b"lasutility_ray".ljust(32, b"\0")
+    hdr[58:90] = b"lasutility_ray writer".ljust(32, b"\0")
+    struct.pack_into("<H", hdr, 94, 227)  # header size
+    struct.pack_into("<I", hdr, 96, 227)  # point data offset
+    struct.pack_into("<I", hdr, 100, 0)  # n VLRs
+    hdr[104] = pfmt
+    struct.pack_into("<H", hdr, 105, rec_len)
+    struct.pack_into("<I", hdr, 107, n)
+    struct.pack_into("<3d", hdr, 131, sx, sy, sz)
+    struct.pack_into("<3d", hdr, 155, ox, oy, oz)
+    struct.pack_into(
+        "<6d", hdr, 179,
+        float(x.max()), float(x.min()), float(y.max()),
+        float(y.min()), float(z.max()), float(z.min()),
+    )
+
+    body = bytearray()
+    for i in range(n):
+        body += struct.pack(
+            "<iiiHBBbBH", int(X[i]), int(Y[i]), int(Z[i]), 0, 0x09,
+            int(cls[i]), 0, 0, 0,
+        )
+        if has_gps:
+            body += struct.pack("<d", float(gps_time[i]))
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(bytes(hdr) + bytes(body))
+    os.replace(tmp, path)
+
+
 def read_laz_dataset(paths: list[str] | str):
     """S1 at the Ray layer: LAS/LAZ file(s) -> points Dataset
     (x, y, z, classification, intensity, gps_time, source). One

@@ -371,3 +371,28 @@ def test_golden_voxel_snapshot_save(tmp_path):
     back = load_voxel_snapshot(out)
     assert (np.nan_to_num(back.dem) == np.nan_to_num(tile.dem)).all()
     assert back.bin_z.tolist() == tile.bin_z.tolist()
+
+
+def test_las_writer_roundtrip(tmp_path):
+    """S2 (the reference's stub, LasZipNetWriter.cs:7-9): our plain
+    LAS writer round-trips through our reader, including the LAZ
+    fixture's points re-exported and re-read losslessly."""
+    import numpy as np
+
+    from lasutility_ray.sources.laz import read_laz_points, write_las
+
+    src = read_laz_points(
+        f"{REF}/Triangulation/AddPointCloudAndTriangulate/Input/Q5232E1_cropped.laz"
+    )
+    out = str(tmp_path / "roundtrip.las")
+    write_las(
+        out, src["x"], src["y"], src["z"],
+        classification=src["classification"], gps_time=src["gps_time"],
+    )
+    back = read_laz_points(out)
+    assert back["n_points"] == src["n_points"]
+    assert np.allclose(back["x"], src["x"], atol=0.005)
+    assert np.allclose(back["y"], src["y"], atol=0.005)
+    assert np.allclose(back["z"], src["z"], atol=0.005)
+    assert (back["classification"] == src["classification"]).all()
+    assert np.allclose(back["gps_time"], src["gps_time"])
