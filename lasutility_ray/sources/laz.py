@@ -586,6 +586,13 @@ def read_laz_points(path: str):
                 raise NotImplementedError(f"laszip item type {t} v{v}")
         has_gps = any(t == 7 for t, _s, _v in items)
 
+        if chunk_size == -1:
+            # unchunked chunked-compressor stream: chunk size stored as
+            # U32_MAX (reads as -1 via '<i') => one chunk of all points
+            chunk_size = npoints
+        elif chunk_size <= 0:
+            raise NotImplementedError(f"invalid laszip chunk size {chunk_size}")
+
         off = pdr_off + 8  # skip chunk table offset
         done = 0
         while done < npoints:

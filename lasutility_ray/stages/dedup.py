@@ -316,12 +316,14 @@ def _simhash_batch(texts: list[str]) -> np.ndarray:
     if flat.size:
         bits = ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int8)
         signed = bits * 2 - 1  # +1 / -1 per bit
-        starts = np.zeros(len(texts), dtype=np.int64)
-        np.cumsum(counts[:-1], out=starts[1:])
-        # reduceat repeats rows for empty docs; mask them after
+        # reduceat over NON-EMPTY docs only: an empty doc at the end of
+        # the batch would otherwise put start == len(flat) (IndexError)
+        ne_counts = counts[nonempty]
+        starts = np.zeros(len(ne_counts), dtype=np.int64)
+        np.cumsum(ne_counts[:-1], out=starts[1:])
         acc = np.add.reduceat(signed.astype(np.int32), starts, axis=0)
         sim = ((acc > 0).astype(np.uint64) << shifts[None, :]).sum(axis=1)
-        out[nonempty] = sim[nonempty]
+        out[nonempty] = sim
     return out
 
 

@@ -44,6 +44,17 @@ class _PartialPeaks:
         self.hi = hi
         self.radius = radius
 
+    @staticmethod
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "tile_id": pa.array([], pa.string()),
+                "gr": pa.array([], pa.int64()),
+                "gc": pa.array([], pa.int64()),
+                "best": pa.array([], pa.float64()),
+            }
+        )
+
     def __call__(self, t: pa.Table) -> pa.Table:
         cls = t.column("classification").to_numpy()
         keep = (cls >= self.lo) & (cls <= self.hi)
@@ -51,14 +62,7 @@ class _PartialPeaks:
         y = t.column("y").to_numpy()[keep]
         z = t.column("z").to_numpy()[keep]
         if len(x) == 0:
-            return pa.table(
-                {
-                    "tile_id": pa.array([], pa.string()),
-                    "gr": pa.array([], pa.int64()),
-                    "gc": pa.array([], pa.int64()),
-                    "best": pa.array([], pa.float64()),
-                }
-            )
+            return self._empty()
 
         gr = np.floor(y / CELL_SIZE_M).astype(np.int64)
         gc = np.floor(x / CELL_SIZE_M).astype(np.int64)
@@ -115,6 +119,10 @@ class _PartialPeaks:
                 out_te.append(te[ok].astype(np.float64))
                 out_tn.append(tn[ok].astype(np.float64))
 
+        if not out_te:
+            # every candidate cell mapped to tiles outside the allowed
+            # NLS range — same empty result as a filtered-out batch
+            return self._empty()
         te = np.concatenate(out_te)
         tn = np.concatenate(out_tn)
         tile_id = tilenamer.encode(te, tn, TILE_SIZE_M)

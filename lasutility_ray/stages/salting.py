@@ -52,7 +52,23 @@ from .tiling import CELL_SIZE_M, CELLS_PER_EDGE, TILE_SIZE_M
 
 HOT_THRESHOLD = 4000  # points per 1 km tile before splitting
 HALO_M = 30.0
-MAX_LEVEL = 3  # 8x8 sub-cells => 125 m windows
+MAX_LEVEL = 3  # 8x8 sub-cells
+
+# Window boundaries are CELL-aligned: window i of an n_sub split covers
+# raster cells [ceil(i*CELLS/n_sub), ceil((i+1)*CELLS/n_sub)) — so the
+# windows tile the 100x100 cell grid exactly even when n_sub does not
+# divide CELLS_PER_EDGE (level 3: 8 windows of 12/13 cells, NOT a
+# uniform 125 m envelope pasted at 120 m offsets).
+
+
+def _win_bound(i, n_sub):
+    """First cell index of window ``i`` (vectorized-safe integer ceil)."""
+    return (i * CELLS_PER_EDGE + n_sub - 1) // n_sub
+
+
+def _win_of_cell(cell, n_sub):
+    """Window index owning raster cell ``cell`` (inverse of _win_bound)."""
+    return (cell * n_sub) // CELLS_PER_EDGE
 
 
 def tile_count_partials(points_ds) -> dict[str, int]:
@@ -103,9 +119,15 @@ def _salt_batch(
     rel_y = y - np.floor(y / TILE_SIZE_M) * TILE_SIZE_M
 
     n_sub = 1 << lv  # sub-cells per edge
-    sub_size = TILE_SIZE_M / n_sub
-    sc = np.minimum((rel_x / sub_size).astype(np.int64), n_sub - 1)
-    sr = np.minimum((rel_y / sub_size).astype(np.int64), n_sub - 1)
+    ccol = np.minimum((rel_x / CELL_SIZE_M).astype(np.int64), CELLS_PER_EDGE - 1)
+    crow = np.minimum((rel_y / CELL_SIZE_M).astype(np.int64), CELLS_PER_EDGE - 1)
+    sc = _win_of_cell(ccol, n_sub)
+    sr = _win_of_cell(crow, n_sub)
+    # window envelopes in meters (cell-aligned, per point)
+    wx0 = _win_bound(sc, n_sub) * CELL_SIZE_M
+    wx1 = _win_bound(sc + 1, n_sub) * CELL_SIZE_M
+    wy0 = _win_bound(sr, n_sub) * CELL_SIZE_M
+    wy1 = _win_bound(sr + 1, n_sub) * CELL_SIZE_M
 
     keys, owned, take = [], [], []
     hot = lv > 0
@@ -141,13 +163,13 @@ def _salt_batch(
             near = valid.copy()
             if not exact:
                 if dr == -1:
-                    near &= rel_y - sr * sub_size < halo_m
+                    near &= rel_y - wy0 < halo_m
                 elif dr == 1:
-                    near &= (sr + 1) * sub_size - rel_y < halo_m
+                    near &= wy1 - rel_y < halo_m
                 if dcol == -1:
-                    near &= rel_x - sc * sub_size < halo_m
+                    near &= rel_x - wx0 < halo_m
                 elif dcol == 1:
-                    near &= (sc + 1) * sub_size - rel_x < halo_m
+                    near &= wx1 - rel_x < halo_m
             idx = np.flatnonzero(near)
             if len(idx) == 0:
                 continue
@@ -187,13 +209,15 @@ def rasterize_salted(group: pd.DataFrame) -> pd.DataFrame:
 
     env = decode(tile_id)
     n_sub = 1 << level
-    cells_w = CELLS_PER_EDGE // n_sub
-    sub_m = TILE_SIZE_M // n_sub
+    c0, c1 = _win_bound(sc, n_sub), _win_bound(sc + 1, n_sub)
+    r0, r1 = _win_bound(sr, n_sub), _win_bound(sr + 1, n_sub)
+    cells_w = c1 - c0
+    cells_h = r1 - r0
     wenv = (
-        env[0] + sc * sub_m,
-        env[1] + sr * sub_m,
-        env[0] + (sc + 1) * sub_m,
-        env[1] + (sr + 1) * sub_m,
+        env[0] + c0 * CELL_SIZE_M,
+        env[1] + r0 * CELL_SIZE_M,
+        env[0] + c1 * CELL_SIZE_M,
+        env[1] + r1 * CELL_SIZE_M,
     )
     wbounds = RasterBounds.for_tile(wenv, CELL_SIZE_M)
     tile_bounds = RasterBounds.for_tile(env, CELL_SIZE_M)
@@ -212,8 +236,8 @@ def rasterize_salted(group: pd.DataFrame) -> pd.DataFrame:
 
     n_triangles = 0
     missing_before = missing_after = -1
-    dem = np.full((cells_w, cells_w), np.nan, dtype=np.float32)
-    cls_raster = np.zeros((cells_w, cells_w), dtype=np.uint8)
+    dem = np.full((cells_h, cells_w), np.nan, dtype=np.float32)
+    cls_raster = np.zeros((cells_h, cells_w), dtype=np.uint8)
 
     if len(x) >= 3:
         tri = SurfaceTriangulation(tile_bounds)
@@ -233,8 +257,9 @@ def rasterize_salted(group: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "tile_id": [tile_id],
-            "r_off": [sr * cells_w],
-            "c_off": [sc * cells_w],
+            "r_off": [r0],
+            "c_off": [c0],
+            "n_h": [cells_h],
             "n_w": [cells_w],
             "n_points": [int(own.sum())],
             "n_ground": [int(is_ground[own].sum())],
@@ -256,14 +281,14 @@ def merge_tile_windows(group: pd.DataFrame) -> pd.DataFrame:
     dem = np.full((n, n), np.nan, dtype=np.float32)
     cls_raster = np.zeros((n, n), dtype=np.uint8)
     for _, r in group.iterrows():
-        w = int(r["n_w"])
+        h, w = int(r["n_h"]), int(r["n_w"])
         r0, c0 = int(r["r_off"]), int(r["c_off"])
-        dem[r0 : r0 + w, c0 : c0 + w] = np.frombuffer(
+        dem[r0 : r0 + h, c0 : c0 + w] = np.frombuffer(
             r["tin_dem_win"], dtype=np.float32
-        ).reshape(w, w)
-        cls_raster[r0 : r0 + w, c0 : c0 + w] = np.frombuffer(
+        ).reshape(h, w)
+        cls_raster[r0 : r0 + h, c0 : c0 + w] = np.frombuffer(
             r["cls_win"], dtype=np.uint8
-        ).reshape(w, w)
+        ).reshape(h, w)
     mb = group["missing_before"].to_numpy()
     ma = group["missing_after"].to_numpy()
     return pd.DataFrame(

@@ -30,10 +30,23 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 def _hash_column(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if pa.types.is_integer(col.type):
         return _splitmix64(col.to_numpy(zero_copy_only=False).astype(np.int64))
-    # strings: vectorized word-hash from the dedup module
-    from .dedup import _word_hashes
+    # strings: full-content hash (the shingle prefix hash systematically
+    # collides distinct long strings sharing a 16-byte prefix + length —
+    # typical URLs — which breaks the HLL error bound). blake2b runs
+    # once per UNIQUE value in the batch, not per row.
+    import hashlib
 
-    return _splitmix64(_word_hashes(col.to_pylist()).astype(np.int64))
+    uniq, inv = np.unique(np.asarray(col.to_pylist(), dtype=object), return_inverse=True)
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(s.encode("utf-8", "surrogatepass"),
+                                           digest_size=8).digest(), "little")
+            for s in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return h[inv]
 
 
 def hll_registers(values: np.ndarray, p: int = HLL_P) -> np.ndarray:

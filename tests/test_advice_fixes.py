@@ -1,0 +1,187 @@
+"""Regression tests for the round-1 ADVICE findings.
+
+- salting level-3 window/cell mismatch (high): windows must be
+  cell-aligned at every split level, incl. n_sub that does not divide
+  CELLS_PER_EDGE;
+- _simhash_batch IndexError on trailing empty docs (medium);
+- HLL string hashing must use full content, not a 16-byte prefix (low);
+- LAZ chunk_size <= 0 must not hang (low);
+- _PartialPeaks empty-concatenate when all tiles out of range (low).
+"""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from lasutility_ray.stages.salting import (
+    CELLS_PER_EDGE,
+    _win_bound,
+    _win_of_cell,
+    salt_levels,
+    salted_tin_tiles,
+    tile_count_partials,
+)
+from lasutility_ray.stages.tiling import points_dataset
+from lasutility_ray.stages.tin import tin_tiles
+
+
+# ------------------------------------------------- salting level 3
+
+
+def test_window_bounds_tile_the_cell_grid_exactly():
+    """For every level the windows partition [0, CELLS_PER_EDGE) and
+    _win_of_cell is the exact inverse of _win_bound."""
+    for level in range(0, 5):
+        n_sub = 1 << level
+        bounds = [_win_bound(i, n_sub) for i in range(n_sub + 1)]
+        assert bounds[0] == 0 and bounds[-1] == CELLS_PER_EDGE
+        assert all(b1 > b0 for b0, b1 in zip(bounds, bounds[1:]))
+        for cell in range(CELLS_PER_EDGE):
+            w = _win_of_cell(cell, n_sub)
+            assert bounds[w] <= cell < bounds[w + 1]
+
+
+def test_level3_halo_mode_not_corrupt(ray_session):
+    """ADVICE high: at MAX_LEVEL=3 (n_sub=8, 100 cells) the old code
+    rasterized 125 m envelopes but pasted at 120 m cell offsets,
+    leaving 98%+ of DEM cells wrong. With cell-aligned windows the
+    halo-mode deviation must stay inside the documented sliver bound."""
+    pts = points_dataset(rd.range(60_000), doc_col="id")
+    counts = tile_count_partials(pts)
+    levels = salt_levels(counts, threshold=300)
+    assert max(levels.values()) == 3, "fixture must actually exercise level 3"
+
+    plain = (
+        tin_tiles(pts, include_rasters=True).to_pandas().set_index("tile_id").sort_index()
+    )
+    salted = (
+        salted_tin_tiles(pts, threshold=300, halo_m=100.0, include_rasters=True, exact=False)
+        .to_pandas()
+        .set_index("tile_id")
+        .sort_index()
+    )
+    assert list(plain.index) == list(salted.index)
+    total = bad = 0
+    for tid in plain.index:
+        assert plain.loc[tid, "n_points"] == salted.loc[tid, "n_points"], tid
+        p = np.frombuffer(plain.loc[tid, "dem"], dtype=np.float32)
+        s = np.frombuffer(salted.loc[tid, "dem"], dtype=np.float32)
+        neq = ~((p == s) | (np.isnan(p) & np.isnan(s)))
+        total += len(p)
+        bad += int(neq.sum())
+    assert bad / total < 0.005, f"level-3 halo deviates on {bad}/{total} cells"
+
+
+# ------------------------------------------------- simhash empties
+
+
+def test_simhash_batch_with_trailing_empty_docs():
+    from lasutility_ray.stages.dedup import _simhash_batch
+
+    out = _simhash_batch(["hello world", ""])
+    assert out.shape == (2,)
+    assert out[0] != 0 and out[1] == 0
+
+    out = _simhash_batch(["", "a b c", "   ", "a b c", ""])
+    assert out[1] == out[3] != 0
+    assert out[0] == out[2] == out[4] == 0
+
+    assert list(_simhash_batch([])) == []
+    assert list(_simhash_batch(["", ""])) == [0, 0]
+
+
+# ------------------------------------------------- HLL full hash
+
+
+def test_hll_string_hash_uses_full_content():
+    from lasutility_ray.stages.sketch import _hash_column
+
+    # same 16-byte prefix, same length — the old prefix hash collided
+    urls = [f"https://example.com/page/{i:06d}" for i in range(1000)]
+    h = _hash_column(pa.array(urls))
+    assert len(np.unique(h)) == len(urls)
+
+
+def test_hll_estimate_on_common_prefix_urls(ray_session):
+    from lasutility_ray.stages.sketch import hll_count_distinct
+
+    urls = [f"https://example.com/page/{i % 700:06d}" for i in range(5000)]
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls)}))
+    est = hll_count_distinct(ds, "url")["estimate"].iloc[0]
+    assert abs(est - 700) / 700 < 0.05
+
+
+# ------------------------------------------------- LAZ chunk_size
+
+
+LAZ_FIXTURE = (
+    "/root/reference/LasUtility.Tests/TestFiles/Triangulation/"
+    "AddPointCloudAndTriangulate/Input/Q5232E1_cropped.laz"
+)
+
+
+def _patch_chunk_size(data: bytes, new_value: int) -> bytes:
+    """Return a copy of the LAZ bytes with the laszip VLR chunk_size
+    field overwritten."""
+    (hdr_size,) = struct.unpack_from("<H", data, 94)
+    (n_vlr,) = struct.unpack_from("<I", data, 100)
+    off = hdr_size
+    for _ in range(n_vlr):
+        user_id = data[off + 2 : off + 18].rstrip(b"\0")
+        (record_id,) = struct.unpack_from("<H", data, off + 18)
+        (rec_len,) = struct.unpack_from("<H", data, off + 20)
+        payload = off + 54
+        if user_id == b"laszip encoded" and record_id == 22204:
+            out = bytearray(data)
+            struct.pack_into("<I", out, payload + 12, new_value & 0xFFFFFFFF)
+            return bytes(out)
+        off = payload + rec_len
+    raise AssertionError("laszip VLR not found in fixture")
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(LAZ_FIXTURE), reason="reference fixture missing"
+)
+def test_laz_unchunked_chunk_size_reads_as_one_chunk(tmp_path):
+    from lasutility_ray.sources.laz import read_laz_points
+
+    raw = open(LAZ_FIXTURE, "rb").read()
+    want = read_laz_points(LAZ_FIXTURE)
+
+    # U32_MAX = "no chunking" => one chunk of npoints; the fixture has
+    # fewer points than its declared chunk size so decode is identical
+    p = tmp_path / "unchunked.laz"
+    p.write_bytes(_patch_chunk_size(raw, 0xFFFFFFFF))
+    got = read_laz_points(str(p))
+    for k in want:
+        np.testing.assert_array_equal(want[k], got[k])
+
+    # chunk_size == 0 is invalid: clean error, not an infinite loop
+    p2 = tmp_path / "zero.laz"
+    p2.write_bytes(_patch_chunk_size(raw, 0))
+    with pytest.raises(NotImplementedError):
+        read_laz_points(str(p2))
+
+
+# ------------------------------------------------- peaks empty mask
+
+
+def test_partial_peaks_all_tiles_out_of_range():
+    from lasutility_ray.stages.neighborhood import _PartialPeaks
+
+    batch = pa.table(
+        {
+            "x": pa.array([5000.0, 5010.0]),  # < MIN_ALLOWED_EAST
+            "y": pa.array([5000.0, 5010.0]),
+            "z": pa.array([1.0, 2.0]),
+            "classification": pa.array(np.array([3, 3], dtype=np.uint8)),
+        }
+    )
+    out = _PartialPeaks(3, 5, 2)(batch)
+    assert out.num_rows == 0
+    assert out.column_names == ["tile_id", "gr", "gc", "best"]
