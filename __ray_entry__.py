@@ -264,6 +264,28 @@ def q_embed_lsh_pairs(sf_dir: str):
     return embedding_lsh_pairs(emb, threshold=0.45)
 
 
+def q_embed_lsh_recall(sf_dir: str):
+    """Recall of the banded-LSH scale path vs the exact all-pairs
+    baseline (one row). Rows-only evidence that the designated
+    embedding-dedup scale path actually finds the pairs (round 1's
+    AND-only LSH silently returned 0 of 14)."""
+    import pandas as pd
+
+    exact = q_embed_nn_pairs(sf_dir).to_pandas()
+    lsh = q_embed_lsh_pairs(sf_dir).to_pandas()
+    t = set(zip(exact["a"], exact["b"]))
+    a = set(zip(lsh["a"], lsh["b"]))
+    return pd.DataFrame(
+        {
+            "n_exact": [len(t)],
+            "n_lsh": [len(a)],
+            "n_hit": [len(t & a)],
+            "n_false_pos": [len(a - t)],
+            "recall": [round(len(t & a) / max(len(t), 1), 4)],
+        }
+    )
+
+
 def q_dup_components(sf_dir: str):
     """Connected components over the embedding near-dup graph
     (iterative distributed min-label propagation); oracle = recursive
@@ -273,7 +295,7 @@ def q_dup_components(sf_dir: str):
     from lasutility_ray.stages.dedup import duplicate_components, embedding_nn_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return duplicate_components(embedding_nn_pairs(emb, threshold=0.45))  # pandas DataFrame
+    return duplicate_components(embedding_nn_pairs(emb, threshold=0.45))
 
 
 def q_ann_topk(sf_dir: str):
@@ -669,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_embed_nn_pairs": q_embed_nn_pairs,
         "q_embed_lsh_pairs": q_embed_lsh_pairs,
+        "q_embed_lsh_recall": q_embed_lsh_recall,
         "q_dup_components": q_dup_components,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_ivf": q_ann_topk_ivf,

@@ -1,0 +1,138 @@
+"""Bucketed lookup join: attach columns from a (key, payload) table to
+another dataset's rows, fully in-cluster.
+
+``Dataset.join`` in Ray 2.49 crashes when a hash partition receives no
+left-side shard (the aggregator builds a schema-less empty table and
+``pyarrow.Table.join`` then fails with "No match ... for key field") —
+which is the NORMAL case for a sparse left side such as a candidate
+pair list. This helper uses the engine's established coarse-bucket
+co-group shape instead (see ``pip_join.py``/``dedup.py``):
+
+1. both sides map to a shared wide schema (absent columns null) with a
+   ``__bucket = hash(key) % n_buckets`` shuffle key and a ``__side``
+   tag;
+2. ONE ``groupby(__bucket)`` co-groups them; inside each bucket a
+   C-speed ``pandas.merge`` performs the inner lookup.
+
+The shuffle moves each side exactly once; no partition can be empty-
+schemed because every group block carries the full union schema.
+``n_buckets`` bounds parallelism of the merge stage — raise it with
+cluster size (it is a shuffle-key fanout, not a correctness knob).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+N_BUCKETS = 64
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(key: np.ndarray, n_buckets: int) -> np.ndarray:
+    h = key.astype(np.uint64) * _MIX
+    return ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _arrow_schema(ds, type_overrides: dict | None = None) -> pa.Schema:
+    """Unified pyarrow schema for a Dataset whose blocks may be Arrow
+    or pandas. Pandas-block schemas carry numpy dtypes; ``object``
+    dtype is ambiguous (str vs bytes) and must be named in
+    ``type_overrides``."""
+    over = type_overrides or {}
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return pa.schema(
+            [(f.name, over.get(f.name, f.type)) for f in base]
+        )
+    fields = []
+    for name, dtype in zip(base.names, base.types):
+        if name in over:
+            fields.append((name, over[name]))
+        elif dtype == np.dtype("O"):
+            raise TypeError(
+                f"lookup_join: column {name!r} has ambiguous pandas object "
+                "dtype — pass its arrow type via type_overrides"
+            )
+        else:
+            fields.append((name, pa.from_numpy_dtype(dtype)))
+    return pa.schema(fields)
+
+
+def lookup_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    attach: dict[str, str],
+    n_buckets: int = N_BUCKETS,
+    type_overrides: dict | None = None,
+):
+    """Inner-join ``right_ds``'s ``attach`` columns onto ``left_ds``.
+
+    ``attach`` maps right-side column name -> output column name.
+    Keys must be int64-castable. Left rows without a match are
+    dropped (inner semantics); right rows may match many left rows.
+    Output columns: all left columns + attached columns.
+    ``type_overrides`` resolves ambiguous pandas-object columns (and
+    may force e.g. binary) by column name, either side.
+    """
+    left_schema = _arrow_schema(left_ds, type_overrides)
+    right_schema = _arrow_schema(right_ds, type_overrides)
+    left_cols = list(left_schema.names)
+    right_cols = [right_key] + list(attach)
+    out_attach = list(attach.values())
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        key = t.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {c: t.column(c).cast(left_schema.field(c).type) for c in left_cols}
+        cols["__key"] = pa.array(key, pa.int64())
+        for rc in attach:
+            cols["__r_" + rc] = pa.nulls(len(t), right_schema.field(rc).type)
+        cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8))
+        cols["__bucket"] = pa.array(_bucket_of(key, n_buckets))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        key = t.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {}
+        for c in left_cols:
+            cols[c] = pa.nulls(len(t), left_schema.field(c).type)
+        cols["__key"] = pa.array(key, pa.int64())
+        for rc in attach:
+            cols["__r_" + rc] = t.column(rc).cast(right_schema.field(rc).type)
+        cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8))
+        cols["__bucket"] = pa.array(_bucket_of(key, n_buckets))
+        return pa.table(cols)
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    rt = right_ds.select_columns(right_cols).map_batches(
+        tag_right, batch_format="pyarrow"
+    )
+    both = lt.union(rt)
+
+    r_names = ["__r_" + rc for rc in attach]
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lv = g[g["__side"] == 0]
+        rv = g[g["__side"] == 1]
+        if len(lv) == 0 or len(rv) == 0:
+            out = lv.iloc[0:0]
+        else:
+            rv = rv[["__key"] + r_names].drop_duplicates("__key")
+            out = lv.drop(columns=r_names).merge(rv, on="__key", how="inner")
+        out = out[left_cols + r_names].rename(columns=dict(zip(r_names, out_attach)))
+        # the group block carries the OTHER side's rows with nulls in
+        # these columns, so pandas upcast ints to float64 — cast back
+        # (post-merge rows have no nulls by construction)
+        for c in left_cols:
+            if pa.types.is_integer(left_schema.field(c).type):
+                out[c] = out[c].astype(np.int64)
+        for rc, oc in attach.items():
+            if pa.types.is_integer(right_schema.field(rc).type):
+                out[oc] = out[oc].astype(np.int64)
+        return out
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

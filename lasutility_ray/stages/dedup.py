@@ -268,37 +268,67 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _shingle_set_rows(ds, id_col: str, text_col: str):
+    """(id, sh) per doc where ``sh`` is the sorted-unique uint64
+    shingle-hash set as a list column — the join side of verification
+    (bounded per doc; the raw text never enters the pair shuffle)."""
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        sh = [np.unique(_shingle_hashes(t)).tobytes() for t in texts]
+        # binary, not list<uint64>: Acero hash joins reject list-typed
+        # payload columns
+        return pa.table(
+            {
+                "id": batch.column(id_col).cast(pa.int64()),
+                "sh": pa.array(sh, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(sigs, batch_format="pyarrow")
+
+
 def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         threshold: float = JACCARD_THRESHOLD):
     """Verified near-dup pairs: LSH candidates + exact Jaccard.
 
-    Verification broadcasts the candidate docs' texts (the candidate
-    set is tiny relative to the corpus; at larger candidate volumes
-    this becomes a co-grouped join on id)."""
-    cands = (
-        minhash_candidate_pairs(ds, id_col, text_col, distinct=False)
-        .to_pandas()
-        .drop_duplicates(["a", "b"])
-        .reset_index(drop=True)
+    Fully in-cluster: candidate (a, b) pairs co-group twice against a
+    per-doc shingle-set table (on a, then on b — ``cogroup.lookup_join``)
+    and verification runs inside map_batches on the joined rows.
+    Nothing corpus-proportional ever lands on the driver (round 1
+    collected the candidate set and broadcast the candidate texts)."""
+    from .cogroup import lookup_join
+
+    cands = minhash_candidate_pairs(ds, id_col, text_col, distinct=True)
+    sig = _shingle_set_rows(ds, id_col, text_col)
+
+    j1 = lookup_join(cands, sig, "a", "id", {"sh": "sh_a"})
+    j2 = lookup_join(
+        j1, sig, "b", "id", {"sh": "sh_b"}, type_overrides={"sh_a": pa.binary()}
     )
-    if len(cands) == 0:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"),
-                             "b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
-    need = set(cands["a"].tolist()) | set(cands["b"].tolist())
-    need_ref = ray.put(need)
 
-    def pick(batch: pa.Table) -> pa.Table:
-        wanted = ray.get(need_ref)
-        ids = batch.column(id_col).to_numpy()
-        mask = np.isin(ids, np.fromiter(wanted, dtype=np.int64))
-        return batch.filter(pa.array(mask)).select([id_col, text_col])
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        sa = batch.column("sh_a").to_pylist()
+        sb = batch.column("sh_b").to_pylist()
+        jac = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            u = np.frombuffer(sa[i], dtype=np.uint64)
+            v = np.frombuffer(sb[i], dtype=np.uint64)
+            inter = len(np.intersect1d(u, v, assume_unique=True))
+            union = len(u) + len(v) - inter
+            jac[i] = inter / union if union else 1.0
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
 
-    texts = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    lookup = dict(zip(texts[id_col], texts[text_col]))
-    jac = np.array([jaccard(lookup[a], lookup[b]) for a, b in zip(cands["a"], cands["b"])])
-    out = cands.assign(jaccard=jac)
-    return out[out["jaccard"] >= threshold].reset_index(drop=True)
+    return j2.map_batches(verify, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- simhash
@@ -466,13 +496,17 @@ def duplicate_components(pairs_ds, max_iters: int = 50):
     "keep one per duplicate cluster" resolution step (keep id ==
     component id).
 
-    Distributed min-label propagation: labels start as node ids; each
-    round joins labels across edges (both directions) and takes the
-    per-node min; converges in O(diameter) rounds. Each round is one
-    map + one vectorized groupby-aggregate over the (small relative
-    to corpus) edge list — no per-group python.
+    Distributed min-label propagation, fully in-cluster: labels start
+    as node ids; each round co-groups the label table across edges
+    (``cogroup.lookup_join`` on u), unions the self-labels, and takes
+    the per-node Min; converges in O(diameter) rounds. The driver sees
+    ONE scalar per round (count of changed labels) — round 1
+    collected and re-broadcast the whole label table every round,
+    which breaks on a giant near-dup component.
     """
     from ray.data.aggregate import Min
+
+    from .cogroup import lookup_join
 
     edges = pairs_ds.map_batches(
         lambda t: pa.table(
@@ -495,7 +529,7 @@ def duplicate_components(pairs_ds, max_iters: int = 50):
     ).materialize()
 
     # labels: start from self-labels of every endpoint
-    labels = (
+    cur = (
         edges.map_batches(
             lambda t: pa.table({"node": t.column("u"), "plabel": t.column("u")}),
             batch_format="pyarrow",
@@ -505,43 +539,50 @@ def duplicate_components(pairs_ds, max_iters: int = 50):
         .materialize()
     )
 
-    import ray as _ray
-
-    cur = labels.to_pandas().sort_values("node").reset_index(drop=True)
-
     for _ in range(max_iters):
-        # candidate labels flowing across edges: join edges u->v with
-        # label(u); broadcast the (small) label table into the map.
-        # ONE driver collection per round: the collected label table
-        # doubles as the broadcast payload and the convergence check.
-        ref = _ray.put(pa.Table.from_pandas(cur, preserve_index=False))
-
-        def push(t: pa.Table) -> pa.Table:
-            lt = _ray.get(ref)
-            import pyarrow.compute as pc
-
-            idx = pc.index_in(t.column("u"), value_set=lt.column("node"))
-            lab = lt.column("label").take(idx)
-            # self-labels ride along so every node keeps its current min
-            return pa.concat_tables(
-                [
-                    pa.table({"node": t.column("v"), "plabel": lab}),
-                    pa.table({"node": lt.column("node"), "plabel": lt.column("label")}),
-                ]
-            )
-
+        # candidate labels flowing across edges: label(u) pushed to v
+        pushed = lookup_join(edges, cur, "u", "node", {"label": "plabel"}).map_batches(
+            lambda t: pa.table({"node": t.column("v"), "plabel": t.column("plabel")}),
+            batch_format="pyarrow",
+        )
+        selfs = cur.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "plabel": t.column("label")}),
+            batch_format="pyarrow",
+        )
         new = (
-            edges.map_batches(push, batch_format="pyarrow")
+            pushed.union(selfs)
             .groupby("node")
             .aggregate(Min("plabel", alias_name="label"))
-            .to_pandas()
-            .sort_values("node")
-            .reset_index(drop=True)
+            .materialize()
         )
-        if new.equals(cur):
-            break
+
+        # convergence: ONE scalar to the driver (count of changed rows)
+        changed = (
+            lookup_join(new, cur, "node", "node", {"label": "label_old"})
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "c": pa.array(
+                            [
+                                int(
+                                    (
+                                        t.column("label").to_numpy()
+                                        != t.column("label_old").to_numpy()
+                                    ).sum()
+                                )
+                            ],
+                            pa.int64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .sum("c")
+        )
         cur = new
-    return cur.rename(columns={"label": "component"})
+        if not changed:
+            break
+    return cur.rename_columns({"label": "component"}).sort("node")
 
 
 # --------------------------------------------- embedding near-dup
@@ -580,47 +621,98 @@ def embedding_nn_pairs(ds, threshold: float = COSINE_THRESHOLD):
     return ds.map_batches(probe, batch_format="pyarrow")
 
 
-def embedding_lsh_pairs(ds, n_planes: int = 8, threshold: float = COSINE_THRESHOLD):
-    """Scale path: hyperplane-LSH buckets (sign bits of n_planes
-    fixed random projections), exact cosine verified within buckets.
-    May miss pairs across buckets — rows-only check by design."""
+N_LSH_TABLES = 16
+PLANES_PER_TABLE = 4
+
+
+def embedding_lsh_pairs(
+    ds,
+    n_tables: int = N_LSH_TABLES,
+    planes_per_table: int = PLANES_PER_TABLE,
+    threshold: float = COSINE_THRESHOLD,
+):
+    """Scale path for embedding near-dup: banded (multi-table)
+    hyperplane LSH, exact cosine verified within buckets.
+
+    OR-construction over ``n_tables`` independent tables of
+    ``planes_per_table`` sign bits each — the same banding as the
+    MinHash stage. A single wide AND-only signature (the round-1
+    version) had recall ~= 0 at cosine 0.45: per-plane collision
+    p = 1 - theta/pi ~= 0.65, so 8 planes agree with probability
+    0.65^8 ~= 0.03. With 16 tables x 4 planes expected recall is
+    1 - (1 - 0.65^4)^16 ~= 0.96 (``q_embed_lsh_recall`` measures it
+    against the exact path).
+
+    Shuffle volume = n_tables x the embeddings table; the shuffle key
+    is a coarse 64-way hash bucket and the fine (table, key) grouping
+    runs inside each bucket at C speed (same pattern as
+    ``minhash_candidate_pairs``). Cross-table duplicate pairs collapse
+    in a final vectorized groupby-aggregate.
+    """
     rng = np.random.default_rng(7)
-    planes = rng.standard_normal((64, n_planes))
+    planes = rng.standard_normal((64, n_tables * planes_per_table))
     planes_ref = ray.put(planes)
+    pow2 = 1 << np.arange(planes_per_table, dtype=np.int64)
 
     def keyed(batch: pa.Table) -> pa.Table:
         p = ray.get(planes_ref)
         vecs = np.stack(batch.column("embedding").to_numpy()).astype(np.float64)
-        signs = (vecs @ p) > 0
-        key = (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
+        signs = (vecs @ p) > 0  # (n, n_tables * planes_per_table)
+        keys = (
+            signs.reshape(len(vecs), n_tables, planes_per_table) * pow2[None, None, :]
+        ).sum(axis=2)  # (n, n_tables)
+        tables = np.tile(np.arange(n_tables, dtype=np.int64), len(vecs))
+        flat_keys = keys.ravel()
+        bucket = (tables * 1315423911 + flat_keys * 2654435761) % N_SHUFFLE_BUCKETS
+        idx = np.repeat(np.arange(len(vecs), dtype=np.int64), n_tables)
         return pa.table(
             {
-                "vec_id": batch.column("vec_id"),
-                "bucket": pa.array(key.astype(np.int64), pa.int64()),
-                "embedding": batch.column("embedding"),
+                "vec_id": batch.column("vec_id").take(pa.array(idx)),
+                "table": pa.array(tables, pa.int64()),
+                "key": pa.array(flat_keys, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "embedding": batch.column("embedding").take(pa.array(idx)),
             }
         )
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("vec_id")
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "cosine": []})
-        ids = g["vec_id"].to_numpy()
-        m = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        m = m / np.linalg.norm(m, axis=1)[:, None]
-        sims = m @ m.T
-        ai, bi = np.triu_indices(len(ids), k=1)
-        mask = sims[ai, bi] >= threshold
-        return pd.DataFrame(
-            {
-                "a": ids[ai][mask],
-                "b": ids[bi][mask],
-                "cosine": np.round(sims[ai, bi][mask], 6),
-            }
-        )
+    def one_bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby(["table", "key"], sort=False):
+            sub = sub.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(sub) < 2:
+                continue
+            ids = sub["vec_id"].to_numpy()
+            m = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1)[:, None]
+            sims = m @ m.T
+            ai, bi = np.triu_indices(len(ids), k=1)
+            mask = sims[ai, bi] >= threshold
+            if mask.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a": ids[ai][mask],
+                            "b": ids[bi][mask],
+                            "pcos": np.round(sims[ai, bi][mask], 6),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "pcos": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.concat(outs, ignore_index=True).drop_duplicates(["a", "b"])
 
-    return (
+    from ray.data.aggregate import Max
+
+    pairs = (
         ds.map_batches(keyed, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(bucket, batch_format="pandas")
+        .map_groups(one_bucket_pairs, batch_format="pandas")
     )
+    # cross-table dedup (cosines are identical across tables)
+    return pairs.groupby(["a", "b"]).aggregate(Max("pcos", alias_name="cosine"))

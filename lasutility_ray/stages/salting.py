@@ -72,23 +72,27 @@ def _win_of_cell(cell, n_sub):
 
 
 def tile_count_partials(points_ds) -> dict[str, int]:
-    """Count pass: per-batch partial counts, merged on the driver.
-    One row per distinct tile per batch crosses the wire — never the
-    points themselves."""
+    """Count pass: per-batch partial counts combined by a tiny
+    ``groupby(tile_id)`` shuffle; the driver receives ONE row per
+    distinct tile (not per tile x batch — at 10^6+ batches the
+    per-batch partial stream itself would flood the driver)."""
+    from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         vc = pc.value_counts(t.column("tile_id"))
         return pa.table(
             {
                 "tile_id": vc.field("values"),
-                "n": vc.field("counts"),
+                "pn": vc.field("counts"),
             }
         )
 
-    out: dict[str, int] = {}
-    for row in points_ds.map_batches(partial, batch_format="pyarrow").take_all():
-        out[row["tile_id"]] = out.get(row["tile_id"], 0) + int(row["n"])
-    return out
+    combined = (
+        points_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("tile_id")
+        .aggregate(Sum("pn", alias_name="n"))
+    )
+    return {row["tile_id"]: int(row["n"]) for row in combined.take_all()}
 
 
 def salt_levels(

@@ -31,11 +31,27 @@ def default_queries(ds, n_queries: int = 10):
     return ids, mat
 
 
+def _merge_topk(k: int):
+    """Per-query final merge of k-row partials (runs in-cluster via
+    groupby(query_id).map_groups — never on the driver)."""
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["cosine", "neighbor_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return final
+
+
 def ann_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5):
     """(query_id, neighbor_id, rank, cosine): top-k cosine neighbors
     per query (self excluded). Map side emits per-batch local top-k;
-    the tiny final reduce runs on the driver — at scale this is a
-    ``groupby(query_id)`` merge of k-row partials."""
+    the final reduce is a ``groupby(query_id)`` merge of the k-row
+    partials — the shuffle moves k rows per (query, batch), never
+    vectors."""
     qn = _normalize(query_mat.astype(np.float64))
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
 
@@ -62,17 +78,12 @@ def ann_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5):
             }
         )
 
-    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
-                          kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    out = partials.groupby("query_id", group_keys=False, sort=True).apply(final)
-    return out.reset_index(drop=True)
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge_topk(k), batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )
 
 
 def _train_centroids(ds, n_lists: int, sample_n: int = 512, iters: int = 5):
@@ -131,16 +142,9 @@ def ann_topk_ivf(ds, query_ids, query_mat, k: int = 5, n_lists: int = 16,
             }
         )
 
-    partials = ds.map_batches(local, batch_format="pyarrow").to_pandas()
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True],
-                          kind="stable").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    if len(partials) == 0:
-        return partials.assign(rank=pd.Series(dtype="int64"))
-    out = partials.groupby("query_id", group_keys=False, sort=True).apply(final)
-    return out.reset_index(drop=True)
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge_topk(k), batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )

@@ -1,0 +1,95 @@
+"""cogroup.lookup_join: the in-cluster lookup-join primitive used by
+the dedup family (Dataset.join in Ray 2.49 crashes on hash partitions
+that receive no left-side shard, so the engine co-groups instead)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from lasutility_ray.stages.cogroup import lookup_join
+
+
+def test_lookup_join_basic(ray_session):
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 2, 3, 99], pa.int64()),
+                "b": pa.array([10, 20, 30, 40], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "payload": pa.array([b"p1", b"p2", b"p3", b"p4"], pa.binary()),
+            }
+        )
+    )
+    out = (
+        lookup_join(left, right, "a", "id", {"payload": "pl"})
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    # inner semantics: a=99 has no match and is dropped
+    assert out["a"].tolist() == [1, 2, 3]
+    assert out["b"].tolist() == [10, 20, 30]
+    assert out["pl"].tolist() == [b"p1", b"p2", b"p3"]
+    assert out["a"].dtype == np.int64 and out["b"].dtype == np.int64
+
+
+def test_lookup_join_sparse_left(ray_session):
+    """The case that crashes Dataset.join: 2 left rows spread over many
+    hash buckets, most buckets left-empty."""
+    left = rd.from_arrow(
+        pa.table({"u": pa.array([5, 77], pa.int64()), "v": pa.array([6, 78], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(list(range(200)), pa.int64()),
+                "label": pa.array(list(range(200)), pa.int64()),
+            }
+        )
+    )
+    out = (
+        lookup_join(left, right, "u", "node", {"label": "lab"})
+        .to_pandas()
+        .sort_values("u")
+        .reset_index(drop=True)
+    )
+    assert out["u"].tolist() == [5, 77]
+    assert out["lab"].tolist() == [5, 77]
+    assert out["lab"].dtype == np.int64
+
+
+def test_lookup_join_empty_left(ray_session):
+    left = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {"id": pa.array([1], pa.int64()), "x": pa.array([7], pa.int64())}
+        )
+    )
+    out = lookup_join(left, right, "a", "id", {"x": "x"}).to_pandas()
+    assert len(out) == 0
+
+
+def test_lookup_join_object_dtype_requires_override(ray_session):
+    left_pd = pd.DataFrame({"a": pd.Series([1], dtype="int64"), "sh": [b"zz"]})
+    left = rd.from_pandas(left_pd)
+    right = rd.from_arrow(
+        pa.table({"id": pa.array([1], pa.int64()), "y": pa.array([3], pa.int64())})
+    )
+    with pytest.raises(TypeError, match="object"):
+        lookup_join(left, right, "a", "id", {"y": "y"})
+    out = lookup_join(
+        left, right, "a", "id", {"y": "y"}, type_overrides={"sh": pa.binary()}
+    ).to_pandas()
+    assert out["y"].tolist() == [3]
+    assert out["sh"].tolist() == [b"zz"]

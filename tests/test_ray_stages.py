@@ -50,7 +50,7 @@ class TestDedup:
 
         from lasutility_ray.stages.dedup import jaccard
 
-        out = minhash_dedup_pairs(pages_ds)
+        out = minhash_dedup_pairs(pages_ds).to_pandas()
         got = set(zip(out["a"], out["b"]))
         exact = {(d - 1, d) for d in range(N) if d % DUP_EVERY == DUP_EVERY - 1}
         assert exact <= got  # J=1.0 pairs always found
@@ -104,7 +104,7 @@ class TestSimilarity:
         from lasutility_ray.stages.similarity import ann_topk
 
         q_ids = np.arange(5)
-        out = ann_topk(ds, q_ids, mat[:5].astype(np.float32), k=4)
+        out = ann_topk(ds, q_ids, mat[:5].astype(np.float32), k=4).to_pandas()
 
         m64 = mat.astype(np.float32).astype(np.float64)
         mn = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
@@ -129,8 +129,8 @@ class TestSimilarity:
         from lasutility_ray.stages.similarity import ann_topk, ann_topk_ivf
 
         q = mat[:5].astype(np.float32)
-        exact = ann_topk(ds, np.arange(5), q, k=5)
-        approx = ann_topk_ivf(ds, np.arange(5), q, k=5, n_lists=8, n_probe=4)
+        exact = ann_topk(ds, np.arange(5), q, k=5).to_pandas()
+        approx = ann_topk_ivf(ds, np.arange(5), q, k=5, n_lists=8, n_probe=4).to_pandas()
         inter = len(
             set(zip(exact["query_id"], exact["neighbor_id"]))
             & set(zip(approx["query_id"], approx["neighbor_id"]))
@@ -316,6 +316,7 @@ class TestComponents:
         )
         out = (
             duplicate_components(rd.from_arrow(pairs))
+            .to_pandas()
             .sort_values("node")
             .reset_index(drop=True)
         )
