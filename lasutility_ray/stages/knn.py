@@ -1,10 +1,12 @@
 """Spatial kNN over tiled points with halo exchange.
 
-Radius-bounded kNN (radius <= tile edge): every point is emitted as a
-*candidate* to its own tile and its 8 neighbor tiles (halo rows, the
+Radius-bounded kNN (radius <= tile edge): every point is a *candidate*
+in its own tile, and points within ``radius`` of a tile border are
+additionally replicated to the adjacent tiles (masked halo rows, the
 J6 pattern of SURVEY.md §2.4); query points stay keyed by their own
 tile. One ``groupby(tile_id)`` co-groups queries with all candidates
-that can be within the radius, so the per-tile brute-force is exact.
+that can be within the radius, so the per-tile brute-force is exact
+while the shuffle stays ~(1 + 4*radius/edge)x the points table.
 
 Distance ranking uses squared distance (same IEEE ops as the SQL
 oracle: ``(dx*dx + dy*dy)``), ties broken by neighbor doc_id.
@@ -23,21 +25,43 @@ K_NEIGHBORS = 3
 TILE = 1000
 
 
-def _halo_candidates(batch: pa.Table) -> pa.Table:
-    """Each point -> 9 rows keyed by its tile and the 8 neighbors
-    (only tiles inside the valid envelope)."""
+def _halo_candidates(batch: pa.Table, radius: float = RADIUS_M) -> pa.Table:
+    """Each point -> a row keyed by its own tile, plus replica rows for
+    the neighbor tiles whose envelope lies within ``radius`` of the
+    point (a point deep inside a tile can never serve a query in a
+    neighbor tile). The border-distance mask keeps the co-group
+    shuffle at ~(1 + 4*radius/edge)x the points table instead of the
+    unconditional 9x replication (mask pattern of
+    ``neighborhood.py:_PartialPeaks``). ``z`` is carried through when
+    present so downstream interpolators never re-derive it."""
     x = batch.column("x").to_numpy()
     y = batch.column("y").to_numpy()
     doc_id = batch.column("doc_id").to_numpy()
+    has_z = "z" in batch.column_names
+    z = batch.column("z").to_numpy() if has_z else None
     te = np.floor(x / TILE).astype(np.int64) * TILE
     tn = np.floor(y / TILE).astype(np.int64) * TILE
+    rel_x = x - te
+    rel_y = y - tn
 
-    xs, ys, ids, keys = [], [], [], []
+    xs, ys, ids, zs, keys = [], [], [], [], []
     for de in (-TILE, 0, TILE):
         for dn in (-TILE, 0, TILE):
+            ok = np.ones(len(x), dtype=bool)
+            # distance from the point to the neighbor tile's envelope
+            # must be <= radius along each shifted axis (conjunction is
+            # a superset of the true corner distance — conservative)
+            if de == -TILE:
+                ok &= rel_x <= radius
+            elif de == TILE:
+                ok &= TILE - rel_x <= radius
+            if dn == -TILE:
+                ok &= rel_y <= radius
+            elif dn == TILE:
+                ok &= TILE - rel_y <= radius
             ce = te + de
             cn = tn + dn
-            ok = (
+            ok &= (
                 (ce >= tilenamer.MIN_ALLOWED_EAST)
                 & (ce < tilenamer.MAX_ALLOWED_EAST)
                 & (cn >= tilenamer.MIN_ALLOWED_NORTH)
@@ -49,14 +73,17 @@ def _halo_candidates(batch: pa.Table) -> pa.Table:
             xs.append(x[ok])
             ys.append(y[ok])
             ids.append(doc_id[ok])
-    return pa.table(
-        {
-            "tile_id": pa.array(np.concatenate(keys), pa.string()),
-            "doc_id": pa.array(np.concatenate(ids), pa.int64()),
-            "x": pa.array(np.concatenate(xs), pa.float64()),
-            "y": pa.array(np.concatenate(ys), pa.float64()),
-        }
-    )
+            if has_z:
+                zs.append(z[ok])
+    cols = {
+        "tile_id": pa.array(np.concatenate(keys), pa.string()),
+        "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+        "x": pa.array(np.concatenate(xs), pa.float64()),
+        "y": pa.array(np.concatenate(ys), pa.float64()),
+    }
+    if has_z:
+        cols["z"] = pa.array(np.concatenate(zs), pa.float64())
+    return pa.table(cols)
 
 
 def knn_join(points_ds, query_pred, k: int = K_NEIGHBORS, radius: float = RADIUS_M):
@@ -69,7 +96,9 @@ def knn_join(points_ds, query_pred, k: int = K_NEIGHBORS, radius: float = RADIUS
         raise ValueError("radius must be <= tile edge for 1-ring halo exactness")
     r2 = radius * radius
 
-    cands = points_ds.map_batches(_halo_candidates, batch_format="pyarrow")
+    cands = points_ds.map_batches(
+        lambda t: _halo_candidates(t, radius), batch_format="pyarrow"
+    )
 
     def is_query(batch: pa.Table) -> pa.Table:
         mask = query_pred(batch.column("doc_id").to_numpy())

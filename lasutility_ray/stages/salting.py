@@ -8,9 +8,11 @@ cure is the reference's own hierarchy — a 1 km tile subdivides into
 1. **count pass**: per-batch partial ``(tile_id, n)`` counts combined
    on the driver (no shuffle; the partial table is tiny — one row per
    distinct tile per batch);
-2. **salt**: points in hot tiles get ``salt_key =
-   "{tile_id}#{sr}_{sc}_{level}"``; points within ``halo_m`` of a
-   sub-cell border are *replicated* to the neighboring sub-cells with
+2. **salt**: points in hot tiles get an int64 ``salt_sub =
+   (level << 16) | (sr << 8) | sc`` (cold tiles: -1; the shuffle key
+   is the ``(tile_id, salt_sub)`` pair — integers group much faster
+   than formatted strings); points within ``halo_m`` of a sub-cell
+   border are *replicated* to the neighboring sub-cells with
    ``owned = False`` (TIN support only, never written);
 3. **per-sub-cell work**: Delaunay TIN over owned+halo points,
    DEM/classification rasterized ONLY into the sub-cell's cell window
@@ -78,6 +80,10 @@ def tile_count_partials(points_ds) -> dict[str, int]:
     per-batch partial stream itself would flood the driver)."""
     from ray.data.aggregate import Sum
 
+    # projection pushes down into a parquet scan when points_ds is a
+    # fresh read — the count pass then reads ONE column, not the table
+    points_ds = points_ds.select_columns(["tile_id"])
+
     def partial(t: pa.Table) -> pa.Table:
         vc = pc.value_counts(t.column("tile_id"))
         return pa.table(
@@ -135,18 +141,10 @@ def _salt_batch(
 
     keys, owned, take = [], [], []
     hot = lv > 0
-    # owned rows (every point exactly once)
-    base_keys = np.where(
-        hot,
-        np.char.add(
-            np.char.add(tile_ids.astype(str), "#"),
-            np.char.add(
-                np.char.add(sr.astype(str), "_"),
-                np.char.add(sc.astype(str), np.char.add("_", lv.astype(str))),
-            ),
-        ),
-        tile_ids,
-    )
+    # salt_sub packs (level, sr, sc) into one int64 (-1 = cold tile):
+    # integer group keys shuffle and group far faster than the
+    # "{tile}#{sr}_{sc}_{level}" strings 4M np.char.adds would build
+    base_keys = np.where(hot, (lv << 16) | (sr << 8) | sc, -1)
     keys.append(base_keys)
     owned.append(np.ones(len(t), dtype=bool))
     take.append(np.arange(len(t), dtype=np.int64))
@@ -177,39 +175,29 @@ def _salt_batch(
             idx = np.flatnonzero(near)
             if len(idx) == 0:
                 continue
-            k = np.char.add(
-                np.char.add(tile_ids[idx].astype(str), "#"),
-                np.char.add(
-                    np.char.add(nr[idx].astype(str), "_"),
-                    np.char.add(
-                        np.char.add(nc[idx].astype(str), "_"), lv[idx].astype(str)
-                    ),
-                ),
-            )
-            keys.append(k)
+            keys.append((lv[idx] << 16) | (nr[idx] << 8) | nc[idx])
             owned.append(np.zeros(len(idx), dtype=bool))
             take.append(idx)
 
     all_idx = np.concatenate(take)
     out = t.take(pa.array(all_idx))
     return out.append_column(
-        "salt_key", pa.array(np.concatenate(keys).astype(object), pa.string())
+        "salt_sub", pa.array(np.concatenate(keys), pa.int64())
     ).append_column("owned", pa.array(np.concatenate(owned)))
 
 
 def rasterize_salted(group: pd.DataFrame) -> pd.DataFrame:
     """Per-salt-key TIN + rasterize into the owned window only.
 
-    Emits a window row ``{tile_id, r_off, c_off, n_rows_w, n_cols_w,
-    dem_win, cls_win, counters...}``; unsalted (cold) tiles emit their
-    full tile as one window."""
-    key = group["salt_key"].iloc[0]
-    if "#" in key:
-        tile_id, sub = key.split("#")
-        sr_s, sc_s, lv_s = sub.split("_")
-        sr, sc, level = int(sr_s), int(sc_s), int(lv_s)
+    Emits a window row ``{tile_id, r_off, c_off, n_h, n_w, dem_win,
+    cls_win, counters...}``; unsalted (cold) tiles emit their full
+    tile as one window."""
+    tile_id = group["tile_id"].iloc[0]
+    sub = int(group["salt_sub"].iloc[0])
+    if sub >= 0:
+        level, sr, sc = (sub >> 16) & 0xFF, (sub >> 8) & 0xFF, sub & 0xFF
     else:
-        tile_id, sr, sc, level = key, 0, 0, 0
+        sr, sc, level = 0, 0, 0
 
     env = decode(tile_id)
     n_sub = 1 << level
@@ -335,7 +323,7 @@ def salted_tin_tiles(
     salted = points_ds.map_batches(
         lambda t: _salt_batch(t, levels, halo_m, exact=exact), batch_format="pyarrow"
     )
-    windows = salted.groupby("salt_key").map_groups(
+    windows = salted.groupby(["tile_id", "salt_sub"]).map_groups(
         rasterize_salted, batch_format="pandas"
     )
     out = windows.groupby("tile_id").map_groups(

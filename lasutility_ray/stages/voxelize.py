@@ -19,11 +19,33 @@ pins a deterministic rule and the oracle mirrors it).
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ray.data.aggregate import Count, Max, Sum
+
+N_CELL_BUCKETS = 64
+
+
+def _cell_bucket(
+    tile_ids: np.ndarray, rows: np.ndarray, cols: np.ndarray, n: int = N_CELL_BUCKETS
+) -> np.ndarray:
+    """Coarse deterministic shuffle bucket for a (tile_id, row, col)
+    cell key. Grouping by the cell itself creates one ~1-row python
+    group per cell (millions at scale); grouping by this bucket keeps
+    the shuffle key space fixed and the fine grouping runs inside the
+    bucket at C speed (the pip_join.py:379 pattern)."""
+    uniq, inv = np.unique(tile_ids, return_inverse=True)
+    codes = np.array([zlib.crc32(s.encode()) for s in uniq], dtype=np.uint64)
+    h = (
+        codes[inv] * np.uint64(0x9E3779B97F4A7C15)
+        + rows.astype(np.uint64) * np.uint64(8191)
+        + cols.astype(np.uint64)
+    )
+    return ((h * np.uint64(2654435761)) >> np.uint64(33)) % np.uint64(n)
 
 
 def _partial_ground_max(batch: pa.Table) -> pa.Table:
@@ -75,19 +97,32 @@ def _partial_top1(lo: int, hi: int):
     return fn
 
 
+def _add_cell_bucket(t: pa.Table) -> pa.Table:
+    b = _cell_bucket(
+        t.column("tile_id").to_numpy(zero_copy_only=False),
+        t.column("row").to_numpy(),
+        t.column("col").to_numpy(),
+    )
+    return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+
 def cell_top1_in_class_range(points_ds, lo: int, hi: int):
     """Top-1 point per cell within a classification range — the
     grouped-table equivalent of GetHighestPointInClassRange applied
-    to every cell. Partial top-1 per batch, then a per-cell
-    map_groups final."""
+    to every cell. Partial top-1 per batch, then a coarse-bucket
+    shuffle whose final head(1) runs per bucket at C speed (never one
+    python group per cell)."""
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["z", "doc_id"], ascending=[False, True], kind="stable")
-        return g.head(1)
+        out = g.groupby(["tile_id", "row", "col"], sort=False).head(1)
+        return out.drop(columns=["bucket"])
 
     partial = points_ds.map_batches(_partial_top1(lo, hi), batch_format="pyarrow")
-    return partial.groupby(["tile_id", "row", "col"]).map_groups(
-        final, batch_format="pandas"
+    return (
+        partial.map_batches(_add_cell_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(final, batch_format="pandas")
     )
 
 
@@ -101,21 +136,27 @@ def cell_bins(points_ds):
     unstable, SURVEY.md §7.5). Fully SQL-checkable via
     ``row_number()``."""
 
-    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["z", "doc_id"], ascending=[False, True], kind="stable")
-        g = g.assign(pos=np.arange(len(g), dtype=np.int64))
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["tile_id", "row", "col", "z", "doc_id"],
+            ascending=[True, True, True, False, True],
+            kind="stable",
+        )
+        g = g.assign(
+            pos=g.groupby(["tile_id", "row", "col"], sort=False).cumcount()
+        )
         return g[["tile_id", "row", "col", "pos", "z", "classification", "doc_id"]]
 
     def project(t: pa.Table) -> pa.Table:
         keep = ~t.column("is_ground").to_numpy(zero_copy_only=False)
-        return t.select(
-            ["tile_id", "row", "col", "z", "classification", "doc_id"]
-        ).filter(pa.array(keep))
+        return _add_cell_bucket(
+            t.select(
+                ["tile_id", "row", "col", "z", "classification", "doc_id"]
+            ).filter(pa.array(keep))
+        )
 
     ng = points_ds.map_batches(project, batch_format="pyarrow")
-    return ng.groupby(["tile_id", "row", "col"]).map_groups(
-        per_cell, batch_format="pandas"
-    )
+    return ng.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def tile_counts(points_ds):
