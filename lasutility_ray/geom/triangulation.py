@@ -71,6 +71,21 @@ class SurfaceTriangulation:
         self._tris = d.triangles.reshape(-1, 3)
         self._build_grid_index()
 
+    def set_triangulation(self, tris, cell_starts=None, cell_tris=None):
+        """Adopt a PRE-BUILT triangulation (and optionally its grid
+        index) instead of running Delaunay — the build-once /
+        rasterize-split path of ``stages/salting.py``: one task builds
+        the hot tile's TIN, the window tasks re-hydrate it from blobs
+        and only rasterize their own window. ``tris`` is (n_tri, 3)
+        vertex indices in tri-id order; the index, when given, must be
+        the CSR pair from ``_build_grid_index`` over ``self.bounds``."""
+        self._tris = np.ascontiguousarray(tris, dtype=np.int64).reshape(-1, 3)
+        if cell_starts is not None and cell_tris is not None:
+            self._cell_starts = np.ascontiguousarray(cell_starts, dtype=np.int64)
+            self._cell_tris = np.ascontiguousarray(cell_tris, dtype=np.int64)
+        else:
+            self._build_grid_index()
+
     def triangle_count(self) -> int:
         if self._tris is None:
             raise ValueError("Triangulation is not created.")

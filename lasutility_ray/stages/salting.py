@@ -299,20 +299,215 @@ def merge_tile_windows(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# --------------------------------- exact mode: build once, split raster
+
+
+def _build_hot_tile(group: pd.DataFrame, level: int) -> pd.DataFrame:
+    """One task per hot tile: build the FULL tile's Delaunay TIN (and
+    its grid index) exactly as ``tin.rasterize_tile`` would — same
+    point order, same Delaunator output, same tri ids — then fan out
+    one row per raster window carrying the serialized TIN. The window
+    tasks rasterize + gap-fill their disjoint window only, so the hot
+    tile pays ONE build (round 1's replicate-build paid n_windows)
+    and output is bit-identical to the unsalted path by construction."""
+    from .tin import rasterize_tile
+
+    tile_id = group["tile_id"].iloc[0]
+    env = decode(tile_id)
+    tile_bounds = RasterBounds.for_tile(env, CELL_SIZE_M)
+    x = group["x"].to_numpy()
+    y = group["y"].to_numpy()
+    z = group["z"].to_numpy()
+    cls = group["classification"].to_numpy()
+    is_ground = group["is_ground"].to_numpy()
+
+    tri = None
+    if len(x) >= 3:
+        tri = SurfaceTriangulation(tile_bounds)
+        tri.set_points(x, y, z, cls)
+        try:
+            tri.create()
+        except ValueError:
+            tri = None  # collinear — no TIN
+    if tri is None or tri.triangle_count() == 0:
+        # degenerate hot tile: emit the finished tile as one full
+        # window (merge reconstitutes it unchanged)
+        full = rasterize_tile(group)
+        return pd.DataFrame(
+            {
+                "tile_id": [tile_id],
+                "r_off": [0],
+                "c_off": [0],
+                "n_h": [tile_bounds.n_rows],
+                "n_w": [tile_bounds.n_cols],
+                "n_points": [int(full["n_points"].iloc[0])],
+                "n_ground": [int(full["n_ground"].iloc[0])],
+                "n_triangles": [int(full["n_triangles"].iloc[0])],
+                "missing_before": [int(full["missing_before"].iloc[0])],
+                "missing_after": [int(full["missing_after"].iloc[0])],
+                "n_voxel_cells": [int(full["n_voxel_cells"].iloc[0])],
+                "tin_dem_win": [full["dem"].iloc[0]],
+                "cls_win": [full["classification_raster"].iloc[0]],
+                "blob_pts": [b""],
+                "blob_tris": [b""],
+                "blob_index": [b""],
+                "win_sr": [-1],
+                "win_sc": [-1],
+                "win_level": [0],
+            }
+        )
+
+    n_tri = tri.triangle_count()
+    blob_pts = b"".join(
+        (
+            x.astype("<f8").tobytes(),
+            y.astype("<f8").tobytes(),
+            z.astype("<f8").tobytes(),
+            cls.astype(np.uint8).tobytes(),
+            is_ground.astype(np.uint8).tobytes(),
+        )
+    )
+    blob_tris = tri._tris.astype("<i4").tobytes()
+    blob_index = (
+        tri._cell_starts.astype("<i8").tobytes()
+        + tri._cell_tris.astype("<i4").tobytes()
+    )
+
+    n_sub = 1 << level
+    rows = {k: [] for k in (
+        "tile_id", "r_off", "c_off", "n_h", "n_w", "n_points", "n_ground",
+        "n_triangles", "missing_before", "missing_after", "n_voxel_cells",
+        "tin_dem_win", "cls_win", "blob_pts", "blob_tris", "blob_index",
+        "win_sr", "win_sc", "win_level",
+    )}
+    for sr in range(n_sub):
+        for sc in range(n_sub):
+            rows["tile_id"].append(tile_id)
+            rows["r_off"].append(-1)
+            rows["c_off"].append(-1)
+            rows["n_h"].append(-1)
+            rows["n_w"].append(-1)
+            rows["n_points"].append(0)
+            rows["n_ground"].append(0)
+            # full count rides on window (0,0) so the merge SUM is the
+            # exact unsalted n_triangles
+            rows["n_triangles"].append(n_tri if (sr == 0 and sc == 0) else 0)
+            rows["missing_before"].append(-1)
+            rows["missing_after"].append(-1)
+            rows["n_voxel_cells"].append(0)
+            rows["tin_dem_win"].append(b"")
+            rows["cls_win"].append(b"")
+            rows["blob_pts"].append(blob_pts)
+            rows["blob_tris"].append(blob_tris)
+            rows["blob_index"].append(blob_index)
+            rows["win_sr"].append(sr)
+            rows["win_sc"].append(sc)
+            rows["win_level"].append(level)
+    return pd.DataFrame(rows)
+
+
+def _rasterize_prebuilt_window(row: dict) -> dict:
+    """Window task of the build-once path: re-hydrate the tile TIN
+    from blobs, rasterize + gap-fill this window only."""
+    tile_id = row["tile_id"]
+    level = int(row["win_level"])
+    sr, sc = int(row["win_sr"]), int(row["win_sc"])
+    env = decode(tile_id)
+    tile_bounds = RasterBounds.for_tile(env, CELL_SIZE_M)
+
+    blob = row["blob_pts"]
+    n = len(blob) // (8 * 3 + 2)
+    o = 0
+    x = np.frombuffer(blob, dtype="<f8", count=n, offset=o); o += 8 * n
+    y = np.frombuffer(blob, dtype="<f8", count=n, offset=o); o += 8 * n
+    z = np.frombuffer(blob, dtype="<f8", count=n, offset=o); o += 8 * n
+    cls = np.frombuffer(blob, dtype=np.uint8, count=n, offset=o); o += n
+    is_ground = np.frombuffer(blob, dtype=np.uint8, count=n, offset=o).astype(bool)
+
+    tris = np.frombuffer(row["blob_tris"], dtype="<i4").reshape(-1, 3)
+    idx_blob = row["blob_index"]
+    n_cells = tile_bounds.n_rows * tile_bounds.n_cols
+    cell_starts = np.frombuffer(idx_blob, dtype="<i8", count=n_cells + 1)
+    cell_tris = np.frombuffer(idx_blob, dtype="<i4", offset=8 * (n_cells + 1))
+
+    tri = SurfaceTriangulation(tile_bounds)
+    tri.set_points(x, y, z, cls)
+    tri.set_triangulation(tris, cell_starts, cell_tris)
+
+    n_sub = 1 << level
+    c0, c1 = _win_bound(sc, n_sub), _win_bound(sc + 1, n_sub)
+    r0, r1 = _win_bound(sr, n_sub), _win_bound(sr + 1, n_sub)
+    wenv = (
+        env[0] + c0 * CELL_SIZE_M,
+        env[1] + r0 * CELL_SIZE_M,
+        env[0] + c1 * CELL_SIZE_M,
+        env[1] + r1 * CELL_SIZE_M,
+    )
+    wbounds = RasterBounds.for_tile(wenv, CELL_SIZE_M)
+
+    own = (x >= wenv[0]) & (x < wenv[2]) & (y >= wenv[1]) & (y < wenv[3])
+    tile = vx.build_voxel_tile(wbounds, x[own], y[own], z[own], cls[own], is_ground[own])
+
+    dem = np.full((r1 - r0, c1 - c0), np.nan, dtype=np.float32)
+    cls_raster = np.zeros((r1 - r0, c1 - c0), dtype=np.uint8)
+    tri.rasterise_dem(wbounds, dem, classification_raster=cls_raster)
+    missing_before, missing_after = vx.fill_missing_from_tin(
+        tile, tri, int(wenv[0]), int(wenv[1]), int(wenv[2]), int(wenv[3])
+    )
+    return {
+        "tile_id": tile_id,
+        "r_off": r0,
+        "c_off": c0,
+        "n_h": r1 - r0,
+        "n_w": c1 - c0,
+        "n_points": int(own.sum()),
+        "n_ground": int(is_ground[own].sum()),
+        "n_triangles": int(row["n_triangles"]),
+        "missing_before": missing_before,
+        "missing_after": missing_after,
+        "n_voxel_cells": int((np.diff(tile.bin_starts) > 0).sum()),
+        "tin_dem_win": dem.tobytes(),
+        "cls_win": cls_raster.tobytes(),
+    }
+
+
+def _window_batch(df: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for _, row in df.iterrows():
+        if int(row["win_sr"]) < 0:  # degenerate tile, already final
+            out.append({k: row[k] for k in (
+                "tile_id", "r_off", "c_off", "n_h", "n_w", "n_points",
+                "n_ground", "n_triangles", "missing_before", "missing_after",
+                "n_voxel_cells", "tin_dem_win", "cls_win",
+            )})
+        else:
+            out.append(_rasterize_prebuilt_window(row))
+    return pd.DataFrame(out)
+
+
 def salted_tin_tiles(
     points_ds,
     threshold: int = HOT_THRESHOLD,
     halo_m: float = HALO_M,
     include_rasters: bool = True,
     exact: bool = True,
+    exact_level: int = 1,
 ):
-    """Skew-aware variant of ``stages.tin.tin_tiles``: hot tiles are
-    split into sub-cell shuffle keys so no single group dominates the
-    stage (see module docstring for the exact vs halo trade-off).
-    Falls back to plain per-tile processing when nothing is hot.
-    Output schema matches ``rasterize_tile`` (``n_triangles`` for
-    salted tiles sums the per-window TINs — a work counter, not a
-    surface invariant)."""
+    """Skew-aware variant of ``stages.tin.tin_tiles``.
+
+    - ``exact=True`` (default): **build once, rasterize split** — one
+      task per hot tile builds the full-tile Delaunay TIN, then
+      ``(2**exact_level)**2`` window tasks rasterize/gap-fill disjoint
+      windows of it. Bit-identical to the unsalted path (same TIN,
+      same tri ids, including ``n_triangles``); total CPU ~= unsalted
+      + serialization, wall of the straggler = one build + 1/n_windows
+      of the raster work.
+    - ``exact=False``: halo mode, the extreme-skew path — split level
+      grows with density and build cost is divided too, at the cost
+      of bounded sliver deviation near window borders (module
+      docstring; tests bound it < 0.5% of cells).
+
+    Falls back to plain per-tile processing when nothing is hot."""
     from .tin import tin_tiles
 
     counts = tile_count_partials(points_ds)
@@ -320,15 +515,43 @@ def salted_tin_tiles(
     if not levels:
         return tin_tiles(points_ds, include_rasters=include_rasters)
 
-    salted = points_ds.map_batches(
-        lambda t: _salt_batch(t, levels, halo_m, exact=exact), batch_format="pyarrow"
-    )
-    windows = salted.groupby(["tile_id", "salt_sub"]).map_groups(
-        rasterize_salted, batch_format="pandas"
-    )
-    out = windows.groupby("tile_id").map_groups(
-        merge_tile_windows, batch_format="pandas"
-    )
+    if exact:
+        hot_keys = frozenset(levels)
+
+        def is_hot(t: pa.Table, invert: bool = False) -> pa.Table:
+            ids = t.column("tile_id").to_numpy(zero_copy_only=False)
+            m = np.array([k in hot_keys for k in ids], dtype=bool)
+            return t.filter(pa.array(~m if invert else m))
+
+        cold = tin_tiles(
+            points_ds.map_batches(
+                lambda t: is_hot(t, invert=True), batch_format="pyarrow"
+            ),
+            include_rasters=True,
+        )
+        hot_windows = (
+            points_ds.map_batches(is_hot, batch_format="pyarrow")
+            .groupby("tile_id")
+            .map_groups(
+                lambda g: _build_hot_tile(g, exact_level), batch_format="pandas"
+            )
+            .map_batches(_window_batch, batch_format="pandas", batch_size=1)
+        )
+        hot = hot_windows.groupby("tile_id").map_groups(
+            merge_tile_windows, batch_format="pandas"
+        )
+        out = hot.union(cold)
+    else:
+        salted = points_ds.map_batches(
+            lambda t: _salt_batch(t, levels, halo_m, exact=exact),
+            batch_format="pyarrow",
+        )
+        windows = salted.groupby(["tile_id", "salt_sub"]).map_groups(
+            rasterize_salted, batch_format="pandas"
+        )
+        out = windows.groupby("tile_id").map_groups(
+            merge_tile_windows, batch_format="pandas"
+        )
     if not include_rasters:
         out = out.drop_columns(["dem", "classification_raster"])
     return out

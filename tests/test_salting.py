@@ -77,13 +77,13 @@ def test_salted_equals_unsalted(ray_session):
         sc = np.frombuffer(s["classification_raster"], dtype=np.uint8)
         assert (pc == sc).all(), f"{tid}: classification raster differs"
 
-    # n_triangles is a work counter in salted mode (replicated
-    # builds); cold tiles must still match exactly
+    # build-once exact mode: ONE full-tile TIN per hot tile, so
+    # n_triangles is the exact unsalted count everywhere (round 1's
+    # replicate-build summed n_windows copies)
     for tid in plain.index:
-        if tid not in hot:
-            assert (
-                plain.loc[tid, "n_triangles"] == salted.loc[tid, "n_triangles"]
-            ), tid
+        assert (
+            plain.loc[tid, "n_triangles"] == salted.loc[tid, "n_triangles"]
+        ), tid
 
 
 def test_halo_mode_bounded_difference(ray_session):
