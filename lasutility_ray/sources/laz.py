@@ -533,6 +533,82 @@ class _GpsTime11v2:
         return struct.unpack("<d", struct.pack("<q", self.last_gpstime[self.last]))[0]
 
 
+# ------------------------------------------------ RGB12 v2 item
+
+
+def _u8_fold(n: int) -> int:
+    return n & 0xFF
+
+
+def _u8_clamp(n: int) -> int:
+    return 0 if n < 0 else (255 if n > 255 else n)
+
+
+def _div2_trunc(n: int) -> int:
+    """C integer division by 2 (truncates toward zero; python //
+    floors negatives)."""
+    return n // 2 if n >= 0 else -((-n) // 2)
+
+
+class _Rgb12v2:
+    """lasreaditemcompressed_rgb12_v2 (laszip spec): per-byte diff
+    coding with a 7-bit used mask; green/blue predict from red's
+    deltas."""
+
+    def __init__(self, dec: _Decoder, raw: bytes):
+        self.dec = dec
+        self.r, self.g, self.b = struct.unpack("<HHH", raw)
+        self.m_byte_used = _Model(128)
+        self.m_diff = [_Model(256) for _ in range(6)]
+
+    def read(self):
+        dec = self.dec
+        sym = dec.decode_symbol(self.m_byte_used)
+        if sym & 1:
+            corr = dec.decode_symbol(self.m_diff[0])
+            r_lo = _u8_fold(corr + (self.r & 0xFF))
+        else:
+            r_lo = self.r & 0xFF
+        if sym & 2:
+            corr = dec.decode_symbol(self.m_diff[1])
+            r_hi = _u8_fold(corr + (self.r >> 8))
+        else:
+            r_hi = self.r >> 8
+        r = r_lo | (r_hi << 8)
+
+        if sym & 64:
+            diff = r_lo - (self.r & 0xFF)
+            if sym & 4:
+                corr = dec.decode_symbol(self.m_diff[2])
+                g_lo = _u8_fold(corr + _u8_clamp(diff + (self.g & 0xFF)))
+            else:
+                g_lo = self.g & 0xFF
+            if sym & 16:
+                corr = dec.decode_symbol(self.m_diff[4])
+                diff_b = _div2_trunc(diff + (g_lo - (self.g & 0xFF)))
+                b_lo = _u8_fold(corr + _u8_clamp(diff_b + (self.b & 0xFF)))
+            else:
+                b_lo = self.b & 0xFF
+            diff = r_hi - (self.r >> 8)
+            if sym & 8:
+                corr = dec.decode_symbol(self.m_diff[3])
+                g_hi = _u8_fold(corr + _u8_clamp(diff + (self.g >> 8)))
+            else:
+                g_hi = self.g >> 8
+            if sym & 32:
+                corr = dec.decode_symbol(self.m_diff[5])
+                diff_b = _div2_trunc(diff + (g_hi - (self.g >> 8)))
+                b_hi = _u8_fold(corr + _u8_clamp(diff_b + (self.b >> 8)))
+            else:
+                b_hi = self.b >> 8
+            g = g_lo | (g_hi << 8)
+            b = b_lo | (b_hi << 8)
+        else:
+            g = r
+            b = r
+        self.r, self.g, self.b = r, g, b
+
+
 # ---------------------------------------------------------- reader
 
 
@@ -563,14 +639,24 @@ def read_laz_points(path: str):
             laszip_vlr = data[off + 54 : off + 54 + rlen]
         off += 54 + rlen
 
-    if pfmt not in (0, 1):
+    if pfmt not in (0, 1, 2, 3):
         raise NotImplementedError(f"point format {pfmt}")
 
+    # internal normalized record layout: [p10:20][gps:8][rgb:6?]
     raw_pts = []
     if not compressed:
         off = pdr_off
         for _ in range(npoints):
-            raw_pts.append(data[off : off + rec_len])
+            rec = data[off : off + rec_len]
+            p10 = rec[:20]
+            gps = rec[20:28] if pfmt in (1, 3) else b"\0" * 8
+            if pfmt == 2:
+                rgb = rec[20:26]
+            elif pfmt == 3:
+                rgb = rec[28:34]
+            else:
+                rgb = b""
+            raw_pts.append(p10 + gps + rgb)
             off += rec_len
     else:
         if laszip_vlr is None:
@@ -582,9 +668,10 @@ def read_laz_points(path: str):
         if compressor != 2 or coder != 0:
             raise NotImplementedError(f"laszip compressor {compressor}/coder {coder}")
         for t, _sz, v in items:
-            if (t, v) not in ((6, 2), (7, 2)):
+            if (t, v) not in ((6, 2), (7, 2), (8, 2)):
                 raise NotImplementedError(f"laszip item type {t} v{v}")
         has_gps = any(t == 7 for t, _s, _v in items)
+        has_rgb = any(t == 8 for t, _s, _v in items)
 
         if chunk_size == -1:
             # unchunked chunked-compressor stream: chunk size stored as
@@ -604,14 +691,21 @@ def read_laz_points(path: str):
             if has_gps:
                 gps_raw = data[off : off + 8]
                 off += 8
-            raw_pts.append(p10 + gps_raw)
+            rgb_raw = b""
+            if has_rgb:
+                rgb_raw = data[off : off + 6]
+                off += 6
+            raw_pts.append(p10 + gps_raw + rgb_raw)
             dec = _Decoder(data, off)
             pt = _Point10v2(dec, p10)
             gt = _GpsTime11v2(dec, gps_raw) if has_gps else None
+            cb = _Rgb12v2(dec, rgb_raw) if has_rgb else None
             for _ in range(n_chunk - 1):
                 pt.read()
                 if gt is not None:
                     gt.read()
+                if cb is not None:
+                    cb.read()
                 raw_pts.append(
                     struct.pack(
                         "<iiiHBBbBH",
@@ -626,6 +720,7 @@ def read_laz_points(path: str):
                         pt.point_source_id,
                     )
                     + struct.pack("<d", gt.value if gt is not None else 0.0)
+                    + (struct.pack("<HHH", cb.r, cb.g, cb.b) if cb is not None else b"")
                 )
             off = dec.off
             done += n_chunk
@@ -637,11 +732,16 @@ def read_laz_points(path: str):
     cls = np.empty(n, dtype=np.uint8)
     inten = np.empty(n, dtype=np.uint16)
     gps = np.zeros(n, dtype=np.float64)
+    red = np.zeros(n, dtype=np.uint16)
+    green = np.zeros(n, dtype=np.uint16)
+    blue = np.zeros(n, dtype=np.uint16)
     for i, rp in enumerate(raw_pts):
         xi, yi, zi, it, _flags, c, _sar, _ud, _ps = struct.unpack_from("<iiiHBBbBH", rp, 0)
         X[i], Y[i], Z[i], inten[i], cls[i] = xi, yi, zi, it, c
         if len(rp) >= 28:
             (gps[i],) = struct.unpack_from("<d", rp, 20)
+        if len(rp) >= 34:
+            red[i], green[i], blue[i] = struct.unpack_from("<HHH", rp, 28)
     return {
         "x": X * sx + ox,
         "y": Y * sy + oy,
@@ -649,6 +749,9 @@ def read_laz_points(path: str):
         "classification": cls,
         "intensity": inten,
         "gps_time": gps,
+        "red": red,
+        "green": green,
+        "blue": blue,
         "n_points": n,
     }
 
@@ -744,6 +847,9 @@ def read_laz_dataset(paths: list[str] | str):
                         "classification": pa.array(d["classification"], pa.uint8()),
                         "intensity": pa.array(d["intensity"], pa.uint16()),
                         "gps_time": pa.array(d["gps_time"], pa.float64()),
+                        "red": pa.array(d["red"], pa.uint16()),
+                        "green": pa.array(d["green"], pa.uint16()),
+                        "blue": pa.array(d["blue"], pa.uint16()),
                         "source": pa.array([p] * d["n_points"], pa.string()),
                     }
                 )

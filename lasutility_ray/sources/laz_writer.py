@@ -454,6 +454,76 @@ class _GpsTime11v2Writer:
                 self.multi_extreme_counter[self.last] = 0
 
 
+# ------------------------------------------------ RGB12 v2 writer
+
+
+class _Rgb12v2Writer:
+    """laswriteitemcompressed_rgb12_v2 — mirror of laz._Rgb12v2."""
+
+    def __init__(self, enc: _Encoder, raw: bytes):
+        self.enc = enc
+        self.r, self.g, self.b = struct.unpack("<HHH", raw)
+        self.m_byte_used = _Model(128)
+        self.m_diff = [_Model(256) for _ in range(6)]
+
+    def write(self, r: int, g: int, b: int):
+        from .laz import _div2_trunc, _u8_clamp, _u8_fold
+
+        enc = self.enc
+        sym = 0
+        if (r & 0xFF) != (self.r & 0xFF):
+            sym |= 1
+        if (r >> 8) != (self.r >> 8):
+            sym |= 2
+        if (
+            ((r & 0x00FF) != (g & 0x00FF))
+            or ((r & 0x00FF) != (b & 0x00FF))
+            or ((r & 0xFF00) != (g & 0xFF00))
+            or ((r & 0xFF00) != (b & 0xFF00))
+        ):
+            sym |= 1 << 6
+            if (g & 0xFF) != (self.g & 0xFF):
+                sym |= 1 << 2
+            if (b & 0xFF) != (self.b & 0xFF):
+                sym |= 1 << 4
+            if (g >> 8) != (self.g >> 8):
+                sym |= 1 << 3
+            if (b >> 8) != (self.b >> 8):
+                sym |= 1 << 5
+        enc.encode_symbol(self.m_byte_used, sym)
+
+        if sym & 1:
+            enc.encode_symbol(self.m_diff[0], _u8_fold((r & 0xFF) - (self.r & 0xFF)))
+        if sym & 2:
+            enc.encode_symbol(self.m_diff[1], _u8_fold((r >> 8) - (self.r >> 8)))
+        if sym & 64:
+            diff = (r & 0xFF) - (self.r & 0xFF)
+            if sym & 4:
+                enc.encode_symbol(
+                    self.m_diff[2],
+                    _u8_fold((g & 0xFF) - _u8_clamp(diff + (self.g & 0xFF))),
+                )
+            if sym & 16:
+                diff_b = _div2_trunc(diff + ((g & 0xFF) - (self.g & 0xFF)))
+                enc.encode_symbol(
+                    self.m_diff[4],
+                    _u8_fold((b & 0xFF) - _u8_clamp(diff_b + (self.b & 0xFF))),
+                )
+            diff = (r >> 8) - (self.r >> 8)
+            if sym & 8:
+                enc.encode_symbol(
+                    self.m_diff[3],
+                    _u8_fold((g >> 8) - _u8_clamp(diff + (self.g >> 8))),
+                )
+            if sym & 32:
+                diff_b = _div2_trunc(diff + ((g >> 8) - (self.g >> 8)))
+                enc.encode_symbol(
+                    self.m_diff[5],
+                    _u8_fold((b >> 8) - _u8_clamp(diff_b + (self.b >> 8))),
+                )
+        self.r, self.g, self.b = r, g, b
+
+
 # ---------------------------------------------------------- writer
 
 
@@ -468,17 +538,21 @@ def write_laz(
     classification: np.ndarray,
     intensity: np.ndarray | None = None,
     gps_time: np.ndarray | None = None,
+    rgb: tuple | None = None,
     scale: float = 0.01,
     chunk_size: int = DEFAULT_CHUNK_SIZE,
 ) -> None:
-    """Write a LAZ 1.2 file (point format 1 if ``gps_time`` given,
-    else 0), compressor 2 (pointwise chunked), POINT10 v2
-    (+ GPSTIME11 v2). Coordinates quantize at ``scale`` with offset
-    floor(min) — lossless for values on the scale grid."""
+    """Write a LAZ 1.2 file, compressor 2 (pointwise chunked),
+    POINT10 v2 items (+ GPSTIME11 v2, + RGB12 v2). Point format:
+    0 (bare), 1 (+gps), 2 (+rgb), 3 (+gps+rgb); ``rgb`` is a
+    (red, green, blue) triple of uint16 arrays. Coordinates quantize
+    at ``scale`` with offset floor(min) — lossless for values on the
+    scale grid."""
     n = len(x)
     has_gps = gps_time is not None
-    pfmt = 1 if has_gps else 0
-    rec_len = 28 if has_gps else 20
+    has_rgb = rgb is not None
+    pfmt = (1 if has_gps else 0) + (2 if has_rgb else 0)
+    rec_len = 20 + (8 if has_gps else 0) + (6 if has_rgb else 0)
     if intensity is None:
         intensity = np.zeros(n, dtype=np.uint16)
 
@@ -518,14 +592,23 @@ def write_laz(
         raw = struct.pack("<iiiHBBbBH", *first)
         if has_gps:
             raw += struct.pack("<d", float(gps_time[i0]))
+        rgb_raw = b""
+        if has_rgb:
+            rgb_raw = struct.pack(
+                "<HHH", int(rgb[0][i0]), int(rgb[1][i0]), int(rgb[2][i0])
+            )
+            raw += rgb_raw
         first_raws.append(raw)
         enc = _Encoder()
         pt = _Point10v2Writer(enc, first)
         gt = _GpsTime11v2Writer(enc, int(gbits[i0])) if has_gps else None
+        cb = _Rgb12v2Writer(enc, rgb_raw) if has_rgb else None
         for i in range(i0 + 1, i0 + n_chunk):
             pt.write(raw_tuple(i))
             if gt is not None:
                 gt.write(int(gbits[i]))
+            if cb is not None:
+                cb.write(int(rgb[0][i]), int(rgb[1][i]), int(rgb[2][i]))
         chunks.append(enc.done())
         done += n_chunk
 
@@ -533,7 +616,11 @@ def write_laz(
     # u16 coder, u8 ver_major, u8 ver_minor, u16 ver_rev, u32 options,
     # u32 chunk_size @12, i64 num_special_evlrs, i64 num_raw_points,
     # u16 num_items @32, then (type, size, version) triples)
-    items = [(6, 20, 2)] + ([(7, 8, 2)] if has_gps else [])
+    items = (
+        [(6, 20, 2)]
+        + ([(7, 8, 2)] if has_gps else [])
+        + ([(8, 6, 2)] if has_rgb else [])
+    )
     vlr_payload = struct.pack("<HH", 2, 0)
     vlr_payload += struct.pack("<BBH", 2, 2, 0)  # version major/minor/rev
     vlr_payload += struct.pack("<I", 0)  # options
@@ -588,3 +675,37 @@ def write_laz(
         for raw, comp in zip(first_raws, chunks):
             f.write(raw)
             f.write(comp)
+
+
+def write_laz_tiles(points_ds, out_dir: str, scale: float = 0.01):
+    """Distributed LAZ sink: one compressed ``{tile_id}.laz`` per 1 km
+    tile (partitioned, resumable-shaped output — the S2 surface at the
+    Ray layer, exceeding the reference's stubbed writer). Expects the
+    engine's points schema (tile_id, x, y, z, classification, and
+    optionally is_ground/doc_id ignored). Returns a (tile_id, path,
+    n_points) manifest Dataset; consume it to drive the writes."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_tile(g: pd.DataFrame) -> pd.DataFrame:
+        tile_id = g["tile_id"].iloc[0]
+        path = os.path.join(out_dir, f"{tile_id}.laz")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        write_laz(
+            tmp,
+            g["x"].to_numpy(),
+            g["y"].to_numpy(),
+            g["z"].to_numpy(),
+            g["classification"].to_numpy(),
+            scale=scale,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {"tile_id": [tile_id], "path": [path], "n_points": [len(g)]}
+        )
+
+    return points_ds.groupby("tile_id").map_groups(write_tile, batch_format="pandas")

@@ -110,3 +110,62 @@ def test_reference_fixture_reencode(tmp_path):
     assert (e["classification"] == d["classification"]).all()
     assert (e["intensity"] == d["intensity"]).all()
     assert (e["gps_time"] == d["gps_time"]).all()
+
+
+def test_rgb_round_trip_formats_2_and_3(tmp_path):
+    """RGB12 v2: gray points (bit 6 clear), correlated colors, and
+    byte extremes all round-trip bit-exact in formats 2 and 3."""
+    rng = np.random.default_rng(3)
+    n = 2000
+    x = np.round(rng.uniform(0, 1000, n), 2)
+    y = np.round(rng.uniform(0, 1000, n), 2)
+    z = np.round(rng.uniform(0, 100, n), 2)
+    cls = rng.integers(1, 18, n).astype(np.uint8)
+    inten = rng.integers(0, 65535, n).astype(np.uint16)
+    gps = np.sort(rng.uniform(1e5, 1e5 + 50, n))
+    r = rng.integers(0, 65536, n).astype(np.uint16)
+    g = np.where(
+        rng.random(n) < 0.3, r, (r + rng.integers(-300, 300, n)) & 0xFFFF
+    ).astype(np.uint16)
+    b = np.where(
+        rng.random(n) < 0.3, r, (g.astype(int) + rng.integers(-300, 300, n)) & 0xFFFF
+    ).astype(np.uint16)
+
+    p3 = str(tmp_path / "f3.laz")
+    write_laz(p3, x, y, z, cls, inten, gps, rgb=(r, g, b), chunk_size=300)
+    d = read_laz_points(p3)
+    np.testing.assert_allclose(d["x"], x, atol=1e-9)
+    assert (d["red"] == r).all() and (d["green"] == g).all() and (d["blue"] == b).all()
+    assert (d["gps_time"] == gps).all()
+
+    p2 = str(tmp_path / "f2.laz")
+    write_laz(p2, x, y, z, cls, inten, rgb=(r, g, b), chunk_size=500)
+    d2 = read_laz_points(p2)
+    assert (d2["red"] == r).all() and (d2["green"] == g).all() and (d2["blue"] == b).all()
+    assert (d2["gps_time"] == 0).all()
+
+
+def test_write_laz_tiles_sink(tmp_path, ray_session):
+    """Distributed sink: one .laz per tile, readable back through the
+    Ray source with identical quantized points."""
+    import ray.data as rd
+
+    from lasutility_ray.sources.laz import read_laz_dataset
+    from lasutility_ray.sources.laz_writer import write_laz_tiles
+    from lasutility_ray.stages.tiling import points_dataset
+
+    pts = points_dataset(rd.range(3000), doc_col="id").select_columns(
+        ["tile_id", "x", "y", "z", "classification"]
+    )
+    out = str(tmp_path / "laz_tiles")
+    manifest = write_laz_tiles(pts, out).to_pandas()
+    assert manifest["n_points"].sum() == 3000
+    assert len(manifest) == manifest["tile_id"].nunique()
+
+    back = read_laz_dataset(manifest["path"].tolist()).to_pandas()
+    assert len(back) == 3000
+    src = pts.to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
+    got = back.sort_values(["x", "y"]).reset_index(drop=True)
+    np.testing.assert_allclose(got["x"], np.round(src["x"], 2), atol=0.005 + 1e-9)
+    np.testing.assert_allclose(got["z"], np.round(src["z"], 2), atol=0.005 + 1e-9)
+    assert (got["classification"].to_numpy() == src["classification"].to_numpy()).all()
