@@ -288,15 +288,109 @@ def _shingle_set_rows(ds, id_col: str, text_col: str):
     return ds.map_batches(sigs, batch_format="pyarrow")
 
 
-def _verify_pairs_jaccard(cands, ds, id_col: str, text_col: str, threshold: float):
-    """Exact-Jaccard verification of a candidate (a, b) pair Dataset,
-    fully in-cluster: the pairs co-group twice against a per-doc
-    shingle-set table (on a, then on b — ``cogroup.lookup_join``) and
-    the set intersection runs inside map_batches on the joined rows.
-    Nothing corpus-proportional ever lands on the driver."""
+VERIFY_SMALL_LIMIT = 2_000_000  # candidate pairs that fit one verify task
+
+
+def _block_as_table(x) -> pa.Table:
+    """Dataset block -> pa.Table (``to_arrow_refs`` can surface pandas
+    blocks for stages that ran in pandas format)."""
+    return x if isinstance(x, pa.Table) else pa.Table.from_pandas(x, preserve_index=False)
+
+
+def _verify_pairs_jaccard(cands, ds, id_col: str, text_col: str, threshold: float,
+                          small_limit: int = VERIFY_SMALL_LIMIT):
+    """Exact-Jaccard verification of a candidate (a, b) pair Dataset.
+    Nothing corpus-proportional ever lands on the driver in either
+    path:
+
+    - **small candidate sets** (the normal case — candidates are
+      near-dup evidence, orders below the corpus): one Ray task pulls
+      the candidate blocks, the needed shingle sets are filtered out
+      of the corpus with a broadcast id set, and the task verifies —
+      two narrow passes, no shuffle.
+    - **huge candidate sets**: the pairs co-group twice against the
+      per-doc shingle-set table (on a, then on b —
+      ``cogroup.lookup_join``) and verification runs inside
+      map_batches on the joined rows.
+    """
+    import ray as _ray
+    import ray.data as _rd
+
     from .cogroup import lookup_join
 
-    sig = _shingle_set_rows(ds, id_col, text_col)
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    cands = cands.materialize()
+    as_table = _block_as_table
+    n_cands = cands.count()
+    if n_cands == 0:
+        return _rd.from_arrow(empty)
+
+    if n_cands <= small_limit:
+        cand_refs = cands.to_arrow_refs()
+
+        @_ray.remote
+        def id_set(refs):
+            ts = [as_table(t) for t in _ray.get(list(refs))]
+            ts = [t for t in ts if t.num_rows]
+            t = pa.concat_tables(ts)
+            return np.unique(
+                np.concatenate(
+                    [t.column("a").to_numpy(), t.column("b").to_numpy()]
+                ).astype(np.int64)
+            )
+
+        need_ref = id_set.remote(cand_refs)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            wanted = _ray.get(need_ref)
+            ids = batch.column(id_col).to_numpy()
+            mask = np.isin(ids, wanted)
+            return batch.filter(pa.array(mask))
+
+        sig_refs = (
+            _shingle_set_rows(
+                ds.map_batches(pick, batch_format="pyarrow"), id_col, text_col
+            )
+        ).to_arrow_refs()
+
+        @_ray.remote
+        def verify_task(c_refs, s_refs):
+            ct = pa.concat_tables(
+                [t for t in map(as_table, _ray.get(list(c_refs))) if t.num_rows]
+            )
+            st_list = [t for t in map(as_table, _ray.get(list(s_refs))) if t.num_rows]
+            if not st_list:
+                return empty
+            st = pa.concat_tables(st_list)
+            lookup = dict(zip(st.column("id").to_pylist(), st.column("sh").to_pylist()))
+            a = ct.column("a").to_numpy()
+            b = ct.column("b").to_numpy()
+            jac = np.empty(len(a), dtype=np.float64)
+            for i in range(len(a)):
+                u = np.frombuffer(lookup[a[i]], dtype=np.uint64)
+                v = np.frombuffer(lookup[b[i]], dtype=np.uint64)
+                inter = len(np.intersect1d(u, v, assume_unique=True))
+                union = len(u) + len(v) - inter
+                jac[i] = inter / union if union else 1.0
+            keep = jac >= threshold
+            return pa.table(
+                {
+                    "a": pa.array(a[keep], pa.int64()),
+                    "b": pa.array(b[keep], pa.int64()),
+                    "jaccard": pa.array(jac[keep], pa.float64()),
+                }
+            )
+
+        return _rd.from_arrow(_ray.get(verify_task.remote(cand_refs, sig_refs)))
+
+    # huge-candidate fallback: co-grouped joins, fully distributed
+    sig = _shingle_set_rows(ds, id_col, text_col).materialize()
 
     j1 = lookup_join(cands, sig, "a", "id", {"sh": "sh_a"})
     j2 = lookup_join(
@@ -447,34 +541,71 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                        threshold: float = 0.5):
+                        threshold: float = 0.8, freq_sample_docs: int = 2000):
     """EXACT word-3-gram Jaccard join via prefix filtering (the
-    AllPairs/PPJoin idea): if J(A, B) >= t, the two docs' hash-sorted
-    shingle prefixes of length floor((1 - t)|S|) + 1 must intersect,
-    so emitting only prefix shingles as bucket keys finds every
-    qualifying pair. Candidates are verified with exact set Jaccard
-    (``_verify_pairs_jaccard``), so the output is exactly the >= t
-    pairs — unlike round 1's first-token buckets, which both missed
-    cross-bucket pairs and put a large fraction of real web text into
-    the "the"-bucket's O(n^2) loop."""
+    AllPairs/PPJoin idea): if J(A, B) >= t, the two docs' shingle
+    prefixes of length floor((1 - t)|S|) + 1 under a shared total
+    order must intersect, so emitting only prefix shingles as bucket
+    keys finds every qualifying pair. The total order is
+    **rarest-first** — (sampled document frequency asc, hash asc) —
+    so prefixes hold each doc's most distinctive shingles and popular
+    template shingles stop exploding the candidate buckets (the
+    AllPairs frequency ordering; any deterministic shared order keeps
+    the theorem exact, so a fixed-size sampled df table suffices).
+    The in-bucket length filter (t <= |A|/|B| <= 1/t, also exact)
+    prunes further before verification with exact set Jaccard
+    (``_verify_pairs_jaccard``) — the output is exactly the >= t
+    pairs, unlike round 1's first-token buckets which missed
+    cross-bucket pairs AND put a large fraction of real web text into
+    one O(n^2) bucket. Prefix volume still scales with (1 - t); very
+    low thresholds make any exact set-similarity join quadratic-ish."""
+
+    # sampled document-frequency table (fixed size — not a corpus
+    # materialization), broadcast once
+    sample_texts = (
+        ds.limit(freq_sample_docs).select_columns([text_col]).to_pandas()[text_col]
+    )
+    all_sh = (
+        np.concatenate([np.unique(_shingle_hashes(t)) for t in sample_texts])
+        if len(sample_texts)
+        else np.empty(0, np.uint64)
+    )
+    f_sh, f_df = np.unique(all_sh, return_counts=True)
+    keep_f = f_df >= 2  # singletons carry no ordering signal
+    freq_ref = ray.put((f_sh[keep_f], f_df[keep_f]))
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
+        f_sh_b, f_df_b = ray.get(freq_ref)
         ids = batch.column(id_col).to_numpy()
         texts = batch.column(text_col).to_pylist()
         out_sh: list = []
         out_id: list = []
+        out_n: list = []
         for i, t in enumerate(texts):
-            sh = np.unique(_shingle_hashes(t))  # sorted = the total order
-            p = int((1.0 - threshold) * len(sh)) + 1
-            pref = sh[:p]
+            sh = np.unique(_shingle_hashes(t))
+            if len(f_sh_b):
+                pos = np.minimum(np.searchsorted(f_sh_b, sh), len(f_sh_b) - 1)
+                df = np.where(f_sh_b[pos] == sh, f_df_b[pos], 0)
+            else:
+                df = np.zeros(len(sh), dtype=np.int64)
+            order = np.lexsort((sh, df))  # rarest first, hash tiebreak
+            # p = n - ceil(t*n) + 1, with epsilon guarding float
+            # ceil((1-0.8)*10) style misrounding (a short prefix breaks
+            # the completeness theorem; a long one only adds candidates)
+            n_sh_i = len(sh)
+            p = n_sh_i - int(np.ceil(threshold * n_sh_i - 1e-9)) + 1
+            pref = sh[order[:p]]
             out_sh.append(pref)
             out_id.append(np.full(len(pref), ids[i], dtype=np.int64))
+            out_n.append(np.full(len(pref), len(sh), dtype=np.int64))
         sh_flat = np.concatenate(out_sh) if out_sh else np.empty(0, np.uint64)
         id_flat = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        n_flat = np.concatenate(out_n) if out_n else np.empty(0, np.int64)
         return pa.table(
             {
                 "shingle": pa.array(sh_flat.astype(np.int64), pa.int64()),
                 "id": pa.array(id_flat, pa.int64()),
+                "n_sh": pa.array(n_flat, pa.int64()),
                 "bucket": pa.array(
                     (sh_flat % np.uint64(N_SHUFFLE_BUCKETS)).astype(np.int64)
                 ),
@@ -482,10 +613,20 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            _bucket_pairs(sub) for _, sub in g.groupby("shingle", sort=False)
-        ]
-        outs = [o for o in outs if len(o)]
+        outs = []
+        for _, sub in g.groupby("shingle", sort=False):
+            sub = sub.drop_duplicates("id").sort_values("id")
+            if len(sub) < 2:
+                continue
+            ids = sub["id"].to_numpy()
+            sizes = sub["n_sh"].to_numpy()
+            ai, bi = np.triu_indices(len(ids), k=1)
+            # length filter (exact): J >= t forces t <= |A|/|B| <= 1/t;
+            # epsilon guards float products like 0.8*10 = 8.0000000002
+            sa, sb = sizes[ai], sizes[bi]
+            ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+            if ok.any():
+                outs.append(pd.DataFrame({"a": ids[ai][ok], "b": ids[bi][ok]}))
         if not outs:
             return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
         return pd.concat(outs, ignore_index=True).drop_duplicates()
@@ -501,20 +642,82 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 # ------------------------------------- duplicate-group resolution
 
 
-def duplicate_components(pairs_ds, max_iters: int = 50):
+LOCAL_CC_EDGE_LIMIT = 5_000_000  # ~80 MB of edge pairs in one task
+
+
+def _cc_numpy(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Vectorized connected components over an edge list: min-label
+    propagation with pointer doubling — O(E) numpy work per pass,
+    O(log diameter) passes."""
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ua, ub = inv[: len(a)], inv[len(a) :]
+    lab = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        m = lab.copy()
+        np.minimum.at(m, ua, lab[ub])
+        np.minimum.at(m, ub, lab[ua])
+        m = np.minimum(m, m[m])  # pointer doubling
+        if (m == lab).all():
+            break
+        lab = m
+    # uniq is ascending, so the min INDEX is the min node id
+    return pa.table(
+        {
+            "node": pa.array(uniq, pa.int64()),
+            "component": pa.array(uniq[lab], pa.int64()),
+        }
+    )
+
+
+def duplicate_components(
+    pairs_ds, max_iters: int = 50, local_edge_limit: int = LOCAL_CC_EDGE_LIMIT
+):
     """Connected components over a near-dup pair graph -> (node,
     component) where component = min node id reachable — the
     "keep one per duplicate cluster" resolution step (keep id ==
     component id).
 
-    Distributed min-label propagation, fully in-cluster: labels start
-    as node ids; each round co-groups the label table across edges
-    (``cogroup.lookup_join`` on u), unions the self-labels, and takes
-    the per-node Min; converges in O(diameter) rounds. The driver sees
-    ONE scalar per round (count of changed labels) — round 1
-    collected and re-broadcast the whole label table every round,
-    which breaks on a giant near-dup component.
+    The pair graph is orders of magnitude smaller than the corpus (its
+    rows are the near-duplicates), so the default path runs the whole
+    CC in ONE Ray task: block refs stream to the task (never the
+    driver) and a vectorized numpy min-label propagation with pointer
+    doubling finishes in O(log diameter) passes. Graphs above
+    ``local_edge_limit`` edges fall back to fully-distributed
+    iterative label propagation (``cogroup.lookup_join`` across the
+    edge list per round, ONE monotone-sum scalar to the driver per
+    round) — each distributed round costs a few shuffles, which is
+    exactly why the small-graph case should never use it.
     """
+    import ray as _ray
+    import ray.data as _rd
+
+    n_edges = pairs_ds.count()
+    if n_edges == 0:
+        return _rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+            )
+        )
+    if n_edges <= local_edge_limit:
+        blocks = pairs_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": t.column("a").combine_chunks().cast(pa.int64()),
+                    "b": t.column("b").combine_chunks().cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+
+        @_ray.remote
+        def cc_task(refs):
+            tables = [_block_as_table(x) for x in _ray.get(list(refs))]
+            t = pa.concat_tables([x for x in tables if x.num_rows])
+            return _cc_numpy(t.column("a").to_numpy(), t.column("b").to_numpy())
+
+        out = _ray.get(cc_task.remote(blocks))
+        return _rd.from_arrow(out).sort("node")
+
     from ray.data.aggregate import Min
 
     from .cogroup import lookup_join
@@ -550,8 +753,9 @@ def duplicate_components(pairs_ds, max_iters: int = 50):
         .materialize()
     )
 
+    prev_sum = int(cur.sum("label"))
     for _ in range(max_iters):
-        # candidate labels flowing across edges: label(u) pushed to v
+        # labels flowing across edges: label(u) pushed to v
         pushed = lookup_join(edges, cur, "u", "node", {"label": "plabel"}).map_batches(
             lambda t: pa.table({"node": t.column("v"), "plabel": t.column("plabel")}),
             batch_format="pyarrow",
@@ -567,32 +771,14 @@ def duplicate_components(pairs_ds, max_iters: int = 50):
             .materialize()
         )
 
-        # convergence: ONE scalar to the driver (count of changed rows)
-        changed = (
-            lookup_join(new, cur, "node", "node", {"label": "label_old"})
-            .map_batches(
-                lambda t: pa.table(
-                    {
-                        "c": pa.array(
-                            [
-                                int(
-                                    (
-                                        t.column("label").to_numpy()
-                                        != t.column("label_old").to_numpy()
-                                    ).sum()
-                                )
-                            ],
-                            pa.int64(),
-                        )
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .sum("c")
-        )
+        # convergence: labels only ever DECREASE, so the label sum is
+        # strictly monotone until the fixed point — ONE scalar per
+        # round, no comparison join
+        new_sum = int(new.sum("label"))
         cur = new
-        if not changed:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return cur.rename_columns({"label": "component"}).sort("node")
 
 

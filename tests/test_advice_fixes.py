@@ -191,6 +191,39 @@ def test_embedding_lsh_banded_recall(ray_session):
     assert len(t & a) / len(t) >= 0.8
 
 
+# ------------------------------------------------- ngram exactness
+
+
+def test_ngram_prefix_filter_boundary_pair(ray_session):
+    """A subset pair with J exactly == threshold: |A|=8 of |B|=10
+    shingles gives J = 8/10 = 0.8. Float prefix-length arithmetic
+    (int((1-0.8)*10)+1 == 2, not 3) silently dropped such pairs; the
+    integer-exact prefix length and the epsilon-guarded length filter
+    must keep them."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.dedup import jaccard, ngram_jaccard_pairs
+
+    words = [f"tok{i}" for i in range(12)]
+    text_b = " ".join(words)  # 10 word-trigram shingles
+    text_a = " ".join(words[:10])  # 8 shingles, all contained in B
+    assert jaccard(text_a, text_b) == 0.8
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([text_a, text_b], pa.string()),
+            }
+        )
+    )
+    out = ngram_jaccard_pairs(ds, threshold=0.8).to_pandas()
+    assert set(zip(out["a"], out["b"])) == {(1, 2)}
+    assert float(out["jaccard"].iloc[0]) == 0.8
+
+
 # ------------------------------------------------- peaks empty mask
 
 
