@@ -8,13 +8,12 @@ Five families (each a first-class ``queries()`` entry):
   only hashes, never text.
 - **MinHash + LSH**: word-shingle -> 64 minhash permutations -> 16
   bands of 4 -> ``groupby(band_key)`` bucket join -> candidate pairs
-  -> exact-Jaccard verification. Banded groupby is the only wide
-  step; verification joins shingle signatures co-grouped with the
-  candidates.
+  -> exact-Jaccard verification (in ONE Ray task for normal-sized
+  candidate sets; co-grouped joins for huge ones).
 - **SimHash**: 64-bit simhash over word features; candidates share
   one of four 16-bit chunks; verified by Hamming distance <= 3.
-- **n-gram Jaccard**: exact Jaccard over word 3-gram sets within
-  cheap prefix buckets (first token) — the brute-force baseline.
+- **n-gram Jaccard**: EXACT set-similarity join via rarest-first
+  prefix filtering (AllPairs/PPJoin) + length filter + verification.
 - **embedding cosine**: exact all-pairs cosine >= threshold over the
   embeddings table (numpy matmul per batch against a broadcast
   matrix) — DuckDB-checkable; the LSH-bucketed variant

@@ -31,6 +31,33 @@ FP_BASE = 1000003
 FP_MOD = (1 << 61) - 1
 
 
+def _flat_lower_tokens(toks: pd.Series, lens: np.ndarray):
+    """Token lists -> (flat lowercased token array, per-token doc
+    index). One python comprehension flattens; lowering and
+    membership run as numpy C kernels afterwards."""
+    n = len(toks)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    if doc_idx.size == 0:
+        return np.empty(0, dtype=object), doc_idx
+    flat = np.array([w for ws in toks for w in ws], dtype=object)
+    low = np.char.lower(flat.astype(str)).astype(object)
+    return low, doc_idx
+
+
+def _hits_per_doc(low, doc_idx, n_docs: int, table: np.ndarray) -> np.ndarray:
+    """Per-doc count of tokens found in a sorted word table —
+    vectorized isin + bincount (empty-doc safe)."""
+    if low.size == 0:
+        return np.zeros(n_docs, dtype=np.int64)
+    hits = np.isin(low, table)
+    return np.bincount(doc_idx, weights=hits, minlength=n_docs).astype(np.int64)
+
+
+def _stop_hits(toks: pd.Series, lens: np.ndarray, table: np.ndarray) -> np.ndarray:
+    low, doc_idx = _flat_lower_tokens(toks, lens)
+    return _hits_per_doc(low, doc_idx, len(toks), table)
+
+
 class TextStats:
     """Actor-pool stage: token counts + quality columns.
 
@@ -43,18 +70,16 @@ class TextStats:
         import re
 
         self.token_re = re.compile(TOKEN_RE)
-        self.stop_en = frozenset(STOPWORDS["en"])
+        self.stop_en = np.sort(np.array(STOPWORDS["en"], dtype=object))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         s = batch["text"]
         toks = s.str.findall(self.token_re)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
         batch["n_chars"] = s.str.len().astype("int64")
-        batch["n_tokens"] = toks.map(len).astype("int64")
+        batch["n_tokens"] = lens
         batch["alpha_chars"] = s.str.count(r"[A-Za-z]").astype("int64")
-        stop = self.stop_en
-        batch["stop_hits_en"] = toks.map(
-            lambda ws: sum(1 for w in ws if w.lower() in stop)
-        ).astype("int64")
+        batch["stop_hits_en"] = _stop_hits(toks, lens, self.stop_en)
         # BPE-ish pretokenizer count: letter runs / digit runs /
         # punctuation runs (the GPT-2 pretokenizer shape minus
         # lookahead, so the same regex runs in RE2/DuckDB)
@@ -88,15 +113,20 @@ class LangId:
         import re
 
         self.token_re = re.compile(TOKEN_RE)
-        self.tables = {lang: frozenset(STOPWORDS[lang]) for lang in LANG_ORDER}
+        self.tables = {
+            lang: np.sort(np.array(STOPWORDS[lang], dtype=object))
+            for lang in LANG_ORDER
+        }
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch["text"].str.lower().str.findall(self.token_re)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        low, doc_idx = _flat_lower_tokens(toks, lens)
         scores = {
-            lang: toks.map(lambda ws, t=t: sum(1 for w in ws if w in t))
+            lang: _hits_per_doc(low, doc_idx, len(toks), t)
             for lang, t in self.tables.items()
         }
-        m = pd.DataFrame(scores)
+        m = pd.DataFrame(scores, index=batch.index)
         best = m.idxmax(axis=1)  # first max in column order = LANG_ORDER
         best = best.where(m.max(axis=1) > 0, "und")
         batch["lang_pred"] = best.to_numpy()
