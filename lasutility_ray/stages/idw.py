@@ -95,29 +95,43 @@ def idw_join(points_ds, query_pred, radius: float = RADIUS_M):
         qid = q["doc_id"].to_numpy()
         cid = c["doc_id"].to_numpy()
         cz = c["z"].to_numpy()
-        rows = {"q_doc_id": [], "idw_z": [], "n_neighbors": []}
-        for i in range(len(qid)):
-            m = (d2[i] <= r2) & (cid != qid[i])
-            if not m.any():
-                continue
-            di = d2[i][m]
-            zi = cz[m]
-            exact = di == 0.0
-            if exact.any():
-                val = float(zi[exact].min())  # coincident: IDW limit (min z tie rule)
-            else:
-                w = 1.0 / di
-                val = float((zi * w).sum() / w.sum())
-            rows["q_doc_id"].append(qid[i])
-            rows["idw_z"].append(round(val, 6))
-            rows["n_neighbors"].append(int(m.sum()))
-        if not rows["q_doc_id"]:
+
+        # vectorized over all (query, neighbor) pairs: per-query sums
+        # via bincount; the candidate side is pre-sorted by doc_id so
+        # the accumulation order (and float result) matches the
+        # per-query loop exactly
+        mask = (d2 <= r2) & (cid[None, :] != qid[:, None])
+        qi, ci = np.nonzero(mask)
+        if len(qi) == 0:
             return empty
+        pd2 = d2[qi, ci]
+        pz = cz[ci]
+        nq = len(qid)
+        n_nb = np.bincount(qi, minlength=nq).astype(np.int64)
+
+        exact = pd2 == 0.0
+        has_exact = np.zeros(nq, dtype=bool)
+        has_exact[qi[exact]] = True
+        # coincident neighbors: IDW limit = min z among exact matches
+        exact_min = np.full(nq, np.inf)
+        np.minimum.at(exact_min, qi[exact], pz[exact])
+
+        w = np.zeros(len(qi))
+        nz = ~exact
+        w[nz] = 1.0 / pd2[nz]
+        wsum = np.bincount(qi, weights=w, minlength=nq)
+        wzsum = np.bincount(qi, weights=w * pz, minlength=nq)
+
+        hit = n_nb > 0
+        val = np.where(
+            has_exact, exact_min, np.divide(wzsum, np.where(wsum > 0, wsum, 1.0))
+        )
+        out_q = qid[hit]
         return pd.DataFrame(
             {
-                "q_doc_id": pd.Series(rows["q_doc_id"], dtype="int64"),
-                "idw_z": pd.Series(rows["idw_z"], dtype="float64"),
-                "n_neighbors": pd.Series(rows["n_neighbors"], dtype="int64"),
+                "q_doc_id": pd.Series(out_q, dtype="int64"),
+                "idw_z": pd.Series(np.round(val[hit], 6), dtype="float64"),
+                "n_neighbors": pd.Series(n_nb[hit], dtype="int64"),
             }
         )
 

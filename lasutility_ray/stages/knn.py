@@ -168,24 +168,36 @@ def knn_join(points_ds, query_pred, k: int = K_NEIGHBORS, radius: float = RADIUS
         d2 = dx * dx + dy * dy
         qids = q["id"].to_numpy()
         cids = c["id"].to_numpy()
-        rows = {"q_doc_id": [], "neighbor_id": [], "rank": [], "d2": []}
-        for i in range(len(qids)):
-            mask = (d2[i] <= r2) & (cids != qids[i])
-            if not mask.any():
-                continue
-            cd = d2[i][mask]
-            ci = cids[mask]
-            order = np.lexsort((ci, cd))[:k]
-            rows["q_doc_id"].extend([qids[i]] * len(order))
-            rows["neighbor_id"].extend(ci[order].tolist())
-            rows["rank"].extend(range(1, len(order) + 1))
-            rows["d2"].extend(cd[order].tolist())
+
+        # fully vectorized top-k: flatten qualifying (query, candidate)
+        # pairs, ONE lexsort by (query, d2, neighbor id) — identical
+        # tie rule to the per-query loop — then keep within-group rank
+        # < k via cumulative position
+        mask = (d2 <= r2) & (cids[None, :] != qids[:, None])
+        qi, ci = np.nonzero(mask)
+        if len(qi) == 0:
+            return pd.DataFrame(
+                {
+                    "q_doc_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "rank": pd.Series(dtype="int64"),
+                    "d2": pd.Series(dtype="float64"),
+                }
+            )
+        pd2 = d2[qi, ci]
+        pcid = cids[ci]
+        order = np.lexsort((pcid, pd2, qi))
+        qs, ds_, ns = qi[order], pd2[order], pcid[order]
+        first = np.flatnonzero(np.diff(qs, prepend=qs[0] - 1) != 0)
+        group_start = np.repeat(first, np.diff(np.append(first, len(qs))))
+        rank = np.arange(len(qs), dtype=np.int64) - group_start
+        keep = rank < k
         return pd.DataFrame(
             {
-                "q_doc_id": pd.Series(rows["q_doc_id"], dtype="int64"),
-                "neighbor_id": pd.Series(rows["neighbor_id"], dtype="int64"),
-                "rank": pd.Series(rows["rank"], dtype="int64"),
-                "d2": pd.Series(rows["d2"], dtype="float64"),
+                "q_doc_id": pd.Series(qids[qs[keep]], dtype="int64"),
+                "neighbor_id": pd.Series(ns[keep], dtype="int64"),
+                "rank": pd.Series(rank[keep] + 1, dtype="int64"),
+                "d2": pd.Series(ds_[keep], dtype="float64"),
             }
         )
 
