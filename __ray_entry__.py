@@ -347,6 +347,20 @@ def q_dup_components(sf_dir: str):
     return duplicate_components(embedding_nn_pairs(emb, threshold=0.45))
 
 
+def q_dedup_survivors(sf_dir: str):
+    """End-to-end corpus dedup (the "switch to the deduplicated
+    corpus" pipeline): exact content-hash dedup composed with near-dup
+    cluster resolution over the embedding graph; full SQL oracle
+    (md5 grouping + recursive-CTE components)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.dedup import dedup_corpus
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return dedup_corpus(docs, emb, threshold=0.45)
+
+
 def q_ann_topk(sf_dir: str):
     import ray.data as rd
 
@@ -744,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embed_lsh_pairs": q_embed_lsh_pairs,
         "q_embed_lsh_recall": q_embed_lsh_recall,
         "q_dup_components": q_dup_components,
+        "q_dedup_survivors": q_dedup_survivors,
         "q_ann_topk": q_ann_topk,
         "q_ann_topk_ivf": q_ann_topk_ivf,
         "q_ann_recall": q_ann_recall,
@@ -905,6 +920,22 @@ def oracle_sql() -> dict[str, str]:
             "  UNION SELECT node, node FROM (SELECT DISTINCT u AS node FROM sym) "
             "  UNION SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u) "
             "SELECT node, min(r) AS component FROM reach GROUP BY node"
+        ),
+        "q_dedup_survivors": (
+            "WITH RECURSIVE edges AS ("
+            "  SELECT a.vec_id AS u, b.vec_id AS v FROM embeddings a "
+            "  JOIN embeddings b ON a.vec_id < b.vec_id "
+            "  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "  CAST(b.embedding AS DOUBLE[])) >= 0.45), "
+            "sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
+            "reach AS ("
+            "  SELECT u AS node, v AS r FROM sym "
+            "  UNION SELECT node, node FROM (SELECT DISTINCT u AS node FROM sym) "
+            "  UNION SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u), "
+            "comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node), "
+            "exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) "
+            "SELECT doc_id FROM exact_keep "
+            "WHERE doc_id NOT IN (SELECT node FROM comp WHERE node != component)"
         ),
         "q_ann_topk": (
             "WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "

@@ -912,3 +912,52 @@ def embedding_lsh_pairs(
     )
     # cross-table dedup (cosines are identical across tables)
     return pairs.groupby(["a", "b"]).aggregate(Max("pcos", alias_name="cosine"))
+
+
+# ------------------------------------------- end-to-end corpus dedup
+
+
+def dedup_corpus(docs_ds, emb_ds, id_col: str = "doc_id", text_col: str = "text",
+                 threshold: float = COSINE_THRESHOLD):
+    """End-to-end training-corpus dedup: exact content-hash dedup
+    (min doc_id per md5 survives) composed with near-dup CLUSTER
+    resolution over the embedding-cosine pair graph (only each
+    component's min id survives). Returns the surviving doc ids — the
+    "switch your corpus to the deduplicated one" pipeline.
+
+    The drop set (non-representative members of near-dup components)
+    is assembled in a Ray task from block refs and broadcast once via
+    ``ray.put`` — it is bounded by the number of near-duplicate docs,
+    never the corpus.
+    """
+    keep = exact_dedup(docs_ds, id_col, text_col)
+    comp = duplicate_components(embedding_nn_pairs(emb_ds, threshold=threshold))
+
+    drop_refs = comp.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node").filter(
+                    pa.compute.not_equal(t.column("node"), t.column("component"))
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_arrow_refs()
+
+    @ray.remote
+    def drop_set(refs):
+        ts = [_block_as_table(t) for t in ray.get(list(refs))]
+        ts = [t for t in ts if t.num_rows]
+        if not ts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(pa.concat_tables(ts).column("node").to_numpy())
+
+    drop_ref = drop_set.remote(drop_refs)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        drop = ray.get(drop_ref)
+        ids = t.column("keep_id").to_numpy()
+        m = ~np.isin(ids, drop)
+        return pa.table({"doc_id": pa.array(ids[m], pa.int64())})
+
+    return keep.map_batches(survivors, batch_format="pyarrow")
