@@ -639,8 +639,52 @@ def read_laz_points(path: str):
             laszip_vlr = data[off + 54 : off + 54 + rlen]
         off += 54 + rlen
 
-    if pfmt not in (0, 1, 2, 3):
+    if pfmt not in (0, 1, 2, 3, 6, 7, 8):
         raise NotImplementedError(f"point format {pfmt}")
+
+    # LAS 1.4: the legacy u32 count is 0 for point formats 6+ (and for
+    # files over 2^32 points); the real u64 count lives at offset 247
+    if data[25] >= 4 and hdr_size >= 255:
+        (n64,) = struct.unpack_from("<Q", data, 247)
+        if npoints == 0 and n64:
+            npoints = n64
+
+    if pfmt >= 6:
+        # POINT14-family (LAS 1.4 formats 6/7/8), plain records only —
+        # the layered compressor-3 LAZ scheme is not implemented
+        # (reference analogue: LasZipNetReader.cs delegates to the
+        # LASzip codec)
+        if compressed:
+            raise NotImplementedError(
+                "compressed point formats 6+ (laszip layered compressor 3)"
+            )
+        names = [
+            "X", "Y", "Z", "intensity", "returns", "flags",
+            "classification", "user", "scan_angle", "psid", "gps",
+        ]
+        formats = ["<i4", "<i4", "<i4", "<u2", "u1", "u1", "u1", "u1", "<i2", "<u2", "<f8"]
+        offsets = [0, 4, 8, 12, 14, 15, 16, 17, 18, 20, 22]
+        if pfmt >= 7:
+            names += ["red", "green", "blue"]
+            formats += ["<u2", "<u2", "<u2"]
+            offsets += [30, 32, 34]
+        dt = np.dtype(
+            {"names": names, "formats": formats, "offsets": offsets, "itemsize": rec_len}
+        )
+        arr = np.frombuffer(data, dtype=dt, count=npoints, offset=pdr_off)
+        has_color = pfmt >= 7
+        return {
+            "x": arr["X"].astype(np.int64) * sx + ox,
+            "y": arr["Y"].astype(np.int64) * sy + oy,
+            "z": arr["Z"].astype(np.int64) * sz + oz,
+            "classification": arr["classification"].copy(),
+            "intensity": arr["intensity"].copy(),
+            "gps_time": arr["gps"].copy(),
+            "red": arr["red"].copy() if has_color else np.zeros(npoints, np.uint16),
+            "green": arr["green"].copy() if has_color else np.zeros(npoints, np.uint16),
+            "blue": arr["blue"].copy() if has_color else np.zeros(npoints, np.uint16),
+            "n_points": npoints,
+        }
 
     # internal normalized record layout: [p10:20][gps:8][rgb:6?]
     raw_pts = []
@@ -818,6 +862,113 @@ def write_las(
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(bytes(hdr) + bytes(body))
+    os.replace(tmp, path)
+
+
+def write_las14(
+    path: str,
+    x: np.ndarray,
+    y: np.ndarray,
+    z: np.ndarray,
+    classification: np.ndarray | None = None,
+    intensity: np.ndarray | None = None,
+    gps_time: np.ndarray | None = None,
+    rgb: tuple | None = None,
+    nir: np.ndarray | None = None,
+    scale: float = 0.01,
+) -> None:
+    """Plain LAS 1.4 writer, point format 6 (POINT14), 7 (+RGB) or
+    8 (+RGB+NIR) — the modern point-record family the reference can
+    only reach through its LASzip dependency. 375-byte LAS 1.4
+    header, legacy count fields zeroed per spec, u64 count at 247;
+    atomic tmp+rename."""
+    import os
+
+    n = len(x)
+    has_rgb = rgb is not None
+    has_nir = nir is not None
+    if has_nir and not has_rgb:
+        raise ValueError("format 8 (nir) requires rgb")
+    pfmt = 8 if has_nir else (7 if has_rgb else 6)
+    rec_len = 30 + (6 if has_rgb else 0) + (2 if has_nir else 0)
+
+    ox, oy, oz = (float(np.floor(v.min())) if n else 0.0 for v in (x, y, z))
+    X = np.round((x - ox) / scale).astype(np.int64)
+    Y = np.round((y - oy) / scale).astype(np.int64)
+    Z = np.round((z - oz) / scale).astype(np.int64)
+    cls = (
+        np.zeros(n, dtype=np.uint8)
+        if classification is None
+        else np.asarray(classification, dtype=np.uint8)
+    )
+    inten = (
+        np.zeros(n, dtype=np.uint16)
+        if intensity is None
+        else np.asarray(intensity, dtype=np.uint16)
+    )
+    gps = (
+        np.zeros(n, dtype=np.float64)
+        if gps_time is None
+        else np.asarray(gps_time, dtype=np.float64)
+    )
+
+    hdr = bytearray(375)
+    hdr[0:4] = b"LASF"
+    hdr[24] = 1
+    hdr[25] = 4  # LAS 1.4
+    hdr[26:58] = b"lasutility_ray".ljust(32, b"\0")
+    hdr[58:90] = b"lasutility_ray writer".ljust(32, b"\0")
+    struct.pack_into("<H", hdr, 94, 375)
+    struct.pack_into("<I", hdr, 96, 375)  # point data offset
+    struct.pack_into("<I", hdr, 100, 0)  # n VLRs
+    hdr[104] = pfmt
+    struct.pack_into("<H", hdr, 105, rec_len)
+    struct.pack_into("<I", hdr, 107, 0)  # legacy count MUST be 0 for fmt 6+
+    struct.pack_into("<3d", hdr, 131, scale, scale, scale)
+    struct.pack_into("<3d", hdr, 155, ox, oy, oz)
+    if n:
+        struct.pack_into(
+            "<6d", hdr, 179,
+            float(x.max()), float(x.min()), float(y.max()),
+            float(y.min()), float(z.max()), float(z.min()),
+        )
+    struct.pack_into("<Q", hdr, 247, n)  # u64 number of point records
+
+    # vectorized record assembly via a structured array
+    names = ["X", "Y", "Z", "intensity", "returns", "flags",
+             "classification", "user", "scan_angle", "psid", "gps"]
+    formats = ["<i4", "<i4", "<i4", "<u2", "u1", "u1", "u1", "u1", "<i2", "<u2", "<f8"]
+    offsets = [0, 4, 8, 12, 14, 15, 16, 17, 18, 20, 22]
+    if has_rgb:
+        names += ["red", "green", "blue"]
+        formats += ["<u2", "<u2", "<u2"]
+        offsets += [30, 32, 34]
+    if has_nir:
+        names += ["nir"]
+        formats += ["<u2"]
+        offsets += [36]
+    dt = np.dtype(
+        {"names": names, "formats": formats, "offsets": offsets, "itemsize": rec_len}
+    )
+    arr = np.zeros(n, dtype=dt)
+    arr["X"], arr["Y"], arr["Z"] = X.astype(np.int32), Y.astype(np.int32), Z.astype(np.int32)
+    arr["intensity"] = inten
+    arr["returns"] = 0x11  # return 1 of 1 (bits 0-3 / 4-7)
+    arr["classification"] = cls
+    arr["gps"] = gps
+    if has_rgb:
+        arr["red"], arr["green"], arr["blue"] = (
+            np.asarray(rgb[0], np.uint16),
+            np.asarray(rgb[1], np.uint16),
+            np.asarray(rgb[2], np.uint16),
+        )
+    if has_nir:
+        arr["nir"] = np.asarray(nir, np.uint16)
+
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(bytes(hdr))
+        f.write(arr.tobytes())
     os.replace(tmp, path)
 
 

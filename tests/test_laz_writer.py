@@ -169,3 +169,47 @@ def test_write_laz_tiles_sink(tmp_path, ray_session):
     np.testing.assert_allclose(got["x"], np.round(src["x"], 2), atol=0.005 + 1e-9)
     np.testing.assert_allclose(got["z"], np.round(src["z"], 2), atol=0.005 + 1e-9)
     assert (got["classification"].to_numpy() == src["classification"].to_numpy()).all()
+
+
+def test_las14_point14_formats(tmp_path):
+    """LAS 1.4 POINT14 family (plain formats 6/7/8): 375-byte header,
+    zeroed legacy count + u64 count at 247, full-range u8
+    classification, RGB and NIR channels — write -> read round trips
+    bit-exact on quantized values."""
+    from lasutility_ray.sources.laz import write_las14
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    x = np.round(rng.uniform(0, 2000, n), 2)
+    y = np.round(rng.uniform(0, 2000, n), 2)
+    z = np.round(rng.uniform(-50, 150, n), 2)
+    cls = rng.integers(0, 256, n).astype(np.uint8)
+    inten = rng.integers(0, 65536, n).astype(np.uint16)
+    gps = rng.uniform(3e8, 3e8 + 1e4, n)
+    r, g, b = (rng.integers(0, 65536, n).astype(np.uint16) for _ in range(3))
+    nir = rng.integers(0, 65536, n).astype(np.uint16)
+
+    for args, label in [
+        (dict(), "fmt6"),
+        (dict(rgb=(r, g, b)), "fmt7"),
+        (dict(rgb=(r, g, b), nir=nir), "fmt8"),
+    ]:
+        p = str(tmp_path / f"{label}.las")
+        write_las14(p, x, y, z, cls, inten, gps, **args)
+        d = read_laz_points(p)
+        assert d["n_points"] == n
+        np.testing.assert_allclose(d["x"], x, atol=1e-9)
+        np.testing.assert_allclose(d["z"], z, atol=1e-9)
+        assert (d["classification"] == cls).all()
+        assert (d["intensity"] == inten).all()
+        assert (d["gps_time"] == gps).all()
+        if "rgb" in args:
+            assert (d["red"] == r).all() and (d["blue"] == b).all()
+
+    # compressed 6+ stays an honest error (laszip layered compressor)
+    raw = bytearray(open(str(tmp_path / "fmt6.las"), "rb").read())
+    raw[104] |= 0x80  # flag as compressed
+    pc = tmp_path / "fake_compressed.laz"
+    pc.write_bytes(bytes(raw))
+    with pytest.raises(NotImplementedError, match="compressed point formats 6"):
+        read_laz_points(str(pc))
