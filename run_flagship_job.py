@@ -46,13 +46,18 @@ def main() -> None:
     from lasutility_ray.corpus.polygons import build_feature_table
     from lasutility_ray.pipelines.flagship import documents_to_points
     from lasutility_ray.stages.pip_join import rect_pip_join
-    from lasutility_ray.state import resumable_tin_tiles
+    from lasutility_ray.state.manifest import resumable_salted_tin_tiles
 
     t0 = time.perf_counter()
     points = documents_to_points(args.sf_dir)
     pip_rows = rect_pip_join(points, build_feature_table()).count()
-    manifest = resumable_tin_tiles(
-        documents_to_points(args.sf_dir), args.out_dir
+    # exact salted mode (build-once/rasterize-split): bit-identical to
+    # the unsalted path, hot tiles no longer straggle the stage
+    manifest = resumable_salted_tin_tiles(
+        documents_to_points(args.sf_dir),
+        args.out_dir,
+        threshold=args.salt_threshold,
+        exact=True,
     )
     print(
         json.dumps(

@@ -171,3 +171,38 @@ def test_resumable_burned_tiles(out_dir, ray_session):
         rd.from_arrow(explode_features_to_tiles(build_feature_table())), out_dir
     )
     assert m2.num_rows == m1.num_rows
+
+
+def test_salted_exact_resume_matches_unsalted(out_dir, ray_session):
+    """resumable_salted_tin_tiles (exact build-once mode): a partial
+    manifest resumes to the full tile set and the committed outputs
+    equal the unsalted per-tile path bit-for-bit."""
+    import os
+
+    import numpy as np
+
+    from lasutility_ray.state.manifest import resumable_salted_tin_tiles
+    from lasutility_ray.stages.tin import tin_tiles
+
+    pts = _points()
+    m1 = resumable_salted_tin_tiles(pts, out_dir, threshold=50, exact=True)
+    assert m1.num_rows > 0
+
+    # drop a third of the manifest rows -> only those tiles recompute
+    mdir = os.path.join(out_dir, "_manifest")
+    victims = sorted(os.listdir(mdir))[:: 3]
+    for f in victims:
+        os.remove(os.path.join(mdir, f))
+    m2 = resumable_salted_tin_tiles(pts, out_dir, threshold=50, exact=True)
+    assert m2.num_rows == m1.num_rows
+    assert set(m2.column("key").to_pylist()) == set(m1.column("key").to_pylist())
+
+    # committed tile outputs == unsalted rasterization, byte for byte
+    import pyarrow.parquet as pq
+
+    plain = tin_tiles(_points(), include_rasters=True).to_pandas().set_index("tile_id")
+    for key in list(plain.index)[:10]:
+        tile = pq.read_table(os.path.join(out_dir, "tiles", f"{key}.parquet")).to_pandas()
+        a = np.frombuffer(tile["dem"].iloc[0], dtype=np.float32)
+        b = np.frombuffer(plain.loc[key, "dem"], dtype=np.float32)
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), key
