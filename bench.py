@@ -10,6 +10,9 @@ Prints ONE JSON line:
   under /tmp. Metric = end-to-end docs/sec (BASELINE.json).
 - queries: each oracle-checked query timed over ``GRAFT_SF_DIR``
   (default /root/testdata/sf0.1).
+- ``--resume`` (or GRAFT_BENCH_RESUME=1): keep the previous run's
+  points checkpoint + tile manifest and only redo the missing work
+  (the kill-resume path; a fresh benchmark run must NOT pass it).
 - ``--scaling``: runs the headline twice in fresh processes at
   num_cpus=8 and 32 on the same input and reports throughput at both
   + efficiency = (docs_s_32 / docs_s_8) / 4 (the sandbox stand-in for
@@ -166,6 +169,7 @@ def run_queries(sf_dir: str) -> dict:
 
 
 def main() -> None:
+    resume = "--resume" in sys.argv or os.environ.get("GRAFT_BENCH_RESUME") == "1"
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # 4M docs: large enough that per-doc compute dominates cluster
@@ -187,7 +191,7 @@ def main() -> None:
     ctx.enable_progress_bars = False
 
     try:
-        head = run_flagship(n_docs, f"/tmp/bench_tiles_{num_cpus}")
+        head = run_flagship(n_docs, f"/tmp/bench_tiles_{num_cpus}", resume=resume)
         queries = (
             {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries(sf_dir)
         )

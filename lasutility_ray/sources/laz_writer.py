@@ -19,6 +19,9 @@ import struct
 import numpy as np
 
 from .laz import (
+    _div2_trunc,
+    _u8_clamp,
+    _u8_fold,
     _NUMBER_RETURN_LEVEL,
     _NUMBER_RETURN_MAP,
     _GT_MULTI,
@@ -467,8 +470,6 @@ class _Rgb12v2Writer:
         self.m_diff = [_Model(256) for _ in range(6)]
 
     def write(self, r: int, g: int, b: int):
-        from .laz import _div2_trunc, _u8_clamp, _u8_fold
-
         enc = self.enc
         sym = 0
         if (r & 0xFF) != (self.r & 0xFF):
@@ -548,6 +549,8 @@ def write_laz(
     (red, green, blue) triple of uint16 arrays. Coordinates quantize
     at ``scale`` with offset floor(min) — lossless for values on the
     scale grid."""
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive (got {chunk_size})")
     n = len(x)
     has_gps = gps_time is not None
     has_rgb = rgb is not None
@@ -668,9 +671,12 @@ def write_laz(
     with open(path, "wb") as f:
         f.write(hdr)
         f.write(vlr)
-        # chunk table offset placeholder: points follow immediately;
-        # we never write a chunk table (offset -1 = not present), the
-        # sequential reader does not need one
+        # chunk table offset: -1 (in the laszip spec this means "the
+        # real table position is in the file's LAST 8 bytes" — we
+        # write neither, so these streams are SEQUENTIAL-READER-ONLY:
+        # our reader never seeks the table, but external laszip tools
+        # that do will not accept the file; a conforming compressed
+        # chunk table is a round-3 item, see NOTES.md)
         f.write(struct.pack("<q", -1))
         for raw, comp in zip(first_raws, chunks):
             f.write(raw)

@@ -73,9 +73,13 @@ def lookup_join(
     """Inner-join ``right_ds``'s ``attach`` columns onto ``left_ds``.
 
     ``attach`` maps right-side column name -> output column name.
-    Keys must be int64-castable. Left rows without a match are
-    dropped (inner semantics); right rows may match many left rows.
-    Output columns: all left columns + attached columns.
+    Keys must be int64-castable (values above 2^63 are rejected by the
+    cast). Left rows without a match are dropped (inner semantics);
+    right rows may match many left rows, but the right side's KEYS
+    must be unique — duplicate right keys raise (which payload row
+    would win is block-arrival order, i.e. nondeterministic).
+    Output columns: all left columns + attached columns, with their
+    original integer widths/signedness preserved.
     ``type_overrides`` resolves ambiguous pandas-object columns (and
     may force e.g. binary) by column name, either side.
     """
@@ -121,18 +125,27 @@ def lookup_join(
         if len(lv) == 0 or len(rv) == 0:
             out = lv.iloc[0:0]
         else:
-            rv = rv[["__key"] + r_names].drop_duplicates("__key")
+            rv = rv[["__key"] + r_names]
+            if rv["__key"].duplicated().any():
+                raise ValueError(
+                    "lookup_join: right side has duplicate keys — the "
+                    "attached payload would be nondeterministic"
+                )
             out = lv.drop(columns=r_names).merge(rv, on="__key", how="inner")
         out = out[left_cols + r_names].rename(columns=dict(zip(r_names, out_attach)))
         # the group block carries the OTHER side's rows with nulls in
         # these columns, so pandas upcast ints to float64 — cast back
-        # (post-merge rows have no nulls by construction)
+        # to each column's DECLARED type (post-merge rows have no
+        # nulls by construction; blanket int64 would corrupt uint64
+        # and silently widen narrow ints)
         for c in left_cols:
-            if pa.types.is_integer(left_schema.field(c).type):
-                out[c] = out[c].astype(np.int64)
+            t = left_schema.field(c).type
+            if pa.types.is_integer(t):
+                out[c] = out[c].astype(t.to_pandas_dtype())
         for rc, oc in attach.items():
-            if pa.types.is_integer(right_schema.field(rc).type):
-                out[oc] = out[oc].astype(np.int64)
+            t = right_schema.field(rc).type
+            if pa.types.is_integer(t):
+                out[oc] = out[oc].astype(t.to_pandas_dtype())
         return out
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -24,19 +24,21 @@ cure is the reference's own hierarchy — a 1 km tile subdivides into
 
 Two modes (tests/test_salting.py covers both):
 
-- ``exact=True`` (default): **replicate-build, partition-probe** —
-  every window task receives ALL of the hot tile's points (split
-  level forced to 1, so 4 windows / 3 replicas), builds the identical
-  full-tile Delaunay TIN, and rasterizes only its disjoint window.
-  Output is bit-identical to the unsalted path by construction; wall
-  time of the straggler drops to build + window/4 work.
-- ``exact=False``: **halo mode**, the 100 TB path for extreme tiles —
-  windows get only points within ``halo_m`` of their border, split
-  level grows with density, and build cost is divided too. The DEM is
-  bit-identical wherever the containing Delaunay triangle's
-  circumdisk is local (< ``halo_m``); convex-hull sliver triangles at
-  the tile border can differ (measured < 0.5 % of cells on the urban
-  fixture). Use when one tile's build alone would straggle a stage.
+- ``exact=True`` (default): **build once, rasterize split** — one
+  task per hot tile builds the full-tile Delaunay TIN and ships the
+  serialized triangulation to window tasks that rasterize/gap-fill
+  disjoint windows of it. Output is bit-identical to the unsalted
+  path by construction (same TIN, same tri ids, exact n_triangles);
+  straggler wall time = one build + 1/n_windows of the raster work,
+  total CPU ~= unsalted + serialization.
+- ``exact=False``: **halo mode**, the extreme-skew path — windows get
+  only their own points plus points within ``halo_m`` of their
+  border, split level grows with density, and BUILD cost is divided
+  too. The DEM is bit-identical wherever the containing Delaunay
+  triangle's circumdisk is local (< ``halo_m``); convex-hull sliver
+  triangles at the tile border can differ (measured < 0.5 % of cells
+  on the urban fixture). Use when even one full-tile build would
+  straggle a stage.
 """
 
 from __future__ import annotations
@@ -117,9 +119,7 @@ def salt_levels(
     return levels
 
 
-def _salt_batch(
-    t: pa.Table, levels: dict[str, int], halo_m: float, exact: bool = False
-) -> pa.Table:
+def _salt_batch(t: pa.Table, levels: dict[str, int], halo_m: float) -> pa.Table:
     tile_ids = t.column("tile_id").to_numpy(zero_copy_only=False)
     lv = np.array([levels.get(k, 0) for k in tile_ids], dtype=np.int64)
 
@@ -159,19 +159,17 @@ def _salt_batch(
             valid = hot & (nr >= 0) & (nr < n_sub) & (nc >= 0) & (nc < n_sub)
             if not valid.any():
                 continue
-            # halo mode: distance from point to the neighbor window
-            # along each shifted axis must be < halo_m; exact mode
-            # (level 1, 2x2 grid): replicate to every other window
+            # halo replication: distance from the point to the
+            # neighbor window along each shifted axis must be < halo_m
             near = valid.copy()
-            if not exact:
-                if dr == -1:
-                    near &= rel_y - wy0 < halo_m
-                elif dr == 1:
-                    near &= wy1 - rel_y < halo_m
-                if dcol == -1:
-                    near &= rel_x - wx0 < halo_m
-                elif dcol == 1:
-                    near &= wx1 - rel_x < halo_m
+            if dr == -1:
+                near &= rel_y - wy0 < halo_m
+            elif dr == 1:
+                near &= wy1 - rel_y < halo_m
+            if dcol == -1:
+                near &= rel_x - wx0 < halo_m
+            elif dcol == 1:
+                near &= wx1 - rel_x < halo_m
             idx = np.flatnonzero(near)
             if len(idx) == 0:
                 continue
@@ -507,7 +505,12 @@ def salted_tin_tiles(
       of bounded sliver deviation near window borders (module
       docstring; tests bound it < 0.5% of cells).
 
-    Falls back to plain per-tile processing when nothing is hot."""
+    Falls back to plain per-tile processing when nothing is hot.
+
+    ``points_ds`` is consumed up to three times (count pass + cold
+    scan + hot scan): feed it a checkpointed / parquet-backed dataset
+    (projection pushdown makes the count pass a one-column read), not
+    an expensive synthetic pipeline."""
     from .tin import tin_tiles
 
     counts = tile_count_partials(points_ds)
@@ -516,11 +519,11 @@ def salted_tin_tiles(
         return tin_tiles(points_ds, include_rasters=include_rasters)
 
     if exact:
-        hot_keys = frozenset(levels)
+        hot_arr = np.sort(np.array(list(levels), dtype=object))
 
         def is_hot(t: pa.Table, invert: bool = False) -> pa.Table:
             ids = t.column("tile_id").to_numpy(zero_copy_only=False)
-            m = np.array([k in hot_keys for k in ids], dtype=bool)
+            m = np.isin(ids, hot_arr)
             return t.filter(pa.array(~m if invert else m))
 
         cold = tin_tiles(
@@ -543,8 +546,7 @@ def salted_tin_tiles(
         out = hot.union(cold)
     else:
         salted = points_ds.map_batches(
-            lambda t: _salt_batch(t, levels, halo_m, exact=exact),
-            batch_format="pyarrow",
+            lambda t: _salt_batch(t, levels, halo_m), batch_format="pyarrow"
         )
         windows = salted.groupby(["tile_id", "salt_sub"]).map_groups(
             rasterize_salted, batch_format="pandas"
