@@ -31,6 +31,19 @@ N_BUCKETS = 64
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def default_n_buckets(minimum: int = N_BUCKETS) -> int:
+    """Coarse-bucket fanout scaled to the cluster: ~4 buckets per CPU
+    (so the in-bucket merge stage can use every core) with a floor.
+    Bucket count only affects partitioning, never results."""
+    try:
+        import ray as _ray
+
+        cpus = int(_ray.cluster_resources().get("CPU", 0)) if _ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    return max(minimum, cpus * 4)
+
+
 def _bucket_of(key: np.ndarray, n_buckets: int) -> np.ndarray:
     h = key.astype(np.uint64) * _MIX
     return ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
@@ -67,7 +80,7 @@ def lookup_join(
     left_key: str,
     right_key: str,
     attach: dict[str, str],
-    n_buckets: int = N_BUCKETS,
+    n_buckets: int | None = None,
     type_overrides: dict | None = None,
 ):
     """Inner-join ``right_ds``'s ``attach`` columns onto ``left_ds``.
@@ -83,6 +96,8 @@ def lookup_join(
     ``type_overrides`` resolves ambiguous pandas-object columns (and
     may force e.g. binary) by column name, either side.
     """
+    if n_buckets is None:
+        n_buckets = default_n_buckets()
     left_schema = _arrow_schema(left_ds, type_overrides)
     right_schema = _arrow_schema(right_ds, type_overrides)
     left_cols = list(left_schema.names)

@@ -208,7 +208,7 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": ids[a], "b": ids[b]})
 
 
-N_SHUFFLE_BUCKETS = 64
+N_SHUFFLE_BUCKETS = 64  # floor; pipelines scale it to the cluster
 
 
 def _dedup_pairs(pairs_ds):
@@ -231,15 +231,16 @@ def minhash_candidate_pairs(
     (band_id, band_hash) grouping runs inside each bucket with a
     C-speed pandas groupby — one python call per bucket, not per
     band-hash (tiny-group map_groups overhead dominates otherwise)."""
+    from .cogroup import default_n_buckets
+
+    nb = default_n_buckets()
     bands = ds.map_batches(
         lambda t: minhash_band_rows(t, id_col, text_col), batch_format="pyarrow"
     )
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = t.column("band_hash").to_numpy()
-        return t.append_column(
-            "bucket", pa.array((h % N_SHUFFLE_BUCKETS).astype(np.int64))
-        )
+        return t.append_column("bucket", pa.array((h % nb).astype(np.int64)))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         outs = [
@@ -503,11 +504,13 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         m = ham <= max_hamming
         return pd.DataFrame({"a": ids[ai][m], "b": ids[bi][m], "hamming": ham[m]})
 
+    from .cogroup import default_n_buckets
+
+    nb = default_n_buckets()
+
     def add_bucket(t: pa.Table) -> pa.Table:
         k = t.column("key").to_numpy()
-        return t.append_column(
-            "bucket", pa.array((k % N_SHUFFLE_BUCKETS).astype(np.int64))
-        )
+        return t.append_column("bucket", pa.array((k % nb).astype(np.int64)))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
         outs = [
@@ -573,6 +576,10 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     keep_f = f_df >= 2  # singletons carry no ordering signal
     freq_ref = ray.put((f_sh[keep_f], f_df[keep_f]))
 
+    from .cogroup import default_n_buckets
+
+    nb = default_n_buckets()
+
     def prefix_rows(batch: pa.Table) -> pa.Table:
         f_sh_b, f_df_b = ray.get(freq_ref)
         ids = batch.column(id_col).to_numpy()
@@ -605,9 +612,7 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                 "shingle": pa.array(sh_flat.astype(np.int64), pa.int64()),
                 "id": pa.array(id_flat, pa.int64()),
                 "n_sh": pa.array(n_flat, pa.int64()),
-                "bucket": pa.array(
-                    (sh_flat % np.uint64(N_SHUFFLE_BUCKETS)).astype(np.int64)
-                ),
+                "bucket": pa.array((sh_flat % np.uint64(nb)).astype(np.int64)),
             }
         )
 
@@ -845,6 +850,9 @@ def embedding_lsh_pairs(
     ``minhash_candidate_pairs``). Cross-table duplicate pairs collapse
     in a final vectorized groupby-aggregate.
     """
+    from .cogroup import default_n_buckets
+
+    nb = default_n_buckets()
     rng = np.random.default_rng(7)
     planes = rng.standard_normal((64, n_tables * planes_per_table))
     planes_ref = ray.put(planes)
@@ -859,7 +867,7 @@ def embedding_lsh_pairs(
         ).sum(axis=2)  # (n, n_tables)
         tables = np.tile(np.arange(n_tables, dtype=np.int64), len(vecs))
         flat_keys = keys.ravel()
-        bucket = (tables * 1315423911 + flat_keys * 2654435761) % N_SHUFFLE_BUCKETS
+        bucket = (tables * 1315423911 + flat_keys * 2654435761) % nb
         idx = np.repeat(np.arange(len(vecs), dtype=np.int64), n_tables)
         return pa.table(
             {

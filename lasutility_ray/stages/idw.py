@@ -11,8 +11,8 @@ reproducible in SQL for the DuckDB oracle. Same masked 1-ring halo
 exchange as stages/knn.py: every point is a candidate in its own 1 km
 tile and, when within ``radius`` of a border, in the adjacent tiles;
 queries stay keyed by their own tile, so the per-tile brute force is
-exact for radius <= tile edge. ``z`` rides the halo rows (never
-re-derived from doc_id).
+exact for any radius (the halo ring grows as ceil(radius/edge)).
+``z`` rides the halo rows (never re-derived from doc_id).
 
 Coincident points (d2 == 0) take the neighbor's z directly (the limit
 of IDW); neighbors are summed in doc_id order so float accumulation
@@ -34,8 +34,6 @@ RADIUS_M = 500.0
 def idw_join(points_ds, query_pred, radius: float = RADIUS_M):
     """(q_doc_id, idw_z, n_neighbors) per query point with >= 1
     neighbor within ``radius`` (self excluded)."""
-    if radius > TILE:
-        raise ValueError("radius must be <= tile edge for 1-ring halo exactness")
     r2 = radius * radius
 
     # z is carried through the halo flat-map (never re-derived)

@@ -1,12 +1,13 @@
 """Spatial kNN over tiled points with halo exchange.
 
-Radius-bounded kNN (radius <= tile edge): every point is a *candidate*
-in its own tile, and points within ``radius`` of a tile border are
-additionally replicated to the adjacent tiles (masked halo rows, the
-J6 pattern of SURVEY.md §2.4); query points stay keyed by their own
-tile. One ``groupby(tile_id)`` co-groups queries with all candidates
-that can be within the radius, so the per-tile brute-force is exact
-while the shuffle stays ~(1 + 4*radius/edge)x the points table.
+Radius-bounded kNN for ANY radius: every point is a *candidate* in
+its own tile, and points within ``radius`` of the surrounding
+ceil(radius/edge)-ring of tiles are replicated there (masked halo
+rows, the J6 pattern of SURVEY.md §2.4); query points stay keyed by
+their own tile. One ``groupby(tile_id)`` co-groups queries with all
+candidates that can be within the radius, so the per-tile brute-force
+is exact while the shuffle stays near the information-theoretic
+minimum (~(1 + 4*radius/edge)x for radius <= edge).
 
 Distance ranking uses squared distance (same IEEE ops as the SQL
 oracle: ``(dx*dx + dy*dy)``), ties broken by neighbor doc_id.
@@ -27,11 +28,12 @@ TILE = 1000
 
 def _halo_candidates(batch: pa.Table, radius: float = RADIUS_M) -> pa.Table:
     """Each point -> a row keyed by its own tile, plus replica rows for
-    the neighbor tiles whose envelope lies within ``radius`` of the
-    point (a point deep inside a tile can never serve a query in a
-    neighbor tile). The border-distance mask keeps the co-group
-    shuffle at ~(1 + 4*radius/edge)x the points table instead of the
-    unconditional 9x replication (mask pattern of
+    every tile in the ceil(radius/edge)-ring whose envelope lies
+    within ``radius`` of the point (a point farther than the radius
+    from a tile can never serve a query in it). The per-axis
+    envelope-distance mask keeps the co-group shuffle near the
+    information-theoretic minimum instead of unconditional
+    (2k+1)^2 replication (mask pattern of
     ``neighborhood.py:_PartialPeaks``). ``z`` is carried through when
     present so downstream interpolators never re-derive it."""
     x = batch.column("x").to_numpy()
@@ -41,26 +43,20 @@ def _halo_candidates(batch: pa.Table, radius: float = RADIUS_M) -> pa.Table:
     z = batch.column("z").to_numpy() if has_z else None
     te = np.floor(x / TILE).astype(np.int64) * TILE
     tn = np.floor(y / TILE).astype(np.int64) * TILE
-    rel_x = x - te
-    rel_y = y - tn
 
+    ring = int(np.ceil(radius / TILE))
     xs, ys, ids, zs, keys = [], [], [], [], []
-    for de in (-TILE, 0, TILE):
-        for dn in (-TILE, 0, TILE):
-            ok = np.ones(len(x), dtype=bool)
-            # distance from the point to the neighbor tile's envelope
-            # must be <= radius along each shifted axis (conjunction is
-            # a superset of the true corner distance — conservative)
-            if de == -TILE:
-                ok &= rel_x <= radius
-            elif de == TILE:
-                ok &= TILE - rel_x <= radius
-            if dn == -TILE:
-                ok &= rel_y <= radius
-            elif dn == TILE:
-                ok &= TILE - rel_y <= radius
-            ce = te + de
-            cn = tn + dn
+    for i in range(-ring, ring + 1):
+        for j in range(-ring, ring + 1):
+            ce = te + i * TILE
+            cn = tn + j * TILE
+            # per-axis distance from the point to the neighbor tile's
+            # envelope (0 when the point projects inside it); the
+            # conjunction is a superset of the true corner distance —
+            # conservative, never drops a needed candidate
+            dist_x = np.maximum(ce - x, x - (ce + TILE))
+            dist_y = np.maximum(cn - y, y - (cn + TILE))
+            ok = (np.maximum(dist_x, 0) <= radius) & (np.maximum(dist_y, 0) <= radius)
             ok &= (
                 (ce >= tilenamer.MIN_ALLOWED_EAST)
                 & (ce < tilenamer.MAX_ALLOWED_EAST)
@@ -90,10 +86,8 @@ def knn_join(points_ds, query_pred, k: int = K_NEIGHBORS, radius: float = RADIUS
     """(query doc_id, neighbor doc_id, rank, d2) for every query point
     (query_pred selects queries from the same points table).
 
-    ``radius`` must be <= the tile edge for the 1-ring halo to be
-    exact."""
-    if radius > TILE:
-        raise ValueError("radius must be <= tile edge for 1-ring halo exactness")
+    Any radius is supported: the halo ring grows as
+    ceil(radius / tile edge)."""
     r2 = radius * radius
 
     cands = points_ds.map_batches(

@@ -97,11 +97,16 @@ def _partial_top1(lo: int, hi: int):
     return fn
 
 
-def _add_cell_bucket(t: pa.Table) -> pa.Table:
+def _add_cell_bucket(t: pa.Table, n: int | None = None) -> pa.Table:
+    if n is None:
+        from .cogroup import default_n_buckets
+
+        n = default_n_buckets(N_CELL_BUCKETS)
     b = _cell_bucket(
         t.column("tile_id").to_numpy(zero_copy_only=False),
         t.column("row").to_numpy(),
         t.column("col").to_numpy(),
+        n,
     )
     return t.append_column("bucket", pa.array(b.astype(np.int64)))
 

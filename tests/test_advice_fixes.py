@@ -241,3 +241,56 @@ def test_partial_peaks_all_tiles_out_of_range():
     out = _PartialPeaks(3, 5, 2)(batch)
     assert out.num_rows == 0
     assert out.column_names == ["tile_id", "gr", "gc", "best"]
+
+
+# ------------------------------------------------- k-ring halo
+
+
+def test_knn_kring_halo_radius_beyond_tile(ray_session):
+    """radius > tile edge used to raise; the k-ring halo must produce
+    the exact global brute-force answer."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.knn import knn_join
+
+    rng = np.random.default_rng(11)
+    n = 400
+    x = rng.uniform(356000, 356000 + 4000, n)  # spans 4 tiles per axis
+    y = rng.uniform(6706000, 6706000 + 4000, n)
+    ids = np.arange(n, dtype=np.int64)
+    from lasutility_ray.geom.tilenamer import encode
+
+    pts = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "tile_id": pa.array(encode(x, y, 1000), pa.string()),
+            }
+        )
+    )
+    radius, k = 2500.0, 4
+    out = (
+        knn_join(pts, lambda d: d % 40 == 0, k=k, radius=radius)
+        .to_pandas()
+        .sort_values(["q_doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    # global brute force
+    rows = []
+    r2 = radius * radius
+    for q in ids[ids % 40 == 0]:
+        d2 = (x - x[q]) ** 2 + (y - y[q]) ** 2
+        m = (d2 <= r2) & (ids != q)
+        cd, ci = d2[m], ids[m]
+        order = np.lexsort((ci, cd))[:k]
+        for r, o in enumerate(order, 1):
+            rows.append((q, ci[o], r, cd[o]))
+    assert len(out) == len(rows)
+    got = list(zip(out["q_doc_id"], out["neighbor_id"], out["rank"]))
+    want = [(a, b, r) for a, b, r, _ in rows]
+    assert got == want
