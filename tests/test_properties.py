@@ -117,12 +117,12 @@ def test_bounds_projection_invariants(dx, dy):
         max_size=80,
     ),
     st.integers(min_value=1, max_value=3),
-    st.booleans(),
 )
-def test_salt_batch_ownership_invariant(pts, level, exact):
+def test_salt_batch_ownership_invariant(pts, level):
     """Every point is owned by EXACTLY one salt key; replicas are
     never owned; owned coordinates are unchanged (partition-safety
-    invariant of stages/salting._salt_batch)."""
+    invariant of stages/salting._salt_batch, which now serves halo
+    mode only — exact mode is build-once and does not salt)."""
     import pyarrow as pa
 
     from lasutility_ray.geom import tilenamer
@@ -131,7 +131,7 @@ def test_salt_batch_ownership_invariant(pts, level, exact):
     xs = np.array([p[0] for p in pts])
     ys = np.array([p[1] for p in pts])
     tile_ids = tilenamer.encode(xs, ys, 1000)
-    levels = {str(tile_ids[0]): 1 if exact else level}  # salt one tile
+    levels = {str(tile_ids[0]): level}  # salt one tile
     t = pa.table(
         {
             "tile_id": pa.array(tile_ids.astype(object), pa.string()),
@@ -139,7 +139,7 @@ def test_salt_batch_ownership_invariant(pts, level, exact):
             "y": pa.array(ys),
         }
     )
-    out = _salt_batch(t, levels, halo_m=50.0, exact=exact)
+    out = _salt_batch(t, levels, halo_m=50.0)
     df = out.to_pandas()
     owned = df[df["owned"]]
     assert len(owned) == len(pts)
