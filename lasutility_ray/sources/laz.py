@@ -612,6 +612,172 @@ class _Rgb12v2:
 # ---------------------------------------------------------- reader
 
 
+def _parse_laszip_vlr(laszip_vlr: bytes):
+    """Validate the laszip VLR payload against what this codec
+    implements (compressor 2 pointwise-chunked, coder 0 arithmetic,
+    POINT10/GPSTIME11/RGB12 v2 items) and return
+    ``(has_gps, has_rgb, chunk_size)``; ``chunk_size`` is -1 for
+    variable-size chunking (U32_MAX in the VLR read as ``<i``)."""
+    compressor, coder = struct.unpack_from("<HH", laszip_vlr, 0)
+    (chunk_size,) = struct.unpack_from("<i", laszip_vlr, 12)
+    (n_items,) = struct.unpack_from("<H", laszip_vlr, 32)
+    items = [struct.unpack_from("<HHH", laszip_vlr, 34 + 6 * j) for j in range(n_items)]
+    if compressor != 2 or coder != 0:
+        raise NotImplementedError(f"laszip compressor {compressor}/coder {coder}")
+    for t, _sz, v in items:
+        if (t, v) not in ((6, 2), (7, 2), (8, 2)):
+            raise NotImplementedError(f"laszip item type {t} v{v}")
+    if chunk_size != -1 and chunk_size <= 0:
+        raise NotImplementedError(f"invalid laszip chunk size {chunk_size}")
+    has_gps = any(t == 7 for t, _s, _v in items)
+    has_rgb = any(t == 8 for t, _s, _v in items)
+    return has_gps, has_rgb, chunk_size
+
+
+def _parse_chunk_table_blob(blob: bytes, variable: bool):
+    """Decode a chunk-table blob (starting at the ``u32 version`` word)
+    into ``(counts, sizes)``; ``counts`` is None for fixed chunking."""
+    version, nch = struct.unpack_from("<II", blob, 0)
+    if version != 0:
+        raise NotImplementedError(f"laszip chunk table version {version}")
+    if nch == 0:
+        return ([] if variable else None, [])
+    dec = _Decoder(blob, 8)
+    ic = _IntegerDecompressor(dec, 32, 2)
+    counts = [] if variable else None
+    sizes = []
+    pc = ps = 0
+    for _ in range(nch):
+        if variable:
+            pc = ic.decompress(pc, 0)
+            counts.append(pc)
+        ps = ic.decompress(ps, 1)
+        sizes.append(ps)
+    return (counts, sizes)
+
+
+def _read_chunk_table(data: bytes, pdr_off: int, variable: bool):
+    """Parse the laszip compressed chunk table (format pinned against
+    the reference's golden ``Q5232E1_cropped.laz``: its table decodes
+    to exactly the byte span between chunks-start and table-start).
+
+    Layout per the laszip.org spec: an i64 table offset at the start
+    of the point data; at that offset ``u32 version (=0)`` +
+    ``u32 number_chunks``, then one arithmetic stream in which
+    ``IntegerCompressor(bits=32, contexts=2)`` codes, per chunk, the
+    point count (context 0, variable-size chunking only) and the byte
+    size (context 1), each predicted from the previous chunk's raw
+    value.
+
+    Returns ``(counts, sizes)`` — ``counts`` is None for fixed
+    chunking — or None when the stream carries no table (offset -1 or
+    out of range, e.g. our own pre-round-2 writer output)."""
+    (cts,) = struct.unpack_from("<q", data, pdr_off)
+    if cts <= 0 or cts + 8 > len(data):
+        return None
+    try:
+        return _parse_chunk_table_blob(data[cts:], variable)
+    except (IndexError, struct.error):
+        # corrupt / layout-inconsistent table (e.g. a fixed-chunking
+        # table in a stream whose VLR claims variable chunking): the
+        # table is only an optimization — fall back to sequential
+        return None
+
+
+def _decode_chunk(data: bytes, off: int, n_chunk: int, has_gps: bool, has_rgb: bool):
+    """Decode one laszip chunk (raw seed point + arithmetic stream)
+    starting at ``off``. Chunks are independent streams, so this is
+    the unit of parallelism for large files. Returns (raw_records,
+    end_offset) where each record is the normalized
+    [p10:20][gps:8][rgb:6?] layout."""
+    raw_pts = []
+    p10 = data[off : off + 20]
+    off += 20
+    gps_raw = b"\0" * 8
+    if has_gps:
+        gps_raw = data[off : off + 8]
+        off += 8
+    rgb_raw = b""
+    if has_rgb:
+        rgb_raw = data[off : off + 6]
+        off += 6
+    raw_pts.append(p10 + gps_raw + rgb_raw)
+    dec = _Decoder(data, off)
+    pt = _Point10v2(dec, p10)
+    gt = _GpsTime11v2(dec, gps_raw) if has_gps else None
+    cb = _Rgb12v2(dec, rgb_raw) if has_rgb else None
+    for _ in range(n_chunk - 1):
+        pt.read()
+        if gt is not None:
+            gt.read()
+        if cb is not None:
+            cb.read()
+        raw_pts.append(
+            struct.pack(
+                "<iiiHBBbBH",
+                pt.x,
+                pt.y,
+                pt.z,
+                pt.intensity,
+                pt.flags,
+                pt.classification,
+                pt.scan_angle_rank - 256 if pt.scan_angle_rank >= 128 else pt.scan_angle_rank,
+                pt.user_data,
+                pt.point_source_id,
+            )
+            + struct.pack("<d", gt.value if gt is not None else 0.0)
+            + (struct.pack("<HHH", cb.r, cb.g, cb.b) if cb is not None else b"")
+        )
+    return raw_pts, dec.off
+
+
+def _raw_pts_to_arrays(raw_pts, sx, sy, sz, ox, oy, oz):
+    """Normalized raw records -> dequantized column arrays. Records
+    are fixed-length per file, so the unpack is one vectorized
+    ``np.frombuffer`` over the joined blob (no per-point loop)."""
+    n = len(raw_pts)
+    if n == 0:
+        z16 = np.zeros(0, np.uint16)
+        return {
+            "x": np.zeros(0, np.float64),
+            "y": np.zeros(0, np.float64),
+            "z": np.zeros(0, np.float64),
+            "classification": np.zeros(0, np.uint8),
+            "intensity": z16,
+            "gps_time": np.zeros(0, np.float64),
+            "red": z16,
+            "green": z16,
+            "blue": z16,
+            "n_points": 0,
+        }
+    itemsize = len(raw_pts[0])
+    names = ["X", "Y", "Z", "inten", "cls", "gps"]
+    formats = ["<i4", "<i4", "<i4", "<u2", "u1", "<f8"]
+    offsets = [0, 4, 8, 12, 15, 20]
+    has_rgb = itemsize >= 34
+    if has_rgb:
+        names += ["red", "green", "blue"]
+        formats += ["<u2", "<u2", "<u2"]
+        offsets += [28, 30, 32]
+    dt = np.dtype(
+        {"names": names, "formats": formats, "offsets": offsets, "itemsize": itemsize}
+    )
+    arr = np.frombuffer(b"".join(raw_pts), dtype=dt)
+    z16 = np.zeros(n, np.uint16)
+    return {
+        "x": arr["X"].astype(np.int64) * sx + ox,
+        "y": arr["Y"].astype(np.int64) * sy + oy,
+        "z": arr["Z"].astype(np.int64) * sz + oz,
+        "classification": arr["cls"].copy(),
+        "intensity": arr["inten"].copy(),
+        "gps_time": arr["gps"].copy(),
+        "red": arr["red"].copy() if has_rgb else z16,
+        "green": arr["green"].copy() if has_rgb else z16,
+        "blue": arr["blue"].copy() if has_rgb else z16,
+        "n_points": n,
+    }
+
+
 def read_laz_points(path: str):
     """Read a LAS or LAZ file -> dict of numpy arrays {x, y, z,
     classification, intensity, gps_time} (dequantized doubles).
@@ -686,118 +852,163 @@ def read_laz_points(path: str):
             "n_points": npoints,
         }
 
-    # internal normalized record layout: [p10:20][gps:8][rgb:6?]
-    raw_pts = []
     if not compressed:
-        off = pdr_off
-        for _ in range(npoints):
-            rec = data[off : off + rec_len]
-            p10 = rec[:20]
-            gps = rec[20:28] if pfmt in (1, 3) else b"\0" * 8
-            if pfmt == 2:
-                rgb = rec[20:26]
-            elif pfmt == 3:
-                rgb = rec[28:34]
-            else:
-                rgb = b""
-            raw_pts.append(p10 + gps + rgb)
-            off += rec_len
+        # vectorized: one structured-dtype view over the record block
+        names = ["X", "Y", "Z", "inten", "cls"]
+        formats = ["<i4", "<i4", "<i4", "<u2", "u1"]
+        offsets = [0, 4, 8, 12, 15]
+        if pfmt in (1, 3):
+            names += ["gps"]
+            formats += ["<f8"]
+            offsets += [20]
+        if pfmt in (2, 3):
+            rgb_off = 20 if pfmt == 2 else 28
+            names += ["red", "green", "blue"]
+            formats += ["<u2", "<u2", "<u2"]
+            offsets += [rgb_off, rgb_off + 2, rgb_off + 4]
+        dt = np.dtype(
+            {"names": names, "formats": formats, "offsets": offsets, "itemsize": rec_len}
+        )
+        arr = np.frombuffer(data, dtype=dt, count=npoints, offset=pdr_off)
+        z16 = np.zeros(npoints, np.uint16)
+        return {
+            "x": arr["X"].astype(np.int64) * sx + ox,
+            "y": arr["Y"].astype(np.int64) * sy + oy,
+            "z": arr["Z"].astype(np.int64) * sz + oz,
+            "classification": arr["cls"].copy(),
+            "intensity": arr["inten"].copy(),
+            "gps_time": arr["gps"].copy() if pfmt in (1, 3) else np.zeros(npoints, np.float64),
+            "red": arr["red"].copy() if pfmt in (2, 3) else z16,
+            "green": arr["green"].copy() if pfmt in (2, 3) else z16,
+            "blue": arr["blue"].copy() if pfmt in (2, 3) else z16,
+            "n_points": npoints,
+        }
+
+    if laszip_vlr is None:
+        raise ValueError("compressed LAZ without laszip VLR")
+    has_gps, has_rgb, chunk_size = _parse_laszip_vlr(laszip_vlr)
+
+    variable = chunk_size == -1
+    table = _read_chunk_table(data, pdr_off, variable)
+    if variable:
+        # variable-size chunking: counts come from the chunk table;
+        # with no table (our own pre-chunk-table writer output, or a
+        # stream truncated before its table) the only valid layout is
+        # one chunk of all points
+        counts = (
+            table[0]
+            if table is not None and table[0] and sum(table[0]) == npoints
+            else [npoints]
+        )
     else:
+        counts = None
+
+    raw_pts = []
+    off = pdr_off + 8  # skip chunk table offset
+    done = 0
+    ci = 0
+    while done < npoints:
+        n_chunk = counts[ci] if counts is not None else min(chunk_size, npoints - done)
+        n_chunk = min(n_chunk, npoints - done)
+        if n_chunk <= 0:
+            raise ValueError(f"laszip chunk table: non-positive chunk count {n_chunk}")
+        chunk_raws, off = _decode_chunk(data, off, n_chunk, has_gps, has_rgb)
+        raw_pts.extend(chunk_raws)
+        done += n_chunk
+        ci += 1
+    return _raw_pts_to_arrays(raw_pts, sx, sy, sz, ox, oy, oz)
+
+
+def laz_read_units(path: str) -> list[dict]:
+    """Split one LAS/LAZ file into independently-decodable work units
+    for the Ray reader. A LAZ chunk is a self-contained arithmetic
+    stream, so a file whose compressed chunk table is present splits
+    into one unit per chunk (byte range + decode params — the worker
+    does a single ranged read, no header parse); everything else
+    (uncompressed LAS, table-less streams, unsupported formats) is one
+    whole-file unit with ``offset == -1``. Planning reads only the
+    header, VLRs and the trailing table — never the point data."""
+    whole = [
+        {
+            "path": path, "offset": -1, "length": -1, "count": -1,
+            "sx": 0.0, "sy": 0.0, "sz": 0.0, "ox": 0.0, "oy": 0.0, "oz": 0.0,
+            "has_gps": False, "has_rgb": False,
+        }
+    ]
+    with open(path, "rb") as f:
+        hdr = f.read(375)
+        if hdr[:4] != b"LASF":
+            raise ValueError(f"not a LAS/LAZ file: {path}")
+        (hdr_size,) = struct.unpack_from("<H", hdr, 94)
+        (pdr_off,) = struct.unpack_from("<I", hdr, 96)
+        (n_vlr,) = struct.unpack_from("<I", hdr, 100)
+        pfmt_raw = hdr[104]
+        (npoints,) = struct.unpack_from("<I", hdr, 107)
+        sx, sy, sz = struct.unpack_from("<3d", hdr, 131)
+        ox, oy, oz = struct.unpack_from("<3d", hdr, 155)
+        if hdr[25] >= 4 and hdr_size >= 255:
+            (n64,) = struct.unpack_from("<Q", hdr, 247)
+            if npoints == 0 and n64:
+                npoints = n64
+        if not (pfmt_raw & 0x80) or npoints == 0:
+            return whole
+        f.seek(hdr_size)
+        laszip_vlr = None
+        for _ in range(n_vlr):
+            vh = f.read(54)
+            rid, rlen = struct.unpack_from("<HH", vh, 18)
+            payload = f.read(rlen)
+            if rid == 22204:
+                laszip_vlr = payload
         if laszip_vlr is None:
-            raise ValueError("compressed LAZ without laszip VLR")
-        compressor, coder = struct.unpack_from("<HH", laszip_vlr, 0)
-        (chunk_size,) = struct.unpack_from("<i", laszip_vlr, 12)
-        (n_items,) = struct.unpack_from("<H", laszip_vlr, 32)
-        items = [struct.unpack_from("<HHH", laszip_vlr, 34 + 6 * j) for j in range(n_items)]
-        if compressor != 2 or coder != 0:
-            raise NotImplementedError(f"laszip compressor {compressor}/coder {coder}")
-        for t, _sz, v in items:
-            if (t, v) not in ((6, 2), (7, 2), (8, 2)):
-                raise NotImplementedError(f"laszip item type {t} v{v}")
-        has_gps = any(t == 7 for t, _s, _v in items)
-        has_rgb = any(t == 8 for t, _s, _v in items)
+            return whole
+        try:
+            has_gps, has_rgb, chunk_size = _parse_laszip_vlr(laszip_vlr)
+        except NotImplementedError:
+            # let the whole-file decode raise the precise message
+            return whole
+        f.seek(pdr_off)
+        (cts,) = struct.unpack("<q", f.read(8))
+        fsize = f.seek(0, 2)
+        if cts <= 0 or cts + 8 > fsize:
+            return whole
+        f.seek(cts)
+        try:
+            counts, sizes = _parse_chunk_table_blob(f.read(), chunk_size == -1)
+        except (IndexError, struct.error):
+            return whole
+    units = []
+    off = pdr_off + 8
+    done = 0
+    for k, nbytes in enumerate(sizes):
+        cnt = counts[k] if counts is not None else min(chunk_size, npoints - done)
+        units.append(
+            {
+                "path": path, "offset": off, "length": nbytes, "count": cnt,
+                "sx": sx, "sy": sy, "sz": sz, "ox": ox, "oy": oy, "oz": oz,
+                "has_gps": has_gps, "has_rgb": has_rgb,
+            }
+        )
+        off += nbytes
+        done += cnt
+    if done != npoints or not units:
+        return whole  # inconsistent table: fall back to sequential decode
+    return units
 
-        if chunk_size == -1:
-            # unchunked chunked-compressor stream: chunk size stored as
-            # U32_MAX (reads as -1 via '<i') => one chunk of all points
-            chunk_size = npoints
-        elif chunk_size <= 0:
-            raise NotImplementedError(f"invalid laszip chunk size {chunk_size}")
 
-        off = pdr_off + 8  # skip chunk table offset
-        done = 0
-        while done < npoints:
-            n_chunk = min(chunk_size, npoints - done)
-            # first point of the chunk is raw
-            p10 = data[off : off + 20]
-            off += 20
-            gps_raw = b"\0" * 8
-            if has_gps:
-                gps_raw = data[off : off + 8]
-                off += 8
-            rgb_raw = b""
-            if has_rgb:
-                rgb_raw = data[off : off + 6]
-                off += 6
-            raw_pts.append(p10 + gps_raw + rgb_raw)
-            dec = _Decoder(data, off)
-            pt = _Point10v2(dec, p10)
-            gt = _GpsTime11v2(dec, gps_raw) if has_gps else None
-            cb = _Rgb12v2(dec, rgb_raw) if has_rgb else None
-            for _ in range(n_chunk - 1):
-                pt.read()
-                if gt is not None:
-                    gt.read()
-                if cb is not None:
-                    cb.read()
-                raw_pts.append(
-                    struct.pack(
-                        "<iiiHBBbBH",
-                        pt.x,
-                        pt.y,
-                        pt.z,
-                        pt.intensity,
-                        pt.flags,
-                        pt.classification,
-                        pt.scan_angle_rank - 256 if pt.scan_angle_rank >= 128 else pt.scan_angle_rank,
-                        pt.user_data,
-                        pt.point_source_id,
-                    )
-                    + struct.pack("<d", gt.value if gt is not None else 0.0)
-                    + (struct.pack("<HHH", cb.r, cb.g, cb.b) if cb is not None else b"")
-                )
-            off = dec.off
-            done += n_chunk
-
-    n = len(raw_pts)
-    X = np.empty(n, dtype=np.int64)
-    Y = np.empty(n, dtype=np.int64)
-    Z = np.empty(n, dtype=np.int64)
-    cls = np.empty(n, dtype=np.uint8)
-    inten = np.empty(n, dtype=np.uint16)
-    gps = np.zeros(n, dtype=np.float64)
-    red = np.zeros(n, dtype=np.uint16)
-    green = np.zeros(n, dtype=np.uint16)
-    blue = np.zeros(n, dtype=np.uint16)
-    for i, rp in enumerate(raw_pts):
-        xi, yi, zi, it, _flags, c, _sar, _ud, _ps = struct.unpack_from("<iiiHBBbBH", rp, 0)
-        X[i], Y[i], Z[i], inten[i], cls[i] = xi, yi, zi, it, c
-        if len(rp) >= 28:
-            (gps[i],) = struct.unpack_from("<d", rp, 20)
-        if len(rp) >= 34:
-            red[i], green[i], blue[i] = struct.unpack_from("<HHH", rp, 28)
-    return {
-        "x": X * sx + ox,
-        "y": Y * sy + oy,
-        "z": Z * sz + oz,
-        "classification": cls,
-        "intensity": inten,
-        "gps_time": gps,
-        "red": red,
-        "green": green,
-        "blue": blue,
-        "n_points": n,
-    }
+def read_laz_chunk_points(unit: dict):
+    """Decode one ``laz_read_units`` work unit -> the same column-array
+    dict ``read_laz_points`` returns. Whole-file units delegate; chunk
+    units do one ranged read and decode a single arithmetic stream."""
+    if unit["offset"] < 0:
+        return read_laz_points(unit["path"])
+    with open(unit["path"], "rb") as f:
+        f.seek(unit["offset"])
+        data = f.read(unit["length"])
+    raw_pts, _end = _decode_chunk(data, 0, unit["count"], unit["has_gps"], unit["has_rgb"])
+    return _raw_pts_to_arrays(
+        raw_pts, unit["sx"], unit["sy"], unit["sz"], unit["ox"], unit["oy"], unit["oz"]
+    )
 
 
 def write_las(
@@ -974,10 +1185,12 @@ def write_las14(
 
 def read_laz_dataset(paths: list[str] | str):
     """S1 at the Ray layer: LAS/LAZ file(s) -> points Dataset
-    (x, y, z, classification, intensity, gps_time, source). One
-    decode task per file (a LAZ chunk is a sequential arithmetic
-    stream; files/chunks are the parallelism unit, exactly the
-    reference's file-at-a-time model distributed)."""
+    (x, y, z, classification, intensity, gps_time, source). The
+    parallelism unit is the laszip CHUNK when the file carries a
+    compressed chunk table (one ranged read + one independent
+    arithmetic stream per task — a single multi-GB LAZ tile decodes
+    across the whole cluster), else the file (the reference's
+    file-at-a-time model — ``LAS/LasZipNetReader.cs`` — distributed)."""
     import pyarrow as pa
 
     import ray.data as rd
@@ -985,10 +1198,14 @@ def read_laz_dataset(paths: list[str] | str):
     if isinstance(paths, str):
         paths = [paths]
 
+    units = []
+    for p in paths:
+        units.extend(laz_read_units(p))
+
     def decode(batch: pa.Table) -> pa.Table:
         out = []
-        for p in batch.column("path").to_pylist():
-            d = read_laz_points(p)
+        for unit in batch.to_pylist():
+            d = read_laz_chunk_points(unit)
             out.append(
                 pa.table(
                     {
@@ -1001,11 +1218,11 @@ def read_laz_dataset(paths: list[str] | str):
                         "red": pa.array(d["red"], pa.uint16()),
                         "green": pa.array(d["green"], pa.uint16()),
                         "blue": pa.array(d["blue"], pa.uint16()),
-                        "source": pa.array([p] * d["n_points"], pa.string()),
+                        "source": pa.array([unit["path"]] * d["n_points"], pa.string()),
                     }
                 )
             )
         return pa.concat_tables(out)
 
-    files = rd.from_items([{"path": p} for p in paths])
+    files = rd.from_items(units)
     return files.map_batches(decode, batch_size=1, batch_format="pyarrow")

@@ -668,19 +668,34 @@ def write_laz(
             float(z.min()),
         )
 
+    # ---- compressed chunk table (laszip spec: i64 absolute table
+    # offset at the start of the point data; at that offset
+    # u32 version(0) + u32 number_chunks, then one arithmetic stream
+    # where IntegerCompressor(32, contexts=2) codes each chunk's byte
+    # size in context 1, predicted from the previous chunk's raw
+    # size — the format our reader pinned against the reference's
+    # golden Q5232E1_cropped.laz). The table is what makes the file
+    # seekable: laz_read_units() fans one decode task out per chunk.
+    chunk_bytes = [len(raw) + len(comp) for raw, comp in zip(first_raws, chunks)]
+    table_off = pdr_off + 8 + sum(chunk_bytes)
+    tenc = _Encoder()
+    tic = _IntegerCompressor(tenc, 32, 2)
+    prev = 0
+    for nbytes in chunk_bytes:
+        tic.compress(prev, nbytes, 1)
+        prev = nbytes
+    table = struct.pack("<II", 0, len(chunk_bytes)) + (
+        tenc.done() if chunk_bytes else b""
+    )
+
     with open(path, "wb") as f:
         f.write(hdr)
         f.write(vlr)
-        # chunk table offset: -1 (in the laszip spec this means "the
-        # real table position is in the file's LAST 8 bytes" — we
-        # write neither, so these streams are SEQUENTIAL-READER-ONLY:
-        # our reader never seeks the table, but external laszip tools
-        # that do will not accept the file; a conforming compressed
-        # chunk table is a round-3 item, see NOTES.md)
-        f.write(struct.pack("<q", -1))
+        f.write(struct.pack("<q", table_off))
         for raw, comp in zip(first_raws, chunks):
             f.write(raw)
             f.write(comp)
+        f.write(table)
 
 
 def write_laz_tiles(points_ds, out_dir: str, scale: float = 0.01):

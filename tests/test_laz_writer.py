@@ -213,3 +213,77 @@ def test_las14_point14_formats(tmp_path):
     pc.write_bytes(bytes(raw))
     with pytest.raises(NotImplementedError, match="compressed point formats 6"):
         read_laz_points(str(pc))
+
+
+def test_chunk_table_golden_parallel_units():
+    """The reference golden LAZ carries a real laszip chunk table
+    (written by the actual LASzip codec): laz_read_units must parse it
+    into chunk work units whose independent decodes concatenate to the
+    exact sequential result."""
+    from lasutility_ray.sources.laz import laz_read_units, read_laz_chunk_points
+
+    units = laz_read_units(FIX)
+    assert units and units[0]["offset"] > 0  # table found, not whole-file
+    full = read_laz_points(FIX)
+    parts = [read_laz_chunk_points(u) for u in units]
+    assert sum(p["n_points"] for p in parts) == full["n_points"] == 1481
+    for col in ("x", "y", "z", "classification", "gps_time"):
+        got = np.concatenate([p[col] for p in parts])
+        assert np.array_equal(got, full[col]), col
+
+
+def test_chunk_table_write_read_fanout(tmp_path):
+    """Our writer now emits a conforming compressed chunk table: a
+    multi-chunk file splits into one work unit per chunk, each decoding
+    its exact point range; table-less streams (the i64 offset patched
+    to -1, our pre-table format) still read sequentially."""
+    from lasutility_ray.sources.laz import laz_read_units, read_laz_chunk_points
+    import struct
+
+    x, y, z, cls, inten, gps = _synth(n=1237, seed=7)
+    rng = np.random.default_rng(11)
+    rgb = tuple(rng.integers(0, 65536, 1237).astype(np.uint16) for _ in range(3))
+    p = str(tmp_path / "multi.laz")
+    write_laz(p, x, y, z, cls, inten, gps, rgb=rgb, chunk_size=100)
+
+    units = laz_read_units(p)
+    assert len(units) == 13
+    assert [u["count"] for u in units] == [100] * 12 + [37]
+    full = read_laz_points(p)
+    np.testing.assert_allclose(full["x"], x, atol=1e-9)
+    assert (full["classification"] == cls).all()
+    assert all(
+        np.array_equal(full[c], rgb[i]) for i, c in enumerate(("red", "green", "blue"))
+    )
+    parts = [read_laz_chunk_points(u) for u in units]
+    for col in ("x", "y", "z", "gps_time", "intensity", "red", "blue"):
+        got = np.concatenate([p_[col] for p_ in parts])
+        assert np.array_equal(got, full[col]), col
+
+    # backward compat: kill the table pointer -> one whole-file unit,
+    # sequential decode unchanged
+    raw = bytearray(open(p, "rb").read())
+    (pdr_off,) = struct.unpack_from("<I", raw, 96)
+    struct.pack_into("<q", raw, pdr_off, -1)
+    p2 = str(tmp_path / "notable.laz")
+    open(p2, "wb").write(bytes(raw))
+    units2 = laz_read_units(p2)
+    assert len(units2) == 1 and units2[0]["offset"] == -1
+    d2 = read_laz_points(p2)
+    assert np.array_equal(d2["x"], full["x"])
+
+
+def test_read_laz_dataset_chunk_parallel(tmp_path, ray_session):
+    """read_laz_dataset fans one decode task per chunk and the Dataset
+    result matches the sequential reader row-for-row."""
+    from lasutility_ray.sources.laz import read_laz_dataset
+
+    x, y, z, cls, inten, gps = _synth(n=900, seed=3)
+    p = str(tmp_path / "ds.laz")
+    write_laz(p, x, y, z, cls, inten, gps, chunk_size=200)
+    got = read_laz_dataset(p).to_pandas().sort_values(["gps_time"]).reset_index(drop=True)
+    assert len(got) == 900
+    order = np.argsort(gps, kind="stable")
+    np.testing.assert_allclose(got["x"], x[order], atol=1e-9)
+    assert (got["classification"].to_numpy() == cls[order]).all()
+    assert (got["source"] == p).all()
