@@ -82,6 +82,7 @@ def lookup_join(
     attach: dict[str, str],
     n_buckets: int | None = None,
     type_overrides: dict | None = None,
+    n_salt: int = 1,
 ):
     """Inner-join ``right_ds``'s ``attach`` columns onto ``left_ds``.
 
@@ -95,9 +96,17 @@ def lookup_join(
     original integer widths/signedness preserved.
     ``type_overrides`` resolves ambiguous pandas-object columns (and
     may force e.g. binary) by column name, either side.
-    """
+
+    ``n_salt`` > 1 splits each key's LEFT rows across ``n_salt``
+    sub-buckets (round-robin within each batch) and replicates every
+    RIGHT row to all of them — the skew escape hatch for a hot left
+    key that would otherwise put its whole row mass in one group.
+    Right-side shuffle volume multiplies by ``n_salt`` (the right side
+    is the small lookup side by contract), results are identical."""
     if n_buckets is None:
         n_buckets = default_n_buckets()
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1 (got {n_salt})")
     left_schema = _arrow_schema(left_ds, type_overrides)
     right_schema = _arrow_schema(right_ds, type_overrides)
     left_cols = list(left_schema.names)
@@ -111,10 +120,21 @@ def lookup_join(
         for rc in attach:
             cols["__r_" + rc] = pa.nulls(len(t), right_schema.field(rc).type)
         cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8))
-        cols["__bucket"] = pa.array(_bucket_of(key, n_buckets))
+        bucket = _bucket_of(key, n_buckets)
+        if n_salt > 1:
+            salt = np.arange(len(t), dtype=np.int64) % n_salt
+            bucket = bucket * n_salt + salt
+        cols["__bucket"] = pa.array(bucket)
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
+        # column pruning happens HERE, not via Dataset.select_columns:
+        # Ray 2.49's Project operator crashes on pandas-backed blocks
+        # ('DataFrame' object has no attribute 'rename_columns'), and
+        # aggregate outputs feeding a lookup_join are pandas blocks
+        t = t.select(right_cols)
+        if n_salt > 1:
+            t = t.take(np.repeat(np.arange(len(t)), n_salt))
         key = t.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {}
         for c in left_cols:
@@ -123,13 +143,15 @@ def lookup_join(
         for rc in attach:
             cols["__r_" + rc] = t.column(rc).cast(right_schema.field(rc).type)
         cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8))
-        cols["__bucket"] = pa.array(_bucket_of(key, n_buckets))
+        bucket = _bucket_of(key, n_buckets)
+        if n_salt > 1:
+            salt = np.tile(np.arange(n_salt, dtype=np.int64), len(t) // n_salt)
+            bucket = bucket * n_salt + salt
+        cols["__bucket"] = pa.array(bucket)
         return pa.table(cols)
 
     lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
-    rt = right_ds.select_columns(right_cols).map_batches(
-        tag_right, batch_format="pyarrow"
-    )
+    rt = right_ds.map_batches(tag_right, batch_format="pyarrow")
     both = lt.union(rt)
 
     r_names = ["__r_" + rc for rc in attach]

@@ -392,9 +392,12 @@ def _verify_pairs_jaccard(cands, ds, id_col: str, text_col: str, threshold: floa
     # huge-candidate fallback: co-grouped joins, fully distributed
     sig = _shingle_set_rows(ds, id_col, text_col).materialize()
 
-    j1 = lookup_join(cands, sig, "a", "id", {"sh": "sh_a"})
+    # n_salt: a viral near-dup doc appears in a large share of the
+    # candidate pairs — salt so its pair rows spread across sub-buckets
+    j1 = lookup_join(cands, sig, "a", "id", {"sh": "sh_a"}, n_salt=8)
     j2 = lookup_join(
-        j1, sig, "b", "id", {"sh": "sh_b"}, type_overrides={"sh_a": pa.binary()}
+        j1, sig, "b", "id", {"sh": "sh_b"}, type_overrides={"sh_a": pa.binary()},
+        n_salt=8,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -760,7 +763,11 @@ def duplicate_components(
     prev_sum = int(cur.sum("label"))
     for _ in range(max_iters):
         # labels flowing across edges: label(u) pushed to v
-        pushed = lookup_join(edges, cur, "u", "node", {"label": "plabel"}).map_batches(
+        # n_salt: a hub node of a giant dup component has high degree,
+        # i.e. many edge rows share one "u" key
+        pushed = lookup_join(
+            edges, cur, "u", "node", {"label": "plabel"}, n_salt=8
+        ).map_batches(
             lambda t: pa.table({"node": t.column("v"), "plabel": t.column("plabel")}),
             batch_format="pyarrow",
         )
@@ -783,7 +790,12 @@ def duplicate_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return cur.rename_columns({"label": "component"}).sort("node")
+    # rename via map_batches, not Dataset.rename_columns: the Project
+    # operator crashes on the aggregate's pandas-backed blocks
+    return cur.map_batches(
+        lambda t: pa.table({"node": t.column("node"), "component": t.column("label")}),
+        batch_format="pyarrow",
+    ).sort("node")
 
 
 # --------------------------------------------- embedding near-dup

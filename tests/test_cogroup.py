@@ -93,3 +93,42 @@ def test_lookup_join_object_dtype_requires_override(ray_session):
     ).to_pandas()
     assert out["y"].tolist() == [3]
     assert out["sh"].tolist() == [b"zz"]
+
+
+def test_lookup_join_salted_hot_key(ray_session):
+    """n_salt > 1 splits a hot key's left rows across salted
+    sub-buckets (right rows replicated to each) with identical results
+    to the unsalted join — the skew escape hatch."""
+    rng = np.random.default_rng(0)
+    # one pathological key (7) carries 90% of the left mass
+    keys = np.where(rng.uniform(size=5000) < 0.9, 7, rng.integers(0, 50, 5000))
+    left = rd.from_arrow(
+        pa.table({"k": pa.array(keys, pa.int64()),
+                  "v": pa.array(np.arange(5000), pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"id": pa.array(np.arange(50), pa.int64()),
+                  "lab": pa.array(np.arange(50) * 10, pa.int64())})
+    )
+    base = (
+        lookup_join(left, right, "k", "id", {"lab": "lab"})
+        .to_pandas().sort_values(["v"]).reset_index(drop=True)
+    )
+    salted = (
+        lookup_join(left, right, "k", "id", {"lab": "lab"}, n_salt=4)
+        .to_pandas().sort_values(["v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(base, salted)
+    assert len(salted) == 5000
+    assert (salted["lab"] == salted["k"] * 10).all()
+
+    # duplicate right keys still raise under salting
+    dup = rd.from_arrow(
+        pa.table({"id": pa.array([7, 7], pa.int64()),
+                  "lab": pa.array([1, 2], pa.int64())})
+    )
+    with pytest.raises(Exception, match="duplicate"):
+        lookup_join(left, dup, "k", "id", {"lab": "lab"}, n_salt=4).materialize()
+
+    with pytest.raises(ValueError, match="n_salt"):
+        lookup_join(left, right, "k", "id", {"lab": "lab"}, n_salt=0)
