@@ -778,6 +778,55 @@ def _raw_pts_to_arrays(raw_pts, sx, sy, sz, ox, oy, oz):
     }
 
 
+def _plain_arrays(
+    data: bytes, offset: int, count: int, pfmt: int, rec_len: int,
+    sx: float, sy: float, sz: float, ox: float, oy: float, oz: float,
+):
+    """Uncompressed point records -> dequantized column arrays, one
+    vectorized structured-dtype view over the record block (no
+    per-record loop). Handles the legacy POINT0-3 layout and the LAS
+    1.4 POINT14 family (formats 6/7/8)."""
+    if pfmt >= 6:
+        names = ["X", "Y", "Z", "inten", "cls", "gps"]
+        formats = ["<i4", "<i4", "<i4", "<u2", "u1", "<f8"]
+        offsets = [0, 4, 8, 12, 16, 22]
+        has_gps = True
+        has_rgb = pfmt >= 7
+        rgb_off = 30
+    else:
+        names = ["X", "Y", "Z", "inten", "cls"]
+        formats = ["<i4", "<i4", "<i4", "<u2", "u1"]
+        offsets = [0, 4, 8, 12, 15]
+        has_gps = pfmt in (1, 3)
+        if has_gps:
+            names += ["gps"]
+            formats += ["<f8"]
+            offsets += [20]
+        has_rgb = pfmt in (2, 3)
+        rgb_off = 20 if pfmt == 2 else 28
+    if has_rgb:
+        names += ["red", "green", "blue"]
+        formats += ["<u2", "<u2", "<u2"]
+        offsets += [rgb_off, rgb_off + 2, rgb_off + 4]
+    dt = np.dtype(
+        {"names": names, "formats": formats, "offsets": offsets, "itemsize": rec_len}
+    )
+    arr = np.frombuffer(data, dtype=dt, count=count, offset=offset)
+    z16 = np.zeros(count, np.uint16)
+    return {
+        "x": arr["X"].astype(np.int64) * sx + ox,
+        "y": arr["Y"].astype(np.int64) * sy + oy,
+        "z": arr["Z"].astype(np.int64) * sz + oz,
+        "classification": arr["cls"].copy(),
+        "intensity": arr["inten"].copy(),
+        "gps_time": arr["gps"].copy() if has_gps else np.zeros(count, np.float64),
+        "red": arr["red"].copy() if has_rgb else z16,
+        "green": arr["green"].copy() if has_rgb else z16,
+        "blue": arr["blue"].copy() if has_rgb else z16,
+        "n_points": count,
+    }
+
+
 def read_laz_points(path: str):
     """Read a LAS or LAZ file -> dict of numpy arrays {x, y, z,
     classification, intensity, gps_time} (dequantized doubles).
@@ -815,74 +864,16 @@ def read_laz_points(path: str):
         if npoints == 0 and n64:
             npoints = n64
 
-    if pfmt >= 6:
-        # POINT14-family (LAS 1.4 formats 6/7/8), plain records only —
-        # the layered compressor-3 LAZ scheme is not implemented
-        # (reference analogue: LasZipNetReader.cs delegates to the
-        # LASzip codec)
-        if compressed:
-            raise NotImplementedError(
-                "compressed point formats 6+ (laszip layered compressor 3)"
-            )
-        names = [
-            "X", "Y", "Z", "intensity", "returns", "flags",
-            "classification", "user", "scan_angle", "psid", "gps",
-        ]
-        formats = ["<i4", "<i4", "<i4", "<u2", "u1", "u1", "u1", "u1", "<i2", "<u2", "<f8"]
-        offsets = [0, 4, 8, 12, 14, 15, 16, 17, 18, 20, 22]
-        if pfmt >= 7:
-            names += ["red", "green", "blue"]
-            formats += ["<u2", "<u2", "<u2"]
-            offsets += [30, 32, 34]
-        dt = np.dtype(
-            {"names": names, "formats": formats, "offsets": offsets, "itemsize": rec_len}
+    if pfmt >= 6 and compressed:
+        # POINT14-family (LAS 1.4 formats 6/7/8): the layered
+        # compressor-3 LAZ scheme is not implemented (reference
+        # analogue: LasZipNetReader.cs delegates to the LASzip codec)
+        raise NotImplementedError(
+            "compressed point formats 6+ (laszip layered compressor 3)"
         )
-        arr = np.frombuffer(data, dtype=dt, count=npoints, offset=pdr_off)
-        has_color = pfmt >= 7
-        return {
-            "x": arr["X"].astype(np.int64) * sx + ox,
-            "y": arr["Y"].astype(np.int64) * sy + oy,
-            "z": arr["Z"].astype(np.int64) * sz + oz,
-            "classification": arr["classification"].copy(),
-            "intensity": arr["intensity"].copy(),
-            "gps_time": arr["gps"].copy(),
-            "red": arr["red"].copy() if has_color else np.zeros(npoints, np.uint16),
-            "green": arr["green"].copy() if has_color else np.zeros(npoints, np.uint16),
-            "blue": arr["blue"].copy() if has_color else np.zeros(npoints, np.uint16),
-            "n_points": npoints,
-        }
 
     if not compressed:
-        # vectorized: one structured-dtype view over the record block
-        names = ["X", "Y", "Z", "inten", "cls"]
-        formats = ["<i4", "<i4", "<i4", "<u2", "u1"]
-        offsets = [0, 4, 8, 12, 15]
-        if pfmt in (1, 3):
-            names += ["gps"]
-            formats += ["<f8"]
-            offsets += [20]
-        if pfmt in (2, 3):
-            rgb_off = 20 if pfmt == 2 else 28
-            names += ["red", "green", "blue"]
-            formats += ["<u2", "<u2", "<u2"]
-            offsets += [rgb_off, rgb_off + 2, rgb_off + 4]
-        dt = np.dtype(
-            {"names": names, "formats": formats, "offsets": offsets, "itemsize": rec_len}
-        )
-        arr = np.frombuffer(data, dtype=dt, count=npoints, offset=pdr_off)
-        z16 = np.zeros(npoints, np.uint16)
-        return {
-            "x": arr["X"].astype(np.int64) * sx + ox,
-            "y": arr["Y"].astype(np.int64) * sy + oy,
-            "z": arr["Z"].astype(np.int64) * sz + oz,
-            "classification": arr["cls"].copy(),
-            "intensity": arr["inten"].copy(),
-            "gps_time": arr["gps"].copy() if pfmt in (1, 3) else np.zeros(npoints, np.float64),
-            "red": arr["red"].copy() if pfmt in (2, 3) else z16,
-            "green": arr["green"].copy() if pfmt in (2, 3) else z16,
-            "blue": arr["blue"].copy() if pfmt in (2, 3) else z16,
-            "n_points": npoints,
-        }
+        return _plain_arrays(data, pdr_off, npoints, pfmt, rec_len, sx, sy, sz, ox, oy, oz)
 
     if laszip_vlr is None:
         raise ValueError("compressed LAZ without laszip VLR")
@@ -919,18 +910,23 @@ def read_laz_points(path: str):
     return _raw_pts_to_arrays(raw_pts, sx, sy, sz, ox, oy, oz)
 
 
-def laz_read_units(path: str) -> list[dict]:
+TARGET_UNIT_BYTES = 128 << 20  # ~one object-store block per plain-LAS unit
+
+
+def laz_read_units(path: str, target_unit_bytes: int = TARGET_UNIT_BYTES) -> list[dict]:
     """Split one LAS/LAZ file into independently-decodable work units
     for the Ray reader. A LAZ chunk is a self-contained arithmetic
     stream, so a file whose compressed chunk table is present splits
-    into one unit per chunk (byte range + decode params — the worker
-    does a single ranged read, no header parse); everything else
-    (uncompressed LAS, table-less streams, unsupported formats) is one
+    into one unit per chunk; a supported uncompressed LAS splits into
+    ~``target_unit_bytes`` record ranges (``pfmt >= 0`` units). In
+    both cases the worker does a single ranged read, no header parse.
+    Everything else (table-less streams, unsupported formats) is one
     whole-file unit with ``offset == -1``. Planning reads only the
     header, VLRs and the trailing table — never the point data."""
     whole = [
         {
             "path": path, "offset": -1, "length": -1, "count": -1,
+            "pfmt": -1, "rec_len": 0,
             "sx": 0.0, "sy": 0.0, "sz": 0.0, "ox": 0.0, "oy": 0.0, "oz": 0.0,
             "has_gps": False, "has_rgb": False,
         }
@@ -943,6 +939,7 @@ def laz_read_units(path: str) -> list[dict]:
         (pdr_off,) = struct.unpack_from("<I", hdr, 96)
         (n_vlr,) = struct.unpack_from("<I", hdr, 100)
         pfmt_raw = hdr[104]
+        (rec_len,) = struct.unpack_from("<H", hdr, 105)
         (npoints,) = struct.unpack_from("<I", hdr, 107)
         sx, sy, sz = struct.unpack_from("<3d", hdr, 131)
         ox, oy, oz = struct.unpack_from("<3d", hdr, 155)
@@ -950,7 +947,29 @@ def laz_read_units(path: str) -> list[dict]:
             (n64,) = struct.unpack_from("<Q", hdr, 247)
             if npoints == 0 and n64:
                 npoints = n64
-        if not (pfmt_raw & 0x80) or npoints == 0:
+        if not (pfmt_raw & 0x80):
+            # plain LAS: record-range units (supported formats only)
+            pfmt = pfmt_raw & 0x7F
+            if pfmt not in (0, 1, 2, 3, 6, 7, 8) or npoints == 0 or rec_len == 0:
+                return whole
+            per_unit = max(1, target_unit_bytes // rec_len)
+            units = []
+            done = 0
+            while done < npoints:
+                cnt = min(per_unit, npoints - done)
+                units.append(
+                    {
+                        "path": path, "offset": pdr_off + done * rec_len,
+                        "length": cnt * rec_len, "count": cnt,
+                        "pfmt": pfmt, "rec_len": rec_len,
+                        "sx": sx, "sy": sy, "sz": sz,
+                        "ox": ox, "oy": oy, "oz": oz,
+                        "has_gps": False, "has_rgb": False,
+                    }
+                )
+                done += cnt
+            return units
+        if npoints == 0:
             return whole
         f.seek(hdr_size)
         laszip_vlr = None
@@ -985,6 +1004,7 @@ def laz_read_units(path: str) -> list[dict]:
         units.append(
             {
                 "path": path, "offset": off, "length": nbytes, "count": cnt,
+                "pfmt": -1, "rec_len": 0,
                 "sx": sx, "sy": sy, "sz": sz, "ox": ox, "oy": oy, "oz": oz,
                 "has_gps": has_gps, "has_rgb": has_rgb,
             }
@@ -998,13 +1018,19 @@ def laz_read_units(path: str) -> list[dict]:
 
 def read_laz_chunk_points(unit: dict):
     """Decode one ``laz_read_units`` work unit -> the same column-array
-    dict ``read_laz_points`` returns. Whole-file units delegate; chunk
-    units do one ranged read and decode a single arithmetic stream."""
+    dict ``read_laz_points`` returns. Whole-file units delegate; plain
+    record-range units (``pfmt >= 0``) and LAZ chunk units do one
+    ranged read and decode it in isolation."""
     if unit["offset"] < 0:
         return read_laz_points(unit["path"])
     with open(unit["path"], "rb") as f:
         f.seek(unit["offset"])
         data = f.read(unit["length"])
+    if unit["pfmt"] >= 0:
+        return _plain_arrays(
+            data, 0, unit["count"], unit["pfmt"], unit["rec_len"],
+            unit["sx"], unit["sy"], unit["sz"], unit["ox"], unit["oy"], unit["oz"],
+        )
     raw_pts, _end = _decode_chunk(data, 0, unit["count"], unit["has_gps"], unit["has_rgb"])
     return _raw_pts_to_arrays(
         raw_pts, unit["sx"], unit["sy"], unit["sz"], unit["ox"], unit["oy"], unit["oz"]

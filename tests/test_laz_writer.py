@@ -287,3 +287,38 @@ def test_read_laz_dataset_chunk_parallel(tmp_path, ray_session):
     np.testing.assert_allclose(got["x"], x[order], atol=1e-9)
     assert (got["classification"].to_numpy() == cls[order]).all()
     assert (got["source"] == p).all()
+
+
+def test_plain_las_record_range_units(tmp_path):
+    """Uncompressed LAS files split into record-range work units
+    (parallel ranged reads) whose decodes concatenate to the
+    sequential result — both the legacy 0-3 and POINT14 families."""
+    from lasutility_ray.sources.laz import (
+        laz_read_units,
+        read_laz_chunk_points,
+        write_las,
+        write_las14,
+    )
+
+    x, y, z, cls, inten, gps = _synth(n=1000, seed=9)
+    p12 = str(tmp_path / "plain12.las")
+    write_las(p12, x, y, z, cls, gps_time=gps)
+    rng = np.random.default_rng(2)
+    rgb = tuple(rng.integers(0, 65536, 1000).astype(np.uint16) for _ in range(3))
+    p14 = str(tmp_path / "plain14.las")
+    write_las14(p14, x, y, z, cls, inten, gps, rgb=rgb)
+
+    for p, n_cols in ((p12, ("x", "y", "z", "gps_time", "classification")),
+                      (p14, ("x", "y", "z", "gps_time", "intensity", "red", "blue"))):
+        full = read_laz_points(p)
+        # ~300 records per unit -> 4 units for 1000 points
+        units = laz_read_units(p, target_unit_bytes=300 * 38)
+        assert len(units) > 1
+        assert all(u["pfmt"] >= 0 for u in units)
+        assert sum(u["count"] for u in units) == 1000
+        parts = [read_laz_chunk_points(u) for u in units]
+        for col in n_cols:
+            got = np.concatenate([q[col] for q in parts])
+            assert np.array_equal(got, full[col]), (p, col)
+        # default target: small file stays one unit
+        assert len(laz_read_units(p)) == 1

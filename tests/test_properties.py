@@ -150,3 +150,68 @@ def test_salt_batch_ownership_invariant(pts, level):
     assert owned.groupby(["x", "y"]).size().max() <= max(
         sorted(zip(xs, ys)).count(p) for p in set(zip(xs, ys))
     )
+
+
+# ------------------------------------------------------ LAZ codec
+
+_laz_n = st.integers(min_value=1, max_value=120)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=_laz_n,
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    span=st.sampled_from([1.0, 100.0, 100000.0]),
+    base=st.sampled_from([-50000.0, 0.0, 1e6]),
+    chunk=st.sampled_from([1, 7, 50000]),
+    with_gps=st.booleans(),
+    with_rgb=st.booleans(),
+)
+def test_laz_roundtrip_property(tmp_path_factory, n, seed, span, base, chunk,
+                                with_gps, with_rgb):
+    """write_laz -> read_laz_points is lossless on grid-quantized
+    inputs across coordinate magnitudes, signs, chunk sizes and item
+    combinations — including extreme intensity/classification values
+    and duplicate points (the arithmetic coder's worst cases are
+    long runs of identical or wildly-jumping values)."""
+    import os
+    import tempfile
+
+    from lasutility_ray.sources.laz import read_laz_points
+    from lasutility_ray.sources.laz_writer import write_laz
+
+    rng = np.random.default_rng(seed)
+    x = base + np.round(rng.uniform(0, span, n) / 0.01) * 0.01
+    y = base + np.round(rng.uniform(0, span, n) / 0.01) * 0.01
+    z = np.round(rng.uniform(-100, 100, n) / 0.01) * 0.01
+    # force duplicate runs: repeat the first point over a random slice
+    if n >= 4:
+        k = int(rng.integers(1, n // 2 + 1))
+        x[1 : 1 + k] = x[0]
+        y[1 : 1 + k] = y[0]
+        z[1 : 1 + k] = z[0]
+    cls = rng.integers(0, 256, n).astype(np.uint8)
+    inten = rng.choice(
+        np.array([0, 1, 65534, 65535], dtype=np.uint16), n
+    )
+    gps = np.sort(rng.uniform(-1e7, 1e7, n)) if with_gps else None
+    rgb = (
+        tuple(rng.integers(0, 65536, n).astype(np.uint16) for _ in range(3))
+        if with_rgb
+        else None
+    )
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "prop.laz")
+        write_laz(p, x, y, z, cls, inten, gps_time=gps, rgb=rgb, chunk_size=chunk)
+        got = read_laz_points(p)
+    assert got["n_points"] == n
+    np.testing.assert_allclose(got["x"], x, rtol=1e-12, atol=1e-8)
+    np.testing.assert_allclose(got["y"], y, rtol=1e-12, atol=1e-8)
+    np.testing.assert_allclose(got["z"], z, rtol=1e-12, atol=1e-8)
+    assert (got["classification"] == cls).all()
+    assert (got["intensity"] == inten).all()
+    if with_gps:
+        assert (got["gps_time"] == gps).all()
+    if with_rgb:
+        for i, c in enumerate(("red", "green", "blue")):
+            assert (got[c] == rgb[i]).all()
