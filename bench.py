@@ -139,10 +139,12 @@ def run_flagship(n_docs: int, out_dir: str, resume: bool = False) -> dict:
     th = threading.Thread(target=run_pip)
     th.start()
 
-    # halo-mode salting (hot urban tiles split so no single Delaunay
-    # build straggles the stage) + per-tile atomic manifest commits
+    # exact salting (hot urban tiles: one TIN build, split raster
+    # windows — bit-identical to unsalted and measured fastest; the
+    # certified-halo path stays available for extreme skew) + per-tile
+    # atomic manifest commits
     manifest = resumable_salted_tin_tiles(
-        points, out_dir, exact=False, concurrency=max(2, ncpu // 4)
+        points, out_dir, exact=True, concurrency=max(2, ncpu // 4)
     )
     th.join()
     dt = time.perf_counter() - t0

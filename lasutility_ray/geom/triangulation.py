@@ -232,6 +232,7 @@ class SurfaceTriangulation:
         dem: np.ndarray,
         locked_cells: np.ndarray | None = None,
         classification_raster: np.ndarray | None = None,
+        out_tri: np.ndarray | None = None,
     ) -> None:
         """Triangle-push fill of ``dem`` (float32 (rows, cols)).
 
@@ -239,7 +240,10 @@ class SurfaceTriangulation:
         incremental-update contract (Triangulation.cs:275-276).
         ``classification_raster`` (uint8) gets the nearest-vertex class
         per covered cell (the "Classification" byte metadata channel,
-        Triangulation.cs:292-293).
+        Triangulation.cs:292-293). ``out_tri`` (int32, same shape)
+        receives each written cell's winning triangle id — the hook
+        the certificate-based exact halo mode uses to test Delaunay
+        locality per cell (stages/salting.py).
         """
         if self._tris is None:
             raise ValueError("Triangulation is not created.")
@@ -322,6 +326,8 @@ class SurfaceTriangulation:
         h = l1[win] * z0[wg] + l2[win] * z1[wg] + l3[win] * z2[wg]
         wr, wc = rr[win], cc[win]
         dem[wr, wc] = h.astype(np.float32)
+        if out_tri is not None:
+            out_tri[wr, wc] = wg.astype(np.int32)
 
         if classification_raster is not None:
             classification_raster[wr, wc] = _closest_class(

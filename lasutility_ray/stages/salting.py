@@ -103,6 +103,77 @@ def tile_count_partials(points_ds) -> dict[str, int]:
     return {row["tile_id"]: int(row["n"]) for row in combined.take_all()}
 
 
+def tile_hulls(points_ds, hot_tiles) -> dict[str, np.ndarray]:
+    """Exact convex hull per HOT tile, computed distributively:
+    per-batch partial hulls (tiny — O(hull) vertices per tile per
+    batch) shuffle through one small ``groupby(tile_id)`` combine
+    (hull(S) == hull(union of partial hulls)). The driver receives a
+    few dozen vertices per hot tile. The hull is the certificate for
+    halo-mode NaN cells: a cell corner strictly outside the tile hull
+    is outside the full TIN too, so its NaN is exact."""
+    from ..geom.hull import combine_hulls, convex_hull_xy
+
+    hot_arr = np.sort(np.array(list(hot_tiles), dtype=object))
+    if len(hot_arr) == 0:
+        return {}
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column("tile_id").to_numpy(zero_copy_only=False)
+        m = np.isin(ids, hot_arr)
+        if not m.any():
+            return pa.table(
+                {
+                    "tile_id": pa.array([], pa.string()),
+                    "hx": pa.array([], pa.float64()),
+                    "hy": pa.array([], pa.float64()),
+                }
+            )
+        ids = ids[m]
+        x = t.column("x").to_numpy()[m]
+        y = t.column("y").to_numpy()[m]
+        out_id, out_x, out_y = [], [], []
+        order = np.argsort(ids, kind="stable")
+        bounds_ = np.flatnonzero(
+            np.r_[True, ids[order][1:] != ids[order][:-1]]
+        )
+        for s, e in zip(bounds_, np.r_[bounds_[1:], len(order)]):
+            sel = order[s:e]
+            h = convex_hull_xy(x[sel], y[sel])
+            out_id.append(np.full(len(h), ids[sel[0]], dtype=object))
+            out_x.append(h[:, 0])
+            out_y.append(h[:, 1])
+        return pa.table(
+            {
+                "tile_id": pa.array(np.concatenate(out_id), pa.string()),
+                "hx": pa.array(np.concatenate(out_x), pa.float64()),
+                "hy": pa.array(np.concatenate(out_y), pa.float64()),
+            }
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        h = combine_hulls(
+            [np.column_stack((g["hx"].to_numpy(), g["hy"].to_numpy()))]
+        )
+        return pd.DataFrame(
+            {
+                "tile_id": [g["tile_id"].iloc[0]],
+                "hull": [h.astype("<f8").tobytes()],
+            }
+        )
+
+    rows = (
+        points_ds.select_columns(["tile_id", "x", "y"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("tile_id")
+        .map_groups(combine, batch_format="pandas")
+        .take_all()
+    )
+    return {
+        r["tile_id"]: np.frombuffer(r["hull"], dtype="<f8").reshape(-1, 2)
+        for r in rows
+    }
+
+
 def salt_levels(
     counts: dict[str, int], threshold: int = HOT_THRESHOLD, exact: bool = False
 ) -> dict[str, int]:
@@ -184,12 +255,115 @@ def _salt_batch(t: pa.Table, levels: dict[str, int], halo_m: float) -> pa.Table:
     ).append_column("owned", pa.array(np.concatenate(owned)))
 
 
-def rasterize_salted(group: pd.DataFrame) -> pd.DataFrame:
+STRICT_L_EPS = 1e-6  # barycentric margin for "strictly interior"
+HULL_MARGIN = 1e-6  # meters outside the tile hull for a certified NaN
+
+
+def _window_pending(tri, out_tri, wbounds, level, sr, sc, hull, halo_m) -> int:
+    """Count the window cells whose halo-TIN value is NOT certified
+    exact. Certificates (sufficient conditions for bit-equality with
+    the full-tile TIN):
+
+    - written cell: its corner is STRICTLY interior (barycentric
+      margin) to the winning triangle AND that triangle's circumdisk
+      stays inside the halo-covered rectangle (clipped sides at the
+      tile border are unconstrained — no points exist beyond). By the
+      Delaunay empty-circumdisk property the triangle then belongs to
+      the full TIN too, and a strictly-interior corner has a unique
+      containing triangle, so both the last-wins rasterizer and the
+      first-wins gap-fill query pick it in either TIN.
+    - NaN cell: its corner is strictly outside the full tile's convex
+      hull (shipped in via the ``tile_hulls`` pre-pass), so the full
+      TIN misses it too.
+
+    Anything else is pending; the caller falls back to the build-once
+    exact path for tiles with pending cells."""
+    from ..geom.hull import strictly_outside_hull
+
+    n_sub = 1 << level
+    c0, c1 = _win_bound(sc, n_sub), _win_bound(sc + 1, n_sub)
+    r0, r1 = _win_bound(sr, n_sub), _win_bound(sr + 1, n_sub)
+    ch_, cw_ = out_tri.shape
+    rr, cc = np.meshgrid(np.arange(ch_), np.arange(cw_), indexing="ij")
+    px = wbounds.min_x + cc.ravel() * wbounds.cell_width
+    py = wbounds.min_y + rr.ravel() * wbounds.cell_height
+    tid = out_tri.ravel()
+    pending = np.zeros(tid.shape, dtype=bool)
+
+    miss = tid < 0
+    if miss.any():
+        if hull is None or len(hull) < 3:
+            pending[miss] = True
+        else:
+            pending[miss] = ~strictly_outside_hull(
+                hull, px[miss], py[miss], HULL_MARGIN
+            )
+
+    hit = ~miss
+    if hit.any():
+        if tri is None:
+            pending[hit] = True
+            return int(pending.sum())
+        t = tri._tris[tid[hit]]
+        x, y = tri._x, tri._y
+        # window-local coordinates condition the circumcenter math
+        ox_, oy_ = wbounds.min_x, wbounds.min_y
+        ax, ay = x[t[:, 0]] - ox_, y[t[:, 0]] - oy_
+        bx, by = x[t[:, 1]] - ox_, y[t[:, 1]] - oy_
+        cx, cy = x[t[:, 2]] - ox_, y[t[:, 2]] - oy_
+        qx, qy = px[hit] - ox_, py[hit] - oy_
+
+        det = (by - cy) * (ax - cx) + (cx - bx) * (ay - cy)
+        l1 = ((by - cy) * (qx - cx) + (cx - bx) * (qy - cy)) / det
+        l2 = ((cy - ay) * (qx - cx) + (ax - cx) * (qy - cy)) / det
+        l3 = 1.0 - l1 - l2
+        strict = np.minimum(np.minimum(l1, l2), l3) > STRICT_L_EPS
+
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        a2 = ax * ax + ay * ay
+        b2 = bx * bx + by * by
+        c2 = cx * cx + cy * cy
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+            uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+        rad = np.hypot(ux - ax, uy - ay)
+
+        wx1 = (c1 - c0) * CELL_SIZE_M
+        wy1 = (r1 - r0) * CELL_SIZE_M
+        covered = np.isfinite(ux) & np.isfinite(uy)
+        # effective coverage per side: halo_m capped by the 1-ring
+        # neighbor's extent (only the adjacent window replicates in)
+        if c0 > 0:
+            cov = min(halo_m, (c0 - _win_bound(sc - 1, n_sub)) * CELL_SIZE_M)
+            covered &= ux - rad >= -cov
+        if c1 < CELLS_PER_EDGE:
+            cov = min(halo_m, (_win_bound(sc + 2, n_sub) - c1) * CELL_SIZE_M)
+            covered &= ux + rad <= wx1 + cov
+        if r0 > 0:
+            cov = min(halo_m, (r0 - _win_bound(sr - 1, n_sub)) * CELL_SIZE_M)
+            covered &= uy - rad >= -cov
+        if r1 < CELLS_PER_EDGE:
+            cov = min(halo_m, (_win_bound(sr + 2, n_sub) - r1) * CELL_SIZE_M)
+            covered &= uy + rad <= wy1 + cov
+
+        pending[np.flatnonzero(hit)[~(strict & covered)]] = True
+    return int(pending.sum())
+
+
+def rasterize_salted(
+    group: pd.DataFrame,
+    halo_m: float = HALO_M,
+    hulls: dict | None = None,
+    certify: bool = False,
+) -> pd.DataFrame:
     """Per-salt-key TIN + rasterize into the owned window only.
 
     Emits a window row ``{tile_id, r_off, c_off, n_h, n_w, dem_win,
     cls_win, counters...}``; unsalted (cold) tiles emit their full
-    tile as one window."""
+    tile as one window. With ``certify=True`` each row also carries
+    ``n_pending`` — the count of cells whose value the per-cell
+    Delaunay-locality certificate could NOT prove exact (see
+    ``_window_pending``); cold tiles are exact by construction."""
     tile_id = group["tile_id"].iloc[0]
     sub = int(group["salt_sub"].iloc[0])
     if sub >= 0:
@@ -228,7 +402,9 @@ def rasterize_salted(group: pd.DataFrame) -> pd.DataFrame:
     missing_before = missing_after = -1
     dem = np.full((cells_h, cells_w), np.nan, dtype=np.float32)
     cls_raster = np.zeros((cells_h, cells_w), dtype=np.uint8)
+    out_tri = np.full((cells_h, cells_w), -1, dtype=np.int32) if certify else None
 
+    tri = None
     if len(x) >= 3:
         tri = SurfaceTriangulation(tile_bounds)
         tri.set_points(x, y, z, cls)  # owned + halo support
@@ -236,31 +412,48 @@ def rasterize_salted(group: pd.DataFrame) -> pd.DataFrame:
             tri.create()
             n_triangles = tri.triangle_count()
         except ValueError:
+            tri = None
             n_triangles = 0
         if n_triangles:
-            tri.rasterise_dem(wbounds, dem, classification_raster=cls_raster)
+            tri.rasterise_dem(
+                wbounds, dem, classification_raster=cls_raster, out_tri=out_tri
+            )
             # gap fill only NaN voxel-DEM cells inside the window
             missing_before, missing_after = vx.fill_missing_from_tin(
                 tile, tri, int(wenv[0]), int(wenv[1]), int(wenv[2]), int(wenv[3])
             )
 
-    return pd.DataFrame(
-        {
-            "tile_id": [tile_id],
-            "r_off": [r0],
-            "c_off": [c0],
-            "n_h": [cells_h],
-            "n_w": [cells_w],
-            "n_points": [int(own.sum())],
-            "n_ground": [int(is_ground[own].sum())],
-            "n_triangles": [n_triangles],
-            "missing_before": [missing_before],
-            "missing_after": [missing_after],
-            "n_voxel_cells": [int((np.diff(tile.bin_starts) > 0).sum())],
-            "tin_dem_win": [dem.tobytes()],
-            "cls_win": [cls_raster.tobytes()],
-        }
-    )
+    out = {
+        "tile_id": [tile_id],
+        "r_off": [r0],
+        "c_off": [c0],
+        "n_h": [cells_h],
+        "n_w": [cells_w],
+        "n_points": [int(own.sum())],
+        "n_ground": [int(is_ground[own].sum())],
+        "n_triangles": [n_triangles],
+        "missing_before": [missing_before],
+        "missing_after": [missing_after],
+        "n_voxel_cells": [int((np.diff(tile.bin_starts) > 0).sum())],
+        "tin_dem_win": [dem.tobytes()],
+        "cls_win": [cls_raster.tobytes()],
+    }
+    if certify:
+        if sub < 0:
+            n_pending = 0  # cold tile: full-tile TIN, exact by construction
+        else:
+            n_pending = _window_pending(
+                tri if n_triangles else None,
+                out_tri,
+                wbounds,
+                level,
+                sr,
+                sc,
+                (hulls or {}).get(tile_id),
+                halo_m,
+            )
+        out["n_pending"] = [n_pending]
+    return pd.DataFrame(out)
 
 
 def merge_tile_windows(group: pd.DataFrame) -> pd.DataFrame:
@@ -281,20 +474,21 @@ def merge_tile_windows(group: pd.DataFrame) -> pd.DataFrame:
         ).reshape(h, w)
     mb = group["missing_before"].to_numpy()
     ma = group["missing_after"].to_numpy()
-    return pd.DataFrame(
-        {
-            "tile_id": [tile_id],
-            "n_points": [int(group["n_points"].sum())],
-            "n_ground": [int(group["n_ground"].sum())],
-            "n_triangles": [int(group["n_triangles"].sum())],
-            "n_dem_cells": [int((~np.isnan(dem)).sum())],
-            "missing_before": [int(mb[mb >= 0].sum()) if (mb >= 0).any() else -1],
-            "missing_after": [int(ma[ma >= 0].sum()) if (ma >= 0).any() else -1],
-            "n_voxel_cells": [int(group["n_voxel_cells"].sum())],
-            "dem": [dem.tobytes()],
-            "classification_raster": [cls_raster.tobytes()],
-        }
-    )
+    out = {
+        "tile_id": [tile_id],
+        "n_points": [int(group["n_points"].sum())],
+        "n_ground": [int(group["n_ground"].sum())],
+        "n_triangles": [int(group["n_triangles"].sum())],
+        "n_dem_cells": [int((~np.isnan(dem)).sum())],
+        "missing_before": [int(mb[mb >= 0].sum()) if (mb >= 0).any() else -1],
+        "missing_after": [int(ma[ma >= 0].sum()) if (ma >= 0).any() else -1],
+        "n_voxel_cells": [int(group["n_voxel_cells"].sum())],
+        "dem": [dem.tobytes()],
+        "classification_raster": [cls_raster.tobytes()],
+    }
+    if "n_pending" in group.columns:
+        out["n_pending"] = [int(group["n_pending"].sum())]
+    return pd.DataFrame(out)
 
 
 # --------------------------------- exact mode: build once, split raster
@@ -490,6 +684,7 @@ def salted_tin_tiles(
     include_rasters: bool = True,
     exact: bool = True,
     exact_level: int = 1,
+    certify: bool = True,
 ):
     """Skew-aware variant of ``stages.tin.tin_tiles``.
 
@@ -501,14 +696,20 @@ def salted_tin_tiles(
       + serialization, wall of the straggler = one build + 1/n_windows
       of the raster work.
     - ``exact=False``: halo mode, the extreme-skew path — split level
-      grows with density and build cost is divided too, at the cost
-      of bounded sliver deviation near window borders (module
-      docstring; tests bound it < 0.5% of cells).
+      grows with density and BUILD cost is divided too. With
+      ``certify=True`` (default) every cell is checked against the
+      per-cell Delaunay-locality certificate (``_window_pending``) and
+      tiles with any uncertified cell are recomputed through the
+      build-once path, so the OUTPUT is exact — the halo TIN only ever
+      serves values it can prove. ``certify=False`` keeps round 1's
+      raw approximate behavior (bounded sliver deviation near window
+      borders, tests bound it < 0.5% of cells).
 
     Falls back to plain per-tile processing when nothing is hot.
 
     ``points_ds`` is consumed up to three times (count pass + cold
-    scan + hot scan): feed it a checkpointed / parquet-backed dataset
+    scan + hot scan; + hull pass and pending recompute in certified
+    halo mode): feed it a checkpointed / parquet-backed dataset
     (projection pushdown makes the count pass a one-column read), not
     an expensive synthetic pipeline."""
     from .tin import tin_tiles
@@ -545,15 +746,63 @@ def salted_tin_tiles(
         )
         out = hot.union(cold)
     else:
+        hulls = tile_hulls(points_ds, levels) if certify else {}
         salted = points_ds.map_batches(
             lambda t: _salt_batch(t, levels, halo_m), batch_format="pyarrow"
         )
         windows = salted.groupby(["tile_id", "salt_sub"]).map_groups(
-            rasterize_salted, batch_format="pandas"
+            lambda g: rasterize_salted(
+                g, halo_m=halo_m, hulls=hulls, certify=certify
+            ),
+            batch_format="pandas",
         )
         out = windows.groupby("tile_id").map_groups(
             merge_tile_windows, batch_format="pandas"
         )
+        if certify:
+            out = out.materialize()
+            pend = sorted(
+                r["tile_id"]
+                for r in out.map_batches(
+                    lambda t: t.select(["tile_id", "n_pending"]),
+                    batch_format="pyarrow",
+                ).take_all()
+                if r["n_pending"] > 0
+            )
+            pend_arr = np.sort(np.array(pend, dtype=object))
+
+            def drop_pending(t: pa.Table, keep_rows: bool) -> pa.Table:
+                t = t.drop_columns(["n_pending"])
+                if not keep_rows:
+                    ids = t.column("tile_id").to_numpy(zero_copy_only=False)
+                    t = t.filter(pa.array(~np.isin(ids, pend_arr)))
+                return t
+
+            ok = out.map_batches(
+                lambda t: drop_pending(t, keep_rows=not pend),
+                batch_format="pyarrow",
+            )
+            if pend:
+                # uncertified tiles (hull slivers, wide circumdisks):
+                # recompute through the build-once exact path — the
+                # certified majority keeps the halo-mode cost profile
+                def in_pend(t: pa.Table) -> pa.Table:
+                    ids = t.column("tile_id").to_numpy(zero_copy_only=False)
+                    return t.filter(pa.array(np.isin(ids, pend_arr)))
+
+                fixed = (
+                    points_ds.map_batches(in_pend, batch_format="pyarrow")
+                    .groupby("tile_id")
+                    .map_groups(
+                        lambda g: _build_hot_tile(g, 1), batch_format="pandas"
+                    )
+                    .map_batches(_window_batch, batch_format="pandas", batch_size=1)
+                    .groupby("tile_id")
+                    .map_groups(merge_tile_windows, batch_format="pandas")
+                )
+                out = ok.union(fixed)
+            else:
+                out = ok
     if not include_rasters:
         out = out.drop_columns(["dem", "classification_raster"])
     return out

@@ -117,6 +117,69 @@ def test_halo_mode_bounded_difference(ray_session):
     assert bad / total < 0.005, f"halo mode deviates on {bad}/{total} cells"
 
 
+def test_certified_halo_mode_is_exact(ray_session):
+    """Certified halo mode (exact=False, certify=True): every cell is
+    either proven exact by the Delaunay-locality certificate or its
+    tile is recomputed through the build-once path — DEM and
+    classification must be bit-identical to the unsalted output."""
+    pts = _points()
+    plain = (
+        tin_tiles(pts, include_rasters=True)
+        .to_pandas()
+        .set_index("tile_id")
+        .sort_index()
+    )
+    salted = (
+        salted_tin_tiles(
+            pts,
+            threshold=3000,
+            halo_m=30.0,
+            include_rasters=True,
+            exact=False,
+            certify=True,
+        )
+        .to_pandas()
+        .set_index("tile_id")
+        .sort_index()
+    )
+    assert list(plain.index) == list(salted.index)
+    assert "n_pending" not in salted.columns
+    for tid in plain.index:
+        pd_dem = np.frombuffer(plain.loc[tid, "dem"], dtype=np.float32)
+        sd_dem = np.frombuffer(salted.loc[tid, "dem"], dtype=np.float32)
+        neq = ~((pd_dem == sd_dem) | (np.isnan(pd_dem) & np.isnan(sd_dem)))
+        assert not neq.any(), f"{tid}: {neq.sum()} certified DEM cells differ"
+        pc = np.frombuffer(plain.loc[tid, "classification_raster"], dtype=np.uint8)
+        sc = np.frombuffer(salted.loc[tid, "classification_raster"], dtype=np.uint8)
+        assert (pc == sc).all(), f"{tid}: classification raster differs"
+        assert plain.loc[tid, "n_points"] == salted.loc[tid, "n_points"]
+
+
+def test_hull_primitives():
+    from lasutility_ray.geom.hull import (
+        combine_hulls,
+        convex_hull_xy,
+        strictly_outside_hull,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(0, 10, 500)
+    y = rng.uniform(0, 10, 500)
+    h = convex_hull_xy(x, y)
+    # hull of partial hulls == hull of the whole set
+    h2 = combine_hulls(
+        [convex_hull_xy(x[:200], y[:200]), convex_hull_xy(x[200:], y[200:])]
+    )
+    assert np.array_equal(np.unique(h, axis=0), np.unique(h2, axis=0))
+    # every input point is inside-or-on: never strictly outside
+    assert not strictly_outside_hull(h, x, y).any()
+    # far points are strictly outside
+    assert strictly_outside_hull(h, np.array([20.0, -5.0]), np.array([20.0, -5.0])).all()
+    # degenerate hulls certify nothing
+    seg = np.array([[0.0, 0.0], [1.0, 1.0]])
+    assert not strictly_outside_hull(seg, np.array([50.0]), np.array([50.0])).any()
+
+
 def test_no_hot_tiles_falls_back(ray_session):
     pts = _points()
     out = salted_tin_tiles(pts, threshold=10**9, include_rasters=False)
