@@ -825,9 +825,43 @@ def _cells_cte() -> str:
     )
 
 
+def _word_hash_sql() -> str:
+    """CTE chain reproducing ``stages.dedup._word_hashes`` in DuckDB:
+    per word, polynomial hash of the first 16 utf-8 bytes with
+    FNV-prime powers, char-length mixed in, splitmix-style finalize —
+    all uint64 wraparound arithmetic done in HUGEINT (128-bit) with
+    explicit ``% 2^64`` reductions (products of 64x32-bit halves stay
+    under 2^96, so nothing overflows). Expects a ``words(doc_id,
+    word)`` CTE upstream; yields ``wh(doc_id, word, wh UBIGINT)``."""
+    from lasutility_ray.stages.dedup import _FNV, _MIX1, _MIX2, _WORD_W
+
+    pow16 = [pow(_FNV, i, 1 << 64) for i in range(_WORD_W)]
+    pow_list = "[" + ",".join(f"{p}::HUGEINT" for p in pow16) + "]"
+    mix1, mix2 = int(_MIX1), int(_MIX2)
+    m64 = 1 << 64
+    return (
+        "wh AS (SELECT doc_id, word, xor(h2, h2 >> 29) AS wh FROM ("
+        "SELECT doc_id, word, "
+        f"(((h1::HUGEINT * {mix1 & 0xFFFFFFFF}::HUGEINT) % {m64}::HUGEINT "
+        f"+ ((h1::HUGEINT * {mix1 >> 32}::HUGEINT) % {1 << 32}::HUGEINT) "
+        f"* {1 << 32}::HUGEINT) % {m64}::HUGEINT)::UBIGINT AS h2 FROM ("
+        "SELECT doc_id, word, xor((COALESCE(list_sum(["
+        "((strpos('0123456789abcdef', substr(h, x*2+1, 1))-1)*16 "
+        "+ strpos('0123456789abcdef', substr(h, x*2+2, 1))-1)::HUGEINT "
+        f"* ({pow_list})[x+1] "
+        f"for x in range(least(octet_length(encode(word)), {_WORD_W}))]), 0) "
+        f"% {m64}::HUGEINT)::UBIGINT, "
+        f"((length(word)::HUGEINT * {mix2}::HUGEINT) % {m64}::HUGEINT)::UBIGINT"
+        ") AS h1 FROM (SELECT doc_id, word, "
+        f"substr(lower(hex(encode(word))), 1, {2 * _WORD_W}) AS h FROM words))))"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from lasutility_ray.corpus.pages import HTML_PREFIX, HTML_SUFFIX
     from lasutility_ray.corpus.polygons import rects_sql_cte
+    from lasutility_ray.stages.dedup import HAMMING_MAX
+    from lasutility_ray.stages.text import FP_MOD
 
     pts = _pts_cte()
     tiled = _tiled_sql()
@@ -1106,5 +1140,43 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN substr(html, "
             f"{len(HTML_PREFIX) + 1}, length(html) - {len(HTML_PREFIX) + len(HTML_SUFFIX)}"
             ") = text THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_match FROM pages"
+        ),
+        # rolling-hash fingerprint: utf-8 bytes as a base-256
+        # polynomial mod 2^61-1 — the Horner fold runs in HUGEINT via
+        # list_reduce over the hex-expanded byte values (mirrors
+        # stages.text.fingerprint_batch bit-for-bit)
+        "q_fingerprint": (
+            "SELECT doc_id, list_reduce(list_prepend(0::HUGEINT, "
+            "[((strpos('0123456789abcdef', substr(h, x*2+1, 1))-1)*16 "
+            "+ strpos('0123456789abcdef', substr(h, x*2+2, 1))-1)::HUGEINT "
+            "for x in range(octet_length(encode(text)))]), "
+            f"(acc, b) -> (acc*256 + b) % {FP_MOD}"
+            ")::BIGINT AS fingerprint "
+            "FROM (SELECT doc_id, text, lower(hex(encode(text))) AS h "
+            "FROM documents)"
+        ),
+        # SimHash near-dup pairs: the brute-force O(n^2) self-join is
+        # the oracle for the pigeonhole-bucketed Ray path (any pair
+        # within Hamming<=3 of a 64-bit hash shares an exact 16-bit
+        # chunk, so the bucketed path finds exactly these pairs);
+        # word hashes reproduce _word_hashes in uint64 (see
+        # _word_hash_sql), per-bit majority vote via a 64-way unnest
+        "q_simhash_pairs": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS word FROM documents), "
+            f"{_word_hash_sql()}, "
+            "bitsum AS (SELECT doc_id, j, "
+            "sum(((wh >> j::UBIGINT) & 1::UBIGINT)::BIGINT) AS ones, "
+            "count(*) AS n FROM wh "
+            "CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j), "
+            "sims0 AS (SELECT doc_id, sum(CASE WHEN 2*ones > n "
+            "THEN (1::HUGEINT << j) ELSE 0 END)::UBIGINT AS sim "
+            "FROM bitsum GROUP BY doc_id), "
+            "sims AS (SELECT d.doc_id, COALESCE(s.sim, 0::UBIGINT) AS sim "
+            "FROM documents d LEFT JOIN sims0 s USING (doc_id)) "
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "bit_count(xor(a.sim, b.sim))::BIGINT AS hamming "
+            "FROM sims a JOIN sims b ON a.doc_id < b.doc_id "
+            f"WHERE bit_count(xor(a.sim, b.sim)) <= {HAMMING_MAX}"
         ),
     }
