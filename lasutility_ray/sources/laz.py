@@ -864,19 +864,20 @@ def read_laz_points(path: str):
         if npoints == 0 and n64:
             npoints = n64
 
-    if pfmt >= 6 and compressed:
-        # POINT14-family (LAS 1.4 formats 6/7/8): the layered
-        # compressor-3 LAZ scheme is not implemented (reference
-        # analogue: LasZipNetReader.cs delegates to the LASzip codec)
-        raise NotImplementedError(
-            "compressed point formats 6+ (laszip layered compressor 3)"
-        )
-
     if not compressed:
         return _plain_arrays(data, pdr_off, npoints, pfmt, rec_len, sx, sy, sz, ox, oy, oz)
 
     if laszip_vlr is None:
         raise ValueError("compressed LAZ without laszip VLR")
+    if pfmt >= 6:
+        # POINT14-family (LAS 1.4 formats 6/7/8): layered compressor 3
+        # (see laz14.py for the fidelity contract; reference analogue:
+        # LasZipNetReader.cs delegates to the LASzip codec)
+        from .laz14 import read_laz14_points
+
+        return read_laz14_points(
+            data, pdr_off, npoints, laszip_vlr, sx, sy, sz, ox, oy, oz
+        )
     has_gps, has_rgb, chunk_size = _parse_laszip_vlr(laszip_vlr)
 
     variable = chunk_size == -1
@@ -928,7 +929,7 @@ def laz_read_units(path: str, target_unit_bytes: int = TARGET_UNIT_BYTES) -> lis
             "path": path, "offset": -1, "length": -1, "count": -1,
             "pfmt": -1, "rec_len": 0,
             "sx": 0.0, "sy": 0.0, "sz": 0.0, "ox": 0.0, "oy": 0.0, "oz": 0.0,
-            "has_gps": False, "has_rgb": False,
+            "has_gps": False, "has_rgb": False, "fmt14": 0,
         }
     ]
     with open(path, "rb") as f:
@@ -964,7 +965,7 @@ def laz_read_units(path: str, target_unit_bytes: int = TARGET_UNIT_BYTES) -> lis
                         "pfmt": pfmt, "rec_len": rec_len,
                         "sx": sx, "sy": sy, "sz": sz,
                         "ox": ox, "oy": oy, "oz": oz,
-                        "has_gps": False, "has_rgb": False,
+                        "has_gps": False, "has_rgb": False, "fmt14": 0,
                     }
                 )
                 done += cnt
@@ -981,11 +982,22 @@ def laz_read_units(path: str, target_unit_bytes: int = TARGET_UNIT_BYTES) -> lis
                 laszip_vlr = payload
         if laszip_vlr is None:
             return whole
+        fmt14 = 0
         try:
             has_gps, has_rgb, chunk_size = _parse_laszip_vlr(laszip_vlr)
         except NotImplementedError:
-            # let the whole-file decode raise the precise message
-            return whole
+            try:
+                # layered compressor 3 (formats 6+): chunks are still
+                # independently decodable, so the same per-chunk fanout
+                # applies — the unit carries the point format instead
+                # of the v2 item flags
+                from .laz14 import parse_laszip_vlr14
+
+                fmt14, chunk_size = parse_laszip_vlr14(laszip_vlr)
+                has_gps = has_rgb = False
+            except NotImplementedError:
+                # let the whole-file decode raise the precise message
+                return whole
         f.seek(pdr_off)
         (cts,) = struct.unpack("<q", f.read(8))
         fsize = f.seek(0, 2)
@@ -1006,7 +1018,7 @@ def laz_read_units(path: str, target_unit_bytes: int = TARGET_UNIT_BYTES) -> lis
                 "path": path, "offset": off, "length": nbytes, "count": cnt,
                 "pfmt": -1, "rec_len": 0,
                 "sx": sx, "sy": sy, "sz": sz, "ox": ox, "oy": oy, "oz": oz,
-                "has_gps": has_gps, "has_rgb": has_rgb,
+                "has_gps": has_gps, "has_rgb": has_rgb, "fmt14": fmt14,
             }
         )
         off += nbytes
@@ -1029,6 +1041,15 @@ def read_laz_chunk_points(unit: dict):
     if unit["pfmt"] >= 0:
         return _plain_arrays(
             data, 0, unit["count"], unit["pfmt"], unit["rec_len"],
+            unit["sx"], unit["sy"], unit["sz"], unit["ox"], unit["oy"], unit["oz"],
+        )
+    if unit.get("fmt14", 0) >= 6:
+        from .laz14 import decode_chunk14, rec_len14
+
+        recs, _end = decode_chunk14(data, 0, unit["count"], unit["fmt14"])
+        return _plain_arrays(
+            b"".join(recs), 0, unit["count"], unit["fmt14"],
+            rec_len14(unit["fmt14"]),
             unit["sx"], unit["sy"], unit["sz"], unit["ox"], unit["oy"], unit["oz"],
         )
     raw_pts, _end = _decode_chunk(data, 0, unit["count"], unit["has_gps"], unit["has_rgb"])

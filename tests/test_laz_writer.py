@@ -206,12 +206,14 @@ def test_las14_point14_formats(tmp_path):
         if "rgb" in args:
             assert (d["red"] == r).all() and (d["blue"] == b).all()
 
-    # compressed 6+ stays an honest error (laszip layered compressor)
+    # compressed 6+ is now handled by the layered codec (laz14.py);
+    # a file flagged compressed but carrying no laszip VLR is corrupt
+    # and must fail loudly, not decode as garbage
     raw = bytearray(open(str(tmp_path / "fmt6.las"), "rb").read())
     raw[104] |= 0x80  # flag as compressed
     pc = tmp_path / "fake_compressed.laz"
     pc.write_bytes(bytes(raw))
-    with pytest.raises(NotImplementedError, match="compressed point formats 6"):
+    with pytest.raises(ValueError, match="without laszip VLR"):
         read_laz_points(str(pc))
 
 
