@@ -825,14 +825,15 @@ def _cells_cte() -> str:
     )
 
 
-def _word_hash_sql() -> str:
+def _word_hash_sql(extra: str = "") -> str:
     """CTE chain reproducing ``stages.dedup._word_hashes`` in DuckDB:
     per word, polynomial hash of the first 16 utf-8 bytes with
     FNV-prime powers, char-length mixed in, splitmix-style finalize —
     all uint64 wraparound arithmetic done in HUGEINT (128-bit) with
     explicit ``% 2^64`` reductions (products of 64x32-bit halves stay
     under 2^96, so nothing overflows). Expects a ``words(doc_id,
-    word)`` CTE upstream; yields ``wh(doc_id, word, wh UBIGINT)``."""
+    word)`` CTE upstream; yields ``wh(doc_id, word, wh UBIGINT)``.
+    ``extra`` names additional passthrough columns (e.g. ", pos")."""
     from lasutility_ray.stages.dedup import _FNV, _MIX1, _MIX2, _WORD_W
 
     pow16 = [pow(_FNV, i, 1 << 64) for i in range(_WORD_W)]
@@ -840,19 +841,19 @@ def _word_hash_sql() -> str:
     mix1, mix2 = int(_MIX1), int(_MIX2)
     m64 = 1 << 64
     return (
-        "wh AS (SELECT doc_id, word, xor(h2, h2 >> 29) AS wh FROM ("
-        "SELECT doc_id, word, "
+        f"wh AS (SELECT doc_id, word{extra}, xor(h2, h2 >> 29) AS wh FROM ("
+        f"SELECT doc_id, word{extra}, "
         f"(((h1::HUGEINT * {mix1 & 0xFFFFFFFF}::HUGEINT) % {m64}::HUGEINT "
         f"+ ((h1::HUGEINT * {mix1 >> 32}::HUGEINT) % {1 << 32}::HUGEINT) "
         f"* {1 << 32}::HUGEINT) % {m64}::HUGEINT)::UBIGINT AS h2 FROM ("
-        "SELECT doc_id, word, xor((COALESCE(list_sum(["
+        f"SELECT doc_id, word{extra}, xor((COALESCE(list_sum(["
         "((strpos('0123456789abcdef', substr(h, x*2+1, 1))-1)*16 "
         "+ strpos('0123456789abcdef', substr(h, x*2+2, 1))-1)::HUGEINT "
         f"* ({pow_list})[x+1] "
         f"for x in range(least(octet_length(encode(word)), {_WORD_W}))]), 0) "
         f"% {m64}::HUGEINT)::UBIGINT, "
         f"((length(word)::HUGEINT * {mix2}::HUGEINT) % {m64}::HUGEINT)::UBIGINT"
-        ") AS h1 FROM (SELECT doc_id, word, "
+        f") AS h1 FROM (SELECT doc_id, word{extra}, "
         f"substr(lower(hex(encode(word))), 1, {2 * _WORD_W}) AS h FROM words))))"
     )
 
@@ -860,8 +861,11 @@ def _word_hash_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from lasutility_ray.corpus.pages import HTML_PREFIX, HTML_SUFFIX
     from lasutility_ray.corpus.polygons import rects_sql_cte
-    from lasutility_ray.stages.dedup import HAMMING_MAX
+    from lasutility_ray.stages.dedup import HAMMING_MAX, _SH_C
     from lasutility_ray.stages.text import FP_MOD
+
+    c0, c1, c2 = (int(v) for v in _SH_C)
+    m64 = 1 << 64
 
     pts = _pts_cte()
     tiled = _tiled_sql()
@@ -1178,5 +1182,38 @@ def oracle_sql() -> dict[str, str]:
             "bit_count(xor(a.sim, b.sim))::BIGINT AS hamming "
             "FROM sims a JOIN sims b ON a.doc_id < b.doc_id "
             f"WHERE bit_count(xor(a.sim, b.sim)) <= {HAMMING_MAX}"
+        ),
+        # word-3-gram Jaccard pairs: the Ray path's prefix filter is
+        # COMPLETE (AllPairs theorem), so its output is exactly every
+        # pair with exact Jaccard >= 0.8 over the 32-bit shingle-hash
+        # SETS — which this brute-force self-join over per-doc shingle
+        # sets (same word hash as _word_hash_sql, rolling 3-gram
+        # combine, >> 32) computes directly
+        "q_ngram_jaccard_pairs": (
+            "WITH ws0 AS (SELECT doc_id, "
+            "regexp_extract_all(text, '\\S+') AS ws FROM documents), "
+            "words AS (SELECT doc_id, unnest(ws) AS word, "
+            "generate_subscripts(ws, 1) AS pos FROM ws0), "
+            f"{_word_hash_sql(extra=', pos')}, "
+            "hws0 AS (SELECT doc_id, list(wh ORDER BY pos) AS hws "
+            "FROM wh GROUP BY doc_id), "
+            "hws AS (SELECT d.doc_id, COALESCE(h.hws, []::UBIGINT[]) AS hws "
+            "FROM documents d LEFT JOIN hws0 h USING (doc_id)), "
+            "shs AS (SELECT doc_id, CASE "
+            "WHEN len(hws) = 0 THEN [0::UBIGINT] "
+            "WHEN len(hws) < 3 THEN [((list_sum("
+            f"[hws[i+1]::HUGEINT * ([{c0},{c1},{c2}])[i+1] "
+            "for i in range(len(hws))]) "
+            f"% {m64}::HUGEINT)::UBIGINT >> 32)] "
+            "ELSE list_distinct(["
+            f"(((hws[i+1]::HUGEINT*{c0} + hws[i+2]::HUGEINT*{c1} "
+            f"+ hws[i+3]::HUGEINT*{c2}) % {m64}::HUGEINT)::UBIGINT >> 32) "
+            "for i in range(len(hws)-2)]) END AS sh FROM hws) "
+            "SELECT a, b, jaccard FROM ("
+            "SELECT x.doc_id AS a, y.doc_id AS b, "
+            "len(list_intersect(x.sh, y.sh))::DOUBLE "
+            "/ (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) "
+            "AS jaccard FROM shs x JOIN shs y ON x.doc_id < y.doc_id) "
+            "WHERE jaccard >= 0.8"
         ),
     }
