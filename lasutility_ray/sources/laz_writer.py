@@ -698,32 +698,49 @@ def write_laz(
         f.write(table)
 
 
-def write_laz_tiles(points_ds, out_dir: str, scale: float = 0.01):
+def write_laz_tiles(points_ds, out_dir: str, scale: float = 0.01,
+                    point_format: int = 0):
     """Distributed LAZ sink: one compressed ``{tile_id}.laz`` per 1 km
     tile (partitioned, resumable-shaped output — the S2 surface at the
     Ray layer, exceeding the reference's stubbed writer). Expects the
     engine's points schema (tile_id, x, y, z, classification, and
-    optionally is_ground/doc_id ignored). Returns a (tile_id, path,
-    n_points) manifest Dataset; consume it to drive the writes."""
+    optionally is_ground/doc_id ignored). ``point_format`` 0 writes
+    legacy POINT10 tiles (compressor 2); 6 writes LAS 1.4 POINT14
+    tiles through the layered compressor-3 codec (``laz14.py``).
+    Returns a (tile_id, path, n_points) manifest Dataset; consume it
+    to drive the writes."""
     import os
 
     import pandas as pd
-    import pyarrow as pa
 
+    if point_format not in (0, 6):
+        raise ValueError(f"point_format must be 0 or 6 (got {point_format})")
     os.makedirs(out_dir, exist_ok=True)
 
     def write_tile(g: pd.DataFrame) -> pd.DataFrame:
         tile_id = g["tile_id"].iloc[0]
         path = os.path.join(out_dir, f"{tile_id}.laz")
         tmp = f"{path}.tmp.{os.getpid()}"
-        write_laz(
-            tmp,
-            g["x"].to_numpy(),
-            g["y"].to_numpy(),
-            g["z"].to_numpy(),
-            g["classification"].to_numpy(),
-            scale=scale,
-        )
+        if point_format == 6:
+            from .laz14 import write_laz14
+
+            write_laz14(
+                tmp,
+                g["x"].to_numpy(),
+                g["y"].to_numpy(),
+                g["z"].to_numpy(),
+                classification=g["classification"].to_numpy(),
+                scale=scale,
+            )
+        else:
+            write_laz(
+                tmp,
+                g["x"].to_numpy(),
+                g["y"].to_numpy(),
+                g["z"].to_numpy(),
+                g["classification"].to_numpy(),
+                scale=scale,
+            )
         os.replace(tmp, path)
         return pd.DataFrame(
             {"tile_id": [tile_id], "path": [path], "n_points": [len(g)]}

@@ -170,6 +170,15 @@ def test_write_laz_tiles_sink(tmp_path, ray_session):
     np.testing.assert_allclose(got["z"], np.round(src["z"], 2), atol=0.005 + 1e-9)
     assert (got["classification"].to_numpy() == src["classification"].to_numpy()).all()
 
+    # layered POINT14 tiles (compressor 3) through the same sink
+    out14 = str(tmp_path / "laz14_tiles")
+    m14 = write_laz_tiles(pts, out14, point_format=6).to_pandas()
+    assert m14["n_points"].sum() == 3000
+    back14 = read_laz_dataset(m14["path"].tolist()).to_pandas()
+    got14 = back14.sort_values(["x", "y"]).reset_index(drop=True)
+    np.testing.assert_allclose(got14["x"], got["x"], atol=1e-9)
+    assert (got14["classification"].to_numpy() == got["classification"].to_numpy()).all()
+
 
 def test_las14_point14_formats(tmp_path):
     """LAS 1.4 POINT14 family (plain formats 6/7/8): 375-byte header,
