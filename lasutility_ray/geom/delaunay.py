@@ -182,7 +182,110 @@ class Delaunator:
         hull_next = self._hull_next
         hull_tri = self._hull_tri
 
-        self._hull_start = i0
+        # ---- hot-loop locals: every list/scalar the insertion and
+        # legalization loops touch is bound locally and the helper
+        # calls (_add_triangle/_link/_legalize/_hash_key/_orient2d/
+        # _in_circle) are inlined — the arithmetic is literally the
+        # same expressions in the same order, so the output is
+        # bit-identical; only the Python call overhead is gone
+        # (golden tests pin the exact triangle sets).
+        triangles = self._triangles
+        halfedges = self._halfedges
+        stack = self._edge_stack
+        stack_cap = len(stack)
+        hs = self._hash_size
+        hull_hash = [-1] * hs
+        self._hull_hash = hull_hash
+        ccx, ccy = self._cx, self._cy
+        floor = math.floor
+        tlen = 0
+        hull_start = i0
+
+        def hash_key(px, py):
+            dx = px - ccx
+            dy = py - ccy
+            p = dx / (abs(dx) + abs(dy)) if (dx or dy) else 0.0
+            a = (3 - p) / 4 if dy > 0 else (1 + p) / 4
+            return int(floor(a * hs)) % hs
+
+        def legalize(a):
+            i = 0
+            ar = 0
+            while True:
+                b = halfedges[a]
+                a0 = a - a % 3
+                ar = a0 + (a + 2) % 3
+
+                if b == -1:
+                    if i == 0:
+                        break
+                    i -= 1
+                    a = stack[i]
+                    continue
+
+                b0 = b - b % 3
+                al = a0 + (a + 1) % 3
+                bl = b0 + (b + 2) % 3
+
+                p0 = triangles[ar]
+                pr = triangles[a]
+                pl = triangles[al]
+                p1 = triangles[bl]
+
+                # inlined _in_circle (identical expression order)
+                px_, py_ = x[p1], y[p1]
+                dx = x[p0] - px_
+                dy = y[p0] - py_
+                ex = x[pr] - px_
+                ey = y[pr] - py_
+                fx = x[pl] - px_
+                fy = y[pl] - py_
+                ap = dx * dx + dy * dy
+                bp = ex * ex + ey * ey
+                cp = fx * fx + fy * fy
+                illegal = (
+                    dx * (ey * cp - bp * fy)
+                    - dy * (ex * cp - bp * fx)
+                    + ap * (ex * fy - ey * fx)
+                ) < 0
+
+                if illegal:
+                    triangles[a] = p1
+                    triangles[b] = p0
+
+                    hbl = halfedges[bl]
+                    if hbl == -1:
+                        # edge is on convex hull: fix hull_tri reference
+                        e = hull_start
+                        while True:
+                            if hull_tri[e] == bl:
+                                hull_tri[e] = a
+                                break
+                            e = hull_prev[e]
+                            if e == hull_start:
+                                break
+                    halfedges[a] = hbl
+                    if hbl != -1:
+                        halfedges[hbl] = a
+                    har = halfedges[ar]
+                    halfedges[b] = har
+                    if har != -1:
+                        halfedges[har] = b
+                    halfedges[ar] = bl
+                    halfedges[bl] = ar
+
+                    br = b0 + (b + 1) % 3
+                    if i < stack_cap:
+                        stack[i] = br
+                        i += 1
+                else:
+                    if i == 0:
+                        break
+                    i -= 1
+                    a = stack[i]
+
+            return ar
+
         hull_size = 3
         hull_next[i0] = hull_prev[i2] = i1
         hull_next[i1] = hull_prev[i0] = i2
@@ -191,40 +294,45 @@ class Delaunator:
         hull_tri[i1] = 1
         hull_tri[i2] = 2
 
-        self._hull_hash = [-1] * self._hash_size
-        self._hull_hash[self._hash_key(i0x, i0y)] = i0
-        self._hull_hash[self._hash_key(i1x, i1y)] = i1
-        self._hull_hash[self._hash_key(i2x, i2y)] = i2
+        hull_hash[hash_key(i0x, i0y)] = i0
+        hull_hash[hash_key(i1x, i1y)] = i1
+        hull_hash[hash_key(i2x, i2y)] = i2
 
-        self.triangles_len = 0
-        self._add_triangle(i0, i1, i2, -1, -1, -1)
+        # first triangle (inlined _add_triangle with no neighbors)
+        triangles[0] = i0
+        triangles[1] = i1
+        triangles[2] = i2
+        halfedges[0] = halfedges[1] = halfedges[2] = -1
+        tlen = 3
 
         xp = yp = math.nan
         for k in range(n):
-            i = int(ids[k])
-            xi, yi = x[i], y[i]
+            i = ids[k]
+            xi = x[i]
+            yi = y[i]
 
             # skip near-duplicate points
             if k > 0 and abs(xi - xp) <= EPSILON and abs(yi - yp) <= EPSILON:
                 continue
-            xp, yp = xi, yi
+            xp = xi
+            yp = yi
 
             if i == i0 or i == i1 or i == i2:
                 continue
 
             # find a visible edge on the convex hull using edge hash
             start = 0
-            key = self._hash_key(xi, yi)
-            for j in range(self._hash_size):
-                start = int(self._hull_hash[(key + j) % self._hash_size])
-                if start != -1 and start != int(hull_next[start]):
+            key = hash_key(xi, yi)
+            for j in range(hs):
+                start = hull_hash[(key + j) % hs]
+                if start != -1 and start != hull_next[start]:
                     break
 
-            start = int(hull_prev[start])
+            start = hull_prev[start]
             e = start
             while True:
-                q = int(hull_next[e])
-                if _orient2d(xi, yi, x[e], y[e], x[q], y[q]) < 0:
+                q = hull_next[e]
+                if (y[e] - yi) * (x[q] - x[e]) - (x[e] - xi) * (y[q] - y[e]) < 0:
                     break
                 e = q
                 if e == start:
@@ -233,20 +341,47 @@ class Delaunator:
             if e == -1:
                 continue  # likely a near-duplicate point
 
-            # first triangle from the point
-            t = self._add_triangle(e, i, int(hull_next[e]), -1, -1, int(hull_tri[e]))
-            hull_tri[i] = self._legalize(t + 2)
+            # first triangle from the point (inlined _add_triangle)
+            t = tlen
+            q = hull_next[e]
+            c = hull_tri[e]
+            triangles[t] = e
+            triangles[t + 1] = i
+            triangles[t + 2] = q
+            halfedges[t] = -1
+            halfedges[t + 1] = -1
+            halfedges[t + 2] = c
+            if c != -1:
+                halfedges[c] = t + 2
+            tlen += 3
+
+            hull_tri[i] = legalize(t + 2)
             hull_tri[e] = t
             hull_size += 1
 
             # walk forward, adding triangles
-            nn = int(hull_next[e])
+            nn = hull_next[e]
             while True:
-                q = int(hull_next[nn])
-                if not (_orient2d(xi, yi, x[nn], y[nn], x[q], y[q]) < 0):
+                q = hull_next[nn]
+                if not (
+                    (y[nn] - yi) * (x[q] - x[nn]) - (x[nn] - xi) * (y[q] - y[nn]) < 0
+                ):
                     break
-                t = self._add_triangle(nn, i, q, int(hull_tri[i]), -1, int(hull_tri[nn]))
-                hull_tri[i] = self._legalize(t + 2)
+                t = tlen
+                a_ = hull_tri[i]
+                c = hull_tri[nn]
+                triangles[t] = nn
+                triangles[t + 1] = i
+                triangles[t + 2] = q
+                halfedges[t] = a_
+                if a_ != -1:
+                    halfedges[a_] = t
+                halfedges[t + 1] = -1
+                halfedges[t + 2] = c
+                if c != -1:
+                    halfedges[c] = t + 2
+                tlen += 3
+                hull_tri[i] = legalize(t + 2)
                 hull_next[nn] = nn  # mark removed
                 hull_size -= 1
                 nn = q
@@ -254,123 +389,48 @@ class Delaunator:
             # walk backward
             if e == start:
                 while True:
-                    q = int(hull_prev[e])
-                    if not (_orient2d(xi, yi, x[q], y[q], x[e], y[e]) < 0):
+                    q = hull_prev[e]
+                    if not (
+                        (y[q] - yi) * (x[e] - x[q]) - (x[q] - xi) * (y[e] - y[q]) < 0
+                    ):
                         break
-                    t = self._add_triangle(q, i, e, -1, int(hull_tri[e]), int(hull_tri[q]))
-                    self._legalize(t + 2)
+                    t = tlen
+                    b_ = hull_tri[e]
+                    c = hull_tri[q]
+                    triangles[t] = q
+                    triangles[t + 1] = i
+                    triangles[t + 2] = e
+                    halfedges[t] = -1
+                    halfedges[t + 1] = b_
+                    if b_ != -1:
+                        halfedges[b_] = t + 1
+                    halfedges[t + 2] = c
+                    if c != -1:
+                        halfedges[c] = t + 2
+                    tlen += 3
+                    legalize(t + 2)
                     hull_tri[q] = t
                     hull_next[e] = e  # mark removed
                     hull_size -= 1
                     e = q
 
-            self._hull_start = e
+            hull_start = e
             hull_prev[i] = e
             hull_next[e] = i
             hull_prev[nn] = i
             hull_next[i] = nn
 
-            self._hull_hash[self._hash_key(xi, yi)] = i
-            self._hull_hash[self._hash_key(x[e], y[e])] = e
+            hull_hash[hash_key(xi, yi)] = i
+            hull_hash[hash_key(x[e], y[e])] = e
 
+        self.triangles_len = tlen
+        self._hull_start = hull_start
         hull = np.zeros(hull_size, dtype=np.int64)
-        e = self._hull_start
+        e = hull_start
         for i in range(hull_size):
             hull[i] = e
-            e = int(hull_next[e])
+            e = hull_next[e]
         self._hull = hull
-
-    def _hash_key(self, px, py) -> int:
-        dx = px - self._cx
-        dy = py - self._cy
-        # pseudo-angle: monotone with true angle
-        p = dx / (abs(dx) + abs(dy)) if (dx or dy) else 0.0
-        a = (3 - p) / 4 if dy > 0 else (1 + p) / 4
-        return int(math.floor(a * self._hash_size)) % self._hash_size
-
-    def _link(self, a: int, b: int):
-        self._halfedges[a] = b
-        if b != -1:
-            self._halfedges[b] = a
-
-    def _add_triangle(self, i0, i1, i2, a, b, c) -> int:
-        t = self.triangles_len
-        self._triangles[t] = i0
-        self._triangles[t + 1] = i1
-        self._triangles[t + 2] = i2
-        self._link(t, a)
-        self._link(t + 1, b)
-        self._link(t + 2, c)
-        self.triangles_len += 3
-        return t
-
-    def _legalize(self, a: int) -> int:
-        triangles = self._triangles
-        halfedges = self._halfedges
-        coords_x, coords_y = self._xl, self._yl
-        stack = self._edge_stack
-        i = 0
-        ar = 0
-
-        while True:
-            b = int(halfedges[a])
-            a0 = a - a % 3
-            ar = a0 + (a + 2) % 3
-
-            if b == -1:
-                if i == 0:
-                    break
-                i -= 1
-                a = int(stack[i])
-                continue
-
-            b0 = b - b % 3
-            al = a0 + (a + 1) % 3
-            bl = b0 + (b + 2) % 3
-
-            p0 = int(triangles[ar])
-            pr = int(triangles[a])
-            pl = int(triangles[al])
-            p1 = int(triangles[bl])
-
-            illegal = _in_circle(
-                coords_x[p0], coords_y[p0],
-                coords_x[pr], coords_y[pr],
-                coords_x[pl], coords_y[pl],
-                coords_x[p1], coords_y[p1],
-            )
-
-            if illegal:
-                triangles[a] = p1
-                triangles[b] = p0
-
-                hbl = int(halfedges[bl])
-                if hbl == -1:
-                    # edge is on convex hull: fix hull_tri reference
-                    e = self._hull_start
-                    while True:
-                        if int(self._hull_tri[e]) == bl:
-                            self._hull_tri[e] = a
-                            break
-                        e = int(self._hull_prev[e])
-                        if e == self._hull_start:
-                            break
-                self._link(a, hbl)
-                self._link(b, int(halfedges[ar]))
-                self._link(ar, bl)
-
-                br = b0 + (b + 1) % 3
-                if i < len(stack):
-                    stack[i] = br
-                    i += 1
-            else:
-                if i == 0:
-                    break
-                i -= 1
-                a = int(stack[i])
-
-        return ar
-
 
 def triangulate(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Convenience: points -> (n_tri, 3) int64 vertex-index array."""

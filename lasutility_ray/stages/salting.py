@@ -494,6 +494,36 @@ def merge_tile_windows(group: pd.DataFrame) -> pd.DataFrame:
 # --------------------------------- exact mode: build once, split raster
 
 
+def _finished_tile_window(full: pd.DataFrame, tile_id: str, n_rows: int,
+                          n_cols: int) -> pd.DataFrame:
+    """Wrap a finished ``rasterize_tile`` row as one full-tile window
+    row (win_sr = -1 marks it final: ``_window_batch`` passes it
+    through and the merge reconstitutes it unchanged)."""
+    return pd.DataFrame(
+        {
+            "tile_id": [tile_id],
+            "r_off": [0],
+            "c_off": [0],
+            "n_h": [n_rows],
+            "n_w": [n_cols],
+            "n_points": [int(full["n_points"].iloc[0])],
+            "n_ground": [int(full["n_ground"].iloc[0])],
+            "n_triangles": [int(full["n_triangles"].iloc[0])],
+            "missing_before": [int(full["missing_before"].iloc[0])],
+            "missing_after": [int(full["missing_after"].iloc[0])],
+            "n_voxel_cells": [int(full["n_voxel_cells"].iloc[0])],
+            "tin_dem_win": [full["dem"].iloc[0]],
+            "cls_win": [full["classification_raster"].iloc[0]],
+            "blob_pts": [b""],
+            "blob_tris": [b""],
+            "blob_index": [b""],
+            "win_sr": [-1],
+            "win_sc": [-1],
+            "win_level": [0],
+        }
+    )
+
+
 def _build_hot_tile(group: pd.DataFrame, level: int) -> pd.DataFrame:
     """One task per hot tile: build the FULL tile's Delaunay TIN (and
     its grid index) exactly as ``tin.rasterize_tile`` would — same
@@ -524,29 +554,8 @@ def _build_hot_tile(group: pd.DataFrame, level: int) -> pd.DataFrame:
     if tri is None or tri.triangle_count() == 0:
         # degenerate hot tile: emit the finished tile as one full
         # window (merge reconstitutes it unchanged)
-        full = rasterize_tile(group)
-        return pd.DataFrame(
-            {
-                "tile_id": [tile_id],
-                "r_off": [0],
-                "c_off": [0],
-                "n_h": [tile_bounds.n_rows],
-                "n_w": [tile_bounds.n_cols],
-                "n_points": [int(full["n_points"].iloc[0])],
-                "n_ground": [int(full["n_ground"].iloc[0])],
-                "n_triangles": [int(full["n_triangles"].iloc[0])],
-                "missing_before": [int(full["missing_before"].iloc[0])],
-                "missing_after": [int(full["missing_after"].iloc[0])],
-                "n_voxel_cells": [int(full["n_voxel_cells"].iloc[0])],
-                "tin_dem_win": [full["dem"].iloc[0]],
-                "cls_win": [full["classification_raster"].iloc[0]],
-                "blob_pts": [b""],
-                "blob_tris": [b""],
-                "blob_index": [b""],
-                "win_sr": [-1],
-                "win_sc": [-1],
-                "win_level": [0],
-            }
+        return _finished_tile_window(
+            rasterize_tile(group), tile_id, tile_bounds.n_rows, tile_bounds.n_cols
         )
 
     n_tri = tri.triangle_count()
@@ -707,11 +716,12 @@ def salted_tin_tiles(
 
     Falls back to plain per-tile processing when nothing is hot.
 
-    ``points_ds`` is consumed up to three times (count pass + cold
-    scan + hot scan; + hull pass and pending recompute in certified
-    halo mode): feed it a checkpointed / parquet-backed dataset
-    (projection pushdown makes the count pass a one-column read), not
-    an expensive synthetic pipeline."""
+    ``points_ds`` is consumed twice in exact mode (one-column count
+    pass + one full scan) and up to four times in certified halo mode
+    (count + hull pass + salted scan + pending recompute): feed it a
+    checkpointed / parquet-backed dataset (projection pushdown makes
+    the count pass a one-column read), not an expensive synthetic
+    pipeline."""
     from .tin import tin_tiles
 
     counts = tile_count_partials(points_ds)
@@ -720,31 +730,31 @@ def salted_tin_tiles(
         return tin_tiles(points_ds, include_rasters=include_rasters)
 
     if exact:
-        hot_arr = np.sort(np.array(list(levels), dtype=object))
+        # ONE scan + ONE per-tile shuffle: the dispatch group builds a
+        # hot tile's TIN and fans out window rows, while a cold tile
+        # rasterizes in place and emits one finished full-tile window.
+        # (The previous shape ran cold and hot as two separate scans
+        # of the input unioned at the end — the second scan serialized
+        # behind the first and doubled the read at 4M docs.)
+        from .tin import rasterize_tile as _rt
 
-        def is_hot(t: pa.Table, invert: bool = False) -> pa.Table:
-            ids = t.column("tile_id").to_numpy(zero_copy_only=False)
-            m = np.isin(ids, hot_arr)
-            return t.filter(pa.array(~m if invert else m))
+        hot_set = set(levels)
 
-        cold = tin_tiles(
-            points_ds.map_batches(
-                lambda t: is_hot(t, invert=True), batch_format="pyarrow"
-            ),
-            include_rasters=True,
-        )
-        hot_windows = (
-            points_ds.map_batches(is_hot, batch_format="pyarrow")
-            .groupby("tile_id")
-            .map_groups(
-                lambda g: _build_hot_tile(g, exact_level), batch_format="pandas"
-            )
+        def dispatch(g: pd.DataFrame) -> pd.DataFrame:
+            tile_id = g["tile_id"].iloc[0]
+            if tile_id in hot_set:
+                return _build_hot_tile(g, exact_level)
+            env = decode(tile_id)
+            tb = RasterBounds.for_tile(env, CELL_SIZE_M)
+            return _finished_tile_window(_rt(g), tile_id, tb.n_rows, tb.n_cols)
+
+        out = (
+            points_ds.groupby("tile_id")
+            .map_groups(dispatch, batch_format="pandas")
             .map_batches(_window_batch, batch_format="pandas", batch_size=1)
+            .groupby("tile_id")
+            .map_groups(merge_tile_windows, batch_format="pandas")
         )
-        hot = hot_windows.groupby("tile_id").map_groups(
-            merge_tile_windows, batch_format="pandas"
-        )
-        out = hot.union(cold)
     else:
         hulls = tile_hulls(points_ds, levels) if certify else {}
         salted = points_ds.map_batches(
