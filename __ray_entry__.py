@@ -615,6 +615,82 @@ def q_sessionize(sf_dir: str):
     return sessionize(ev)
 
 
+def _purchase_click_sides(sf_dir: str):
+    """Shared left/right Datasets for the temporal-join queries:
+    purchases (left) and clicks (right), timestamps pre-cast to int64
+    epoch-microseconds so outputs hash-compare against ``epoch_us``."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def as_purchase(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "purchase_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "purchase_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "purchase_value": t.column("value"),
+            }
+        )
+
+    def as_click(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "click_us": t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+            }
+        )
+
+    purchases = ev.filter(expr="event_type == 'purchase'").map_batches(
+        as_purchase, batch_format="pyarrow"
+    )
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        as_click, batch_format="pyarrow"
+    )
+    return purchases, clicks
+
+
+def q_asof_join(sf_dir: str):
+    """As-of join: each purchase matched to the LATEST click by the
+    same user at-or-before it (backward inner ASOF). Key-bucketed
+    co-group + in-bucket pandas merge_asof (stages/temporal.py)."""
+    from lasutility_ray.stages.temporal import asof_join
+
+    purchases, clicks = _purchase_click_sides(sf_dir)
+    return asof_join(
+        purchases,
+        clicks,
+        on=("user_id", "user_id"),
+        left_ts="purchase_us",
+        right_ts="click_us",
+        attach={"event_id": "click_id", "click_us": "click_us"},
+    )
+
+
+def q_range_join(sf_dir: str):
+    """Banded range join: every (purchase, click) pair by the same
+    user with the click in the 12 hours up to the purchase (closed
+    band = SQL BETWEEN). Per-key vectorized searchsorted expansion."""
+    from lasutility_ray.stages.temporal import range_join
+
+    purchases, clicks = _purchase_click_sides(sf_dir)
+    return range_join(
+        purchases,
+        clicks,
+        on=("user_id", "user_id"),
+        left_ts="purchase_us",
+        right_ts="click_us",
+        lo_us=-12 * 3600 * 10**6,
+        hi_us=0,
+        attach={"event_id": "click_id", "click_us": "click_us"},
+    )
+
+
 def q_checkpoint_manifest(sf_dir: str):
     """Resumable checkpointed TIN run (state/manifest.py): first call
     processes + commits per-tile parquet atomically; the second call
@@ -777,6 +853,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprint": q_fingerprint,
         "q_tumbling_windows": q_tumbling_windows,
         "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
         "q_image_features": q_image_features,
         "q_audio_features": q_audio_features,
         "q_image_resize": q_image_resize,
@@ -1109,6 +1187,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_value_cents, "
             "min(value) AS min_value, max(value) AS max_value "
             "FROM events GROUP BY user_id, (epoch_ms(ts) // 300000) * 300000"
+        ),
+        "q_asof_join": (
+            "WITH p AS (SELECT event_id AS purchase_id, user_id, "
+            "epoch_us(ts) AS purchase_us, value AS purchase_value "
+            "FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT event_id, user_id, epoch_us(ts) AS click_us "
+            "FROM events WHERE event_type = 'click') "
+            "SELECT p.purchase_id, p.user_id, p.purchase_us, p.purchase_value, "
+            "c.event_id AS click_id, c.click_us "
+            "FROM p ASOF JOIN c "
+            "ON p.user_id = c.user_id AND c.click_us <= p.purchase_us"
+        ),
+        "q_range_join": (
+            "WITH p AS (SELECT event_id AS purchase_id, user_id, "
+            "epoch_us(ts) AS purchase_us, value AS purchase_value "
+            "FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT event_id, user_id, epoch_us(ts) AS click_us "
+            "FROM events WHERE event_type = 'click') "
+            "SELECT p.purchase_id, p.user_id, p.purchase_us, p.purchase_value, "
+            "c.event_id AS click_id, c.click_us "
+            "FROM p JOIN c ON p.user_id = c.user_id "
+            "AND c.click_us BETWEEN p.purchase_us - 43200000000 AND p.purchase_us"
         ),
         "q_sessionize": (
             "WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events), "
