@@ -691,6 +691,47 @@ def q_range_join(sf_dir: str):
     )
 
 
+_QUANTILE_SPEC = {"p10": 0.10, "p50": 0.50, "p90": 0.90, "p99": 0.99}
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact per-group quantiles (linear interpolation, bit-equal to
+    DuckDB quantile_cont): per event_type p10/p50/p90/p99 of value."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.quantiles import group_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return group_quantiles(ev, "event_type", "value", _QUANTILE_SPEC)
+
+
+def q_value_quantiles_hist(sf_dir: str):
+    """Scale-path approximate quantiles: mergeable fixed-width
+    histograms (O(groups x bins) state, no value co-location).
+    Rows-only: the estimate is within (max-min)/n_bins of exact —
+    tests/test_quantiles.py asserts the bound against the exact op."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.quantiles import group_quantiles_hist
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return group_quantiles_hist(ev, "event_type", "value", _QUANTILE_SPEC)
+
+
+def q_hash_sample(sf_dir: str):
+    """Deterministic Bernoulli sample (Lehmer step on doc_id, keep
+    rate 10%): membership is recomputable by the SQL oracle verbatim
+    — no RNG state, resume-stable, no shuffle."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.quantiles import hash_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    )
+    return hash_sample(docs, "doc_id", 100)
+
+
 def q_checkpoint_manifest(sf_dir: str):
     """Resumable checkpointed TIN run (state/manifest.py): first call
     processes + commits per-tile parquet atomically; the second call
@@ -855,6 +896,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": q_sessionize,
         "q_asof_join": q_asof_join,
         "q_range_join": q_range_join,
+        "q_value_quantiles": q_value_quantiles,
+        "q_value_quantiles_hist": q_value_quantiles_hist,
+        "q_hash_sample": q_hash_sample,
         "q_image_features": q_image_features,
         "q_audio_features": q_audio_features,
         "q_image_resize": q_image_resize,
@@ -1209,6 +1253,19 @@ def oracle_sql() -> dict[str, str]:
             "c.event_id AS click_id, c.click_us "
             "FROM p JOIN c ON p.user_id = c.user_id "
             "AND c.click_us BETWEEN p.purchase_us - 43200000000 AND p.purchase_us"
+        ),
+        "q_value_quantiles": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "quantile_cont(value, 0.10) AS p10, "
+            "quantile_cont(value, 0.50) AS p50, "
+            "quantile_cont(value, 0.90) AS p90, "
+            "quantile_cont(value, 0.99) AS p99 "
+            "FROM events GROUP BY event_type"
+        ),
+        "q_hash_sample": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE (doc_id % 2147483647) * 48271 % 2147483647 "
+            "* 48271 % 2147483647 < (CAST(2147483647 AS BIGINT) * 100) // 1000"
         ),
         "q_sessionize": (
             "WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events), "

@@ -1,0 +1,170 @@
+"""Per-group quantiles (exact + mergeable-histogram approximate) and
+deterministic hash sampling.
+
+The reference has no quantile or sampling operators (SURVEY.md §2.5
+"No distinct/sketch/approximate aggregates", §2.6 "no sampling");
+a training-data pipeline needs both (per-source length percentiles
+for quality cutoffs, deterministic subsampling for eval splits).
+
+Three shapes:
+
+- ``group_quantiles`` — EXACT, linear interpolation (bit-equal to
+  DuckDB ``quantile_cont`` / ``np.quantile``). One ``groupby`` +
+  ``map_groups``: every value of a group is co-located on one
+  worker. Right when groups are bounded (per-source, per-language,
+  per-tile); NOT the 100 TB path for a single giant group.
+- ``group_quantiles_hist`` — the scale path: pass 1 computes
+  per-group min/max (tiny groupby), pass 2 accumulates per-batch
+  partial histograms (``np.bincount`` into ``n_bins`` fixed bins per
+  group) that merge by vector addition — O(n_groups × n_bins) state
+  regardless of row count, no value co-location. Value error is
+  bounded by (max-min)/n_bins per group.
+- ``hash_sample`` — deterministic Bernoulli row sample by a Lehmer
+  LCG step on an int64 key: keep iff ``(key % M) * 48271 % M <
+  M*rate``, M = 2^31-1. No RNG state, no shuffle, identical on
+  re-run / resume, and SQL-mirrorable verbatim (the point: a sample
+  whose membership an oracle can recompute). NOT crypto-grade — for
+  adversarial keys use a real hash and give up the SQL mirror.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+_M = 2_147_483_647  # 2^31 - 1 (Lehmer modulus)
+_A = 48_271
+
+
+def group_quantiles(ds, group_col: str, value_col: str, qs: dict[str, float]):
+    """One row per group: ``{group_col, n, <name>: quantile}`` for
+    each ``name -> q`` in ``qs``. Exact linear interpolation
+    (= DuckDB ``quantile_cont``)."""
+    names = list(qs)
+    probs = np.array([qs[n] for n in names], dtype=np.float64)
+    if ((probs < 0) | (probs > 1)).any():
+        raise ValueError("quantile probabilities must be in [0, 1]")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(dtype=np.float64)
+        out = {group_col: [g[group_col].iloc[0]], "n": np.array([len(v)], dtype=np.int64)}
+        vals = np.quantile(v, probs)  # one vectorized call for all qs
+        for name, x in zip(names, vals):
+            out[name] = np.array([x], dtype=np.float64)
+        return pd.DataFrame(out)
+
+    pruned = ds.map_batches(
+        lambda t: t.select([group_col, value_col]), batch_format="pyarrow"
+    )
+    return pruned.groupby(group_col).map_groups(per_group, batch_format="pandas")
+
+
+def group_quantiles_hist(
+    ds,
+    group_col: str,
+    value_col: str,
+    qs: dict[str, float],
+    n_bins: int = 4096,
+):
+    """Approximate per-group quantiles with mergeable fixed-width
+    histograms (see module docstring). Two passes over ``ds``
+    (lineage re-executes the scan; pass a checkpointed dataset for
+    expensive upstreams). Returns one row per group; each quantile is
+    the DISCRETE order statistic at rank ``floor(q*n)`` estimated at
+    its bin's upper edge — within (max-min)/n_bins of that order
+    statistic (NOT of the interpolated ``quantile_cont``, which can
+    sit between order statistics that are many bins apart in sparse
+    groups).
+    """
+    names = list(qs)
+    probs = np.array([qs[n] for n in names], dtype=np.float64)
+
+    # pass 1: per-group [min, max] — a tiny shuffle
+    import ray.data  # noqa: F401  (Min/Max live on the aggregate API)
+    from ray.data.aggregate import Max, Min
+
+    pruned = ds.map_batches(
+        lambda t: t.select([group_col, value_col]), batch_format="pyarrow"
+    )
+    ranges = (
+        pruned.groupby(group_col)
+        .aggregate(Min(value_col), Max(value_col))
+        .to_pandas()
+        .sort_values(group_col)  # sorted keys -> vectorized searchsorted lookup
+        .reset_index(drop=True)
+    )
+    keys = ranges[group_col].to_numpy()
+    lo = ranges[f"min({value_col})"].to_numpy(dtype=np.float64)
+    hi = ranges[f"max({value_col})"].to_numpy(dtype=np.float64)
+    width = np.where(hi > lo, (hi - lo) / n_bins, 1.0)
+    ref = ray.put((keys, lo, width))
+
+    class PartialHist:
+        def __init__(self, ref_):
+            r = ref_[0] if isinstance(ref_, list) else ref_
+            self.keys, self.lo, self.width = ray.get(r)
+            self.n_groups = len(self.keys)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            g = t.column(group_col).to_numpy(zero_copy_only=False)
+            v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            gi = np.searchsorted(self.keys, g)
+            b = ((v - self.lo[gi]) / self.width[gi]).astype(np.int64)
+            np.clip(b, 0, n_bins - 1, out=b)
+            flat = np.bincount(gi * n_bins + b, minlength=self.n_groups * n_bins)
+            h = flat.reshape(self.n_groups, n_bins)
+            used = np.flatnonzero(h.any(axis=1))
+            return pa.table(
+                {
+                    "__gi": pa.array(used, pa.int64()),
+                    "__hist": pa.array(
+                        list(h[used].astype(np.int64)), pa.list_(pa.int64())
+                    ),
+                }
+            )
+
+    partials = pruned.map_batches(
+        PartialHist,
+        fn_constructor_kwargs={"ref_": [ref]},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        gi = int(g["__gi"].iloc[0])
+        h = np.sum(np.stack(g["__hist"].to_numpy()), axis=0)
+        n = int(h.sum())
+        cum = np.cumsum(h)
+        ranks = np.minimum((probs * n).astype(np.int64), n - 1)
+        bins = np.searchsorted(cum, ranks, side="right")
+        est = lo[gi] + (bins + 1) * width[gi]
+        out = {group_col: [keys[gi]], "n": np.array([n], dtype=np.int64)}
+        for name, x in zip(names, est):
+            out[name] = np.array([x], dtype=np.float64)
+        return pd.DataFrame(out)
+
+    return partials.groupby("__gi").map_groups(merge, batch_format="pandas")
+
+
+def hash_sample(ds, key_col: str, rate_milli: int):
+    """Deterministic Bernoulli sample: keep a row iff two Lehmer
+    steps of the key fall under the rate threshold,
+    ``(((key % M) * A % M) * A) % M < M * rate_milli / 1000`` with
+    M = 2^31-1, A = 48271. Two steps because one is linear with a
+    small slope — sequential keys below ~M/A would ALL be kept.
+    ``rate_milli`` is the keep rate in 1/1000ths. SQL mirror:
+    ``WHERE (key % 2147483647) * 48271 % 2147483647 * 48271
+    % 2147483647 < (2147483647 * rate_milli) // 1000``."""
+    if not 0 <= rate_milli <= 1000:
+        raise ValueError(f"rate_milli must be in [0, 1000] (got {rate_milli})")
+    threshold = (_M * rate_milli) // 1000
+
+    def keep(t: pa.Table) -> pa.Table:
+        k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        state = (k % _M) * _A % _M * _A % _M
+        return t.filter(pa.array(state < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
