@@ -732,6 +732,30 @@ def q_hash_sample(sf_dir: str):
     return hash_sample(docs, "doc_id", 100)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking: 500-char windows, 100-char overlap
+    (stride 400), one row per chunk — the flat-map shape, no shuffle.
+    Chunk text is regenerable by the oracle via generate_series +
+    substr."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.chunking import chunk_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(docs, size=500, overlap=100)
+
+
+def q_token_topk(sf_dir: str):
+    """Global top-50 token frequencies (wordcount): per-batch partial
+    counts combine before the shuffle; ties alphabetical."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.chunking import token_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return token_topk(docs, k=50)
+
+
 def q_checkpoint_manifest(sf_dir: str):
     """Resumable checkpointed TIN run (state/manifest.py): first call
     processes + commits per-tile parquet atomically; the second call
@@ -899,6 +923,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_value_quantiles": q_value_quantiles,
         "q_value_quantiles_hist": q_value_quantiles_hist,
         "q_hash_sample": q_hash_sample,
+        "q_chunk_documents": q_chunk_documents,
+        "q_token_topk": q_token_topk,
         "q_image_features": q_image_features,
         "q_audio_features": q_audio_features,
         "q_image_resize": q_image_resize,
@@ -1253,6 +1279,27 @@ def oracle_sql() -> dict[str, str]:
             "c.event_id AS click_id, c.click_us "
             "FROM p JOIN c ON p.user_id = c.user_id "
             "AND c.click_us BETWEEN p.purchase_us - 43200000000 AND p.purchase_us"
+        ),
+        "q_chunk_documents": (
+            # lateral generate_series(col) is unsupported in duckdb 1.0:
+            # cross-join a fixed 0..max_len stride series, filter x < len
+            "WITH xs AS (SELECT unnest(range(0, "
+            "(SELECT CAST(max(length(text)) AS BIGINT) FROM documents), "
+            "400)) AS x) "
+            "SELECT d.doc_id, x // 400 AS chunk_idx, "
+            "substr(d.text, CAST(x AS INTEGER) + 1, 500) AS chunk_text, "
+            "CAST(length(substr(d.text, CAST(x AS INTEGER) + 1, 500)) AS BIGINT) "
+            "AS chunk_chars "
+            "FROM documents d JOIN xs ON xs.x < length(d.text)"
+        ),
+        "q_token_topk": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS token FROM documents), "
+            "agg AS (SELECT token, CAST(count(*) AS BIGINT) AS n "
+            "FROM toks GROUP BY token) "
+            "SELECT token, n, CAST(row_number() OVER "
+            "(ORDER BY n DESC, token) AS BIGINT) AS rank "
+            "FROM agg ORDER BY n DESC, token LIMIT 50"
         ),
         "q_value_quantiles": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "

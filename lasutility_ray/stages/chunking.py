@@ -1,0 +1,125 @@
+"""Document chunking and corpus vocabulary: the flat_map / wordcount
+shapes of an LLM training-data pipeline.
+
+The reference has no text splitting or token statistics (its corpus
+ops are geometric); both are core LLM-pipeline operators (context-
+window chunking before tokenization, frequency vocabularies for
+filtering), so the engine adds them as first-class stages.
+
+- ``chunk_documents`` — fixed-size character windows with overlap,
+  one output row per chunk. A pure per-batch flat map: no shuffle,
+  no state, output rows ~ input_chars / stride. Chunk boundaries are
+  deterministic byte-free character offsets, so an oracle can
+  regenerate every chunk with ``substr`` + ``generate_series``.
+- ``token_topk`` — global token frequency top-k. Map-side partial
+  wordcount per batch (the combiner: a batch with millions of token
+  occurrences shrinks to its distinct tokens before the shuffle),
+  one small ``groupby(token).sum``, then a driver-side top-k of the
+  aggregated table (k rows, not corpus-sized). Ties broken
+  alphabetically so the ranking is total and SQL-mirrorable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TOKEN_RE = r"[a-z0-9]+"
+
+
+def chunk_documents(ds, size: int, overlap: int = 0, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Split each document into character windows of ``size`` with
+    ``overlap`` chars shared between consecutive chunks (stride =
+    size - overlap). Chunk ``i`` covers character offsets
+    ``[i*stride, i*stride + size)``; every offset ``i*stride <
+    n_chars`` produces a chunk (so a doc has ``ceil(n_chars /
+    stride)`` chunks, the last possibly short), empty docs produce
+    none. Output: ``(id_col, chunk_idx, chunk_text, chunk_chars)``.
+    SQL mirror: ``generate_series(0, n_chars-1, stride)`` + substr.
+
+    Vectorization: a per-DISTINCT-chunk-index loop (bounded by the
+    longest doc), each iteration a pandas ``str.slice`` over every
+    doc long enough — no per-chunk python work."""
+    if size <= 0:
+        raise ValueError(f"size must be positive (got {size})")
+    if not 0 <= overlap < size:
+        raise ValueError(f"overlap must be in [0, size) (got {overlap})")
+    stride = size - overlap
+
+    def chunk(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pandas()
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n_chars = texts.str.len().to_numpy(dtype=np.int64)
+        n_chunks = (n_chars + stride - 1) // stride  # 0 for empty docs
+        id_parts, idx_parts, txt_parts = [], [], []
+        for ci in range(int(n_chunks.max()) if len(n_chunks) else 0):
+            mask = n_chunks > ci
+            sl = texts[mask].str.slice(ci * stride, ci * stride + size)
+            id_parts.append(ids[mask])
+            idx_parts.append(np.full(int(mask.sum()), ci, dtype=np.int64))
+            txt_parts.append(sl)
+        if not id_parts:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.from_numpy_dtype(ids.dtype)),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                    "chunk_chars": pa.array([], pa.int64()),
+                }
+            )
+        out_text = pd.concat(txt_parts, ignore_index=True)
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(id_parts)),
+                "chunk_idx": pa.array(np.concatenate(idx_parts), pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+                "chunk_chars": pa.array(
+                    out_text.str.len().to_numpy(dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def token_topk(ds, k: int = 50, text_col: str = "text"):
+    """Global top-k lowercase ``[a-z0-9]+`` tokens by total count
+    (ties alphabetical). Partial wordcount per batch before the
+    shuffle; the shuffle carries distinct (token, count) partials
+    only."""
+    import re
+
+    pat = re.compile(TOKEN_RE)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = t.column(text_col).to_pandas().str.lower().str.findall(pat)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n"))
+    )
+    # the aggregated vocabulary is corpus-distinct-sized; top-k of it
+    # is a sort + limit (tiny result), taken via Dataset.sort so the
+    # heavy part stays distributed
+    top = agg.sort(["sum(n)", "token"], descending=[True, False]).limit(k)
+    df = top.to_pandas().rename(columns={"sum(n)": "n"})
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    return df

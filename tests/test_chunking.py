@@ -1,0 +1,81 @@
+"""Chunking + vocabulary stages (stages/chunking.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from lasutility_ray.stages.chunking import chunk_documents, token_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_chunk_edges(ray_session):
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["abcdefghij", "abc", "", "abcd"], pa.string()),
+            }
+        )
+    )
+    out = (
+        chunk_documents(docs, size=4, overlap=1)  # stride 3
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # doc 1 (10 chars, stride 3): starts 0,3,6,9 -> abcd, defg, ghij, j
+    d1 = out[out.doc_id == 1]
+    assert d1.chunk_text.tolist() == ["abcd", "defg", "ghij", "j"]
+    assert d1.chunk_idx.tolist() == [0, 1, 2, 3]
+    assert d1.chunk_chars.tolist() == [4, 4, 4, 1]
+    # doc 2 (3 chars): one short chunk; doc 3 empty: none; doc 4: exactly size
+    assert out[out.doc_id == 2].chunk_text.tolist() == ["abc"]
+    assert (out.doc_id != 3).all()
+    assert out[out.doc_id == 4].chunk_text.tolist() == ["abcd", "d"]
+
+
+def test_chunk_bad_params_raise(ray_session):
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x"])})
+    )
+    with pytest.raises(ValueError):
+        chunk_documents(docs, size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, size=5, overlap=5)
+
+
+def test_chunk_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    df = entry.queries()["q_chunk_documents"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_chunk_documents"]).df()
+    cols = sorted(df.columns)
+    a = df[cols].sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    b = ref[cols].sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)
+    assert len(a) > 0
+
+
+def test_token_topk_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    df = entry.queries()["q_token_topk"](SF)
+    ref = con.execute(entry.oracle_sql()["q_token_topk"]).df()
+    a = df.sort_values("rank").reset_index(drop=True)[sorted(df.columns)]
+    b = ref.sort_values("rank").reset_index(drop=True)[sorted(ref.columns)]
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)
+    assert 0 < len(a) <= 50  # sf0.001's synthetic vocab is < 50 tokens
