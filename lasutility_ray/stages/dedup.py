@@ -208,16 +208,64 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"a": ids[a], "b": ids[b]})
 
 
+def _pair_indices(new_group: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All i<j row-index pairs within each run of a SORTED grouping,
+    fully vectorized (no per-group python loop — tens of thousands of
+    1-2 row groups per bucket made a pandas-groupby loop the dominant
+    cost of the candidate stages). ``new_group[i]`` is True where row
+    i starts a new group; rows must already be sorted so each group
+    is one contiguous run. Returns (a_rows, b_rows) with
+    a_rows < b_rows inside the same group."""
+    n = len(new_group)
+    e = np.empty(0, dtype=np.int64)
+    if n < 2:
+        return e, e
+    idx = np.arange(n, dtype=np.int64)
+    grp_start = np.maximum.accumulate(np.where(new_group, idx, 0))
+    cnt = idx - grp_start  # row j pairs with the cnt rows before it in-group
+    tot = int(cnt.sum())
+    if tot == 0:
+        return e, e
+    b_rows = np.repeat(idx, cnt)
+    csum = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    a_off = np.arange(tot, dtype=np.int64) - np.repeat(csum, cnt)
+    a_rows = np.repeat(grp_start, cnt) + a_off
+    return a_rows, b_rows
+
+
 N_SHUFFLE_BUCKETS = 64  # floor; pipelines scale it to the cluster
 
 
 def _dedup_pairs(pairs_ds):
-    """Distinct (a, b) via a vectorized Count aggregate (NOT a
-    per-pair map_groups: millions of 1-row python groups would
-    dominate)."""
-    from ray.data.aggregate import Count
+    """Distinct (a, b) via the coarse-bucket shape: ONE shuffle on a
+    single int64 hash of the pair, C-speed ``drop_duplicates`` inside
+    each bucket. (A ``groupby(["a","b"]).aggregate(Count)`` computes
+    the same thing but Ray 2.49's multi-key aggregate costs ~10 s of
+    fixed overhead on even a few thousand pairs; a per-pair
+    ``map_groups`` would be worse still — millions of 1-row python
+    groups.)"""
+    from .cogroup import default_n_buckets
 
-    return pairs_ds.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+    nb = default_n_buckets()
+    mix_a = np.uint64(0x9E3779B97F4A7C15)
+    mix_b = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def tag(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = a * mix_a ^ b * mix_b
+        return t.append_column(
+            "__bucket", pa.array(((h >> np.uint64(33)) % np.uint64(nb)).astype(np.int64))
+        )
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b"]]
+
+    return (
+        pairs_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(uniq, batch_format="pandas")
+    )
 
 
 def minhash_candidate_pairs(
@@ -243,14 +291,18 @@ def minhash_candidate_pairs(
         return t.append_column("bucket", pa.array((h % nb).astype(np.int64)))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        outs = [
-            _bucket_pairs(sub)
-            for _, sub in g.groupby(["band_id", "band_hash"], sort=False)
-        ]
-        outs = [o for o in outs if len(o)]
-        if not outs:
+        sub = g.drop_duplicates(["band_id", "band_hash", "id"])
+        bid = sub["band_id"].to_numpy()
+        bh = sub["band_hash"].to_numpy()
+        ids = sub["id"].to_numpy()
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids = bid[order], bh[order], ids[order]
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        ai, bi = _pair_indices(new)
+        if len(ai) == 0:
             return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-        return pd.concat(outs, ignore_index=True).drop_duplicates()
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]}).drop_duplicates()
 
     pairs = (
         bands.map_batches(add_bucket, batch_format="pyarrow")
@@ -620,23 +672,24 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         )
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, sub in g.groupby("shingle", sort=False):
-            sub = sub.drop_duplicates("id").sort_values("id")
-            if len(sub) < 2:
-                continue
-            ids = sub["id"].to_numpy()
-            sizes = sub["n_sh"].to_numpy()
-            ai, bi = np.triu_indices(len(ids), k=1)
-            # length filter (exact): J >= t forces t <= |A|/|B| <= 1/t;
-            # epsilon guards float products like 0.8*10 = 8.0000000002
-            sa, sb = sizes[ai], sizes[bi]
-            ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
-            if ok.any():
-                outs.append(pd.DataFrame({"a": ids[ai][ok], "b": ids[bi][ok]}))
-        if not outs:
+        sub = g.drop_duplicates(["shingle", "id"])
+        sh = sub["shingle"].to_numpy()
+        ids = sub["id"].to_numpy()
+        sizes = sub["n_sh"].to_numpy()
+        order = np.lexsort((ids, sh))
+        sh, ids, sizes = sh[order], ids[order], sizes[order]
+        new = np.ones(len(ids), dtype=bool)
+        new[1:] = sh[1:] != sh[:-1]
+        ai, bi = _pair_indices(new)
+        if len(ai) == 0:
             return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
-        return pd.concat(outs, ignore_index=True).drop_duplicates()
+        # length filter (exact): J >= t forces t <= |A|/|B| <= 1/t;
+        # epsilon guards float products like 0.8*10 = 8.0000000002
+        sa, sb = sizes[ai], sizes[bi]
+        ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+        if not ok.any():
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        return pd.DataFrame({"a": ids[ai][ok], "b": ids[bi][ok]}).drop_duplicates()
 
     cands = _dedup_pairs(
         ds.map_batches(prefix_rows, batch_format="pyarrow")
