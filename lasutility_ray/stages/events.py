@@ -15,9 +15,46 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Max, Min, Sum
-
 WINDOW_MS = 300_000  # 5 min
+
+_MIX_A = np.uint64(0x9E3779B97F4A7C15)
+_MIX_B = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _window_final(partials_ds, agg_spec: dict[str, tuple[str, str]]):
+    """Final combine of (user_id, window_start) partials via the
+    coarse-bucket shape: ONE shuffle on a single int64 hash bucket,
+    C-speed pandas groupby inside (Ray 2.49's multi-key
+    ``groupby().aggregate()`` pays ~seconds of fixed overhead per
+    aggregate even on small partial tables). All aggregates are
+    order-independent (sum/min/max of partials), so the result is
+    identical to the direct multi-key aggregate."""
+    from .cogroup import default_n_buckets
+
+    nb = default_n_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = t.column("window_start").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = u * _MIX_A ^ w * _MIX_B
+        return t.append_column(
+            "__bucket",
+            pa.array(((h >> np.uint64(33)) % np.uint64(nb)).astype(np.int64)),
+        )
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["user_id", "window_start"], sort=False)
+            .agg(**{name: spec for name, spec in agg_spec.items()})
+            .reset_index()
+        )
+        return out
+
+    return (
+        partials_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(combine, batch_format="pandas")
+    )
 
 
 def _partial(batch: pa.Table) -> pa.Table:
@@ -43,15 +80,14 @@ def tumbling_window(events_ds):
     """(user_id, window_start, n_events, sum_value_cents, min_value,
     max_value) per 5-minute tumbling window. The sum is integer
     cents — order-independent and bit-identical to any SQL engine."""
-    return (
-        events_ds.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(
-            Sum("pc", alias_name="n_events"),
-            Sum("ps", alias_name="sum_value_cents"),
-            Min("pmin", alias_name="min_value"),
-            Max("pmax", alias_name="max_value"),
-        )
+    return _window_final(
+        events_ds.map_batches(_partial, batch_format="pyarrow"),
+        {
+            "n_events": ("pc", "sum"),
+            "sum_value_cents": ("ps", "sum"),
+            "min_value": ("pmin", "min"),
+            "max_value": ("pmax", "max"),
+        },
     )
 
 
@@ -89,13 +125,12 @@ def sliding_window(events_ds, size_ms: int = 600_000, hop_ms: int = 300_000):
         )
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    return (
-        events_ds.map_batches(replicate, batch_format="pyarrow")
-        .groupby(["user_id", "window_start"])
-        .aggregate(
-            Sum("pc", alias_name="n_events"),
-            Sum("ps", alias_name="sum_value_cents"),
-        )
+    return _window_final(
+        events_ds.map_batches(replicate, batch_format="pyarrow"),
+        {
+            "n_events": ("pc", "sum"),
+            "sum_value_cents": ("ps", "sum"),
+        },
     )
 
 
