@@ -83,15 +83,20 @@ def lookup_join(
     n_buckets: int | None = None,
     type_overrides: dict | None = None,
     n_salt: int = 1,
+    multi: bool = False,
 ):
     """Inner-join ``right_ds``'s ``attach`` columns onto ``left_ds``.
 
     ``attach`` maps right-side column name -> output column name.
     Keys must be int64-castable (values above 2^63 are rejected by the
     cast). Left rows without a match are dropped (inner semantics);
-    right rows may match many left rows, but the right side's KEYS
-    must be unique — duplicate right keys raise (which payload row
-    would win is block-arrival order, i.e. nondeterministic).
+    right rows may match many left rows. By default the right side's
+    KEYS must be unique — duplicate right keys raise (which payload
+    row would win is block-arrival order, i.e. nondeterministic).
+    ``multi=True`` instead emits ONE OUTPUT ROW PER MATCH (full
+    many-to-many inner join; deterministic because every match is
+    kept, none chosen) — output size is the join cardinality, so keep
+    the right side's per-key fan-out bounded.
     Output columns: all left columns + attached columns, with their
     original integer widths/signedness preserved.
     ``type_overrides`` resolves ambiguous pandas-object columns (and
@@ -163,10 +168,11 @@ def lookup_join(
             out = lv.iloc[0:0]
         else:
             rv = rv[["__key"] + r_names]
-            if rv["__key"].duplicated().any():
+            if not multi and rv["__key"].duplicated().any():
                 raise ValueError(
                     "lookup_join: right side has duplicate keys — the "
-                    "attached payload would be nondeterministic"
+                    "attached payload would be nondeterministic "
+                    "(pass multi=True for a row per match)"
                 )
             out = lv.drop(columns=r_names).merge(rv, on="__key", how="inner")
         out = out[left_cols + r_names].rename(columns=dict(zip(r_names, out_attach)))

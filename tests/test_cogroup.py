@@ -132,3 +132,28 @@ def test_lookup_join_salted_hot_key(ray_session):
 
     with pytest.raises(ValueError, match="n_salt"):
         lookup_join(left, right, "k", "id", {"lab": "lab"}, n_salt=0)
+
+
+def test_lookup_join_multi_match(ray_session):
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int64())})
+    )
+    right = rd.from_arrow(
+        pa.table({"id": pa.array([1, 1, 2], pa.int64()),
+                  "lab": pa.array([100, 101, 200], pa.int64())})
+    )
+    out = (
+        lookup_join(left, right, "k", "id", {"lab": "lab"}, multi=True)
+        .to_pandas().sort_values(["v", "lab"]).reset_index(drop=True)
+    )
+    # k=1 matches twice, k=2 once, k=3 dropped
+    assert out["v"].tolist() == [10, 10, 20]
+    assert out["lab"].tolist() == [100, 101, 200]
+
+    # multi=True under salting keeps every match exactly once
+    salted = (
+        lookup_join(left, right, "k", "id", {"lab": "lab"}, multi=True, n_salt=3)
+        .to_pandas().sort_values(["v", "lab"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, salted)
