@@ -756,6 +756,22 @@ def q_token_topk(sf_dir: str):
     return token_topk(docs, k=50)
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark-contamination check: deterministic 10% eval split
+    (Lehmer hash on doc_id), flag every TRAIN doc sharing any word
+    8-gram with the eval set. Broadcast eval gram set + one streamed
+    train scan — no shuffle (stages/contamination.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.contamination import ngram_contamination
+    from lasutility_ray.stages.quantiles import hash_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    eval_ds = hash_sample(docs, "doc_id", 100)
+    train_ds = hash_sample(docs, "doc_id", 100, invert=True)
+    return ngram_contamination(train_ds, eval_ds, n=8)
+
+
 def q_checkpoint_manifest(sf_dir: str):
     """Resumable checkpointed TIN run (state/manifest.py): first call
     processes + commits per-tile parquet atomically; the second call
@@ -925,6 +941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hash_sample": q_hash_sample,
         "q_chunk_documents": q_chunk_documents,
         "q_token_topk": q_token_topk,
+        "q_contamination": q_contamination,
         "q_image_features": q_image_features,
         "q_audio_features": q_audio_features,
         "q_image_resize": q_image_resize,
@@ -1300,6 +1317,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, n, CAST(row_number() OVER "
             "(ORDER BY n DESC, token) AS BIGINT) AS rank "
             "FROM agg ORDER BY n DESC, token LIMIT 50"
+        ),
+        "q_contamination": (
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[a-z0-9]+') AS ws FROM documents), "
+            "base AS (SELECT doc_id, ws, "
+            "CAST(greatest(len(ws) - 7, 0) AS BIGINT) AS n_grams FROM tok), "
+            "spans AS (SELECT doc_id, ws, unnest(range(1, n_grams + 1)) AS i "
+            "FROM base), "
+            "grams AS (SELECT doc_id, array_to_string("
+            "ws[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS gram "
+            "FROM spans), "
+            "ev AS (SELECT doc_id FROM documents "
+            "WHERE (doc_id % 2147483647) * 48271 % 2147483647 * 48271 "
+            "% 2147483647 < (CAST(2147483647 AS BIGINT) * 100) // 1000), "
+            "eg AS (SELECT DISTINCT gram FROM grams "
+            "WHERE doc_id IN (SELECT doc_id FROM ev)), "
+            "hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS nc "
+            "FROM grams g JOIN eg USING(gram) "
+            "WHERE g.doc_id NOT IN (SELECT doc_id FROM ev) GROUP BY g.doc_id) "
+            "SELECT b.doc_id, b.n_grams, "
+            "coalesce(h.nc, 0) AS n_contaminated, "
+            "coalesce(h.nc, 0) > 0 AS is_contaminated "
+            "FROM base b LEFT JOIN hits h USING(doc_id) "
+            "WHERE b.doc_id NOT IN (SELECT doc_id FROM ev)"
         ),
         "q_value_quantiles": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "

@@ -1,0 +1,115 @@
+"""Benchmark-contamination check: flag training documents that share
+any word n-gram with an evaluation set.
+
+The standard LLM-data hygiene operator (the GPT-3 paper's 13-gram
+overlap check): before training, every doc that contains an n-gram
+from a benchmark/eval corpus must be flagged/dropped. The reference
+engine has no analogue; the web-scale engine adds it as a
+broadcast-side stream scan:
+
+1. the EVAL side (benchmarks — small by contract) is reduced to its
+   distinct lowercase word n-grams once and ``ray.put`` broadcast;
+2. the TRAIN side streams through ``map_batches``: tokenize, form
+   n-gram strings, vectorized ``np.isin`` membership against the
+   broadcast set, per-doc hit counts via ``bincount``. No shuffle at
+   all — the train corpus is touched exactly once.
+
+Gram identity is the exact space-joined token string (so a DuckDB
+oracle can reproduce membership verbatim). At 100 TB swap the string
+set for 64-bit gram hashes (collision odds ~ |train|x|eval| / 2^64)
+— the stage keeps its shape, only the membership array changes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _doc_grams(texts: pd.Series, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(gram_strings, per-gram doc index, per-doc gram counts) for a
+    batch. One python pass builds the flat gram list; everything
+    downstream is numpy."""
+    toks = texts.str.lower().str.findall(TOKEN_RE)
+    counts = np.maximum(toks.map(len).to_numpy(dtype=np.int64) - (n - 1), 0)
+    grams: list[str] = []
+    for ws in toks:
+        m = len(ws) - (n - 1)
+        for i in range(m if m > 0 else 0):
+            grams.append(" ".join(ws[i : i + n]))
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    return np.array(grams, dtype=object), doc_idx, counts
+
+
+def eval_gram_set(eval_ds, n: int = 8, text_col: str = "text") -> np.ndarray:
+    """Distinct n-grams of the eval corpus as a sorted numpy string
+    array (driver-side — the eval side is small by contract)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g, _, _ = _doc_grams(t.column(text_col).to_pandas(), n)
+        return pa.table({"gram": pa.array(np.unique(g), pa.string())})
+
+    parts = eval_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return np.unique(parts["gram"].to_numpy())
+
+
+class _Contaminate:
+    """Actor-pool train scan: the eval gram set is fetched from the
+    object store once per actor."""
+
+    def __init__(self, gram_ref, n: int, id_col: str, text_col: str):
+        ref = gram_ref[0] if isinstance(gram_ref, list) else gram_ref
+        self.grams = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.n = n
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_pandas()
+        g, doc_idx, counts = _doc_grams(texts, self.n)
+        hits = (
+            np.bincount(doc_idx, weights=np.isin(g, self.grams), minlength=len(t))
+            .astype(np.int64)
+            if len(g)
+            else np.zeros(len(t), dtype=np.int64)
+        )
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "n_grams": pa.array(counts, pa.int64()),
+                "n_contaminated": pa.array(hits, pa.int64()),
+                "is_contaminated": pa.array(hits > 0),
+            }
+        )
+
+
+def ngram_contamination(
+    train_ds,
+    eval_ds,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency: int = 8,
+):
+    """One row per train doc: total n-gram positions, how many of
+    them hit an eval n-gram, and the contamination flag."""
+    grams = eval_gram_set(eval_ds, n, text_col)
+    ref = ray.put(grams)
+    return train_ds.map_batches(
+        _Contaminate,
+        fn_constructor_kwargs={
+            "gram_ref": [ref],
+            "n": n,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )

@@ -149,7 +149,7 @@ def group_quantiles_hist(
     return partials.groupby("__gi").map_groups(merge, batch_format="pandas")
 
 
-def hash_sample(ds, key_col: str, rate_milli: int):
+def hash_sample(ds, key_col: str, rate_milli: int, invert: bool = False):
     """Deterministic Bernoulli sample: keep a row iff two Lehmer
     steps of the key fall under the rate threshold,
     ``(((key % M) * A % M) * A) % M < M * rate_milli / 1000`` with
@@ -157,7 +157,9 @@ def hash_sample(ds, key_col: str, rate_milli: int):
     small slope — sequential keys below ~M/A would ALL be kept.
     ``rate_milli`` is the keep rate in 1/1000ths. SQL mirror:
     ``WHERE (key % 2147483647) * 48271 % 2147483647 * 48271
-    % 2147483647 < (2147483647 * rate_milli) // 1000``."""
+    % 2147483647 < (2147483647 * rate_milli) // 1000``.
+    ``invert=True`` keeps the complement — the two calls partition
+    the dataset exactly (deterministic train/eval splits)."""
     if not 0 <= rate_milli <= 1000:
         raise ValueError(f"rate_milli must be in [0, 1000] (got {rate_milli})")
     threshold = (_M * rate_milli) // 1000
@@ -165,6 +167,7 @@ def hash_sample(ds, key_col: str, rate_milli: int):
     def keep(t: pa.Table) -> pa.Table:
         k = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
         state = (k % _M) * _A % _M * _A % _M
-        return t.filter(pa.array(state < threshold))
+        keep_mask = state >= threshold if invert else state < threshold
+        return t.filter(pa.array(keep_mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
