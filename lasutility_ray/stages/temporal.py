@@ -127,10 +127,15 @@ def asof_join(
     attach: dict[str, str],
     n_buckets: int | None = None,
     type_overrides: dict | None = None,
+    direction: str = "backward",
 ):
     """For each left row, attach the LATEST right row with the same
     key and ``right_ts <= left_ts`` (DuckDB ``ASOF JOIN`` backward
     semantics, inner: unmatched left rows are dropped).
+    ``direction="forward"`` instead takes the EARLIEST right row with
+    ``right_ts >= left_ts`` (DuckDB ``ASOF JOIN ... ON r.ts >=
+    l.ts``); ``"nearest"`` the closer of the two (pandas semantics —
+    ties go backward; no SQL mirror).
 
     ``on`` = (left_key, right_key); keys must be int64-castable.
     ``attach`` maps right column -> output name (columns keep their
@@ -138,6 +143,8 @@ def asof_join(
     ``right_ts`` in ``attach``).
     Right ``(key, ts)`` pairs must be unique (raises otherwise).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction {direction!r}")
 
     def merge_bucket(g: pd.DataFrame, lcols, rcols) -> pd.DataFrame:
         lv = g[g["__side"] == 0]
@@ -156,7 +163,7 @@ def asof_join(
         rv = rv.sort_values("__ts", kind="stable")
         rv = rv.assign(__m=np.int8(1))  # match marker (payloads may be null)
         out = pd.merge_asof(
-            lv, rv, on="__ts", by="__key", direction="backward",
+            lv, rv, on="__ts", by="__key", direction=direction,
             allow_exact_matches=True,
         )
         # merge_asof is a left join; ASOF JOIN is inner — drop misses.

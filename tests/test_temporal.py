@@ -142,3 +142,35 @@ def test_random_range_join_vs_pandas(ray_session):
     a = out.sort_values(["lid", "rid"]).reset_index(drop=True)
     b = want[["lid", "k", "lts", "rid", "rts"]].sort_values(["lid", "rid"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a[b.columns.tolist()], b, check_dtype=False)
+
+
+def test_asof_forward_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    left, right = _mk(
+        [(1, 1, 15), (2, 1, 20), (3, 1, 25), (4, 2, 1)],
+        [(100, 1, 10), (101, 1, 20), (102, 1, 24), (103, 2, 5)],
+    )
+    out = (
+        asof_join(left, right, on=("k", "k"), left_ts="lts", right_ts="rts",
+                  attach={"rid": "rid", "rts": "rts"}, direction="forward")
+        .to_pandas().sort_values("lid").reset_index(drop=True)
+    )
+    # lid1 -> earliest rts >= 15 is 20 (rid 101); lid2 -> 20 exact (101);
+    # lid3 -> none (no rts >= 25 for k=1): dropped; lid4 -> rid 103
+    assert out["lid"].tolist() == [1, 2, 4]
+    assert out["rid"].tolist() == [101, 101, 103]
+    ref = duckdb.sql(
+        "WITH l(lid,k,lts) AS (VALUES (1,1,15),(2,1,20),(3,1,25),(4,2,1)), "
+        "r(rid,k,rts) AS (VALUES (100,1,10),(101,1,20),(102,1,24),(103,2,5)) "
+        "SELECT l.lid, r.rid FROM l ASOF JOIN r "
+        "ON l.k = r.k AND r.rts >= l.lts ORDER BY l.lid"
+    ).df()
+    assert ref["lid"].tolist() == out["lid"].tolist()
+    assert ref["rid"].tolist() == out["rid"].tolist()
+
+
+def test_asof_bad_direction_raises(ray_session):
+    left, right = _mk([(1, 1, 1)], [(2, 1, 1)])
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=("k", "k"), left_ts="lts", right_ts="rts",
+                  attach={"rid": "rid"}, direction="sideways")
