@@ -769,7 +769,20 @@ def q_contamination(sf_dir: str):
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     eval_ds = hash_sample(docs, "doc_id", 100)
     train_ds = hash_sample(docs, "doc_id", 100, invert=True)
-    return ngram_contamination(train_ds, eval_ds, n=8)
+    return ngram_contamination(train_ds, eval_ds, n=8).drop_columns(["text"])
+
+
+def q_corpus_curation(sf_dir: str):
+    """End-to-end training-corpus curation: train/eval split ->
+    quality cutoff -> contamination drop -> exact dedup; the full
+    composition value-checked against one DuckDB query
+    (pipelines/curation.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.pipelines.curation import curate_corpus
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return curate_corpus(docs)
 
 
 def q_checkpoint_manifest(sf_dir: str):
@@ -942,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_documents": q_chunk_documents,
         "q_token_topk": q_token_topk,
         "q_contamination": q_contamination,
+        "q_corpus_curation": q_corpus_curation,
         "q_image_features": q_image_features,
         "q_audio_features": q_audio_features,
         "q_image_resize": q_image_resize,
@@ -1341,6 +1355,40 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(h.nc, 0) > 0 AS is_contaminated "
             "FROM base b LEFT JOIN hits h USING(doc_id) "
             "WHERE b.doc_id NOT IN (SELECT doc_id FROM ev)"
+        ),
+        "q_corpus_curation": (
+            "WITH ev AS (SELECT doc_id FROM documents "
+            "WHERE (doc_id % 2147483647) * 48271 % 2147483647 * 48271 "
+            "% 2147483647 < (CAST(2147483647 AS BIGINT) * 100) // 1000), "
+            "tr AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM ev)), "
+            "s AS (SELECT doc_id, length(text) AS n_chars, "
+            "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+            "length(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars, "
+            "length(list_filter(regexp_extract_all(lower(text), '\\S+'), "
+            "x -> x IN ('the','and','of','to','a','in','is','it','you','that')"
+            ")) AS stop_hits_en FROM tr), "
+            "qd AS (SELECT tr.doc_id, tr.text FROM tr JOIN s USING(doc_id) "
+            "WHERE (CASE WHEN n_chars > 0 THEN alpha_chars * 1000 // greatest(n_chars, 1) ELSE 0 END) + "
+            "(CASE WHEN n_tokens > 0 THEN stop_hits_en * 1000 // greatest(n_tokens, 1) ELSE 0 END) - "
+            "(CASE WHEN n_tokens < 10 THEN 500 ELSE 0 END) >= 870), "
+            "tok AS (SELECT doc_id, regexp_extract_all(lower(text), "
+            "'[a-z0-9]+') AS ws FROM documents), "
+            "base AS (SELECT doc_id, ws, "
+            "CAST(greatest(len(ws) - 7, 0) AS BIGINT) AS n_grams FROM tok), "
+            "spans AS (SELECT doc_id, ws, unnest(range(1, n_grams + 1)) AS i "
+            "FROM base), "
+            "grams AS (SELECT doc_id, array_to_string("
+            "ws[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS gram "
+            "FROM spans), "
+            "eg AS (SELECT DISTINCT gram FROM grams "
+            "WHERE doc_id IN (SELECT doc_id FROM ev)), "
+            "cont AS (SELECT DISTINCT g.doc_id FROM grams g JOIN eg USING(gram) "
+            "WHERE g.doc_id IN (SELECT doc_id FROM qd)), "
+            "clean AS (SELECT doc_id, text FROM qd "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM cont)) "
+            "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies "
+            "FROM clean GROUP BY md5(text)"
         ),
         "q_value_quantiles": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "

@@ -80,14 +80,11 @@ class _Contaminate:
             if len(g)
             else np.zeros(len(t), dtype=np.int64)
         )
-        return pa.table(
-            {
-                self.id_col: t.column(self.id_col),
-                "n_grams": pa.array(counts, pa.int64()),
-                "n_contaminated": pa.array(hits, pa.int64()),
-                "is_contaminated": pa.array(hits > 0),
-            }
-        )
+        # passthrough: all input columns ride along so the stage
+        # composes mid-pipeline (curation drops/keeps on the flag)
+        t = t.append_column("n_grams", pa.array(counts, pa.int64()))
+        t = t.append_column("n_contaminated", pa.array(hits, pa.int64()))
+        return t.append_column("is_contaminated", pa.array(hits > 0))
 
 
 def ngram_contamination(
@@ -98,8 +95,9 @@ def ngram_contamination(
     text_col: str = "text",
     concurrency: int = 8,
 ):
-    """One row per train doc: total n-gram positions, how many of
-    them hit an eval n-gram, and the contamination flag."""
+    """One row per train doc: every input column plus total n-gram
+    positions, how many of them hit an eval n-gram, and the
+    contamination flag."""
     grams = eval_gram_set(eval_ds, n, text_col)
     ref = ray.put(grams)
     return train_ds.map_batches(

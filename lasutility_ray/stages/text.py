@@ -101,7 +101,10 @@ class TextStats:
 
 
 def text_stats(ds):
-    return ds.map_batches(TextStats, batch_format="pandas", concurrency=4)
+    # autoscaling (1, 4): a fixed-size pool holds its CPUs for the
+    # stage's lifetime and starves downstream actor pools on small
+    # clusters (the curation pipeline chains two pools)
+    return ds.map_batches(TextStats, batch_format="pandas", concurrency=(1, 4))
 
 
 class LangId:
@@ -134,7 +137,7 @@ class LangId:
 
 
 def lang_id(ds):
-    return ds.map_batches(LangId, batch_format="pandas", concurrency=4)
+    return ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:

@@ -82,3 +82,22 @@ def test_contamination_matches_duckdb(ray_session):
     b = ref[cols].sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=True)
     assert len(a) > 0
+
+
+def test_corpus_curation_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    df = entry.queries()["q_corpus_curation"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_corpus_curation"]).df()
+    cols = sorted(df.columns)
+    a = df[cols].sort_values("doc_id").reset_index(drop=True)
+    b = ref[cols].sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)
+    # the pipeline must actually filter (not pass everything through)
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(a) < n_docs
