@@ -772,6 +772,19 @@ def q_contamination(sf_dir: str):
     return ngram_contamination(train_ds, eval_ds, n=8).drop_columns(["text"])
 
 
+def q_distinctive_terms(sf_dir: str):
+    """Top-3 distinctive tokens per doc, ranked (tf desc, global df
+    asc, token asc) — TF-IDF with an integer-only total order so the
+    ranking is SQL-exact. Global df broadcast, streamed per-batch
+    ranking (stages/chunking.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.chunking import distinctive_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return distinctive_terms(docs, k=3)
+
+
 def q_corpus_curation(sf_dir: str):
     """End-to-end training-corpus curation: train/eval split ->
     quality cutoff -> contamination drop -> exact dedup; the full
@@ -955,6 +968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_documents": q_chunk_documents,
         "q_token_topk": q_token_topk,
         "q_contamination": q_contamination,
+        "q_distinctive_terms": q_distinctive_terms,
         "q_corpus_curation": q_corpus_curation,
         "q_image_features": q_image_features,
         "q_audio_features": q_audio_features,
@@ -1355,6 +1369,20 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(h.nc, 0) > 0 AS is_contaminated "
             "FROM base b LEFT JOIN hits h USING(doc_id) "
             "WHERE b.doc_id NOT IN (SELECT doc_id FROM ev)"
+        ),
+        "q_distinctive_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(text), '[a-z0-9]+')) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+            "FROM toks GROUP BY doc_id, token), "
+            "df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df "
+            "FROM toks GROUP BY token), "
+            "r AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, "
+            "row_number() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rank "
+            "FROM tf JOIN df USING(token)) "
+            "SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tf, df "
+            "FROM r WHERE rank <= 3"
         ),
         "q_corpus_curation": (
             "WITH ev AS (SELECT doc_id FROM documents "

@@ -123,3 +123,105 @@ def token_topk(ds, k: int = 50, text_col: str = "text"):
     df = top.to_pandas().rename(columns={"sum(n)": "n"})
     df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
     return df
+
+
+def distinctive_terms(ds, k: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+    """Top-k distinctive tokens per document, ranked by (term
+    frequency desc, global document frequency asc, token asc) — the
+    TF-IDF idea with an integer-only total order, so the ranking is
+    bit-exact against a SQL oracle (no float log weights).
+
+    Two passes: (1) global df per token — per-batch per-doc distinct
+    tokens, partial counts, one tiny ``groupby(token)`` shuffle, the
+    vocab broadcast via ``ray.put``; (2) a streamed per-batch scan:
+    in-batch C-speed (doc, token) counting, df attach by
+    ``searchsorted``, per-doc head(k). At a vocabulary too large to
+    broadcast, swap the df attach for a ``lookup_join`` on token hash
+    — the ranking rule is unchanged."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import re
+
+    pat = re.compile(TOKEN_RE)
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        toks = t.column(text_col).to_pandas().str.lower().str.findall(pat)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "pdf": pa.array([], pa.int64())}
+            )
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+        per_doc = pd.DataFrame({"token": flat, "d": doc_idx}).drop_duplicates()
+        agg = per_doc.groupby("token", sort=False).size().reset_index(name="pdf")
+        return pa.table(
+            {
+                "token": pa.array(agg["token"].to_numpy(), pa.string()),
+                "pdf": pa.array(agg["pdf"].to_numpy(dtype=np.int64), pa.int64()),
+            }
+        )
+
+    df_tab = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("pdf", alias_name="df"))
+        .to_pandas()
+        .sort_values("token")
+    )
+    vocab = df_tab["token"].to_numpy()
+    dfs = df_tab["df"].to_numpy(dtype=np.int64)
+    ref = ray.put((vocab, dfs))
+
+    class TopTerms:
+        def __init__(self, ref_):
+            r = ref_[0] if isinstance(ref_, list) else ref_
+            self.vocab, self.dfs = ray.get(r)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = t.column(text_col).to_pandas().str.lower().str.findall(pat)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            lens = toks.map(len).to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.from_numpy_dtype(ids.dtype)),
+                        "rank": pa.array([], pa.int64()),
+                        "token": pa.array([], pa.string()),
+                        "tf": pa.array([], pa.int64()),
+                        "df": pa.array([], pa.int64()),
+                    }
+                )
+            flat = np.array([w for ws in toks for w in ws], dtype=object)
+            doc_idx = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+            tf = (
+                pd.DataFrame({"d": doc_idx, "token": flat})
+                .groupby(["d", "token"], sort=False)
+                .size()
+                .reset_index(name="tf")
+            )
+            pos = np.searchsorted(self.vocab, tf["token"].to_numpy())
+            tf["df"] = self.dfs[pos]
+            tf = tf.sort_values(
+                ["d", "tf", "df", "token"], ascending=[True, False, True, True],
+                kind="stable",
+            )
+            top = tf.groupby("d", sort=False).head(k).copy()
+            top["rank"] = top.groupby("d", sort=False).cumcount() + 1
+            return pa.table(
+                {
+                    id_col: pa.array(ids[top["d"].to_numpy()]),
+                    "rank": pa.array(top["rank"].to_numpy(dtype=np.int64), pa.int64()),
+                    "token": pa.array(top["token"].to_numpy(), pa.string()),
+                    "tf": pa.array(top["tf"].to_numpy(dtype=np.int64), pa.int64()),
+                    "df": pa.array(top["df"].to_numpy(dtype=np.int64), pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        TopTerms,
+        fn_constructor_kwargs={"ref_": [ref]},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -7,7 +7,7 @@ import pytest
 
 import ray.data as rd
 
-from lasutility_ray.stages.chunking import chunk_documents, token_topk
+from lasutility_ray.stages.chunking import chunk_documents, distinctive_terms, token_topk
 
 SF = "/root/testdata/sf0.001"
 
@@ -79,3 +79,50 @@ def test_token_topk_matches_duckdb(ray_session):
     b = ref.sort_values("rank").reset_index(drop=True)[sorted(ref.columns)]
     pd.testing.assert_frame_equal(a, b, check_dtype=True)
     assert 0 < len(a) <= 50  # sf0.001's synthetic vocab is < 50 tokens
+
+
+def test_distinctive_terms_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    df = entry.queries()["q_distinctive_terms"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_distinctive_terms"]).df()
+    cols = sorted(df.columns)
+    a = df[cols].sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    b = ref[cols].sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=True)
+    assert len(a) > 0
+
+
+def test_distinctive_terms_ranking_rule(ray_session):
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "rare rare common",   # tf(rare)=2 beats tf(common)=1
+                        "common solo",        # tie tf=1 -> rarer df first
+                        "common",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = (
+        distinctive_terms(docs, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    d1 = out[out.doc_id == 1]
+    assert d1.token.tolist() == ["rare", "common"]  # tf 2 > tf 1
+    d2 = out[out.doc_id == 2]
+    # both tf=1; df(solo)=1 < df(common)=3 -> solo ranks first
+    assert d2.token.tolist() == ["solo", "common"]
+    assert d2.df.tolist() == [1, 3]
