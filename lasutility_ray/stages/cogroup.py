@@ -49,6 +49,24 @@ def _bucket_of(key: np.ndarray, n_buckets: int) -> np.ndarray:
     return ((h >> np.uint64(33)) % np.uint64(n_buckets)).astype(np.int64)
 
 
+def _is_str_key(t: pa.DataType) -> bool:
+    return (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or pa.types.is_binary(t)
+        or pa.types.is_large_binary(t)
+    )
+
+
+def _str_bucket_of(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
+    """Bucket id for a string/binary key column: full-content siphash
+    (pandas' fixed-key vectorized hash — deterministic across
+    processes), so shared prefixes don't skew buckets. Collisions only
+    co-group; the merge itself compares full key values."""
+    vals = np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
+    return (pd.util.hash_array(vals) % np.uint64(n_buckets)).astype(np.int64)
+
+
 def _arrow_schema(ds, type_overrides: dict | None = None) -> pa.Schema:
     """Unified pyarrow schema for a Dataset whose blocks may be Arrow
     or pandas. Pandas-block schemas carry numpy dtypes; ``object``
@@ -88,8 +106,11 @@ def lookup_join(
     """Inner-join ``right_ds``'s ``attach`` columns onto ``left_ds``.
 
     ``attach`` maps right-side column name -> output column name.
-    Keys must be int64-castable (values above 2^63 are rejected by the
-    cast). Left rows without a match are dropped (inner semantics);
+    Keys are either integers (int64-castable; values above 2^63 are
+    rejected by the cast) or strings/binary (both sides must agree on
+    the family — string keys shuffle by full-content hash and merge on
+    the exact value). Left rows without a match are dropped (inner
+    semantics);
     right rows may match many left rows. By default the right side's
     KEYS must be unique — duplicate right keys raise (which payload
     row would win is block-arrival order, i.e. nondeterministic).
@@ -117,15 +138,27 @@ def lookup_join(
     left_cols = list(left_schema.names)
     right_cols = [right_key] + list(attach)
     out_attach = list(attach.values())
+    str_key = _is_str_key(left_schema.field(left_key).type)
+    if str_key != _is_str_key(right_schema.field(right_key).type):
+        raise TypeError(
+            "lookup_join: key families differ — left "
+            f"{left_schema.field(left_key).type} vs right "
+            f"{right_schema.field(right_key).type}"
+        )
+    key_type = pa.large_string() if str_key else pa.int64()
 
     def tag_left(t: pa.Table) -> pa.Table:
-        key = t.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {c: t.column(c).cast(left_schema.field(c).type) for c in left_cols}
-        cols["__key"] = pa.array(key, pa.int64())
+        if str_key:
+            cols["__key"] = t.column(left_key).cast(key_type)
+            bucket = _str_bucket_of(t.column(left_key), n_buckets)
+        else:
+            key = t.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+            cols["__key"] = pa.array(key, pa.int64())
+            bucket = _bucket_of(key, n_buckets)
         for rc in attach:
             cols["__r_" + rc] = pa.nulls(len(t), right_schema.field(rc).type)
         cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8))
-        bucket = _bucket_of(key, n_buckets)
         if n_salt > 1:
             salt = np.arange(len(t), dtype=np.int64) % n_salt
             bucket = bucket * n_salt + salt
@@ -140,15 +173,19 @@ def lookup_join(
         t = t.select(right_cols)
         if n_salt > 1:
             t = t.take(np.repeat(np.arange(len(t)), n_salt))
-        key = t.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64)
         cols = {}
         for c in left_cols:
             cols[c] = pa.nulls(len(t), left_schema.field(c).type)
-        cols["__key"] = pa.array(key, pa.int64())
+        if str_key:
+            cols["__key"] = t.column(right_key).cast(key_type)
+            bucket = _str_bucket_of(t.column(right_key), n_buckets)
+        else:
+            key = t.column(right_key).to_numpy(zero_copy_only=False).astype(np.int64)
+            cols["__key"] = pa.array(key, pa.int64())
+            bucket = _bucket_of(key, n_buckets)
         for rc in attach:
             cols["__r_" + rc] = t.column(rc).cast(right_schema.field(rc).type)
         cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8))
-        bucket = _bucket_of(key, n_buckets)
         if n_salt > 1:
             salt = np.tile(np.arange(n_salt, dtype=np.int64), len(t) // n_salt)
             bucket = bucket * n_salt + salt

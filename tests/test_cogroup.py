@@ -157,3 +157,67 @@ def test_lookup_join_multi_match(ray_session):
         .to_pandas().sort_values(["v", "lab"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, salted)
+
+
+def test_lookup_join_string_keys(ray_session):
+    """String/binary keys: shuffle by full-content hash, merge on the
+    exact value (a web corpus joins on url/host, not a surrogate id)."""
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(
+                    ["http://a.example/x", "http://b.example/y", "http://miss/z"],
+                    pa.string(),
+                ),
+                "n": pa.array([1, 2, 3], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "u": pa.array(
+                    ["http://b.example/y", "http://a.example/x", "http://other/q"],
+                    pa.string(),
+                ),
+                "host": pa.array(["b.example", "a.example", "other"], pa.string()),
+            }
+        )
+    )
+    out = (
+        lookup_join(left, right, "url", "u", {"host": "host"})
+        .to_pandas()
+        .sort_values("n")
+        .reset_index(drop=True)
+    )
+    assert out["n"].tolist() == [1, 2]
+    assert out["host"].tolist() == ["a.example", "b.example"]
+    # shared-prefix keys must not collide into wrong matches
+    assert out["url"].tolist() == ["http://a.example/x", "http://b.example/y"]
+
+
+def test_lookup_join_string_keys_salted_multi(ray_session):
+    left = rd.from_items([{"k": "hot", "i": i} for i in range(200)])
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(["hot", "hot", "cold"], pa.string()),
+                "lab": pa.array([7, 8, 9], pa.int64()),
+            }
+        )
+    )
+    out = lookup_join(
+        left, right, "k", "id", {"lab": "lab"}, multi=True, n_salt=4
+    ).to_pandas()
+    assert len(out) == 400
+    assert sorted(out["lab"].unique().tolist()) == [7, 8]
+    assert out.groupby("i").size().eq(2).all()
+
+
+def test_lookup_join_key_family_mismatch(ray_session):
+    left = rd.from_arrow(pa.table({"k": pa.array(["a"], pa.string())}))
+    right = rd.from_arrow(
+        pa.table({"id": pa.array([1], pa.int64()), "x": pa.array([2], pa.int64())})
+    )
+    with pytest.raises(TypeError, match="key families differ"):
+        lookup_join(left, right, "k", "id", {"x": "x"})
