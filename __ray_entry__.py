@@ -798,6 +798,63 @@ def q_corpus_curation(sf_dir: str):
     return curate_corpus(docs)
 
 
+def _pages(sf_dir: str):
+    import ray.data as rd
+
+    from lasutility_ray.corpus.pages import pages_from_documents
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return docs.map_batches(pages_from_documents, batch_format="pyarrow")
+
+
+def q_host_stats(sf_dir: str):
+    """Per-host corpus profile (pages -> host parse -> one host-keyed
+    groupby of per-batch partials): page count, char volume, distinct
+    langs, first/last crawl ts."""
+    from lasutility_ray.stages.webcorpus import host_stats
+
+    return host_stats(_pages(sf_dir))
+
+
+def q_domain_mix(sf_dir: str):
+    """Deterministic domain-mixing sampler over the source column
+    (hash-gated per-domain basis points, shuffle-free, reproducible
+    on resume)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.webcorpus import domain_mix
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang", "n_chars"]
+    )
+    return domain_mix(docs)
+
+
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style per-doc repetition signals (dup-word / top-word /
+    dup-bigram fractions); pure map, IEEE-exact vs SQL."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.webcorpus import repetition_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(docs)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-cut sequence packing at a 512-token budget via a
+    distributed exclusive prefix sum (per-block sums -> driver scan of
+    one row per 65k docs -> per-block local cumsum)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.webcorpus import pack_sequences
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(docs, 512)
+
+
 def q_checkpoint_manifest(sf_dir: str):
     """Resumable checkpointed TIN run (state/manifest.py): first call
     processes + commits per-tile parquet atomically; the second call
@@ -970,6 +1027,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_contamination": q_contamination,
         "q_distinctive_terms": q_distinctive_terms,
         "q_corpus_curation": q_corpus_curation,
+        "q_host_stats": q_host_stats,
+        "q_domain_mix": q_domain_mix,
+        "q_repetition_stats": q_repetition_stats,
+        "q_pack_sequences": q_pack_sequences,
         "q_image_features": q_image_features,
         "q_audio_features": q_audio_features,
         "q_image_resize": q_image_resize,
@@ -1048,6 +1109,29 @@ def _word_hash_sql(extra: str = "") -> str:
         f"((length(word)::HUGEINT * {mix2}::HUGEINT) % {m64}::HUGEINT)::UBIGINT"
         f") AS h1 FROM (SELECT doc_id, word{extra}, "
         f"substr(lower(hex(encode(word))), 1, {2 * _WORD_W}) AS h FROM words))))"
+    )
+
+
+def _host_stats_sql() -> str:
+    from lasutility_ray.corpus.pages import url_sql, warc_ts_sql
+
+    return (
+        f"WITH pages AS (SELECT doc_id, {url_sql()} AS url, "
+        f"{warc_ts_sql()} AS ts, text, lang FROM documents) "
+        "SELECT split_part(split_part(url,'://',2),'/',1) AS host, "
+        "count(*) AS n_pages, CAST(sum(length(text)) AS BIGINT) AS n_chars, "
+        "count(DISTINCT lang) AS n_langs, "
+        "min(epoch_ms(ts)) AS first_ts_ms, max(epoch_ms(ts)) AS last_ts_ms "
+        "FROM pages GROUP BY host"
+    )
+
+
+def _domain_mix_sql() -> str:
+    from lasutility_ray.stages.webcorpus import domain_mix_sql_where
+
+    return (
+        "SELECT doc_id, source, lang, n_chars FROM documents "
+        f"WHERE {domain_mix_sql_where()}"
     )
 
 
@@ -1417,6 +1501,41 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id NOT IN (SELECT doc_id FROM cont)) "
             "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies "
             "FROM clean GROUP BY md5(text)"
+        ),
+        "q_host_stats": _host_stats_sql(),
+        "q_domain_mix": _domain_mix_sql(),
+        "q_repetition_stats": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(string_split(text,' ')) AS word, "
+            "unnest(generate_series(1, len(string_split(text,' ')))) AS pos "
+            "FROM documents), "
+            "wc AS (SELECT doc_id, word, count(*) AS c FROM words "
+            "GROUP BY doc_id, word), "
+            "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
+            "count(*) AS n_distinct_words, max(c) AS top_c FROM wc "
+            "GROUP BY doc_id), "
+            "big AS (SELECT doc_id, word, lead(word) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) AS nxt FROM words), "
+            "bg AS (SELECT doc_id, count(*) AS n2, "
+            "count(DISTINCT word || ' ' || nxt) AS n2d FROM big "
+            "WHERE nxt IS NOT NULL GROUP BY doc_id) "
+            "SELECT a.doc_id, n_words, n_distinct_words, "
+            "(n_words - n_distinct_words) / CAST(n_words AS DOUBLE) "
+            "AS dup_word_frac, "
+            "top_c / CAST(n_words AS DOUBLE) AS top_word_frac, "
+            "CASE WHEN COALESCE(n2,0) > 0 THEN (n2 - n2d) / "
+            "CAST(n2 AS DOUBLE) ELSE 0.0 END AS dup_2gram_frac "
+            "FROM agg a LEFT JOIN bg USING (doc_id)"
+        ),
+        "q_pack_sequences": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) - n_tok AS BIGINT) AS s FROM t) "
+            "SELECT doc_id, n_tok, s // 512 AS seq_id, s % 512 AS seq_off "
+            "FROM c"
         ),
         "q_value_quantiles": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "

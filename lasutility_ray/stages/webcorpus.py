@@ -1,0 +1,269 @@
+"""Web-corpus curation operators: per-host analytics, domain-mix
+sampling, Gopher-style repetition signals, and token-budget sequence
+packing.
+
+These are the corpus-shaping stages a Common-Crawl-scale training-data
+pipeline runs between raw pages and tokenization (the reference engine
+has no analogue — it is a per-tile GIS engine — so these extend the
+SURVEY §2 surface the way the dedup/ANN family does). Every operator
+is a streaming ``map_batches`` shape; the only shuffles are (a) one
+host-keyed groupby of per-batch partials in :func:`host_stats` and
+(b) two slim ``(doc_id, n_tok)`` exchanges in :func:`pack_sequences`'s
+distributed prefix sum. All outputs are value-exact against DuckDB
+oracles (see ``__ray_entry__.oracle_sql``): fractions are single IEEE
+double divisions of exact int64 counts, so they hash identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..corpus.geocode import H1_MUL, M32
+
+# ----------------------------------------------------------- host stats
+
+
+def add_host(t: pa.Table, url_col: str = "url") -> pa.Table:
+    """Vectorized host extraction: the authority between ``://`` and
+    the first ``/`` (urls are scheme-qualified by contract; mirrors
+    DuckDB ``split_part(split_part(url,'://',2),'/',1)``)."""
+    after = pc.replace_substring_regex(t.column(url_col), r"^[^:]*://", "")
+    host = pc.replace_substring_regex(after, r"/.*$", "")
+    return t.append_column("host", host)
+
+
+def _host_partial(t: pa.Table) -> pa.Table:
+    """Per-batch per-host partial: counts, char sums, ts min/max and
+    the (tiny) set of languages, pipe-joined so partials merge by
+    string-set union."""
+    t = add_host(t)
+    df = pd.DataFrame(
+        {
+            "host": t.column("host").to_pandas(),
+            "chars": pc.utf8_length(t.column("text")).to_numpy(),
+            "ts_ms": t.column("warc_ts")
+            .cast(pa.timestamp("ms"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False),
+            "lang": t.column("lang").to_pandas(),
+        }
+    )
+    g = df.groupby("host", sort=False)
+    out = g.agg(
+        n_pages=("chars", "size"),
+        n_chars=("chars", "sum"),
+        first_ts_ms=("ts_ms", "min"),
+        last_ts_ms=("ts_ms", "max"),
+        langs=("lang", lambda s: "|".join(sorted(set(s)))),
+    ).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _host_final(g: pd.DataFrame) -> pd.DataFrame:
+    gg = g.groupby("host", sort=False)
+    out = gg.agg(
+        n_pages=("n_pages", "sum"),
+        n_chars=("n_chars", "sum"),
+        first_ts_ms=("first_ts_ms", "min"),
+        last_ts_ms=("last_ts_ms", "max"),
+        langs=("langs", lambda s: set().union(*(x.split("|") for x in s))),
+    ).reset_index()
+    out["n_langs"] = out["langs"].map(len).astype(np.int64)
+    return out[["host", "n_pages", "n_chars", "n_langs", "first_ts_ms", "last_ts_ms"]]
+
+
+def host_stats(pages_ds):
+    """Per-host corpus profile over pages(url, warc_ts, text, lang):
+    page count, total text chars, distinct languages, first/last crawl
+    timestamp (epoch ms). Map-side partials combine per batch before
+    ONE host-keyed shuffle, so exchange volume is hosts x batches
+    rows, never pages."""
+    partials = pages_ds.map_batches(_host_partial, batch_format="pyarrow")
+    return partials.groupby("host").map_groups(_host_final, batch_format="pandas")
+
+
+# ---------------------------------------------------------- domain mix
+
+# canonical mixing rates for the oracle-checked query: weight a few
+# sources up, the long tail down (rates in exact basis points so the
+# SQL mirror needs no float rounding)
+MIX_BPS_DEFAULT = 1000  # 10%
+MIX_BPS = {"src0": 10000, "src1": 5000, "src2": 2500, "src3": 2500}
+
+
+def domain_mix(
+    docs_ds,
+    bps: dict[str, int] | None = None,
+    default_bps: int = MIX_BPS_DEFAULT,
+    key_col: str = "doc_id",
+    domain_col: str = "source",
+):
+    """Deterministic domain-mixing sampler: keep a row iff
+    ``hash(key) % 10000 < bps[domain]`` (rates in basis points). The
+    standard way to re-weight a web corpus's source mix without a
+    shuffle: the decision is a pure function of (key, domain), so the
+    sample is reproducible across runs/resumes and the complementary
+    set (flip the comparison) is exact. No exchange at all."""
+    rates = dict(MIX_BPS if bps is None else bps)
+
+    def sample(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (key * H1_MUL) % M32
+        dom = t.column(domain_col).to_pandas()
+        thr = dom.map(lambda s: rates.get(s, default_bps)).to_numpy(dtype=np.int64)
+        return t.filter(pa.array((h % 10000) < thr))
+
+    return docs_ds.map_batches(sample, batch_format="pyarrow")
+
+
+def domain_mix_sql_where(
+    bps: dict[str, int] | None = None,
+    default_bps: int = MIX_BPS_DEFAULT,
+    key_col: str = "doc_id",
+    domain_col: str = "source",
+) -> str:
+    rates = dict(MIX_BPS if bps is None else bps)
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(rates.items())
+    )
+    return (
+        f"((({key_col} * {H1_MUL}) % {M32}) % 10000) < "
+        f"(CASE {domain_col} {cases} ELSE {default_bps} END)"
+    )
+
+
+# --------------------------------------------------- repetition signals
+
+
+def _split_words(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat word array + per-word doc index + per-doc word counts for
+    a batch, splitting on single spaces exactly like DuckDB
+    ``string_split(text, ' ')`` (so ``''`` yields one empty word)."""
+    toks = texts.str.split(" ")
+    counts = toks.map(len).to_numpy(dtype=np.int64)
+    flat = np.array([w for ws in toks for w in ws], dtype=object)
+    doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    return flat, doc_idx, counts
+
+
+def _repetition_batch(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    texts = t.column(text_col).to_pandas()
+    flat, doc_idx, n_words = _split_words(texts)
+    n = len(t)
+
+    # per-(doc, word) counts in one C-speed groupby
+    wc = pd.DataFrame({"d": doc_idx, "w": flat}).groupby(["d", "w"], sort=False).size()
+    per_doc = wc.groupby(level=0, sort=False)
+    n_distinct = np.zeros(n, dtype=np.int64)
+    top_count = np.zeros(n, dtype=np.int64)
+    idx = per_doc.size().index.to_numpy()
+    n_distinct[idx] = per_doc.size().to_numpy()
+    top_count[idx] = per_doc.max().to_numpy()
+
+    # bigrams: consecutive word pairs within a doc
+    n2 = np.maximum(n_words - 1, 0)
+    if len(flat) > 1:
+        same = doc_idx[:-1] == doc_idx[1:]
+        big = flat[:-1][same] + " " + flat[1:][same]
+        bdoc = doc_idx[:-1][same]
+        bc = pd.DataFrame({"d": bdoc, "b": big}).groupby(["d", "b"], sort=False).size()
+        per2 = bc.groupby(level=0, sort=False).size()
+        n2_distinct = np.zeros(n, dtype=np.int64)
+        n2_distinct[per2.index.to_numpy()] = per2.to_numpy()
+    else:
+        n2_distinct = np.zeros(n, dtype=np.int64)
+
+    nwf = n_words.astype(np.float64)
+    n2f = n2.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dup_word = np.where(n_words > 0, (n_words - n_distinct) / nwf, 0.0)
+        top_word = np.where(n_words > 0, top_count / nwf, 0.0)
+        dup_2gram = np.where(n2 > 0, (n2 - n2_distinct) / n2f, 0.0)
+
+    return pa.table(
+        {
+            id_col: t.column(id_col),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_distinct_words": pa.array(n_distinct, pa.int64()),
+            "dup_word_frac": pa.array(dup_word, pa.float64()),
+            "top_word_frac": pa.array(top_word, pa.float64()),
+            "dup_2gram_frac": pa.array(dup_2gram, pa.float64()),
+        }
+    )
+
+
+def repetition_stats(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition quality signals per document: word
+    count, distinct-word count, duplicate-word fraction, most-frequent
+    -word fraction and duplicate-bigram fraction. Pure map — no
+    shuffle; word identity is the exact space-split token (DuckDB
+    ``string_split``) so the SQL oracle matches bit-for-bit."""
+    return docs_ds.map_batches(
+        lambda t: _repetition_batch(t, id_col, text_col), batch_format="pyarrow"
+    )
+
+
+# ------------------------------------------------------ sequence packing
+
+PACK_BLOCK = 65536
+
+
+def _ntok_batch(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    texts = t.column(text_col).to_pandas()
+    n_tok = texts.str.split(" ").map(len).to_numpy(dtype=np.int64)
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "n_tok": pa.array(n_tok, pa.int64()),
+            "__block": pa.array(ids // PACK_BLOCK, pa.int64()),
+        }
+    )
+
+
+def pack_sequences(docs_ds, budget: int, id_col: str = "doc_id", text_col: str = "text"):
+    """Concat-and-cut sequence packing: conceptually concatenate all
+    documents in ``id_col`` order and cut every ``budget`` tokens (the
+    standard LLM-pretraining packing). Per doc: its token count, the
+    sequence its FIRST token lands in and the offset inside it.
+
+    Distributed exclusive prefix sum: (1) slim ``(id, n_tok, block)``
+    map with ``block = id // 65536``; (2) per-block token sums via one
+    tiny groupby whose result (blocks, not docs) is scanned on the
+    driver into block offsets and broadcast; (3) per-block groups
+    cumsum locally and add their block offset. The only driver-side
+    data is one row per 65k docs."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive (got {budget})")
+    slim = docs_ds.map_batches(
+        lambda t: _ntok_batch(t, id_col, text_col), batch_format="pyarrow"
+    )
+
+    from ray.data.aggregate import Sum
+
+    bsums = slim.groupby("__block").aggregate(Sum("n_tok", alias_name="tok")).to_pandas()
+    bsums = bsums.sort_values("__block")
+    offsets = np.zeros(len(bsums), dtype=np.int64)
+    offsets[1:] = np.cumsum(bsums["tok"].to_numpy())[:-1]
+    off_map = dict(zip(bsums["__block"].tolist(), offsets.tolist()))
+    off_ref = ray.put(off_map)
+
+    def pack_block(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(g["__block"].iloc[0])]
+        g = g.sort_values(id_col)
+        start = off + np.cumsum(g["n_tok"].to_numpy()) - g["n_tok"].to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                "n_tok": g["n_tok"].to_numpy(),
+                "seq_id": start // budget,
+                "seq_off": start % budget,
+            }
+        )
+
+    return slim.groupby("__block").map_groups(pack_block, batch_format="pandas")
