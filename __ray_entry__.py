@@ -855,6 +855,23 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(docs, 512)
 
 
+def q_bloom_contamination(sf_dir: str):
+    """Bloom-screened contamination check (contamination.py): O(m)
+    memory regardless of eval-set size, zero false negatives. Rows-
+    only: Bloom bit arithmetic is not SQL-expressible; the pytest
+    oracle pins superset-of-exact and the FP bound."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.contamination import bloom_contamination
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ev = docs.filter(lambda r: r["doc_id"] % 10 == 0)
+    out = bloom_contamination(docs, ev, n=8)
+    return out.select_columns(
+        ["doc_id", "n_grams", "n_bloom_hits", "maybe_contaminated"]
+    )
+
+
 def q_checkpoint_manifest(sf_dir: str):
     """Resumable checkpointed TIN run (state/manifest.py): first call
     processes + commits per-tile parquet atomically; the second call
@@ -1031,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_domain_mix": q_domain_mix,
         "q_repetition_stats": q_repetition_stats,
         "q_pack_sequences": q_pack_sequences,
+        "q_bloom_contamination": q_bloom_contamination,
         "q_image_features": q_image_features,
         "q_audio_features": q_audio_features,
         "q_image_resize": q_image_resize,

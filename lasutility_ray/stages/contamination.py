@@ -111,3 +111,103 @@ def ngram_contamination(
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
+
+
+# ------------------------------------------------------- Bloom variant
+
+BLOOM_M = 1 << 23  # bits -> 1 MiB bitmap
+BLOOM_K = 4
+
+
+def _bloom_positions(grams: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(k, n) bit positions per gram via double hashing of one 64-bit
+    full-content hash (pandas' fixed-key vectorized siphash): pos_i =
+    (h1 + i*h2) % m with odd h2, the standard Kirsch-Mitzenmacher
+    construction."""
+    h = pd.util.hash_array(np.asarray(grams, dtype=object))
+    h1 = h % np.uint64(m)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m)).astype(np.int64)
+
+
+def eval_bloom(eval_ds, n: int = 8, text_col: str = "text",
+               m: int = BLOOM_M, k: int = BLOOM_K) -> np.ndarray:
+    """Bloom bitmap (uint8[m/8]) over the eval corpus's distinct word
+    n-grams. Each batch folds its grams into a LOCAL bitmap and emits
+    that fixed-size partial (like the HLL register rows); the driver
+    ORs one 1 MiB array per batch — eval text itself never leaves the
+    workers. This is the 100 TB-side replacement for
+    :func:`eval_gram_set`'s exact string broadcast: memory is capped
+    at m bits no matter how large the eval suite grows, at the cost of
+    a bounded false-positive rate (never false negatives)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g, _, _ = _doc_grams(t.column(text_col).to_pandas(), n)
+        bm = np.zeros(m // 8, dtype=np.uint8)
+        if len(g):
+            pos = _bloom_positions(np.unique(g), m, k).ravel()
+            np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    out = np.zeros(m // 8, dtype=np.uint8)
+    for b in eval_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for buf in b.column("bm").to_pylist():
+            out |= np.frombuffer(buf, dtype=np.uint8)
+    return out
+
+
+class _BloomContaminate:
+    """Actor-pool train scan against a broadcast Bloom bitmap."""
+
+    def __init__(self, bloom_ref, n: int, m: int, k: int, text_col: str):
+        ref = bloom_ref[0] if isinstance(bloom_ref, list) else bloom_ref
+        self.bm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.n, self.m, self.k = n, m, k
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column(self.text_col).to_pandas()
+        g, doc_idx, counts = _doc_grams(texts, self.n)
+        if len(g):
+            pos = _bloom_positions(g, self.m, self.k)
+            bits = (self.bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            hit = bits.all(axis=0)
+            hits = np.bincount(doc_idx, weights=hit, minlength=len(t)).astype(np.int64)
+        else:
+            hits = np.zeros(len(t), dtype=np.int64)
+        t = t.append_column("n_grams", pa.array(counts, pa.int64()))
+        t = t.append_column("n_bloom_hits", pa.array(hits, pa.int64()))
+        return t.append_column("maybe_contaminated", pa.array(hits > 0))
+
+
+def bloom_contamination(
+    train_ds,
+    eval_ds,
+    n: int = 8,
+    text_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    concurrency: int = 8,
+):
+    """Contamination screen with O(m) memory independent of eval-set
+    size: superset-of-exact flags (zero false negatives by
+    construction; FP rate ~ (1 - e^(-k*n_grams/m))^k). Run it as the
+    cheap first pass at 100 TB, then confirm survivors with
+    :func:`ngram_contamination` on the (tiny) flagged subset."""
+    bm = eval_bloom(eval_ds, n, text_col, m, k)
+    ref = ray.put(bm)
+    return train_ds.map_batches(
+        _BloomContaminate,
+        fn_constructor_kwargs={
+            "bloom_ref": [ref],
+            "n": n,
+            "m": m,
+            "k": k,
+            "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
