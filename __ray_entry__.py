@@ -855,6 +855,33 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(docs, 512)
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental crawl dedup: new docs (doc_id % 3 != 0) whose
+    content hash is absent from the seen corpus (doc_id % 3 == 0) —
+    a string-keyed anti lookup-join carrying 32-byte digests only."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.webcorpus import incremental_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def split(want_zero: bool):
+        def f(t, w=want_zero):
+            m = t.column("doc_id").to_numpy() % 3 == 0
+            return t.filter(pa.array(m if w else ~m))
+
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    new = split(False)
+    seen = split(True)
+    out = incremental_dedup(new, seen)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "content_md5"]), batch_format="pyarrow"
+    )
+
+
 def q_bloom_contamination(sf_dir: str):
     """Bloom-screened contamination check (contamination.py): O(m)
     memory regardless of eval-set size, zero false negatives. Rows-
@@ -1048,6 +1075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_domain_mix": q_domain_mix,
         "q_repetition_stats": q_repetition_stats,
         "q_pack_sequences": q_pack_sequences,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_bloom_contamination": q_bloom_contamination,
         "q_image_features": q_image_features,
         "q_audio_features": q_audio_features,
@@ -1544,6 +1572,13 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN COALESCE(n2,0) > 0 THEN (n2 - n2d) / "
             "CAST(n2 AS DOUBLE) ELSE 0.0 END AS dup_2gram_frac "
             "FROM agg a LEFT JOIN bg USING (doc_id)"
+        ),
+        "q_incremental_dedup": (
+            "WITH seen AS (SELECT md5(text) AS h FROM documents "
+            "WHERE doc_id % 3 = 0) "
+            "SELECT doc_id, md5(text) AS content_md5 FROM documents "
+            "WHERE doc_id % 3 <> 0 "
+            "AND md5(text) NOT IN (SELECT h FROM seen)"
         ),
         "q_pack_sequences": (
             "WITH t AS (SELECT doc_id, "

@@ -102,6 +102,7 @@ def lookup_join(
     type_overrides: dict | None = None,
     n_salt: int = 1,
     multi: bool = False,
+    how: str = "inner",
 ):
     """Inner-join ``right_ds``'s ``attach`` columns onto ``left_ds``.
 
@@ -123,6 +124,13 @@ def lookup_join(
     ``type_overrides`` resolves ambiguous pandas-object columns (and
     may force e.g. binary) by column name, either side.
 
+    ``how`` selects the join flavor: ``"inner"`` (default) attaches
+    payload columns; ``"semi"`` keeps left rows WITH a right match and
+    ``"anti"`` keeps left rows WITHOUT one — both return only the left
+    columns and require an empty ``attach`` (membership tests, e.g.
+    incremental dedup against a seen-hash table; duplicate right keys
+    are harmless there and allowed).
+
     ``n_salt`` > 1 splits each key's LEFT rows across ``n_salt``
     sub-buckets (round-robin within each batch) and replicates every
     RIGHT row to all of them — the skew escape hatch for a hot left
@@ -133,6 +141,10 @@ def lookup_join(
         n_buckets = default_n_buckets()
     if n_salt < 1:
         raise ValueError(f"n_salt must be >= 1 (got {n_salt})")
+    if how not in ("inner", "semi", "anti"):
+        raise ValueError(f"how must be inner|semi|anti (got {how!r})")
+    if how != "inner" and attach:
+        raise ValueError(f"how={how!r} is a membership test — attach must be empty")
     left_schema = _arrow_schema(left_ds, type_overrides)
     right_schema = _arrow_schema(right_ds, type_overrides)
     left_cols = list(left_schema.names)
@@ -201,6 +213,15 @@ def lookup_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lv = g[g["__side"] == 0]
         rv = g[g["__side"] == 1]
+        if how != "inner":
+            isin = lv["__key"].isin(rv["__key"])
+            out = lv[isin] if how == "semi" else lv[~isin]
+            out = out[left_cols].copy()
+            for c in left_cols:
+                t = left_schema.field(c).type
+                if pa.types.is_integer(t):
+                    out[c] = out[c].astype(t.to_pandas_dtype())
+            return out
         if len(lv) == 0 or len(rv) == 0:
             out = lv.iloc[0:0]
         else:

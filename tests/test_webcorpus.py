@@ -153,3 +153,82 @@ def test_pack_sequences_invariants(ray_session):
     assert (out["seq_off"] < 10).all()
     with pytest.raises(ValueError):
         pack_sequences(docs, 0)
+
+
+def test_semi_anti_lookup_join(ray_session):
+    from lasutility_ray.stages.cogroup import lookup_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["a", "b", "c", "d"], pa.string()),
+                "v": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table({"id": pa.array(["b", "d", "d"], pa.string())})
+    )  # dup right keys are fine for membership
+    semi = lookup_join(left, right, "k", "id", {}, how="semi").to_pandas()
+    anti = lookup_join(left, right, "k", "id", {}, how="anti").to_pandas()
+    assert sorted(semi["k"]) == ["b", "d"] and sorted(semi["v"]) == [2, 4]
+    assert sorted(anti["k"]) == ["a", "c"]
+    assert anti["v"].dtype == np.int64
+    with pytest.raises(ValueError, match="membership"):
+        lookup_join(left, right, "k", "id", {"id": "x"}, how="anti")
+    with pytest.raises(ValueError, match="inner|semi|anti"):
+        lookup_join(left, right, "k", "id", {}, how="left")
+
+
+def test_canonicalize_urls():
+    from lasutility_ray.stages.webcorpus import canonicalize_urls
+
+    raw = pd.Series(
+        [
+            "HTTPS://Example.COM:443/Path?q=1#frag",
+            "http://example.com:80",
+            "http://example.com:8080/x",
+            "https://example.com/a?",
+            "ftp://Host/Z",
+            "not a url",
+        ]
+    )
+    out = canonicalize_urls(raw).tolist()
+    assert out == [
+        "https://example.com/Path?q=1",  # scheme+host lowered, :443 stripped, frag dropped
+        "http://example.com/",  # default port stripped, path added
+        "http://example.com:8080/x",  # non-default port kept
+        "https://example.com/a",  # empty query dropped
+        "ftp://host/Z",  # unknown scheme: no port rule, path case kept
+        "not a url",  # passthrough
+    ]
+
+
+def test_incremental_dedup_matches_duckdb(ray_session, docs_con):
+    df, ref = _oracle("q_incremental_dedup", docs_con)
+    df, ref = _sorted(df, ["doc_id"]), _sorted(ref, ["doc_id"])
+    pd.testing.assert_frame_equal(df[ref.columns], ref, check_dtype=False)
+
+
+def test_incremental_dedup_drops_seen_content(ray_session):
+    from lasutility_ray.stages.webcorpus import incremental_dedup
+
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["fresh one", "already crawled", "fresh two"]),
+            }
+        )
+    )
+    seen = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([100, 101], pa.int64()),
+                "text": pa.array(["already crawled", "other old"]),
+            }
+        )
+    )
+    out = incremental_dedup(new, seen).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [1, 3]
+    assert (out.columns[:2] == ["doc_id", "text"]).all() or "content_md5" in out.columns
