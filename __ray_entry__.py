@@ -855,6 +855,32 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(docs, 512)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Deterministic cosine k-means over the embeddings table
+    (similarity.py): sampled training, one broadcast-centroid
+    assignment pass. Rows-only: iterative algorithm, not
+    SQL-expressible; pytest pins determinism + argmax correctness."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.similarity import kmeans_assign
+
+    return kmeans_assign(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), 8)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup: within-k-means-cluster cosine pruning (the quadratic
+    step runs per cluster, co-grouped by one shuffle). Rows-only with
+    pytest oracle (no same-cluster over-threshold kept pair
+    survives)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.similarity import semantic_dedup
+
+    return semantic_dedup(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"), 8, threshold=0.45
+    )
+
+
 def q_incremental_dedup(sf_dir: str):
     """Incremental crawl dedup: new docs (doc_id % 3 != 0) whose
     content hash is absent from the seen corpus (doc_id % 3 == 0) —
@@ -1075,6 +1101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_domain_mix": q_domain_mix,
         "q_repetition_stats": q_repetition_stats,
         "q_pack_sequences": q_pack_sequences,
+        "q_kmeans_clusters": q_kmeans_clusters,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_incremental_dedup": q_incremental_dedup,
         "q_bloom_contamination": q_bloom_contamination,
         "q_image_features": q_image_features,

@@ -148,3 +148,76 @@ def ann_topk_ivf(ds, query_ids, query_mat, k: int = 5, n_lists: int = 16,
         .map_groups(_merge_topk(k), batch_format="pandas")
         .sort(["query_id", "rank"])
     )
+
+
+def kmeans_assign(ds, n_clusters: int = 16, sample_n: int = 512, iters: int = 5):
+    """Deterministic cosine k-means clustering as a first-class stage:
+    centroids train on a fixed sample (``_train_centroids``), then ONE
+    streaming pass assigns every vector — (vec_id, cluster, cos_sim).
+    The 100 TB shape: training touches ``sample_n`` rows, assignment
+    is an embarrassingly-parallel map with the centroid matrix
+    broadcast once via ``ray.put``."""
+    centroids = _train_centroids(ds, n_clusters, sample_n, iters)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(np.stack(batch.column("embedding").to_numpy()).astype(np.float64))
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "cos_sim": pa.array(np.round(sims[np.arange(len(a)), a], 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def semantic_dedup(ds, n_clusters: int = 16, threshold: float = 0.85):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    then WITHIN each cluster drop every vector whose cosine to a
+    lower-id cluster-mate exceeds ``threshold``. The cluster partition
+    is what makes it scale: the quadratic step runs per cluster
+    (n²/k work, co-grouped by one shuffle on the cluster id), never
+    across the corpus. Returns (vec_id, cluster, is_kept,
+    dup_of) with dup_of = the smallest kept id that covers a dropped
+    vector (-1 for kept rows)."""
+    assigned = kmeans_assign(ds, n_clusters)
+    from .cogroup import lookup_join
+
+    # one exchange total: the cluster id is attached to the vector
+    # rows in-cluster, then the groupby co-locates each cluster
+    cl = lookup_join(
+        ds.map_batches(lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"),
+        assigned,
+        "vec_id",
+        "vec_id",
+        {"cluster": "cluster"},
+    )
+
+    def dedup_cluster(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("vec_id").reset_index(drop=True)
+        m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
+        ids = g["vec_id"].to_numpy()
+        n = len(g)
+        kept = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        sims = m @ m.T
+        for i in range(1, n):
+            over = np.where(kept[:i] & (np.round(sims[i, :i], 6) > threshold))[0]
+            if len(over):
+                kept[i] = False
+                dup_of[i] = ids[over[0]]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy(),
+                "is_kept": kept,
+                "dup_of": dup_of,
+            }
+        )
+
+    return cl.groupby("cluster").map_groups(dedup_cluster, batch_format="pandas")
