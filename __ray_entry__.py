@@ -855,6 +855,44 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(docs, 512)
 
 
+def q_bpe_vocab(sf_dir: str):
+    """BPE training (stages/bpe.py): distributed wordcount -> driver
+    merge loop. Returns the deterministic merge table (rank, left,
+    right). Rows-only: iterative, not SQL-expressible; pytest pins
+    the trainer against a brute-force reference."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.bpe import bpe_train
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=200)
+    return pd.DataFrame(
+        {
+            "rank": range(len(merges)),
+            "left": [a for a, _ in merges],
+            "right": [b for _, b in merges],
+        }
+    )
+
+
+def q_bpe_tokens(sf_dir: str):
+    """Per-doc BPE token counts with the corpus-trained merges
+    (actor-pool encode, merge ranks broadcast once, per-word memo)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.bpe import bpe_encode, bpe_train
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_train(docs, n_merges=200)
+    out = bpe_encode(docs, merges)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_words", "n_bpe_tokens"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Deterministic cosine k-means over the embeddings table
     (similarity.py): sampled training, one broadcast-centroid
@@ -1101,6 +1139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_domain_mix": q_domain_mix,
         "q_repetition_stats": q_repetition_stats,
         "q_pack_sequences": q_pack_sequences,
+        "q_bpe_vocab": q_bpe_vocab,
+        "q_bpe_tokens": q_bpe_tokens,
         "q_kmeans_clusters": q_kmeans_clusters,
         "q_semantic_dedup": q_semantic_dedup,
         "q_incremental_dedup": q_incremental_dedup,

@@ -1,0 +1,196 @@
+"""Byte-pair-encoding tokenizer: distributed training + encoding.
+
+The canonical Sennrich-2016 BPE shape, factored for Ray Data:
+
+1. **Word-type table** (distributed): one wordcount over the corpus —
+   per-batch partial counts, one groupby-sum shuffle, top-``max_types``
+   word types kept (exactly the bounded-vocab practice every real BPE
+   trainer uses). At 100 TB the exchange carries (word, count) rows,
+   never text.
+2. **Merge loop** (driver): classic pair-frequency iteration over the
+   word-type table, weighted by counts. O(n_merges x vocab) on a table
+   capped at ``max_types`` rows — deliberately driver-side, the same
+   role as the IVF k-means training sample. Ties break
+   lexicographically so the merge list is deterministic.
+3. **Encoding** (distributed): an actor-pool ``map_batches`` stage;
+   the merge ranks broadcast once via ``ray.put``, each actor memoizes
+   per-word segmentations across batches (web text repeats words, so
+   the cache hit rate is the zipf mass).
+
+Pure-python reference semantics are pinned by tests; not
+SQL-expressible (iterative), so the contract queries are rows-only.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+END = "</w>"
+
+
+# ------------------------------------------------------------ training
+
+
+def word_type_table(ds, text_col: str = "text", max_types: int = 65536) -> pd.DataFrame:
+    """(word, count) over the corpus, lowercased ``[a-z0-9]+`` tokens,
+    top ``max_types`` by (count desc, word asc)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = t.column(text_col).to_pandas().str.lower().str.findall(TOKEN_RE)
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        if len(flat) == 0:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        vc = pd.Series(flat).value_counts()
+        return pa.table(
+            {"word": pa.array(vc.index.to_numpy(), pa.string()),
+             "n": pa.array(vc.to_numpy(), pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="count"))
+        .to_pandas()
+    )
+    counts = counts.sort_values(
+        ["count", "word"], ascending=[False, True]
+    ).head(max_types)
+    return counts.reset_index(drop=True)
+
+
+def _pair_counts(words: list[tuple[str, ...]], counts: np.ndarray) -> dict:
+    pc: dict = {}
+    for syms, c in zip(words, counts):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pc[p] = pc.get(p, 0) + int(c)
+    return pc
+
+
+def _merge_word(syms: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train_from_types(types: pd.DataFrame, n_merges: int) -> list[tuple[str, str]]:
+    """Merge list from a (word, count) table: pick the most frequent
+    adjacent symbol pair each round (ties -> lexicographically
+    smallest pair), merge it everywhere. Pair counts are maintained
+    incrementally (only words containing the merged pair are
+    re-scanned), so a round costs O(affected words), not O(vocab)."""
+    words = [tuple(w) + (END,) for w in types["word"].tolist()]
+    counts = types["count"].to_numpy()
+    pc: dict = {}
+    where: dict = {}  # pair -> set of word indices containing it
+    for wi, (syms, c) in enumerate(zip(words, counts)):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pc[p] = pc.get(p, 0) + int(c)
+            where.setdefault(p, set()).add(wi)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        live = ((p, n) for p, n in pc.items() if n > 0)
+        best = min(live, key=lambda kv: (-kv[1], kv[0]), default=(None, 0))[0]
+        if best is None:
+            break
+        merges.append(best)
+        for wi in list(where.get(best, ())):
+            syms = words[wi]
+            c = int(counts[wi])
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] -= c
+                where[p].discard(wi)
+            syms = _merge_word(syms, best)
+            words[wi] = syms
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + c
+                where.setdefault(p, set()).add(wi)
+        pc.pop(best, None)
+        where.pop(best, None)
+    return merges
+
+
+def bpe_train(ds, n_merges: int = 200, text_col: str = "text",
+              max_types: int = 65536) -> list[tuple[str, str]]:
+    """Distributed wordcount + driver merge loop (see module doc)."""
+    return bpe_train_from_types(word_type_table(ds, text_col, max_types), n_merges)
+
+
+# ------------------------------------------------------------ encoding
+
+
+def encode_word(word: str, ranks: dict) -> tuple[str, ...]:
+    """Greedy lowest-rank-first BPE segmentation of one word."""
+    syms = tuple(word) + (END,)
+    while len(syms) > 1:
+        best_rank, best_pair = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        syms = _merge_word(syms, best_pair)
+    return syms
+
+
+class _BpeEncode:
+    """Actor-pool encoder: merge ranks fetched once per actor, per-word
+    segmentations memoized across batches."""
+
+    def __init__(self, merges_ref, text_col: str):
+        ref = merges_ref[0] if isinstance(merges_ref, list) else merges_ref
+        merges = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self.text_col = text_col
+        self.cache: dict[str, int] = {}
+
+    def _n_pieces(self, w: str) -> int:
+        n = self.cache.get(w)
+        if n is None:
+            n = len(encode_word(w, self.ranks))
+            self.cache[w] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        toks = t.column(self.text_col).to_pandas().str.lower().str.findall(TOKEN_RE)
+        n_words = toks.map(len).to_numpy(dtype=np.int64)
+        n_pieces = np.fromiter(
+            (sum(self._n_pieces(w) for w in ws) for ws in toks),
+            dtype=np.int64,
+            count=len(toks),
+        )
+        t = t.append_column("n_words", pa.array(n_words, pa.int64()))
+        return t.append_column("n_bpe_tokens", pa.array(n_pieces, pa.int64()))
+
+
+def bpe_encode(ds, merges: list[tuple[str, str]], text_col: str = "text",
+               concurrency: int = 8):
+    """Per-doc BPE token counts (every input column rides along)."""
+    ref = ray.put([tuple(p) for p in merges])
+    return ds.map_batches(
+        _BpeEncode,
+        fn_constructor_kwargs={"merges_ref": [ref], "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
