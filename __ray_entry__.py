@@ -1249,6 +1249,68 @@ def _domain_mix_sql() -> str:
     )
 
 
+def _minhash_sql() -> str:
+    """End-to-end MinHash-LSH near-dup SQL mirror: word hashes
+    (``_word_hash_sql``) -> rolling 3-shingles (uint64 wraparound in
+    HUGEINT, >>32) -> 64 permutation mins mod 2^61-1 -> banded fold
+    (4 rows/band, xor-shift) -> band-collision pairs -> exact
+    shingle-set Jaccard >= threshold. Assumes every doc has >= 3
+    words (the corpus generator guarantees >= 10; the <k fallback
+    branch of ``_shingle_hashes_words`` is pytest-covered instead)."""
+    from lasutility_ray.stages.dedup import (
+        _BAND_C,
+        _PERM_A,
+        _PERM_B,
+        _SH_C,
+        JACCARD_THRESHOLD,
+        MERSENNE,
+    )
+
+    m64 = 1 << 64
+    whs = _word_hash_sql(extra=", pos")
+    a = "[" + ",".join(f"{int(x)}::HUGEINT" for x in _PERM_A) + "]"
+    b = "[" + ",".join(f"{int(x)}::HUGEINT" for x in _PERM_B) + "]"
+    c = [int(x) for x in _SH_C]
+    bc = "[" + ",".join(f"{int(x)}::HUGEINT" for x in _BAND_C) + "]"
+    return f"""
+WITH words AS (SELECT doc_id,
+   unnest(regexp_extract_all(text,'\\S+')) AS word,
+   unnest(generate_series(1, len(regexp_extract_all(text,'\\S+')))) AS pos
+   FROM documents),
+{whs},
+sh0 AS (SELECT doc_id, pos, wh,
+        lead(wh,1) OVER w AS wh1, lead(wh,2) OVER w AS wh2
+        FROM wh WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+shd AS (SELECT DISTINCT doc_id,
+       (((wh::HUGEINT * {c[0]} + wh1::HUGEINT * {c[1]} + wh2::HUGEINT * {c[2]})
+         % {m64}::HUGEINT) // {1 << 32}::HUGEINT)::UBIGINT AS s
+       FROM sh0 WHERE wh2 IS NOT NULL),
+perms AS (SELECT unnest(range(64)) AS p, unnest({a}) AS pa, unnest({b}) AS pb),
+sig AS (SELECT doc_id, p, min((s::HUGEINT * pa + pb) % {MERSENNE}) AS mv
+        FROM shd CROSS JOIN perms GROUP BY doc_id, p),
+fold AS (SELECT doc_id, p // 4 AS band_id,
+         (sum((mv * ({bc})[(p % 4) + 1]) % {m64}::HUGEINT)
+          % {m64}::HUGEINT)::UBIGINT AS raw
+         FROM sig GROUP BY doc_id, p // 4),
+bands AS (SELECT doc_id, band_id, xor(raw, raw >> 31) AS bh FROM fold),
+cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+   FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.bh = y.bh
+        AND x.doc_id < y.doc_id),
+ns AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+inter AS (SELECT c.a, c.b, count(*) AS i
+   FROM cand c JOIN shd sa ON sa.doc_id = c.a
+        JOIN shd sb ON sb.doc_id = c.b AND sb.s = sa.s
+   GROUP BY c.a, c.b)
+SELECT c.a, c.b,
+       COALESCE(i.i, 0) / (nx.n + ny.n - COALESCE(i.i, 0)) AS jaccard
+FROM cand c
+JOIN ns nx ON nx.doc_id = c.a JOIN ns ny ON ny.doc_id = c.b
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+WHERE COALESCE(i.i, 0) / (nx.n + ny.n - COALESCE(i.i, 0))
+      >= {JACCARD_THRESHOLD}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from lasutility_ray.corpus.pages import HTML_PREFIX, HTML_SUFFIX
     from lasutility_ray.corpus.polygons import rects_sql_cte
@@ -1616,6 +1678,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies "
             "FROM clean GROUP BY md5(text)"
         ),
+        "q_minhash_dedup_pairs": _minhash_sql(),
         "q_host_stats": _host_stats_sql(),
         "q_domain_mix": _domain_mix_sql(),
         "q_repetition_stats": (

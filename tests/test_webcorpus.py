@@ -232,3 +232,13 @@ def test_incremental_dedup_drops_seen_content(ray_session):
     out = incremental_dedup(new, seen).to_pandas().sort_values("doc_id")
     assert out["doc_id"].tolist() == [1, 3]
     assert (out.columns[:2] == ["doc_id", "text"]).all() or "content_md5" in out.columns
+
+
+def test_minhash_oracle_matches(ray_session, docs_con):
+    """The full MinHash-LSH chain (shingle -> 64 perms -> banded fold
+    -> candidates -> exact Jaccard) is value-exact against its new SQL
+    mirror, IEEE jaccard included."""
+    df, ref = _oracle("q_minhash_dedup_pairs", docs_con)
+    df, ref = _sorted(df, ["a", "b"]), _sorted(ref, ["a", "b"])
+    pd.testing.assert_frame_equal(df[ref.columns], ref, check_dtype=False)
+    assert (df["jaccard"].to_numpy() == ref["jaccard"].to_numpy()).all()
