@@ -855,6 +855,17 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(docs, 512)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Exactly-5-per-source deterministic sample via partial top-k on
+    the Lehmer hash (quantiles.stratified_sample)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.quantiles import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return stratified_sample(docs, "source", "doc_id", k=5)
+
+
 def q_bpe_vocab(sf_dir: str):
     """BPE training (stages/bpe.py): distributed wordcount -> driver
     merge loop. Returns the deterministic merge table (rank, left,
@@ -1139,6 +1150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_domain_mix": q_domain_mix,
         "q_repetition_stats": q_repetition_stats,
         "q_pack_sequences": q_pack_sequences,
+        "q_stratified_sample": q_stratified_sample,
         "q_bpe_vocab": q_bpe_vocab,
         "q_bpe_tokens": q_bpe_tokens,
         "q_kmeans_clusters": q_kmeans_clusters,
@@ -1679,6 +1691,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM clean GROUP BY md5(text)"
         ),
         "q_minhash_dedup_pairs": _minhash_sql(),
+        "q_stratified_sample": (
+            "WITH h AS (SELECT doc_id, source, "
+            "(doc_id % 2147483647) * 48271 % 2147483647 * 48271 "
+            "% 2147483647 AS h FROM documents), "
+            "r AS (SELECT doc_id, source, h, CAST(row_number() OVER "
+            "(PARTITION BY source ORDER BY h DESC, doc_id ASC) AS BIGINT) "
+            "AS rank FROM h) "
+            "SELECT doc_id, source, h, rank FROM r WHERE rank <= 5"
+        ),
         "q_host_stats": _host_stats_sql(),
         "q_domain_mix": _domain_mix_sql(),
         "q_repetition_stats": (

@@ -171,3 +171,27 @@ def hash_sample(ds, key_col: str, rate_milli: int, invert: bool = False):
         return t.filter(pa.array(keep_mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_sample(ds, group_col: str, key_col: str, k: int):
+    """Exactly-k-per-group deterministic sample: rank each group's
+    rows by the two-step Lehmer hash of ``key_col`` (descending, key
+    asc tiebreak) and keep the top k. The per-batch partial top-k
+    (``relational.topk_per_group``) bounds the shuffle at k rows per
+    (batch, group), so group skew never concentrates raw rows.
+    Reproducible across runs/resumes; SQL mirror is a row_number()
+    window over the same hash."""
+    from .relational import topk_per_group
+
+    def add_h(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (key % _M) * _A % _M * _A % _M
+        return t.append_column("h", pa.array(h, pa.int64()))
+
+    return topk_per_group(
+        ds.map_batches(add_h, batch_format="pyarrow"),
+        group_col,
+        "h",
+        key_col,
+        k=k,
+    )

@@ -96,3 +96,26 @@ def test_quantile_bad_prob_raises(ray_session):
     )
     with pytest.raises(ValueError):
         group_quantiles(docs, "g", "v", {"bad": 1.5})
+
+
+def test_stratified_sample_matches_duckdb(ray_session):
+    duckdb = pytest.importorskip("duckdb")
+    import __ray_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    df = entry.queries()["q_stratified_sample"](sf).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_stratified_sample"]).df()
+    cols = sorted(ref.columns)
+    pd.testing.assert_frame_equal(
+        df[cols].sort_values(cols).reset_index(drop=True),
+        ref[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False,
+    )
+    # exactly 5 per source, and re-running yields the same sample
+    assert (df.groupby("source").size() == 5).all()
+    df2 = entry.queries()["q_stratified_sample"](sf).to_pandas()
+    assert sorted(df2["doc_id"]) == sorted(df["doc_id"])
