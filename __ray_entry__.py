@@ -855,6 +855,18 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(docs, 512)
 
 
+def q_line_dedup(sf_dir: str):
+    """Corpus-global duplicate-line removal, keep-first (C4/Gopher
+    hygiene): explode -> line-keyed winner min -> string-keyed
+    lookup_join filter -> doc reassembly."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.webcorpus import line_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return line_dedup(docs)
+
+
 def q_stratified_sample(sf_dir: str):
     """Exactly-5-per-source deterministic sample via partial top-k on
     the Lehmer hash (quantiles.stratified_sample)."""
@@ -1150,6 +1162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_domain_mix": q_domain_mix,
         "q_repetition_stats": q_repetition_stats,
         "q_pack_sequences": q_pack_sequences,
+        "q_line_dedup": q_line_dedup,
         "q_stratified_sample": q_stratified_sample,
         "q_bpe_vocab": q_bpe_vocab,
         "q_bpe_tokens": q_bpe_tokens,
@@ -1691,6 +1704,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM clean GROUP BY md5(text)"
         ),
         "q_minhash_dedup_pairs": _minhash_sql(),
+        "q_line_dedup": (
+            "WITH lines AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "unnest(generate_series(1, len(string_split(text, chr(10))))) - 1 "
+            "AS li FROM documents), "
+            "w AS (SELECT line, min(doc_id * 1048576 + li) AS keep "
+            "FROM lines GROUP BY line), "
+            "kept AS (SELECT l.doc_id, l.li, l.line FROM lines l "
+            "JOIN w ON w.line = l.line "
+            "AND l.doc_id * 1048576 + l.li = w.keep) "
+            "SELECT doc_id, string_agg(line, chr(10) ORDER BY li) AS text "
+            "FROM kept GROUP BY doc_id"
+        ),
         "q_stratified_sample": (
             "WITH h AS (SELECT doc_id, source, "
             "(doc_id % 2147483647) * 48271 % 2147483647 * 48271 "

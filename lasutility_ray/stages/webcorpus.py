@@ -338,3 +338,67 @@ def incremental_dedup(new_ds, seen_ds, text_col: str = "text"):
     else:
         seen = seen_ds
     return lookup_join(left, seen, "content_md5", "content_md5", {}, how="anti")
+
+
+# --------------------------------------------------- global line dedup
+
+LINE_IDX_BITS = 20  # max 2^20 lines per doc in the packed winner key
+
+
+def line_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-global duplicate-line removal, keep-first (the C4/Gopher
+    hygiene pass): every line that occurs anywhere else in the corpus
+    survives only at its smallest (doc, line-index) position; docs are
+    reconstructed from their surviving lines in order (docs losing all
+    lines vanish).
+
+    Shape: explode to (id, line_idx, line) -> ONE line-keyed groupby
+    computes each line's packed winner key (min of id<<20 | idx) ->
+    a string-keyed ``lookup_join`` attaches the winner back to the
+    exploded rows (filter packed == winner) -> one id-keyed groupby
+    reassembles texts. Three slim exchanges; text lines move twice,
+    never whole documents."""
+    from ray.data.aggregate import Min
+
+    from .cogroup import lookup_join
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lines = t.column(text_col).to_pandas().str.split("\n")
+        counts = lines.map(len).to_numpy(dtype=np.int64)
+        if (counts >= (1 << LINE_IDX_BITS)).any():
+            raise ValueError(f"doc exceeds {1 << LINE_IDX_BITS} lines")
+        flat = np.array([x for ls in lines for x in ls], dtype=object)
+        d = np.repeat(ids, counts)
+        li = np.concatenate([np.arange(c, dtype=np.int64) for c in counts]) if len(
+            counts
+        ) else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(d, pa.int64()),
+                "li": pa.array(li, pa.int64()),
+                "line": pa.array(flat, pa.string()),
+                "packed": pa.array((d << LINE_IDX_BITS) | li, pa.int64()),
+            }
+        )
+
+    ex = docs_ds.map_batches(explode, batch_format="pyarrow")
+    winners = ex.groupby("line").aggregate(Min("packed", alias_name="keep"))
+    joined = lookup_join(
+        ex, winners, "line", "line", {"keep": "keep"},
+        type_overrides={"line": pa.large_string()},
+    )
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        m = t.column("packed").to_numpy() == t.column("keep").to_numpy()
+        return t.filter(pa.array(m)).select([id_col, "li", "line"])
+
+    kept = joined.map_batches(keep_first, batch_format="pyarrow")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("li")
+        return pd.DataFrame(
+            {id_col: [int(g[id_col].iloc[0])], text_col: ["\n".join(g["line"])]}
+        )
+
+    return kept.groupby(id_col).map_groups(rebuild, batch_format="pandas")

@@ -242,3 +242,35 @@ def test_minhash_oracle_matches(ray_session, docs_con):
     df, ref = _sorted(df, ["a", "b"]), _sorted(ref, ["a", "b"])
     pd.testing.assert_frame_equal(df[ref.columns], ref, check_dtype=False)
     assert (df["jaccard"].to_numpy() == ref["jaccard"].to_numpy()).all()
+
+
+def test_line_dedup_keep_first(ray_session):
+    from lasutility_ray.stages.webcorpus import line_dedup
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha\nshared line\nbeta",
+                        "shared line\ngamma\nshared line",
+                        "delta",
+                        "shared line",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = line_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 1 keeps everything (first occurrence of 'shared line');
+    # doc 2 loses BOTH copies; doc 4 loses its only line and vanishes
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["text"].tolist() == ["alpha\nshared line\nbeta", "gamma", "delta"]
+
+
+def test_line_dedup_matches_duckdb(ray_session, docs_con):
+    df, ref = _oracle("q_line_dedup", docs_con)
+    df, ref = _sorted(df, ["doc_id"]), _sorted(ref, ["doc_id"])
+    pd.testing.assert_frame_equal(df[ref.columns], ref, check_dtype=False)
