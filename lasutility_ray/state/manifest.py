@@ -255,3 +255,28 @@ def resumable_salted_tin_tiles(
         ),
         concurrency=concurrency,
     )
+
+
+def resumable_corpus_partitions(
+    docs_ds, out_dir: str, key_col: str = "source", concurrency: int = 4
+):
+    """Partitioned, resumable corpus sink: ONE parquet file per
+    distinct ``key_col`` value (tmp+rename atomic, manifest row with
+    row count + content hash), the per-tile checkpoint generalized to
+    arbitrary corpus partitions (by source/lang/host bucket). A killed
+    job re-run skips finished partitions (``DropFinished`` broadcast,
+    no shuffle); torn tmp files are swept. Key values must be
+    filename-safe. Returns the manifest table after driving the
+    pipeline."""
+    pending = _pending_input(docs_ds, out_dir, key_col, concurrency)
+
+    def commit_group(g: pd.DataFrame) -> pd.DataFrame:
+        t0 = time.perf_counter()
+        key = str(g[key_col].iloc[0])
+        metrics = {"wall_s": 0.0}
+        row = _commit_partition(out_dir, key, g, metrics)
+        row["wall_s"] = round(time.perf_counter() - t0, 6)
+        return pd.DataFrame([row])
+
+    pending.groupby(key_col).map_groups(commit_group, batch_format="pandas").count()
+    return manifest_table(out_dir)

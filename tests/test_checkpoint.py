@@ -206,3 +206,46 @@ def test_salted_exact_resume_matches_unsalted(out_dir, ray_session):
         a = np.frombuffer(tile["dem"].iloc[0], dtype=np.float32)
         b = np.frombuffer(plain.loc[key, "dem"], dtype=np.float32)
         assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), key
+
+
+def test_resumable_corpus_partitions(ray_session, tmp_path):
+    """Partitioned corpus sink: atomic per-partition parquet, resume
+    skips finished partitions, torn tmp files swept."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lasutility_ray.state import resumable_corpus_partitions
+
+    out = str(tmp_path / "corpus")
+    docs = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+    man = resumable_corpus_partitions(docs, out, key_col="source")
+    keys = sorted(man.column("key").to_pylist())
+    assert len(keys) == 20 and keys[0] == "src0"
+    total = sum(man.column("n_rows").to_pylist())
+    assert total == docs.count()
+
+    # partition files are readable and partition-pure
+    t = pq.read_table(os.path.join(out, "tiles", "src3.parquet"))
+    assert set(t.column("source").to_pylist()) == {"src3"}
+
+    # resume: delete one partition's manifest+data, plant a torn tmp;
+    # only that partition recommits (others' mtimes untouched)
+    os.remove(os.path.join(out, "_manifest", "src5.parquet"))
+    os.remove(os.path.join(out, "tiles", "src5.parquet"))
+    torn = os.path.join(out, "tiles", "junk.parquet.tmp.123")
+    open(torn, "w").write("garbage")
+    mtimes = {
+        k: os.path.getmtime(os.path.join(out, "tiles", f"{k}.parquet"))
+        for k in keys
+        if k != "src5"
+    }
+    man2 = resumable_corpus_partitions(docs, out, key_col="source")
+    assert sorted(man2.column("key").to_pylist()) == keys
+    assert not os.path.exists(torn)
+    for k, mt in mtimes.items():
+        assert os.path.getmtime(os.path.join(out, "tiles", f"{k}.parquet")) == mt
