@@ -855,6 +855,21 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(docs, 512)
 
 
+def q_curate_for_training(sf_dir: str):
+    """Composed tokenization-ready curation (pipelines/curation.py
+    curate_for_training): domain mix -> repetition cutoff -> global
+    line dedup -> sequence packing; the COMPOSITION is value-exact
+    against one DuckDB query."""
+    import ray.data as rd
+
+    from lasutility_ray.pipelines.curation import curate_for_training
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    return curate_for_training(docs)
+
+
 def q_line_dedup(sf_dir: str):
     """Corpus-global duplicate-line removal, keep-first (C4/Gopher
     hygiene): explode -> line-keyed winner min -> string-keyed
@@ -1162,6 +1177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_domain_mix": q_domain_mix,
         "q_repetition_stats": q_repetition_stats,
         "q_pack_sequences": q_pack_sequences,
+        "q_curate_for_training": q_curate_for_training,
         "q_line_dedup": q_line_dedup,
         "q_stratified_sample": q_stratified_sample,
         "q_bpe_vocab": q_bpe_vocab,
@@ -1271,6 +1287,37 @@ def _domain_mix_sql() -> str:
     return (
         "SELECT doc_id, source, lang, n_chars FROM documents "
         f"WHERE {domain_mix_sql_where()}"
+    )
+
+
+def _curate_v2_sql() -> str:
+    from lasutility_ray.stages.webcorpus import domain_mix_sql_where
+
+    return (
+        f"WITH mixed AS (SELECT doc_id, text FROM documents "
+        f"WHERE {domain_mix_sql_where()}), "
+        "words AS (SELECT doc_id, unnest(string_split(text,' ')) AS word "
+        "FROM mixed), "
+        "wcnt AS (SELECT doc_id, count(*) AS nw, count(DISTINCT word) AS nd "
+        "FROM words GROUP BY doc_id), "
+        "quality AS (SELECT m.doc_id, m.text FROM mixed m JOIN wcnt "
+        "USING (doc_id) WHERE (nw - nd) / CAST(nw AS DOUBLE) <= 0.2), "
+        "lines AS (SELECT doc_id, "
+        "unnest(string_split(text, chr(10))) AS line, "
+        "unnest(generate_series(1, len(string_split(text, chr(10))))) - 1 "
+        "AS li FROM quality), "
+        "w AS (SELECT line, min(doc_id * 1048576 + li) AS keep "
+        "FROM lines GROUP BY line), "
+        "kept AS (SELECT l.doc_id, l.li, l.line FROM lines l "
+        "JOIN w ON w.line = l.line AND l.doc_id * 1048576 + l.li = w.keep), "
+        "rebuilt AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY li) "
+        "AS text FROM kept GROUP BY doc_id), "
+        "t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) "
+        "AS n_tok FROM rebuilt), "
+        "c AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok "
+        "AS BIGINT) AS s FROM t) "
+        "SELECT doc_id, n_tok, s // 512 AS seq_id, s % 512 AS seq_off FROM c"
     )
 
 
@@ -1704,6 +1751,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM clean GROUP BY md5(text)"
         ),
         "q_minhash_dedup_pairs": _minhash_sql(),
+        "q_curate_for_training": _curate_v2_sql(),
         "q_line_dedup": (
             "WITH lines AS (SELECT doc_id, "
             "unnest(string_split(text, chr(10))) AS line, "

@@ -63,3 +63,46 @@ def curate_corpus(
         )
 
     return survivors.map_batches(shape, batch_format="pyarrow")
+
+
+def curate_for_training(
+    docs_ds,
+    max_dup_word_frac: float = 0.2,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The tokenization-ready tail of corpus prep, composed from the
+    round-2 stages — each individually oracle-checked AND the
+    composition value-exact against one DuckDB query:
+
+      1. domain-mix sampling (``webcorpus.domain_mix`` — shuffle-free
+         hash gate on the source column);
+      2. repetition-quality cutoff (drop docs whose duplicate-word
+         fraction exceeds ``max_dup_word_frac`` — Gopher rule, pure
+         map, IEEE-exact predicate);
+      3. corpus-global duplicate-line removal keep-first
+         (``webcorpus.line_dedup`` — the C4 hygiene pass);
+      4. concat-and-cut sequence packing over the surviving texts
+         (``webcorpus.pack_sequences`` — distributed prefix sum).
+
+    Returns (doc_id, n_tok, seq_id, seq_off) per surviving doc."""
+    import numpy as np
+
+    from lasutility_ray.stages.webcorpus import (
+        _repetition_batch,
+        domain_mix,
+        line_dedup,
+        pack_sequences,
+    )
+
+    mixed = domain_mix(docs_ds)
+
+    def repetition_filter(t: pa.Table) -> pa.Table:
+        stats = _repetition_batch(t, id_col, text_col)
+        frac = stats.column("dup_word_frac").to_numpy()
+        return t.filter(pa.array(frac <= max_dup_word_frac))
+
+    quality = mixed.map_batches(repetition_filter, batch_format="pyarrow")
+    deduped = line_dedup(quality, id_col=id_col, text_col=text_col)
+    return pack_sequences(deduped, budget, id_col=id_col, text_col=text_col)

@@ -274,3 +274,12 @@ def test_line_dedup_matches_duckdb(ray_session, docs_con):
     df, ref = _oracle("q_line_dedup", docs_con)
     df, ref = _sorted(df, ["doc_id"]), _sorted(ref, ["doc_id"])
     pd.testing.assert_frame_equal(df[ref.columns], ref, check_dtype=False)
+
+
+def test_curate_for_training_matches_duckdb(ray_session, docs_con):
+    """The composed mix -> repetition cutoff -> line dedup -> packing
+    pipeline is value-exact against ONE SQL query."""
+    df, ref = _oracle("q_curate_for_training", docs_con)
+    df, ref = _sorted(df, ["doc_id"]), _sorted(ref, ["doc_id"])
+    assert len(df) > 0
+    pd.testing.assert_frame_equal(df[ref.columns], ref, check_dtype=False)
