@@ -1301,7 +1301,7 @@ def _curate_v2_sql() -> str:
         "wcnt AS (SELECT doc_id, count(*) AS nw, count(DISTINCT word) AS nd "
         "FROM words GROUP BY doc_id), "
         "quality AS (SELECT m.doc_id, m.text FROM mixed m JOIN wcnt "
-        "USING (doc_id) WHERE (nw - nd) / CAST(nw AS DOUBLE) <= 0.2), "
+        "USING (doc_id) WHERE (nw - nd) / CAST(nw AS DOUBLE) <= 0.55), "
         "lines AS (SELECT doc_id, "
         "unnest(string_split(text, chr(10))) AS line, "
         "unnest(generate_series(1, len(string_split(text, chr(10))))) - 1 "

@@ -67,7 +67,7 @@ def curate_corpus(
 
 def curate_for_training(
     docs_ds,
-    max_dup_word_frac: float = 0.2,
+    max_dup_word_frac: float = 0.55,
     budget: int = 512,
     id_col: str = "doc_id",
     text_col: str = "text",
