@@ -46,39 +46,98 @@ def encode_grey_png(data: np.ndarray, top_down: bool = True) -> bytes:
     )
 
 
-def decode_grey_png(data: bytes) -> np.ndarray:
-    """Inverse (for round-trip tests): returns the raster bottom-up
-    (undoing the top-down write)."""
+_COLOR_CHANNELS = {0: 1, 2: 3, 6: 4}  # grey, RGB, RGBA (8-bit)
+
+
+def _unfilter_sub(cur: np.ndarray, bpp: int) -> np.ndarray:
+    # Sub is a per-channel prefix sum mod 256 — vectorized
+    row = cur.copy()
+    for k in range(bpp):
+        row[k::bpp] = np.cumsum(cur[k::bpp], dtype=np.int64) & 0xFF
+    return row
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """From-scratch PNG decoder (stdlib zlib + numpy): 8-bit
+    greyscale/RGB/RGBA, all five scanline filters, multi-IDAT,
+    CRC-verified, no interlace. Returns (h, w, channels) uint8,
+    top-down as stored. Filters 0/1/2 are vectorized; Average/Paeth
+    fall back to a per-byte loop (they only appear in streams from
+    heuristic encoders)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     off = 8
-    w = h = None
-    idat = b""
-    while off < len(data):
+    w = h = c = None
+    idat = []
+    while off + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, off)
         tag = data[off + 4 : off + 8]
         payload = data[off + 8 : off + 8 + length]
+        (crc,) = struct.unpack_from(">I", data, off + 8 + length)
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
-            w, h, depth, color = struct.unpack_from(">IIBB", payload, 0)
-            if depth != 8 or color != 0:
-                raise NotImplementedError("only 8-bit greyscale supported")
+            w, h, depth, color, comp, filt, interlace = struct.unpack_from(
+                ">IIBBBBB", payload, 0
+            )
+            if depth != 8 or color not in _COLOR_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth {depth} / color type {color} not supported "
+                    "(8-bit grey/RGB/RGBA only)"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise NotImplementedError("interlaced/nonzero-method PNG")
+            c = _COLOR_CHANNELS[color]
         elif tag == b"IDAT":
-            idat += payload
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
         off += 12 + length
-    raw = zlib.decompress(idat)
-    out = np.empty((h, w), dtype=np.uint8)
-    stride = w + 1
-    prev = np.zeros(w, dtype=np.uint8)
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c + 1
+    if len(raw) != h * stride:
+        raise ValueError("PNG payload size mismatch")
+    out = np.empty((h, w * c), dtype=np.uint8)
+    prev = np.zeros(w * c, dtype=np.int32)
+    bpp = c
     for i in range(h):
         line = raw[i * stride : (i + 1) * stride]
         ftype = line[0]
-        row = np.frombuffer(line, dtype=np.uint8, offset=1).copy()
+        cur = np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int32)
         if ftype == 0:
-            pass
-        elif ftype == 2:  # Up filter (common from other encoders)
-            row = (row.astype(np.int32) + prev).astype(np.uint8)
+            row = cur
+        elif ftype == 1:
+            row = _unfilter_sub(cur, bpp)
+        elif ftype == 2:
+            row = (cur + prev) & 0xFF
+        elif ftype == 3:
+            row = cur.copy()
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (cur[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ftype == 4:
+            row = cur.copy()
+            for j in range(len(row)):
+                a = int(row[j - bpp]) if j >= bpp else 0
+                b = int(prev[j])
+                cd = int(prev[j - bpp]) if j >= bpp else 0
+                p = a + b - cd
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cd)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cd)
+                row[j] = (cur[j] + pred) & 0xFF
         else:
-            raise NotImplementedError(f"PNG filter {ftype}")
-        out[i] = row
-        prev = out[i]
-    return out[::-1]
+            raise ValueError(f"PNG filter {ftype} invalid")
+        out[i] = row.astype(np.uint8)
+        prev = row.astype(np.int32)
+    return out.reshape(h, w, c)
+
+
+def decode_grey_png(data: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_grey_png` (for round-trip tests):
+    returns the raster bottom-up (undoing the top-down write)."""
+    img = decode_png(data)
+    if img.shape[2] != 1:
+        raise NotImplementedError("raster round-trip expects greyscale")
+    return img[::-1, :, 0]

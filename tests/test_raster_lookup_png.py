@@ -81,3 +81,92 @@ def test_png_sink(ray_session, tmp_path):
     orig = {r["tile_id"]: r["raster"] for r in tiles.take_all()}
     want = np.frombuffer(orig[rows[0]["tile_id"]], dtype=np.uint8).reshape(1000, 1000)
     assert (img == want).all()
+
+
+def _filter_scanlines(img, ftypes):
+    """Reference PNG filterer: apply each row's filter FORWARD (per
+    the spec) so decode_png must invert it exactly."""
+    import numpy as np
+
+    h, w, c = img.shape
+    flat = img.reshape(h, w * c).astype(np.int32)
+    out = b""
+    prev = np.zeros(w * c, dtype=np.int32)
+    for i, f in enumerate(ftypes):
+        cur = flat[i]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.zeros_like(cur); left[c:] = cur[:-c]
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            left = np.zeros_like(cur); left[c:] = cur[:-c]
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            enc = cur.copy()
+            for j in range(len(cur)):
+                a = int(cur[j - c]) if j >= c else 0
+                b = int(prev[j])
+                cd = int(prev[j - c]) if j >= c else 0
+                p = a + b - cd
+                pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - cd)
+                pred = a if (pa_ <= pb_ and pa_ <= pc_) else (b if pb_ <= pc_ else cd)
+                enc[j] = (cur[j] - pred) & 0xFF
+        out += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+    return out
+
+
+def _make_png(img, ftypes):
+    import struct, zlib
+
+    from lasutility_ray.geom.png import _chunk, _SIG
+
+    h, w, c = img.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = _filter_scanlines(img, ftypes)
+    return _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+
+
+def test_decode_png_all_filters_all_colors():
+    import numpy as np
+
+    from lasutility_ray.geom.png import decode_png
+
+    rng = np.random.default_rng(7)
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, (5, 6, c), dtype=np.uint8)
+        ftypes = [0, 1, 2, 3, 4]
+        got = decode_png(_make_png(img, ftypes))
+        assert got.shape == (5, 6, c)
+        assert (got == img).all(), f"channels={c}"
+
+
+def test_decode_png_rejects_bad_crc_and_formats():
+    import numpy as np
+    import pytest
+
+    from lasutility_ray.geom.png import decode_png, encode_grey_png
+
+    png = encode_grey_png(np.zeros((3, 3), dtype=np.uint8))
+    corrupted = png[:40] + bytes([png[40] ^ 0xFF]) + png[41:]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(corrupted)
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+
+
+def test_decode_image_handles_real_png():
+    import numpy as np
+
+    from lasutility_ray.geom.png import encode_grey_png
+    from lasutility_ray.stages.multimodal import decode_image
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    png = encode_grey_png(img, top_down=False)
+    got = decode_image(png)
+    assert got.shape == (8, 8)
+    assert (got == img).all()
