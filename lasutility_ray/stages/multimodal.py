@@ -143,13 +143,58 @@ def attach_audio(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
     return batch.append_column("audio", pa.array(clips, pa.large_binary()))
 
 
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """From-scratch RIFF/WAVE PCM decoder (no audio library): walks
+    the chunk list, requires format tag 1 (integer PCM) at 16 bits,
+    returns (sample_rate, mono int16 samples — multi-channel clips are
+    averaged to mono with int32 headroom, the standard feature-input
+    convention)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    off = 12
+    rate = None
+    n_ch = None
+    bits = None
+    pcm = None
+    while off + 8 <= len(data):
+        tag = data[off : off + 4]
+        (ln,) = struct.unpack_from("<I", data, off + 4)
+        body = data[off + 8 : off + 8 + ln]
+        if tag == b"fmt ":
+            fmt_tag, n_ch, rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if fmt_tag != 1 or bits != 16:
+                raise NotImplementedError(
+                    f"WAV format {fmt_tag}/{bits}-bit not supported "
+                    "(16-bit integer PCM only)"
+                )
+        elif tag == b"data":
+            pcm = np.frombuffer(body, dtype="<i2")
+        off += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if n_ch > 1:
+        pcm = (
+            pcm[: len(pcm) - len(pcm) % n_ch]
+            .reshape(-1, n_ch)
+            .astype(np.int32)
+            .mean(axis=1)
+            .astype(np.int16)
+        )
+    return rate, pcm
+
+
 def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode one audio payload. Real codecs (mp3/flac/...) are
-    STUBBED — this container has no audio libraries."""
+    """Decode one audio payload: real WAV (RIFF 16-bit PCM via
+    :func:`decode_wav`) or the deterministic PCM1 fake. Compressed
+    codecs (mp3/flac/...) remain STUBBED — this container has no
+    audio libraries."""
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
     if data[:4] != AUDIO_MAGIC:
         raise NotImplementedError(
-            "real audio decoding (mp3/flac/...) is stubbed in this "
-            "environment; only the deterministic PCM1 fake format is supported"
+            "audio decoding beyond WAV PCM (mp3/flac/...) is stubbed in "
+            "this environment; WAV and the deterministic PCM1 fake are supported"
         )
     _, rate, n = AUDIO_HEADER.unpack_from(data, 0)
     return rate, np.frombuffer(data, dtype=np.int16, offset=AUDIO_HEADER.size, count=n)

@@ -252,11 +252,15 @@ class TestMultimodal:
         assert row["img_mean"] == img.mean()
         assert row["img_std"] == img.std()
 
-    def test_real_codec_is_stubbed(self):
+    def test_real_codec_boundaries(self):
+        # PNG is REAL now (geom/png.py decoder): malformed PNG bytes
+        # are a data error, jpeg-like payloads remain stubbed
         from lasutility_ray.stages.multimodal import decode_image
 
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_image(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxxxxxx")
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\xff\xd8\xff\xe0jpeg-like")
 
     def test_resize_and_frame_sample(self, ray_session):
         from lasutility_ray.stages.multimodal import (
@@ -437,3 +441,49 @@ class TestClassMapRegistration:
         assert vals and vals <= set(ROAD_LINE.values())
         # sanity: the full registration burns more classes
         assert set(ALL_CLASS_MAPS.values()) > set(ROAD_LINE.values())
+
+
+def test_decode_wav_real_format():
+    """From-scratch RIFF/WAVE PCM16 decode: stdlib `wave`-written files
+    and hand-built multi-chunk/stereo streams round trip."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+    import pytest
+
+    from lasutility_ray.stages.multimodal import decode_audio, decode_wav
+
+    pcm = (np.sin(np.linspace(0, 40, 500)) * 20000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    rate, got = decode_audio(buf.getvalue())
+    assert rate == 16000 and (got == pcm).all()
+
+    # stereo: averaged to mono with int32 headroom
+    stereo = np.empty(20, dtype=np.int16)
+    stereo[0::2] = 1000
+    stereo[1::2] = 3000
+    body = stereo.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    rate, got = decode_wav(wav)
+    assert rate == 8000 and (got == 2000).all() and len(got) == 10
+
+    with pytest.raises(NotImplementedError, match="PCM"):
+        bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 32)  # float32
+        decode_wav(
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        )
+    with pytest.raises(NotImplementedError, match="stubbed"):
+        decode_audio(b"ID3\x04mp3-like")
