@@ -71,6 +71,8 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = []
     while off + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, off)
+        if off + 12 + length > len(data):
+            raise ValueError("truncated PNG chunk")
         tag = data[off + 4 : off + 8]
         payload = data[off + 8 : off + 8 + length]
         (crc,) = struct.unpack_from(">I", data, off + 8 + length)
