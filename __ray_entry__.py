@@ -756,6 +756,19 @@ def q_token_topk(sf_dir: str):
     return token_topk(docs, k=50)
 
 
+def q_pii_redact(sf_dir: str):
+    """PII scrubbing: deterministic synthetic emails/IPv4s/phones are
+    injected (the corpus has none), then counted and masked with
+    sequential pattern application (stages/pii.py). Value-exact vs
+    the DuckDB regexp_replace chain."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.pii import inject_pii, pii_redact
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pii_redact(inject_pii(docs)).drop_columns(["text"])
+
+
 def q_contamination(sf_dir: str):
     """Benchmark-contamination check: deterministic 10% eval split
     (Lehmer hash on doc_id), flag every TRAIN doc sharing any word
@@ -1171,6 +1184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_chunk_documents": q_chunk_documents,
         "q_token_topk": q_token_topk,
         "q_contamination": q_contamination,
+        "q_pii_redact": q_pii_redact,
         "q_distinctive_terms": q_distinctive_terms,
         "q_corpus_curation": q_corpus_curation,
         "q_host_stats": q_host_stats,
@@ -1387,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.corpus.pages import HTML_PREFIX, HTML_SUFFIX
     from lasutility_ray.corpus.polygons import rects_sql_cte
     from lasutility_ray.stages.dedup import HAMMING_MAX, _SH_C
+    from lasutility_ray.stages.pii import inject_pii_sql, pii_redact_sql
     from lasutility_ray.stages.text import FP_MOD
 
     c0, c1, c2 = (int(v) for v in _SH_C)
@@ -1701,6 +1716,9 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(h.nc, 0) > 0 AS is_contaminated "
             "FROM base b LEFT JOIN hits h USING(doc_id) "
             "WHERE b.doc_id NOT IN (SELECT doc_id FROM ev)"
+        ),
+        "q_pii_redact": pii_redact_sql(
+            f"SELECT doc_id, {inject_pii_sql()} AS t FROM documents"
         ),
         "q_distinctive_terms": (
             "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
