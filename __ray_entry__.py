@@ -769,6 +769,18 @@ def q_pii_redact(sf_dir: str):
     return pii_redact(inject_pii(docs)).drop_columns(["text"])
 
 
+def q_unigram_lm(sf_dir: str):
+    """Unigram-LM familiarity scores (CCNet-style perplexity proxy):
+    corpus-trained top-K vocab -> integer millibits per token ->
+    order-independent per-doc integer sums (stages/lm.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.lm import unigram_lm_score
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return unigram_lm_score(docs)
+
+
 def q_contamination(sf_dir: str):
     """Benchmark-contamination check: deterministic 10% eval split
     (Lehmer hash on doc_id), flag every TRAIN doc sharing any word
@@ -1185,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_topk": q_token_topk,
         "q_contamination": q_contamination,
         "q_pii_redact": q_pii_redact,
+        "q_unigram_lm": q_unigram_lm,
         "q_distinctive_terms": q_distinctive_terms,
         "q_corpus_curation": q_corpus_curation,
         "q_host_stats": q_host_stats,
@@ -1401,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.corpus.pages import HTML_PREFIX, HTML_SUFFIX
     from lasutility_ray.corpus.polygons import rects_sql_cte
     from lasutility_ray.stages.dedup import HAMMING_MAX, _SH_C
+    from lasutility_ray.stages.lm import unigram_lm_sql
     from lasutility_ray.stages.pii import inject_pii_sql, pii_redact_sql
     from lasutility_ray.stages.text import FP_MOD
 
@@ -1720,6 +1734,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_redact": pii_redact_sql(
             f"SELECT doc_id, {inject_pii_sql()} AS t FROM documents"
         ),
+        "q_unigram_lm": unigram_lm_sql(),
         "q_distinctive_terms": (
             "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
             "lower(text), '[a-z0-9]+')) AS token FROM documents), "
