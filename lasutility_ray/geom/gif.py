@@ -1,0 +1,337 @@
+"""From-scratch GIF87a/89a codec (stdlib only — no image libraries).
+
+Makes the multimodal *video* path real: an animated GIF is the one
+moving-picture container decodable without ffmpeg. The LZW
+variable-width bookkeeping follows the giflib synchronization rule —
+the width counter is driven by CODES READ/EMITTED (one ahead of the
+table size), not by table entries:
+
+* encoder: emit code at current width; THEN if ``next_code >=
+  1<<width`` bump the width; THEN insert the new table entry.
+* decoder: read code at current width; increment a read counter
+  (starts at EOI+1 like ``next_code``); if ``counter > 1<<width``
+  bump the width. Table entries are tracked separately (one per code
+  after the first, 4096 cap).
+
+Supported: global/local color tables, multiple frames, graphic
+control extensions (transparency + disposal 0/1/2), deferred clear
+codes. Not supported (loud ``NotImplementedError``): interlaced
+images (rare in animation frames).
+
+Encoder output is real LZW (the same table growth as the decoder),
+so round trips exercise both directions' width ladders across 9→12
+bit codes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAX_CODE = 4095  # 12-bit LZW ceiling
+
+
+class GifError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------ LZW core
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytes:
+    if not 2 <= min_code_size <= 8:
+        raise GifError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)]
+
+    out = bytearray()
+    table = list(base)
+    prev = None
+    width = min_code_size + 1
+    rc = eoi + 1  # giflib RunningCode: counts codes READ since clear
+
+    cur = 0
+    curbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while curbits < width:
+            if pos >= n:
+                # streams may omit EOI; accept if the pixels are complete
+                if len(out) >= n_expected:
+                    return bytes(out[:n_expected])
+                raise GifError("LZW stream truncated")
+            cur |= data[pos] << curbits
+            pos += 1
+            curbits += 8
+        code = cur & ((1 << width) - 1)
+        cur >>= width
+        curbits -= width
+
+        if code == clear:
+            table = list(base)
+            prev = None
+            width = min_code_size + 1
+            rc = eoi + 1
+            continue
+        if code == eoi:
+            break
+
+        rc += 1
+        if code < clear:
+            entry = table[code]
+        else:
+            idx = code - eoi - 1  # dynamic entries start after EOI
+            dyn = len(table) - clear
+            if idx < dyn:
+                entry = table[clear + idx]
+            elif idx == dyn and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise GifError(f"LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(table) + 2 <= _MAX_CODE + 1:
+            table.append(prev + entry[:1])
+        prev = entry
+        if rc > (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_expected:
+            return bytes(out[:n_expected])
+    if len(out) < n_expected:
+        raise GifError(
+            f"LZW ended early: {len(out)} of {n_expected} pixels"
+        )
+    return bytes(out[:n_expected])
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.curbits = 0
+
+    def put(self, code: int, width: int):
+        self.cur |= code << self.curbits
+        self.curbits += width
+        while self.curbits >= 8:
+            self.buf.append(self.cur & 0xFF)
+            self.cur >>= 8
+            self.curbits -= 8
+
+    def flush(self) -> bytes:
+        if self.curbits:
+            self.buf.append(self.cur & 0xFF)
+            self.cur = 0
+            self.curbits = 0
+        return bytes(self.buf)
+
+
+def _lzw_encode(pixels: bytes, min_code_size: int) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    w = _BitWriter()
+    width = min_code_size + 1
+    next_code = eoi + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+
+    def emit(code: int):
+        nonlocal width, next_code
+        w.put(code, width)
+        # giflib: width bump AFTER the emit, BEFORE the insert
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+
+    emit(clear)
+    run = b""
+    for b in pixels:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run])
+        # giflib-conservative: reset before assigning code 4095 so any
+        # external decoder (including ones with the 4094 cap) can read
+        if next_code >= _MAX_CODE:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = eoi + 1
+        else:
+            table[cand] = next_code
+            next_code += 1
+        run = bytes([b])
+    if run:
+        emit(table[run])
+    emit(eoi)
+    return w.flush()
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decoder
+
+
+def _read_color_table(data: bytes, off: int, n: int) -> tuple[np.ndarray, int]:
+    end = off + 3 * n
+    if end > len(data):
+        raise GifError("color table truncated")
+    return (
+        np.frombuffer(data, np.uint8, 3 * n, off).reshape(n, 3).copy(),
+        end,
+    )
+
+
+def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """Decode a GIF -> (list of (h, w, 3) uint8 RGB frames composited
+    per disposal method, list of per-frame delays in centiseconds)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise GifError("not a GIF stream")
+    if len(data) < 13:
+        raise GifError("GIF header truncated")
+    sw, sh, flags, bg_idx, _ = struct.unpack_from("<HHBBB", data, 6)
+    off = 13
+    gct = None
+    if flags & 0x80:
+        gct, off = _read_color_table(data, off, 2 << (flags & 0x07))
+
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    # canvas starts as the background color (transparent-as-bg)
+    if gct is not None and bg_idx < len(gct):
+        canvas = np.tile(gct[bg_idx], (sh, sw, 1)).astype(np.uint8)
+    else:
+        canvas = np.zeros((sh, sw, 3), np.uint8)
+    bg_canvas = canvas.copy()
+
+    transparent = None
+    disposal = 0
+    delay = 0
+    while off < len(data):
+        block = data[off]
+        off += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            if off >= len(data):
+                raise GifError("extension truncated")
+            label = data[off]
+            off += 1
+            body = bytearray()
+            while True:
+                if off >= len(data):
+                    raise GifError("sub-blocks truncated")
+                ln = data[off]
+                off += 1
+                if ln == 0:
+                    break
+                body += data[off : off + ln]
+                off += ln
+            if label == 0xF9 and len(body) >= 4:  # graphic control
+                packed, delay = body[0], struct.unpack_from("<H", body, 1)[0]
+                disposal = (packed >> 2) & 0x07
+                transparent = body[3] if packed & 0x01 else None
+            continue
+        if block != 0x2C:
+            raise GifError(f"unknown GIF block 0x{block:02x}")
+
+        # image descriptor
+        left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", data, off)
+        off += 9
+        if iflags & 0x40:
+            raise NotImplementedError("interlaced GIF frames not supported")
+        ct = gct
+        if iflags & 0x80:
+            ct, off = _read_color_table(data, off, 2 << (iflags & 0x07))
+        if ct is None:
+            raise GifError("frame has no color table")
+        min_code = data[off]
+        off += 1
+        lzw = bytearray()
+        while True:
+            ln = data[off]
+            off += 1
+            if ln == 0:
+                break
+            lzw += data[off : off + ln]
+            off += ln
+        idx = np.frombuffer(
+            _lzw_decode(bytes(lzw), min_code, iw * ih), np.uint8
+        ).reshape(ih, iw)
+        if idx.max(initial=0) >= len(ct):
+            raise GifError("pixel index outside color table")
+
+        before = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + ih, left : left + iw]
+        rgb = ct[idx]
+        if transparent is not None:
+            opaque = idx != transparent
+            region[opaque] = rgb[opaque]
+        else:
+            region[...] = rgb
+        frames.append(canvas.copy())
+        delays.append(delay)
+
+        if disposal == 2:  # restore to background
+            canvas[top : top + ih, left : left + iw] = bg_canvas[
+                top : top + ih, left : left + iw
+            ]
+        elif disposal == 3 and before is not None:  # restore previous
+            canvas = before
+        transparent = None
+        disposal = 0
+        delay = 0
+    if not frames:
+        raise GifError("GIF contains no image frames")
+    return frames, delays
+
+
+# ------------------------------------------------------------- encoder
+
+
+def encode_gif(
+    frames: list[np.ndarray],
+    palette: np.ndarray,
+    delays: list[int] | None = None,
+    loop: bool = True,
+) -> bytes:
+    """Encode palette-index frames (each (h, w) uint8) with one global
+    ``palette`` ((n, 3) uint8, n a power of two >= 2) into an animated
+    GIF89a. Frames must share the canvas size; disposal is 1 (leave)."""
+    if not frames:
+        raise GifError("no frames")
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    n_col = len(pal)
+    if n_col < 2 or n_col & (n_col - 1):
+        raise GifError("palette size must be a power of two >= 2")
+    depth = int(n_col).bit_length() - 1
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 0x07) | ((depth - 1) << 4), 0, 0)
+    out += pal.tobytes()
+    if loop:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = max(2, depth)
+    if delays is None:
+        delays = [4] * len(frames)
+    for frame, delay in zip(frames, delays):
+        f = np.ascontiguousarray(frame, dtype=np.uint8)
+        if f.shape != (h, w):
+            raise GifError("all frames must share the canvas size")
+        if f.max(initial=0) >= n_col:
+            raise GifError("frame index outside palette")
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0x04, delay, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        out += _sub_blocks(_lzw_encode(f.tobytes(), min_code))
+    out += b"\x3b"
+    return bytes(out)

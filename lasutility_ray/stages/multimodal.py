@@ -1,12 +1,15 @@
-"""Multimodal (image/audio) columns as opaque binary + typed metadata.
+"""Multimodal (image/audio/video) columns as opaque binary + typed
+metadata.
 
-The container ships no image/audio codecs (no PIL/ffmpeg), so the
-*decode* kernels are stubbed per the build contract: a clearly marked
-``NotImplementedError`` for real formats, plus a deterministic fake
-codec ("GRID" format: 16-byte header ``b'GRD1' + u32 width + u32
-height + u32 channels`` followed by raw u8 pixels) so the Ray-side
-plumbing — schema, actor-pool signature, batch sizing, output layout
-— is real and tested end to end.
+The container ships no media libraries (no PIL/ffmpeg), so the codecs
+here are FROM SCRATCH where a format is tractable — PNG
+(``geom.png``), RIFF/WAV PCM (:func:`decode_wav`), animated GIF
+(``geom.gif``) — and clearly-marked ``NotImplementedError`` stubs for
+the rest (jpeg/mp3/mp4/...), plus a deterministic fake codec ("GRID"
+format: 16-byte header ``b'GRD1' + u32 width + u32 height + u32
+channels`` followed by raw u8 pixels) so the Ray-side plumbing —
+schema, actor-pool signature, batch sizing, output layout — is real
+and tested end to end regardless of format.
 
 Stages are actor pools (codec tables "loaded" once per actor in
 ``__init__``); batches stay in Arrow with ``large_binary`` payloads
@@ -107,19 +110,61 @@ class ImageResize:
         return batch.set_column(idx, "image", pa.array(out, pa.large_binary()))
 
 
+def decode_video(data: bytes) -> list[np.ndarray]:
+    """Decode one video payload into RGB/grey frames: real animated
+    GIF (from-scratch ``geom.gif``) or the GRD1 concatenation fake.
+    Real compressed video (mp4/webm/...) remains STUBBED — this
+    container has no ffmpeg. GIF frames come back (h, w, 3); GRD1
+    frames (h, w*channels)."""
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from ..geom.gif import decode_gif
+
+        return decode_gif(data)[0]
+    if data[:4] != MAGIC:
+        raise NotImplementedError(
+            "video decoding beyond animated GIF (mp4/webm/...) is stubbed "
+            "in this environment; GIF and the GRD1 concatenation fake are "
+            "supported"
+        )
+    frames = []
+    off = 0
+    while off < len(data):
+        _, w, h, c = HEADER.unpack_from(data, off)
+        off += HEADER.size
+        frames.append(
+            np.frombuffer(data, np.uint8, w * h * c, off).reshape(h, w * c)
+        )
+        off += w * h * c
+    return frames
+
+
 def frame_sample(batch: pa.Table, every: int = 4) -> pa.Table:
-    """Video frame-sampling stub: treats the binary payload as a
-    concatenation of GRD1 frames and keeps every ``every``-th one."""
+    """Video frame sampling: keep every ``every``-th frame. GRD1
+    payloads stay GRD1 (byte-slice, no decode); animated GIFs are
+    decoded (real LZW) and the sampled frames re-emitted as a GRD1
+    concatenation of raw (h, w, 3) frames — the image-model input
+    layout downstream stages consume."""
     out = []
     for data in batch.column("video").to_pylist():
-        frames = []
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            from ..geom.gif import decode_gif
+
+            frames = decode_gif(data)[0][::every]
+            out.append(
+                b"".join(
+                    HEADER.pack(MAGIC, f.shape[1], f.shape[0], 3) + f.tobytes()
+                    for f in frames
+                )
+            )
+            continue
+        parts = []
         off = 0
         while off < len(data):
             _, w, h, c = HEADER.unpack_from(data, off)
             size = HEADER.size + w * h * c
-            frames.append(data[off : off + size])
+            parts.append(data[off : off + size])
             off += size
-        out.append(b"".join(frames[::every]))
+        out.append(b"".join(parts[::every]))
     idx = batch.schema.get_field_index("video")
     return batch.set_column(idx, "video", pa.array(out, pa.large_binary()))
 
