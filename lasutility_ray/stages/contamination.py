@@ -74,9 +74,13 @@ class _Contaminate:
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = t.column(self.text_col).to_pandas()
         g, doc_idx, counts = _doc_grams(texts, self.n)
+        # pd.Index.isin is hash-based; np.isin on two large object
+        # string arrays degrades to python-loop comparisons (observed
+        # 60+ s on a 200k-gram batch vs 0.03 s hashed)
         hits = (
-            np.bincount(doc_idx, weights=np.isin(g, self.grams), minlength=len(t))
-            .astype(np.int64)
+            np.bincount(
+                doc_idx, weights=pd.Index(g).isin(self.grams), minlength=len(t)
+            ).astype(np.int64)
             if len(g)
             else np.zeros(len(t), dtype=np.int64)
         )

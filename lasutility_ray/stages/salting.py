@@ -119,7 +119,9 @@ def tile_hulls(points_ds, hot_tiles) -> dict[str, np.ndarray]:
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t.column("tile_id").to_numpy(zero_copy_only=False)
-        m = np.isin(ids, hot_arr)
+        # pd.Index.isin hashes; np.isin on object arrays degrades to
+        # python-loop comparisons (minutes at millions of rows)
+        m = pd.Index(ids).isin(hot_arr)
         if not m.any():
             return pa.table(
                 {
@@ -785,7 +787,7 @@ def salted_tin_tiles(
                 t = t.drop_columns(["n_pending"])
                 if not keep_rows:
                     ids = t.column("tile_id").to_numpy(zero_copy_only=False)
-                    t = t.filter(pa.array(~np.isin(ids, pend_arr)))
+                    t = t.filter(pa.array(~pd.Index(ids).isin(pend_arr)))
                 return t
 
             ok = out.map_batches(
@@ -798,7 +800,7 @@ def salted_tin_tiles(
                 # certified majority keeps the halo-mode cost profile
                 def in_pend(t: pa.Table) -> pa.Table:
                     ids = t.column("tile_id").to_numpy(zero_copy_only=False)
-                    return t.filter(pa.array(np.isin(ids, pend_arr)))
+                    return t.filter(pa.array(pd.Index(ids).isin(pend_arr)))
 
                 fixed = (
                     points_ds.map_batches(in_pend, batch_format="pyarrow")

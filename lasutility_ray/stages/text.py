@@ -49,7 +49,9 @@ def _hits_per_doc(low, doc_idx, n_docs: int, table: np.ndarray) -> np.ndarray:
     vectorized isin + bincount (empty-doc safe)."""
     if low.size == 0:
         return np.zeros(n_docs, dtype=np.int64)
-    hits = np.isin(low, table)
+    # hash-based isin: np.isin over object arrays does python-loop
+    # comparisons (fatal when the table is large; slower always)
+    hits = pd.Index(low).isin(table)
     return np.bincount(doc_idx, weights=hits, minlength=n_docs).astype(np.int64)
 
 

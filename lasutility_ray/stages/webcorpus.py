@@ -395,10 +395,26 @@ def line_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
 
     kept = joined.map_batches(keep_first, batch_format="pyarrow")
 
-    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("li")
+    # reassembly shuffles on a coarse doc-hash bucket (one python group
+    # per BUCKET, C-speed inner groupby) — a per-doc map_groups would
+    # make millions of 1-row python groups at corpus scale
+    from .cogroup import _bucket_of, default_n_buckets
+
+    n_buckets = default_n_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        return t.append_column("__b", pa.array(_bucket_of(ids, n_buckets)))
+
+    def rebuild_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "li"], kind="stable")
+        s = g.groupby(id_col, sort=True)["line"].agg("\n".join)
         return pd.DataFrame(
-            {id_col: [int(g[id_col].iloc[0])], text_col: ["\n".join(g["line"])]}
+            {id_col: s.index.to_numpy(), text_col: s.to_numpy()}
         )
 
-    return kept.groupby(id_col).map_groups(rebuild, batch_format="pandas")
+    return (
+        kept.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(rebuild_bucket, batch_format="pandas")
+    )
