@@ -240,9 +240,13 @@ def pack_sequences(docs_ds, budget: int, id_col: str = "doc_id", text_col: str =
     data is one row per 65k docs."""
     if budget <= 0:
         raise ValueError(f"budget must be positive (got {budget})")
+    # slim feeds the block-sum aggregate AND the final per-block pack;
+    # materialize it (3 int64 columns/doc, object-store backed with
+    # disk spill) so the upstream pipeline — possibly a whole curation
+    # chain — executes once, not once per consumer
     slim = docs_ds.map_batches(
         lambda t: _ntok_batch(t, id_col, text_col), batch_format="pyarrow"
-    )
+    ).materialize()
 
     from ray.data.aggregate import Sum
 
@@ -382,7 +386,13 @@ def line_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
             }
         )
 
-    ex = docs_ds.map_batches(explode, batch_format="pyarrow")
+    # ex feeds BOTH the winner aggregate and the join's left side; a
+    # lazy dataset would re-execute the entire upstream pipeline (e.g.
+    # a full curation chain) once per consumer. Materialize the slim
+    # exploded table instead: id+line columns only, object-store
+    # backed (spills to disk at corpus scale) — the cheaper of the two
+    # costs by construction.
+    ex = docs_ds.map_batches(explode, batch_format="pyarrow").materialize()
     winners = ex.groupby("line").aggregate(Min("packed", alias_name="keep"))
     joined = lookup_join(
         ex, winners, "line", "line", {"keep": "keep"},
