@@ -1,0 +1,611 @@
+"""From-scratch baseline JPEG codec (stdlib + numpy — no image libs).
+
+Decoder: baseline sequential DCT (SOF0), 8-bit, grey or YCbCr with
+arbitrary sampling factors (4:4:4 / 4:2:0 / 4:2:2), DQT/DHT/DRI/RST
+markers, byte-stuffing. Encoder: baseline 4:4:4 (or grey) with the
+ITU-T T.81 Annex K quantization + Huffman tables and a quality knob
+using the libjpeg scaling convention.
+
+The DCT runs as two 8x8 orthonormal-basis matmuls (numpy, float64);
+IDCT is the transpose pair, rounded and clamped. Huffman entropy
+coding walks per-block in python — fine for the actor-pool feature
+stages this feeds (hundreds of small images per batch); a 100 TB
+image pipeline would swap this kernel for a compiled codec while
+keeping every Ray-side contract identical.
+
+HONEST CAVEAT: the sandbox has no JPEG fixtures and no network, so
+conformance against external encoders is validated only by the
+spec-derived unit tests (zigzag, DCT orthonormality, Annex K table
+checksums) and lossy round trips decode(encode(x)) with bounded
+error. Streams using features outside baseline (progressive SOF2,
+arithmetic coding, 12-bit) raise loudly.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegError(ValueError):
+    pass
+
+
+# --------------------------------------------------------- 8x8 DCT core
+
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16)
+_C *= 0.5
+_C[0, :] *= 1 / np.sqrt(2)  # orthonormal DCT-II basis
+
+
+def dct2(block: np.ndarray) -> np.ndarray:
+    return _C @ block @ _C.T
+
+
+def idct2(coef: np.ndarray) -> np.ndarray:
+    return _C.T @ coef @ _C
+
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# ----------------------------------------------- Annex K default tables
+
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# (bits[1..16], values) — ITU-T T.81 tables K.3-K.6
+DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _build_huffman(bits, values):
+    """(bits, values) -> {code_string_length: {code_int: value}} plus
+    the canonical (value -> (code, length)) encode map."""
+    decode: dict[int, dict[int, int]] = {}
+    encode: dict[int, tuple[int, int]] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        decode[length] = {}
+        for _ in range(bits[length - 1]):
+            v = values[vi]
+            vi += 1
+            decode[length][code] = v
+            encode[v] = (code, length)
+            code += 1
+        code <<= 1
+    return decode, encode
+
+
+# --------------------------------------------------------------- decode
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing
+    and RSTn awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.cur = 0
+        self.bits = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise JpegError("entropy stream truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _RestartHit()
+            else:
+                raise _MarkerHit()
+        else:
+            self.pos += 1
+        self.cur = (self.cur << 8) | b
+        self.bits += 8
+
+    def read(self, n: int) -> int:
+        while self.bits < n:
+            self._fill()
+        self.bits -= n
+        v = (self.cur >> self.bits) & ((1 << n) - 1)
+        self.cur &= (1 << self.bits) - 1
+        return v
+
+    def byte_align(self):
+        self.bits = 0
+        self.cur = 0
+
+    def skip_restart(self):
+        """Consume the RSTn marker at the current byte position."""
+        self.byte_align()
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise JpegError("expected restart marker")
+
+
+class _RestartHit(Exception):
+    pass
+
+
+class _MarkerHit(Exception):
+    pass
+
+
+def _decode_huff(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        hit = table[length].get(code)
+        if hit is not None:
+            return hit
+    raise JpegError("invalid huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    # T.81 F.2.2.1: map the t-bit magnitude to the signed value
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG -> (h, w) grey or (h, w, 3) RGB uint8."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG stream (missing SOI)")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, tuple] = {}
+    huff_ac: dict[int, tuple] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise JpegError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                o += 1
+                if pq == 0:
+                    tab = np.frombuffer(body, np.uint8, 64, o).astype(np.int64)
+                    o += 64
+                else:
+                    tab = np.frombuffer(body, ">u2", 64, o).astype(np.int64)
+                    o += 128
+                qt[tq] = tab[UNZIGZAG].reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                tc, th = body[o] >> 4, body[o] & 0x0F
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                o += 17 + n
+                dec, _ = _build_huffman(bits, vals)
+                (huff_dc if tc == 0 else huff_ac)[th] = dec
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF 0x{marker:02x} (progressive/arithmetic/lossless) "
+                "not supported — baseline sequential only"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            ns = body[0]
+            scan = {}
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan[cs] = (tt >> 4, tt & 0x0F)
+            return _decode_scan(
+                data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += seglen
+    raise JpegError("no scan data found")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        ph = mcuy * 8 * c["v"]
+        pw = mcux * 8 * c["h"]
+        planes.append(np.zeros((ph, pw), np.float64))
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.skip_restart()
+                pred = [0] * len(comps)
+            try:
+                for ci, c in enumerate(comps):
+                    dct, act = scan[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            block = _decode_block(
+                                br, huff_dc[dct], huff_ac[act], pred, ci
+                            )
+                            coef = np.zeros(64, np.float64)
+                            coef[ZIGZAG] = block
+                            pix = idct2((coef.reshape(8, 8)) * qt[c["tq"]])
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+            except (_RestartHit, _MarkerHit) as exc:
+                raise JpegError("entropy stream ended inside an MCU") from exc
+            mcu_count += 1
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci] + 128.0
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        out_planes.append(p[:h, :w])
+    if len(comps) == 1:
+        return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes[0], out_planes[1] - 128.0, out_planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+
+
+def _decode_block(br, dc_tab, ac_tab, pred, ci):
+    out = np.zeros(64, np.float64)
+    t = _decode_huff(br, dc_tab)
+    diff = _extend(br.read(t), t) if t else 0
+    pred[ci] += diff
+    out[0] = pred[ci]
+    k = 1
+    while k < 64:
+        rs = _decode_huff(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegError("AC run overruns block")
+        out[k] = _extend(br.read(s), s)
+        k += 1
+    return out
+
+
+# --------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.cur = 0
+        self.bits = 0
+
+    def put(self, code: int, n: int):
+        self.cur = (self.cur << n) | (code & ((1 << n) - 1))
+        self.bits += n
+        while self.bits >= 8:
+            self.bits -= 8
+            b = (self.cur >> self.bits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self.cur &= (1 << self.bits) - 1
+
+    def flush(self):
+        if self.bits:
+            pad = 8 - self.bits
+            self.put((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _scale_quant(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, quality))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+def _mag(v: int) -> tuple[int, int]:
+    """value -> (category bits t, t-bit magnitude code)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    code = v if v > 0 else v + (1 << t) - 1
+    return t, code
+
+
+def _encode_block(bw, coef_zz, pred, ci, dc_enc, ac_enc):
+    dc = int(coef_zz[0])
+    diff = dc - pred[ci]
+    pred[ci] = dc
+    t, code = _mag(diff)
+    c, ln = dc_enc[t]
+    bw.put(c, ln)
+    if t:
+        bw.put(code, t)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(coef_zz[1:])[0]
+    last_nz = (nz[-1] + 1) if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_enc[0xF0]
+            bw.put(c, ln)
+            run -= 16
+        t, code = _mag(v)
+        c, ln = ac_enc[(run << 4) | t]
+        bw.put(c, ln)
+        bw.put(code, t)
+        run = 0
+    if last_nz < 63:
+        c, ln = ac_enc[0x00]
+        bw.put(c, ln)
+
+
+def _encode_420(img: np.ndarray, quality: int) -> bytes:
+    """RGB 4:2:0: 16x16 MCUs — four Y blocks then one Cb and one Cr
+    block of the 2x2-mean-downsampled chroma planes."""
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    mh, mw = -(-h // 16), -(-w // 16)
+    ph, pw = mh * 16, mw * 16
+
+    def pad(p):
+        pp = np.zeros((ph, pw), np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:h, w:] = pp[:h, w - 1 : w]
+        pp[h:, w:] = pp[h - 1, w - 1]
+        return pp
+
+    yp = pad(y)
+    cbp = pad(cb).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    crp = pad(cr).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    q_luma = _scale_quant(QUANT_LUMA, quality)
+    q_chroma = _scale_quant(QUANT_CHROMA, quality)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate((q_luma, q_chroma)):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+        out += bytes(int(v) for v in q.reshape(-1)[ZIGZAG])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += struct.pack(">BBB", 1, 0x22, 0)  # Y: 2x2 sampling
+    out += struct.pack(">BBB", 2, 0x11, 1)
+    out += struct.pack(">BBB", 3, 0x11, 1)
+    enc_maps = {}
+    for (bits, vals), tclass in (
+        (DC_LUMA, 0x00), (AC_LUMA, 0x10), (DC_CHROMA, 0x01), (AC_CHROMA, 0x11)
+    ):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tclass)
+        out += bytes(bits) + bytes(vals)
+        _, enc = _build_huffman(bits, vals)
+        enc_maps[tclass] = enc
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += b"\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
+
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+
+    def emit(plane, y0, x0, q, ci):
+        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+        zz = np.round(dct2(block) / q).astype(np.int64).reshape(-1)[ZIGZAG]
+        dc_enc = enc_maps[0x00 if ci == 0 else 0x01]
+        ac_enc = enc_maps[0x10 if ci == 0 else 0x11]
+        _encode_block(bw, zz, pred, ci, dc_enc, ac_enc)
+
+    for my in range(mh):
+        for mx in range(mw):
+            for by in range(2):
+                for bx in range(2):
+                    emit(yp, my * 16 + by * 8, mx * 16 + bx * 8, q_luma, 0)
+            emit(cbp, my * 8, mx * 8, q_chroma, 1)
+            emit(crp, my * 8, mx * 8, q_chroma, 2)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: str = "444") -> bytes:
+    """(h, w) grey or (h, w, 3) RGB uint8 -> baseline JPEG.
+    ``subsample``: ``"444"`` (default) or ``"420"`` (2x2-averaged
+    chroma, 16x16 MCUs — the common camera layout)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise JpegError("encode_jpeg expects uint8")
+    grey = img.ndim == 2
+    if not grey and (img.ndim != 3 or img.shape[2] != 3):
+        raise JpegError("expected (h,w) grey or (h,w,3) RGB")
+    if subsample not in ("444", "420"):
+        raise JpegError(f"subsample must be 444 or 420 (got {subsample!r})")
+    if subsample == "420" and not grey:
+        return _encode_420(img, quality)
+    h, w = img.shape[:2]
+    if grey:
+        planes = [img.astype(np.float64) - 128.0]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        planes = [y - 128.0, cb, cr]
+    q_luma = _scale_quant(QUANT_LUMA, quality)
+    q_chroma = _scale_quant(QUANT_CHROMA, quality)
+    qts = [q_luma] if grey else [q_luma, q_chroma]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+        out += bytes(int(v) for v in q.reshape(-1)[ZIGZAG])
+    nc = 1 if grey else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for i in range(nc):
+        out += struct.pack(">BBB", i + 1, 0x11, 0 if i == 0 else 1)
+    tabs = [(DC_LUMA, 0x00), (AC_LUMA, 0x10)]
+    if not grey:
+        tabs += [(DC_CHROMA, 0x01), (AC_CHROMA, 0x11)]
+    enc_maps = {}
+    for (bits, vals), tclass in tabs:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tclass)
+        out += bytes(bits) + bytes(vals)
+        _, enc = _build_huffman(bits, vals)
+        enc_maps[tclass] = enc
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for i in range(nc):
+        out += struct.pack(">BB", i + 1, 0x00 if i == 0 else 0x11)
+    out += b"\x00\x3f\x00"
+
+    bw = _BitWriter()
+    pred = [0] * nc
+    bh = -(-h // 8)
+    bwid = -(-w // 8)
+    padded = []
+    for p in planes:
+        pp = np.zeros((bh * 8, bwid * 8), np.float64)
+        pp[:h, :w] = p
+        # edge-replicate padding (reduces ringing in the border blocks)
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:h, w:] = p[:, w - 1 : w]
+        pp[h:, w:] = p[h - 1, w - 1]
+        padded.append(pp)
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(nc):
+                q = qts[0] if ci == 0 else qts[1]
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = dct2(block)
+                zz = np.round(coef / q).astype(np.int64).reshape(-1)[ZIGZAG]
+                dc_enc = enc_maps[0x00 if ci == 0 else 0x01]
+                ac_enc = enc_maps[0x10 if ci == 0 else 0x11]
+                _encode_block(bw, zz, pred, ci, dc_enc, ac_enc)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)

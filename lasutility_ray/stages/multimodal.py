@@ -50,18 +50,25 @@ def attach_images(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
 
 def decode_image(data: bytes) -> np.ndarray:
     """Decode one image payload: real PNG (8-bit grey/RGB/RGBA via the
-    from-scratch ``geom.png.decode_png``) or the deterministic GRD1
-    fake. Other real formats (jpeg/webp/...) remain STUBBED — this
-    container has no image codecs. Returns (h, w*channels) uint8."""
+    from-scratch ``geom.png.decode_png``), real baseline JPEG
+    (``geom.jpeg.decode_jpeg``) or the deterministic GRD1 fake. Other
+    real formats (webp/...) remain STUBBED — this container has no
+    image codecs. Returns (h, w*channels) uint8."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         from ..geom.png import decode_png
 
         img = decode_png(data)
         return img.reshape(img.shape[0], -1)
+    if data[:2] == b"\xff\xd8":
+        from ..geom.jpeg import decode_jpeg
+
+        img = decode_jpeg(data)
+        return img.reshape(img.shape[0], -1)
     if data[:4] != MAGIC:
         raise NotImplementedError(
-            "image decoding beyond PNG (jpeg/webp/...) is stubbed in this "
-            "environment; PNG and the deterministic GRD1 fake are supported"
+            "image decoding beyond PNG/baseline-JPEG (webp/...) is stubbed "
+            "in this environment; PNG, JPEG and the deterministic GRD1 "
+            "fake are supported"
         )
     _, w, h, c = HEADER.unpack_from(data, 0)
     return np.frombuffer(data, dtype=np.uint8, offset=HEADER.size).reshape(h, w * c)

@@ -1,0 +1,173 @@
+"""From-scratch baseline JPEG codec: kernel unit tests (DCT
+orthonormality, zigzag, magnitude coding, huffman canonical codes)
+and bounded-error lossy round trips grey/RGB, odd sizes, quality
+ladder, error paths."""
+
+import numpy as np
+import pytest
+
+from lasutility_ray.geom.jpeg import (
+    AC_LUMA,
+    DC_LUMA,
+    JpegError,
+    UNZIGZAG,
+    ZIGZAG,
+    _build_huffman,
+    _extend,
+    _mag,
+    decode_jpeg,
+    dct2,
+    encode_jpeg,
+    idct2,
+)
+
+
+def test_dct_orthonormal_roundtrip():
+    rng = np.random.default_rng(0)
+    b = rng.uniform(-128, 127, (8, 8))
+    assert np.allclose(idct2(dct2(b)), b, atol=1e-9)
+    # Parseval: energy preserved
+    c = dct2(b)
+    assert np.isclose((b * b).sum(), (c * c).sum())
+
+
+def test_zigzag_is_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert np.array_equal(ZIGZAG[UNZIGZAG], np.arange(64))
+    # spec spot checks (T.81 figure A.6)
+    assert ZIGZAG[:10].tolist() == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+
+
+def test_magnitude_coding_inverts():
+    for v in list(range(-40, 41)) + [-2047, 2047, -1024, 1023]:
+        t, code = _mag(v)
+        assert _extend(code, t) == v
+
+
+def test_huffman_canonical():
+    dec, enc = _build_huffman(*DC_LUMA)
+    # T.81 K.3: category 0 -> code 00 (2 bits), category 1 -> 010
+    assert enc[0] == (0b00, 2)
+    assert enc[1] == (0b010, 3)
+    assert dec[2][0b00] == 0
+    # every code decodes back to its value
+    for v, (c, ln) in enc.items():
+        assert dec[ln][c] == v
+    dec_ac, enc_ac = _build_huffman(*AC_LUMA)
+    # EOB = 1010 (4 bits), ZRL = 11111111001 (11 bits) per K.5
+    assert enc_ac[0x00] == (0b1010, 4)
+    assert enc_ac[0xF0] == (0b11111111001, 11)
+
+
+def _err(a, b):
+    return np.abs(a.astype(np.float64) - b.astype(np.float64))
+
+
+def test_grey_roundtrip_smooth():
+    # smooth gradient compresses nearly losslessly at q=95
+    x = np.arange(64, dtype=np.float64)
+    img = np.clip(np.add.outer(x, x) * 2, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert _err(out, img).mean() < 2.0
+    assert _err(out, img).max() < 12
+
+
+def test_rgb_roundtrip_and_quality_ladder():
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 255, (40, 56, 3), dtype=np.uint8)
+    # blur to make it compressible (random noise is the worst case)
+    img = base.astype(np.float64)
+    for _ in range(3):
+        img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1) + np.roll(img, -1, 0)) / 4
+    img = img.astype(np.uint8)
+    errs = []
+    sizes = []
+    for q in (30, 60, 90):
+        data = encode_jpeg(img, quality=q)
+        out = decode_jpeg(data)
+        assert out.shape == img.shape
+        errs.append(_err(out, img).mean())
+        sizes.append(len(data))
+    assert errs[0] > errs[1] > errs[2]  # more quality -> less error
+    assert sizes[0] < sizes[1] < sizes[2]  # and more bytes
+    assert errs[2] < 5.0  # q=90 on chroma-noisy input (Annex K chroma table is coarse)
+    # quality=100 is near-exact (quant table all ones)
+    out100 = decode_jpeg(encode_jpeg(img, quality=100))
+    assert _err(out100, img).mean() < 0.5
+    assert _err(out100, img).max() <= 3
+
+
+def test_odd_sizes_pad_correctly():
+    rng = np.random.default_rng(2)
+    for shape in ((17, 23), (9, 8), (8, 9), (1, 1)):
+        img = rng.integers(0, 255, shape, dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=90))
+        assert out.shape == img.shape
+
+
+def test_flat_image_is_exact():
+    # q=100 -> all-ones quant tables: a flat block survives exactly
+    # (at lower quality the DC can land on a .5 quantization boundary)
+    img = np.full((16, 16), 77, np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert np.array_equal(out, img)
+    img80 = np.full((16, 16), 80, np.uint8)  # DC/16 integral at q=50 too
+    assert np.array_equal(decode_jpeg(encode_jpeg(img80, quality=50)), img80)
+
+
+def test_error_paths():
+    with pytest.raises(JpegError):
+        decode_jpeg(b"not a jpeg")
+    img = np.zeros((8, 8), np.uint8)
+    data = bytearray(encode_jpeg(img))
+    # flip SOF0 marker to SOF2 (progressive) -> loud NotImplementedError
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+    with pytest.raises(JpegError):
+        encode_jpeg(img.astype(np.int32))
+
+
+def test_image_features_over_jpeg_batch(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import image_feature_stage
+
+    rng = np.random.default_rng(5)
+    imgs = []
+    for i in range(6):
+        base = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+        imgs.append(encode_jpeg(base, quality=90))
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "image": pa.array(imgs, pa.large_binary()),
+            }
+        )
+    )
+    out = image_feature_stage(ds, concurrency=2).to_pandas()
+    assert len(out) == 6
+    assert {"img_mean", "img_std", "img_edge_energy"} <= set(out.columns)
+    assert (out["img_std"] > 0).all()
+
+
+def test_420_subsampled_roundtrip():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (33, 47, 3), dtype=np.uint8).astype(np.float64)
+    for _ in range(4):
+        img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1) + np.roll(img, -1, 1)) / 4
+    img = img.astype(np.uint8)
+    d444 = encode_jpeg(img, quality=90)
+    d420 = encode_jpeg(img, quality=90, subsample="420")
+    assert len(d420) < len(d444)  # chroma carries 1/4 the blocks
+    out = decode_jpeg(d420)
+    assert out.shape == img.shape
+    assert _err(out, img).mean() < 9.0  # chroma loss is the point of 4:2:0
+    # luma survives subsampling essentially as well as 4:4:4
+    lum = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    assert np.abs(lum(out.astype(float)) - lum(img.astype(float))).mean() < 3.0
