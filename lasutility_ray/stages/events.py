@@ -141,22 +141,46 @@ def sessionize(events_ds, gap_ms: int = 1_800_000):
     State is group-local (sorted pandas scan) — the Ray-shaped
     replacement for a streaming session window."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
+    # shuffle on a coarse user-hash bucket (one python group per
+    # BUCKET; a per-user map_groups makes millions of tiny python
+    # groups at scale); the in-bucket scan vectorizes across ALL the
+    # bucket's users at once — a session break is a user change OR a
+    # time gap on the (user, ts)-sorted frame
+    import pyarrow as pa
+
+    from .cogroup import _bucket_of, default_n_buckets
+
+    n_buckets = default_n_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        return t.select(["user_id", "ts"]).append_column(
+            "__b", pa.array(_bucket_of(uid, n_buckets))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="stable")
+        uid = g["user_id"].to_numpy()
         ms = g["ts"].astype("datetime64[ms]").astype("int64").to_numpy()
         new_session = np.empty(len(ms), dtype=bool)
         new_session[0] = True
-        new_session[1:] = (ms[1:] - ms[:-1]) > gap_ms
+        new_session[1:] = (uid[1:] != uid[:-1]) | ((ms[1:] - ms[:-1]) > gap_ms)
         sid = np.cumsum(new_session) - 1
-        df = pd.DataFrame({"sid": sid, "ms": ms})
-        agg = df.groupby("sid")["ms"].agg(["min", "max", "count"]).reset_index()
+        df = pd.DataFrame({"sid": sid, "ms": ms, "uid": uid})
+        agg = df.groupby("sid", sort=True).agg(
+            uid=("uid", "first"), mn=("ms", "min"), mx=("ms", "max"), n=("ms", "count")
+        )
         return pd.DataFrame(
             {
-                "user_id": np.full(len(agg), g["user_id"].iloc[0], dtype=np.int64),
-                "session_start_ms": agg["min"].astype(np.int64),
-                "session_end_ms": agg["max"].astype(np.int64),
-                "n_events": agg["count"].astype(np.int64),
+                "user_id": agg["uid"].astype(np.int64),
+                "session_start_ms": agg["mn"].astype(np.int64),
+                "session_end_ms": agg["mx"].astype(np.int64),
+                "n_events": agg["n"].astype(np.int64),
             }
         )
 
-    return events_ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        events_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

@@ -253,14 +253,17 @@ class TestMultimodal:
         assert row["img_std"] == img.std()
 
     def test_real_codec_boundaries(self):
-        # PNG is REAL now (geom/png.py decoder): malformed PNG bytes
-        # are a data error, jpeg-like payloads remain stubbed
+        # PNG and baseline JPEG are REAL (geom/png.py, geom/jpeg.py):
+        # malformed bytes are data errors; webp-like payloads remain
+        # stubbed with a loud NotImplementedError
         from lasutility_ray.stages.multimodal import decode_image
 
         with pytest.raises(ValueError):
             decode_image(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxxxxxx")
+        with pytest.raises(ValueError):
+            decode_image(b"\xff\xd8\xff\xe0jpeg-like-but-truncated")
         with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff\xe0jpeg-like")
+            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
     def test_resize_and_frame_sample(self, ray_session):
         from lasutility_ray.stages.multimodal import (
