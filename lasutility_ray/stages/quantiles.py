@@ -48,18 +48,44 @@ def group_quantiles(ds, group_col: str, value_col: str, qs: dict[str, float]):
     if ((probs < 0) | (probs > 1)).any():
         raise ValueError("quantile probabilities must be in [0, 1]")
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+    from .cogroup import _bucket_of, _is_str_key, _str_bucket_of, default_n_buckets
+
+    n_buckets = default_n_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col])
+        col = t.column(group_col)
+        if _is_str_key(col.type):
+            b = _str_bucket_of(col, n_buckets)
+        else:
+            b = _bucket_of(col.to_numpy(zero_copy_only=False), n_buckets)
+        return t.append_column("__b", pa.array(b))
+
+    # shuffle on a coarse group-hash bucket (all values of a group
+    # still co-locate — exactness is preserved); the per-group
+    # np.quantile stays IDENTICAL to before, just driven by a local
+    # slice loop instead of one ray-level python group per key
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(group_col, kind="stable")
+        keys_all = g[group_col].to_numpy()
+        keys, starts = np.unique(keys_all, return_index=True)
         v = g[value_col].to_numpy(dtype=np.float64)
-        out = {group_col: [g[group_col].iloc[0]], "n": np.array([len(v)], dtype=np.int64)}
-        vals = np.quantile(v, probs)  # one vectorized call for all qs
-        for name, x in zip(names, vals):
-            out[name] = np.array([x], dtype=np.float64)
+        bounds = np.append(starts, len(v))
+        ncol = (bounds[1:] - bounds[:-1]).astype(np.int64)
+        qcols = {name: np.empty(len(keys), np.float64) for name in names}
+        for i in range(len(keys)):
+            vals = np.quantile(v[bounds[i] : bounds[i + 1]], probs)
+            for name, x in zip(names, vals):
+                qcols[name][i] = x
+        out = {group_col: keys, "n": ncol}
+        out.update(qcols)
         return pd.DataFrame(out)
 
-    pruned = ds.map_batches(
-        lambda t: t.select([group_col, value_col]), batch_format="pyarrow"
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
     )
-    return pruned.groupby(group_col).map_groups(per_group, batch_format="pandas")
 
 
 def group_quantiles_hist(

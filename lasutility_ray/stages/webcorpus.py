@@ -83,8 +83,27 @@ def host_stats(pages_ds):
     timestamp (epoch ms). Map-side partials combine per batch before
     ONE host-keyed shuffle, so exchange volume is hosts x batches
     rows, never pages."""
+    from .cogroup import _str_bucket_of, default_n_buckets
+
+    n_buckets = default_n_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__b", pa.array(_str_bucket_of(t.column("host"), n_buckets))
+        )
+
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # _host_final already reduces per host internally — the
+        # shuffle key is a coarse host-hash bucket so millions of
+        # hosts never become millions of python groups
+        return _host_final(g.drop(columns=["__b"]))
+
     partials = pages_ds.map_batches(_host_partial, batch_format="pyarrow")
-    return partials.groupby("host").map_groups(_host_final, batch_format="pandas")
+    return (
+        partials.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(final_bucket, batch_format="pandas")
+    )
 
 
 # ---------------------------------------------------------- domain mix
