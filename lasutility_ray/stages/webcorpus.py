@@ -413,9 +413,14 @@ def line_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
     # costs by construction.
     ex = docs_ds.map_batches(explode, batch_format="pyarrow").materialize()
     winners = ex.groupby("line").aggregate(Min("packed", alias_name="keep"))
+    # boilerplate lines ("", headers, nav text) repeat across a large
+    # fraction of a web corpus — exactly the hot-left-key case, so the
+    # join self-salts (the counting pre-pass reads the materialized
+    # exploded table, not the upstream pipeline)
     joined = lookup_join(
         ex, winners, "line", "line", {"keep": "keep"},
         type_overrides={"line": pa.large_string()},
+        n_salt="auto",
     )
 
     def keep_first(t: pa.Table) -> pa.Table:
