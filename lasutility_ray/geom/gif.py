@@ -191,14 +191,35 @@ def _read_color_table(data: bytes, off: int, n: int) -> tuple[np.ndarray, int]:
     )
 
 
-def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
+MAX_PIXELS = 1 << 26  # 67M-pixel canvas cap: garbage headers can
+# declare 65535x65535 (12 GB RGB) — reject before allocating
+
+
+def decode_gif(
+    data: bytes, max_pixels: int = MAX_PIXELS
+) -> tuple[list[np.ndarray], list[int]]:
     """Decode a GIF -> (list of (h, w, 3) uint8 RGB frames composited
-    per disposal method, list of per-frame delays in centiseconds)."""
+    per disposal method, list of per-frame delays in centiseconds).
+    Malformed streams raise :class:`GifError` (never bare
+    IndexError/struct.error — fuzz-pinned)."""
+    try:
+        return _decode_gif(data, max_pixels)
+    except (GifError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, ValueError, OverflowError) as exc:
+        raise GifError(f"malformed GIF stream: {exc}") from exc
+
+
+def _decode_gif(data: bytes, max_pixels: int):
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise GifError("not a GIF stream")
     if len(data) < 13:
         raise GifError("GIF header truncated")
     sw, sh, flags, bg_idx, _ = struct.unpack_from("<HHBBB", data, 6)
+    if sw * sh > max_pixels:
+        raise GifError(f"canvas {sw}x{sh} exceeds the {max_pixels}-pixel cap")
+    if sw == 0 or sh == 0:
+        raise GifError("zero-sized GIF canvas")
     off = 13
     gct = None
     if flags & 0x80:
@@ -247,6 +268,10 @@ def decode_gif(data: bytes) -> tuple[list[np.ndarray], list[int]]:
         # image descriptor
         left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", data, off)
         off += 9
+        if iw == 0 or ih == 0 or left + iw > sw or top + ih > sh:
+            raise GifError(
+                f"frame rect {iw}x{ih}@({left},{top}) outside the {sw}x{sh} canvas"
+            )
         if iflags & 0x40:
             raise NotImplementedError("interlaced GIF frames not supported")
         ct = gct

@@ -239,8 +239,23 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG -> (h, w) grey or (h, w, 3) RGB uint8."""
+MAX_PIXELS = 1 << 26  # 67M-pixel cap: garbage headers can declare
+# 65535x65535 frames — reject before allocating
+
+
+def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
+    """Baseline JPEG -> (h, w) grey or (h, w, 3) RGB uint8. Malformed
+    streams raise :class:`JpegError` (never bare IndexError /
+    struct.error — fuzz-pinned)."""
+    try:
+        return _decode_jpeg(data, max_pixels)
+    except (JpegError, NotImplementedError):
+        raise
+    except (struct.error, IndexError, KeyError, ValueError, OverflowError) as exc:
+        raise JpegError(f"malformed JPEG stream: {exc}") from exc
+
+
+def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -284,10 +299,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            if h == 0 or w == 0 or h * w > max_pixels:
+                raise JpegError(f"frame {w}x{h} outside the {max_pixels}-pixel cap")
+            if nc not in (1, 3):
+                raise JpegError(f"{nc}-component JPEG not supported")
             comps = []
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise JpegError(f"bad sampling factors {ch}x{cv}")
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
+            hm = max(c["h"] for c in comps)
+            vm = max(c["v"] for c in comps)
+            if any(hm % c["h"] or vm % c["v"] for c in comps):
+                raise JpegError("non-dividing sampling factors")
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(

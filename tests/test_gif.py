@@ -143,3 +143,38 @@ def test_frame_sample_on_gif_batch():
     assert len(kept) == 3
     for got, i in zip(kept, (0, 3, 6)):
         assert np.array_equal(got, GREY256[fs[i]])
+
+
+def test_fuzz_truncation_and_corruption_raise_typed_errors():
+    # malformed streams must raise GifError/NotImplementedError, never
+    # bare IndexError/struct.error (fuzz-pinned hardening)
+    good = encode_gif(
+        [_rng(0).integers(0, 256, (16, 16), np.uint8) for _ in range(2)], GREY256
+    )
+    for i in range(1, len(good), 5):
+        with pytest.raises((GifError, NotImplementedError)):
+            decode_gif(good[:i])
+    for seed in range(80):
+        r = np.random.default_rng(seed)
+        g = bytearray(good)
+        for _ in range(4):
+            g[r.integers(0, len(g))] = r.integers(0, 256)
+        try:
+            decode_gif(bytes(g))  # may still decode; flips can be benign
+        except (GifError, NotImplementedError):
+            pass
+    for seed in range(60):
+        r = np.random.default_rng(seed + 9999)
+        blob = b"GIF89a" + r.integers(0, 256, 120, dtype=np.uint8).tobytes()
+        try:
+            decode_gif(blob, max_pixels=1 << 20)
+        except (GifError, NotImplementedError):
+            pass
+
+
+def test_huge_canvas_rejected():
+    import struct
+
+    blob = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0) + b"\x3b"
+    with pytest.raises(GifError):
+        decode_gif(blob)

@@ -171,3 +171,42 @@ def test_420_subsampled_roundtrip():
     # luma survives subsampling essentially as well as 4:4:4
     lum = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
     assert np.abs(lum(out.astype(float)) - lum(img.astype(float))).mean() < 3.0
+
+
+def test_fuzz_truncation_and_corruption_raise_typed_errors():
+    # malformed streams must raise JpegError/NotImplementedError,
+    # never bare IndexError/struct.error (fuzz-pinned hardening)
+    rng = np.random.default_rng(0)
+    good = encode_jpeg(rng.integers(0, 256, (24, 24, 3), dtype=np.uint8))
+    for i in range(2, len(good), 5):
+        try:
+            decode_jpeg(good[:i])
+        except (JpegError, NotImplementedError):
+            pass
+    for seed in range(80):
+        r = np.random.default_rng(seed)
+        j = bytearray(good)
+        for _ in range(4):
+            j[r.integers(0, len(j))] = r.integers(0, 256)
+        try:
+            decode_jpeg(bytes(j))
+        except (JpegError, NotImplementedError):
+            pass
+    for seed in range(60):
+        r = np.random.default_rng(seed + 9999)
+        blob = b"\xff\xd8" + r.integers(0, 256, 120, dtype=np.uint8).tobytes()
+        try:
+            decode_jpeg(blob, max_pixels=1 << 20)
+        except (JpegError, NotImplementedError):
+            pass
+
+
+def test_huge_frame_rejected():
+    import struct
+
+    blob = (
+        b"\xff\xd8\xff\xc0" + struct.pack(">HBHHB", 11, 8, 65535, 65535, 1)
+        + struct.pack(">BBB", 1, 0x11, 0) + b"\xff\xd9"
+    )
+    with pytest.raises(JpegError):
+        decode_jpeg(blob)
