@@ -781,6 +781,20 @@ def q_unigram_lm(sf_dir: str):
     return unigram_lm_score(docs)
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Misra-Gries mergeable top-20: each batch ships at most
+    ``capacity`` counters regardless of vocabulary (stages/sketch.py).
+    At the default capacity the sandbox corpus fits the summary, so
+    the sketch is in its exact regime and the oracle is value-exact;
+    the truncated regime's error bound is pinned by pytest."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.sketch import heavy_hitters
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters(docs, text_col="text", k=20)
+
+
 def q_contamination(sf_dir: str):
     """Benchmark-contamination check: deterministic 10% eval split
     (Lehmer hash on doc_id), flag every TRAIN doc sharing any word
@@ -1195,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hash_sample": q_hash_sample,
         "q_chunk_documents": q_chunk_documents,
         "q_token_topk": q_token_topk,
+        "q_heavy_hitters": q_heavy_hitters,
         "q_contamination": q_contamination,
         "q_pii_redact": q_pii_redact,
         "q_unigram_lm": q_unigram_lm,
@@ -1706,6 +1721,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, n, CAST(row_number() OVER "
             "(ORDER BY n DESC, token) AS BIGINT) AS rank "
             "FROM agg ORDER BY n DESC, token LIMIT 50"
+        ),
+        "q_heavy_hitters": (
+            "WITH toks AS (SELECT unnest(regexp_extract_all(lower(text), "
+            "'[a-z0-9]+')) AS token FROM documents), "
+            "agg AS (SELECT token, CAST(count(*) AS BIGINT) AS est_count "
+            "FROM toks GROUP BY token) "
+            "SELECT CAST(row_number() OVER (ORDER BY est_count DESC, token) "
+            "AS BIGINT) AS rank, token, est_count, CAST(0 AS BIGINT) AS max_error "
+            "FROM agg ORDER BY est_count DESC, token LIMIT 20"
         ),
         "q_contamination": (
             "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), "

@@ -101,3 +101,115 @@ def hll_count_distinct(ds, col: str, p: int = HLL_P):
             "n_registers": [1 << p],
         }
     )
+
+
+# ------------------------------------------------- Misra-Gries top-k
+
+MG_CAPACITY = 4096
+
+
+def _mg_truncate(tokens: np.ndarray, counts: np.ndarray, capacity: int):
+    """Misra-Gries reduction: keep the ``capacity`` largest counters
+    after subtracting the (capacity+1)-th largest count from everyone
+    (the classic decrement step, batched). Returns (tokens, counts,
+    error) where ``error`` is the amount subtracted — every surviving
+    estimate undercounts its true value by at most the accumulated
+    error."""
+    if len(tokens) <= capacity:
+        return tokens, counts, 0
+    order = np.argsort(counts)[::-1]
+    thr = int(counts[order[capacity]])
+    keep = order[:capacity]
+    kept = counts[keep] - thr
+    m = kept > 0
+    return tokens[keep][m], kept[m], thr
+
+
+def heavy_hitters(
+    ds,
+    text_col: str = "text",
+    k: int = 20,
+    capacity: int = MG_CAPACITY,
+):
+    """Approximate global top-k tokens via mergeable Misra-Gries
+    summaries. Unlike the exact wordcount (``chunking.token_topk``,
+    which ships every distinct token of every batch through the
+    shuffle), each batch contributes AT MOST ``capacity`` counters, so
+    the exchange volume is bounded by capacity x batches regardless of
+    vocabulary size.
+
+    Guarantee (standard MG): for every token,
+    ``est <= true <= est + max_error``, and any token whose true count
+    exceeds ``max_error`` is present in the summary. ``max_error``
+    (the sum of all truncation decrements, a sketch property, NOT per
+    token) is reported on every output row; with ``capacity`` >>
+    corpus distinct tokens it is 0 and the result is exact.
+
+    Returns a pandas DataFrame (rank, token, est_count, max_error)
+    sorted by (est desc, token asc), rows = top-k of the summary."""
+    import re
+
+    from ray.data.aggregate import Sum
+
+    pat = re.compile(r"[a-z0-9]+")
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = t.column(text_col).to_pandas().str.lower().str.findall(pat)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "err": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        uniq, counts = np.unique(flat, return_counts=True)
+        uniq, counts, err = _mg_truncate(uniq, counts.astype(np.int64), capacity)
+        errs = np.zeros(len(uniq), dtype=np.int64)
+        out = pa.table(
+            {
+                "token": pa.array(uniq, pa.string()),
+                "n": pa.array(counts, pa.int64()),
+                "err": pa.array(errs, pa.int64()),
+            }
+        )
+        if err:
+            # the decrement rides as one side-band row so the global
+            # error bound survives the merge (token "" never tokenizes)
+            out = pa.concat_tables(
+                [
+                    out,
+                    pa.table(
+                        {
+                            "token": pa.array([""], pa.string()),
+                            "n": pa.array([0], pa.int64()),
+                            "err": pa.array([int(err)], pa.int64()),
+                        }
+                    ),
+                ]
+            )
+        return out
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"), Sum("err", alias_name="err"))
+        .to_pandas()
+    )
+    # the merged counter table is capacity x batches at worst — apply
+    # one final MG truncation to the capacity, then take top-k
+    max_error = int(merged["err"].sum())
+    merged = merged[merged["token"] != ""]
+    tokens = merged["token"].to_numpy()
+    counts = merged["n"].to_numpy(dtype=np.int64)
+    tokens, counts, err2 = _mg_truncate(tokens, counts, capacity)
+    max_error += int(err2)
+    df = pd.DataFrame({"token": tokens, "est_count": counts})
+    df = df.sort_values(
+        ["est_count", "token"], ascending=[False, True], kind="stable"
+    ).head(k)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    df["max_error"] = np.int64(max_error)
+    return df[["rank", "token", "est_count", "max_error"]].reset_index(drop=True)

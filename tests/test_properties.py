@@ -215,3 +215,60 @@ def test_laz_roundtrip_property(tmp_path_factory, n, seed, span, base, chunk,
     if with_rgb:
         for i, c in enumerate(("red", "green", "blue")):
             assert (got[c] == rgb[i]).all()
+
+
+class TestHeavyHitters:
+    def _docs(self, rd):
+        import pandas as pd
+
+        import numpy as np
+
+        # skewed corpus: token "t0" dominates, long tail after
+        rng = np.random.default_rng(0)
+        words = [f"t{i}" for i in rng.zipf(1.5, 8000) if i < 500]
+        texts = [" ".join(words[i : i + 40]) for i in range(0, len(words) - 40, 40)]
+        return rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts})), texts
+
+    def test_mg_guarantee_under_truncation(self, ray_session):
+        import re
+
+        from collections import Counter
+
+        import ray.data as rd
+
+        from lasutility_ray.stages.sketch import heavy_hitters
+
+        ds, texts = self._docs(rd)
+        got = heavy_hitters(ds, k=15, capacity=16)  # tiny capacity forces truncation
+        true = Counter()
+        for t in texts:
+            true.update(re.findall(r"[a-z0-9]+", t.lower()))
+        err = int(got["max_error"].iloc[0])
+        assert err > 0  # truncation actually happened
+        for _, row in got.iterrows():
+            tc = true[row["token"]]
+            assert row["est_count"] <= tc <= row["est_count"] + err, row["token"]
+        # MG completeness: anything with true count > max_error must be
+        # present in the CAPACITY-sized summary; check via the top-k
+        # slice only for tokens big enough to be in it
+        top_true = sorted(true.values(), reverse=True)
+        if top_true[0] > err:
+            assert true[got["token"].iloc[0]] == top_true[0]
+
+    def test_mg_exact_when_capacity_exceeds_vocab(self, ray_session):
+        import ray.data as rd
+
+        from lasutility_ray.stages.chunking import token_topk
+        from lasutility_ray.stages.sketch import heavy_hitters
+
+        docs = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+        approx = heavy_hitters(docs, k=10, capacity=4096)
+        assert int(approx["max_error"].iloc[0]) == 0
+        docs = rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+        exact = token_topk(docs, k=10)
+        assert approx["token"].tolist() == exact["token"].tolist()
+        assert approx["est_count"].tolist() == exact["n"].tolist()
