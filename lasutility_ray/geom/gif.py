@@ -15,8 +15,7 @@ table size), not by table entries:
 
 Supported: global/local color tables, multiple frames, graphic
 control extensions (transparency + disposal 0/1/2), deferred clear
-codes. Not supported (loud ``NotImplementedError``): interlaced
-images (rare in animation frames).
+codes, interlaced frames (4-pass row scatter per appendix E).
 
 Encoder output is real LZW (the same table growth as the decoder),
 so round trips exercise both directions' width ladders across 9→12
@@ -272,8 +271,7 @@ def _decode_gif(data: bytes, max_pixels: int):
             raise GifError(
                 f"frame rect {iw}x{ih}@({left},{top}) outside the {sw}x{sh} canvas"
             )
-        if iflags & 0x40:
-            raise NotImplementedError("interlaced GIF frames not supported")
+        interlaced = bool(iflags & 0x40)
         ct = gct
         if iflags & 0x80:
             ct, off = _read_color_table(data, off, 2 << (iflags & 0x07))
@@ -292,6 +290,17 @@ def _decode_gif(data: bytes, max_pixels: int):
         idx = np.frombuffer(
             _lzw_decode(bytes(lzw), min_code, iw * ih), np.uint8
         ).reshape(ih, iw)
+        if interlaced:
+            # GIF89a appendix E: rows arrive in 4 passes
+            # (every 8th from 0, every 8th from 4, every 4th from 2,
+            # every 2nd from 1) — scatter them back
+            order = np.concatenate(
+                [np.arange(s, ih, step) for s, step in
+                 ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            out_rows = np.empty_like(idx)
+            out_rows[order] = idx
+            idx = out_rows
         if idx.max(initial=0) >= len(ct):
             raise GifError("pixel index outside color table")
 

@@ -178,3 +178,26 @@ def test_huge_canvas_rejected():
     blob = b"GIF89a" + struct.pack("<HHBBB", 65535, 65535, 0, 0, 0) + b"\x3b"
     with pytest.raises(GifError):
         decode_gif(blob)
+
+
+def test_interlaced_frame_decodes_to_natural_order():
+    import struct
+
+    from lasutility_ray.geom.gif import _lzw_encode, _sub_blocks
+
+    ih, iw = 13, 7  # odd height exercises all four pass boundaries
+    # NOTE: uint8 % python-int promotes to int16 — astype AFTER the mod
+    frame = (np.arange(ih * iw) % 256).astype(np.uint8).reshape(ih, iw)
+    order = np.concatenate(
+        [np.arange(s, ih, step) for s, step in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+    wire_rows = frame[order]  # rows as an interlaced encoder emits them
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", iw, ih, 0x80 | 0x07 | 0x70, 0, 0)
+    out += GREY256.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, iw, ih, 0x40)  # interlace flag
+    out.append(8)
+    out += _sub_blocks(_lzw_encode(wire_rows.tobytes(), 8))
+    out += b"\x3b"
+    frames, _ = decode_gif(bytes(out))
+    assert np.array_equal(frames[0], GREY256[frame])
