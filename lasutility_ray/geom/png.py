@@ -87,9 +87,10 @@ def decode_png(data: bytes) -> np.ndarray:
                     f"PNG depth {depth} / color type {color} not supported "
                     "(8-bit grey/RGB/RGBA only)"
                 )
-            if comp != 0 or filt != 0 or interlace != 0:
-                raise NotImplementedError("interlaced/nonzero-method PNG")
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
+                raise NotImplementedError("nonzero-method PNG")
             c = _COLOR_CHANNELS[color]
+            adam7 = interlace == 1
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
@@ -98,6 +99,30 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     raw = zlib.decompress(b"".join(idat))
+    if adam7:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # onto the canvas by the standard (x0, y0, dx, dy) grids
+        out7 = np.empty((h, w, c), dtype=np.uint8)
+        off7 = 0
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            n = ph * (pw * c + 1)
+            sub = _unfilter_image(raw[off7 : off7 + n], ph, pw, c)
+            off7 += n
+            out7[y0::dy, x0::dx] = sub.reshape(ph, pw, c)
+        if off7 != len(raw):
+            raise ValueError("PNG interlaced payload size mismatch")
+        return out7
+    return _unfilter_image(raw, h, w, c).reshape(h, w, c)
+
+
+def _unfilter_image(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
     stride = w * c + 1
     if len(raw) != h * stride:
         raise ValueError("PNG payload size mismatch")
@@ -133,7 +158,7 @@ def decode_png(data: bytes) -> np.ndarray:
             raise ValueError(f"PNG filter {ftype} invalid")
         out[i] = row.astype(np.uint8)
         prev = row.astype(np.int32)
-    return out.reshape(h, w, c)
+    return out  # (h, w*c); callers reshape
 
 
 def decode_grey_png(data: bytes) -> np.ndarray:

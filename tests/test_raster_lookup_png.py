@@ -170,3 +170,36 @@ def test_decode_image_handles_real_png():
     got = decode_image(png)
     assert got.shape == (8, 8)
     assert (got == img).all()
+
+
+def test_adam7_interlaced_png_decodes():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lasutility_ray.geom.png import _SIG, _chunk, decode_png
+
+    rng = np.random.default_rng(3)
+    for h, w, c, color in ((13, 9, 1, 0), (16, 16, 3, 2), (5, 3, 4, 6)):
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        # build the Adam7 stream: each pass = filter-0 rows of the
+        # pass's sub-image
+        raw = bytearray()
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for r in range(sub.shape[0]):
+                raw += b"\x00" + sub[r].tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+        data = (
+            _SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        out = decode_png(data)
+        assert np.array_equal(out, img), (h, w, c)
