@@ -46,7 +46,7 @@ def encode_grey_png(data: np.ndarray, top_down: bool = True) -> bytes:
     )
 
 
-_COLOR_CHANNELS = {0: 1, 2: 3, 6: 4}  # grey, RGB, RGBA (8-bit)
+_COLOR_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # grey, RGB, palette, RGBA (8-bit)
 
 
 def _unfilter_sub(cur: np.ndarray, bpp: int) -> np.ndarray:
@@ -59,15 +59,18 @@ def _unfilter_sub(cur: np.ndarray, bpp: int) -> np.ndarray:
 
 def decode_png(data: bytes) -> np.ndarray:
     """From-scratch PNG decoder (stdlib zlib + numpy): 8-bit
-    greyscale/RGB/RGBA, all five scanline filters, multi-IDAT,
-    CRC-verified, no interlace. Returns (h, w, channels) uint8,
-    top-down as stored. Filters 0/1/2 are vectorized; Average/Paeth
-    fall back to a per-byte loop (they only appear in streams from
-    heuristic encoders)."""
+    greyscale/RGB/palette/RGBA, all five scanline filters, multi-IDAT,
+    CRC-verified, Adam7 interlace. Returns (h, w, channels) uint8,
+    top-down as stored (palette images come back expanded to RGB).
+    Filters 0/1/2 are vectorized; Average/Paeth fall back to a
+    per-byte loop (they only appear in streams from heuristic
+    encoders). Sub-8-bit depths and 16-bit raise."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     off = 8
     w = h = c = None
+    color = None
+    plte = None
     idat = []
     while off + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, off)
@@ -85,12 +88,16 @@ def decode_png(data: bytes) -> np.ndarray:
             if depth != 8 or color not in _COLOR_CHANNELS:
                 raise NotImplementedError(
                     f"PNG depth {depth} / color type {color} not supported "
-                    "(8-bit grey/RGB/RGBA only)"
+                    "(8-bit grey/RGB/palette/RGBA only)"
                 )
             if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise NotImplementedError("nonzero-method PNG")
             c = _COLOR_CHANNELS[color]
             adam7 = interlace == 1
+        elif tag == b"PLTE":
+            if len(payload) % 3 or len(payload) > 768:
+                raise ValueError("bad PLTE length")
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3).copy()
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
@@ -118,8 +125,20 @@ def decode_png(data: bytes) -> np.ndarray:
             out7[y0::dy, x0::dx] = sub.reshape(ph, pw, c)
         if off7 != len(raw):
             raise ValueError("PNG interlaced payload size mismatch")
-        return out7
-    return _unfilter_image(raw, h, w, c).reshape(h, w, c)
+        return _apply_palette(out7, color, plte)
+    img = _unfilter_image(raw, h, w, c).reshape(h, w, c)
+    return _apply_palette(img, color, plte)
+
+
+def _apply_palette(img: np.ndarray, color: int, plte) -> np.ndarray:
+    if color != 3:
+        return img
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    idx = img[..., 0]
+    if idx.max(initial=0) >= len(plte):
+        raise ValueError("palette index outside PLTE")
+    return plte[idx]  # (h, w, 3)
 
 
 def _unfilter_image(raw: bytes, h: int, w: int, c: int) -> np.ndarray:

@@ -196,18 +196,20 @@ def attach_audio(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
 
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """From-scratch RIFF/WAVE PCM decoder (no audio library): walks
-    the chunk list, requires format tag 1 (integer PCM) at 16 bits,
-    returns (sample_rate, mono int16 samples — multi-channel clips are
-    averaged to mono with int32 headroom, the standard feature-input
-    convention)."""
+    """From-scratch RIFF/WAVE decoder (no audio library): walks the
+    chunk list; supports integer PCM at 16 and 8 bits (8-bit WAV is
+    unsigned, rescaled to int16) and IEEE float32 (format tag 3,
+    clipped to [-1, 1] and scaled to int16). Returns (sample_rate,
+    mono int16 samples — multi-channel clips are averaged to mono
+    with int32 headroom, the standard feature-input convention)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     off = 12
     rate = None
     n_ch = None
     bits = None
-    pcm = None
+    fmt_tag = None
+    body_raw = None
     while off + 8 <= len(data):
         tag = data[off : off + 4]
         (ln,) = struct.unpack_from("<I", data, off + 4)
@@ -215,16 +217,25 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         if tag == b"fmt ":
             fmt_tag, n_ch, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if fmt_tag != 1 or bits != 16:
+            if (fmt_tag, bits) not in ((1, 16), (1, 8), (3, 32)):
                 raise NotImplementedError(
                     f"WAV format {fmt_tag}/{bits}-bit not supported "
-                    "(16-bit integer PCM only)"
+                    "(16/8-bit integer PCM and float32 only)"
                 )
         elif tag == b"data":
-            pcm = np.frombuffer(body, dtype="<i2")
+            body_raw = body
         off += 8 + ln + (ln & 1)  # chunks are word-aligned
-    if rate is None or pcm is None:
+    if rate is None or body_raw is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if fmt_tag == 1 and bits == 16:
+        pcm = np.frombuffer(body_raw, dtype="<i2")
+    elif fmt_tag == 1:  # 8-bit PCM is UNSIGNED, midpoint 128
+        pcm = (
+            (np.frombuffer(body_raw, dtype=np.uint8).astype(np.int16) - 128) << 8
+        )
+    else:  # float32 in [-1, 1]
+        f = np.clip(np.frombuffer(body_raw, dtype="<f4"), -1.0, 1.0)
+        pcm = np.round(f * 32767.0).astype(np.int16)
     if n_ch > 1:
         pcm = (
             pcm[: len(pcm) - len(pcm) % n_ch]

@@ -203,3 +203,36 @@ def test_adam7_interlaced_png_decodes():
         )
         out = decode_png(data)
         assert np.array_equal(out, img), (h, w, c)
+
+
+def test_palette_png_decodes_to_rgb():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from lasutility_ray.geom.png import _SIG, _chunk, decode_png
+
+    rng = np.random.default_rng(4)
+    h, w = 11, 6
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    data = (
+        _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert np.array_equal(out, pal[idx])
+    # missing PLTE is a data error; oob index is a data error
+    bad = _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    small = (
+        _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal[:8].tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(small)

@@ -483,10 +483,38 @@ def test_decode_wav_real_format():
     assert rate == 8000 and (got == 2000).all() and len(got) == 10
 
     with pytest.raises(NotImplementedError, match="PCM"):
-        bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 32)  # float32
+        bad_fmt = struct.pack("<HHIIHH", 6, 1, 8000, 8000, 1, 8)  # a-law
         decode_wav(
             b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt)) + b"WAVE"
             + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
         )
     with pytest.raises(NotImplementedError, match="stubbed"):
         decode_audio(b"ID3\x04mp3-like")
+
+
+def test_wav_8bit_and_float32_decode():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from lasutility_ray.stages.multimodal import decode_wav
+
+    def wav(fmt_tag, bits, body):
+        fmt = struct.pack("<HHIIHH", fmt_tag, 1, 8000, 0, 0, bits)
+        out = b"RIFF" + b"\x00" * 4 + b"WAVE"
+        out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        out += b"data" + struct.pack("<I", len(body)) + body
+        return out
+
+    # 8-bit unsigned PCM: midpoint 128 -> 0
+    rate, pcm = decode_wav(wav(1, 8, bytes([128, 0, 255])))
+    assert rate == 8000
+    assert pcm.tolist() == [0, -32768, 32512]
+    # float32 in [-1, 1], clipped
+    body = np.array([0.0, 1.0, -1.0, 2.0, 0.5], "<f4").tobytes()
+    rate, pcm = decode_wav(wav(3, 32, body))
+    assert pcm.tolist() == [0, 32767, -32767, 32767, 16384]
+    # 24-bit stays a loud stub
+    with pytest.raises(NotImplementedError):
+        decode_wav(wav(1, 24, b"\x00" * 6))
