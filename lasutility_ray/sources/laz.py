@@ -536,6 +536,24 @@ class _GpsTime11v2:
 # ------------------------------------------------ RGB12 v2 item
 
 
+def _typed_laz_errors(fn):
+    """Malformed LAS/LAZ bytes must surface as ValueError (the
+    reader's data error), never bare struct.error / IndexError from
+    whichever parse step tripped first — fuzz-pinned."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrap(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (ValueError, NotImplementedError, EOFError, OSError):
+            raise
+        except (struct.error, IndexError, KeyError, OverflowError) as exc:
+            raise ValueError(f"malformed LAS/LAZ stream: {exc}") from exc
+
+    return wrap
+
+
 def _u8_fold(n: int) -> int:
     return n & 0xFF
 
@@ -827,6 +845,7 @@ def _plain_arrays(
     }
 
 
+@_typed_laz_errors
 def read_laz_points(path: str):
     """Read a LAS or LAZ file -> dict of numpy arrays {x, y, z,
     classification, intensity, gps_time} (dequantized doubles).
@@ -914,6 +933,7 @@ def read_laz_points(path: str):
 TARGET_UNIT_BYTES = 128 << 20  # ~one object-store block per plain-LAS unit
 
 
+@_typed_laz_errors
 def laz_read_units(path: str, target_unit_bytes: int = TARGET_UNIT_BYTES) -> list[dict]:
     """Split one LAS/LAZ file into independently-decodable work units
     for the Ray reader. A LAZ chunk is a self-contained arithmetic
@@ -1028,6 +1048,7 @@ def laz_read_units(path: str, target_unit_bytes: int = TARGET_UNIT_BYTES) -> lis
     return units
 
 
+@_typed_laz_errors
 def read_laz_chunk_points(unit: dict):
     """Decode one ``laz_read_units`` work unit -> the same column-array
     dict ``read_laz_points`` returns. Whole-file units delegate; plain

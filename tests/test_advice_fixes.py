@@ -294,3 +294,41 @@ def test_knn_kring_halo_radius_beyond_tile(ray_session):
     got = list(zip(out["q_doc_id"], out["neighbor_id"], out["rank"]))
     want = [(a, b, r) for a, b, r, _ in rows]
     assert got == want
+
+
+def test_laz_malformed_streams_raise_value_error(tmp_path):
+    """Fuzz-pinned: truncated/bit-flipped LAS/LAZ must raise the
+    reader's typed data errors, never bare IndexError/struct.error."""
+    import numpy as np
+    import pytest
+
+    from lasutility_ray.sources.laz import read_laz_points
+
+    path = (
+        "/root/reference/LasUtility.Tests/TestFiles/Triangulation/"
+        "AddPointCloudAndTriangulate/Input/Q5232E1_cropped.laz"
+    )
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip("reference fixture not present")
+    good = open(path, "rb").read()
+    p = tmp_path / "bad.laz"
+    for i in (100, 500, 2500, len(good) // 2):
+        p.write_bytes(good[:i])
+        with pytest.raises((ValueError, NotImplementedError, EOFError)):
+            read_laz_points(str(p))
+    # cutting only the TRAILING chunk table is benign: the point data
+    # is intact, and the reader falls back to sequential decode
+    p.write_bytes(good[: len(good) - 7])
+    read_laz_points(str(p))
+    for seed in range(25):
+        r = np.random.default_rng(seed)
+        g = bytearray(good)
+        for _ in range(5):
+            g[r.integers(0, len(g))] = r.integers(0, 256)
+        p.write_bytes(bytes(g))
+        try:
+            read_laz_points(str(p))  # some flips decode fine
+        except (ValueError, NotImplementedError, EOFError):
+            pass
