@@ -100,7 +100,12 @@ def _decode_map(buf, off, n):
 
 
 def decode_msgpack(data: bytes):
-    v, off = _decode(data, 0)
+    try:
+        v, off = _decode(data, 0)
+    except (IndexError, struct.error, KeyError, TypeError, MemoryError) as exc:
+        # malformed bytes surface as the codec's data error, never the
+        # bare exception of whichever parse step tripped (fuzz-pinned)
+        raise ValueError(f"malformed MessagePack stream: {exc}") from exc
     if off != len(data):
         raise ValueError(f"trailing bytes: {len(data) - off}")
     return v
@@ -187,6 +192,13 @@ def load_voxel_snapshot(path: str) -> VoxelTile:
     VoxelGrid.cs:347-359)."""
     with open(path, "rb") as f:
         root = decode_msgpack(f.read())
+    try:
+        return _tile_from_root(root)
+    except (IndexError, TypeError, KeyError, struct.error) as exc:
+        raise ValueError(f"malformed voxel snapshot: {exc}") from exc
+
+
+def _tile_from_root(root) -> VoxelTile:
     bounds_union, grid2d, dem2d, is_sorted = root[0], root[1], root[2], root[3]
     if bounds_union[0] != 0:
         raise ValueError("unknown IRasterBounds union type")

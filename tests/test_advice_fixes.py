@@ -332,3 +332,37 @@ def test_laz_malformed_streams_raise_value_error(tmp_path):
             read_laz_points(str(p))  # some flips decode fine
         except (ValueError, NotImplementedError, EOFError):
             pass
+
+
+def test_msgpack_malformed_streams_raise_value_error(tmp_path):
+    """Fuzz-pinned: truncated/bit-flipped snapshots raise ValueError,
+    never bare IndexError/struct.error/TypeError."""
+    import glob
+    import os
+
+    import numpy as np
+    import pytest
+
+    from lasutility_ray.sources.msgpack_snapshot import load_voxel_snapshot
+
+    objs = glob.glob(
+        "/root/reference/LasUtility.Tests/TestFiles/**/points.obj", recursive=True
+    )
+    if not objs:
+        pytest.skip("reference fixture not present")
+    good = open(objs[0], "rb").read()
+    p = tmp_path / "bad.obj"
+    for i in (1, 10, len(good) // 3, len(good) - 5):
+        p.write_bytes(good[:i])
+        with pytest.raises((ValueError, NotImplementedError, EOFError)):
+            load_voxel_snapshot(str(p))
+    for seed in range(20):
+        r = np.random.default_rng(seed)
+        g = bytearray(good)
+        for _ in range(5):
+            g[r.integers(0, len(g))] = r.integers(0, 256)
+        p.write_bytes(bytes(g))
+        try:
+            load_voxel_snapshot(str(p))  # benign flips may decode
+        except (ValueError, NotImplementedError, EOFError):
+            pass
