@@ -85,10 +85,13 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack_from(
                 ">IIBBBBB", payload, 0
             )
-            if depth != 8 or color not in _COLOR_CHANNELS:
+            ok = (depth == 8 and color in _COLOR_CHANNELS) or (
+                depth in (1, 2, 4) and color in (0, 3)
+            )
+            if not ok:
                 raise NotImplementedError(
                     f"PNG depth {depth} / color type {color} not supported "
-                    "(8-bit grey/RGB/palette/RGBA only)"
+                    "(8-bit grey/RGB/palette/RGBA; 1/2/4-bit grey/palette)"
                 )
             if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise NotImplementedError("nonzero-method PNG")
@@ -106,6 +109,18 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     raw = zlib.decompress(b"".join(idat))
+
+    def row_bytes(px: int) -> int:
+        return (px * depth * c + 7) // 8
+
+    def pass_image(buf: bytes, ph: int, pw: int) -> np.ndarray:
+        # unfilter at the byte level (bpp = ceil(depth*c/8)), then
+        # expand sub-8-bit samples to one byte per sample
+        rows = _unfilter_image(buf, ph, row_bytes(pw), max(1, depth * c // 8))
+        if depth == 8:
+            return rows.reshape(ph, pw, c)
+        return _expand_depth(rows, pw, depth, color).reshape(ph, pw, 1)
+
     if adam7:
         # Adam7: seven independently-filtered sub-images, scattered
         # onto the canvas by the standard (x0, y0, dx, dy) grids
@@ -119,15 +134,13 @@ def decode_png(data: bytes) -> np.ndarray:
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            n = ph * (pw * c + 1)
-            sub = _unfilter_image(raw[off7 : off7 + n], ph, pw, c)
+            n = ph * (row_bytes(pw) + 1)
+            out7[y0::dy, x0::dx] = pass_image(raw[off7 : off7 + n], ph, pw)
             off7 += n
-            out7[y0::dy, x0::dx] = sub.reshape(ph, pw, c)
         if off7 != len(raw):
             raise ValueError("PNG interlaced payload size mismatch")
         return _apply_palette(out7, color, plte)
-    img = _unfilter_image(raw, h, w, c).reshape(h, w, c)
-    return _apply_palette(img, color, plte)
+    return _apply_palette(pass_image(raw, h, w), color, plte)
 
 
 def _apply_palette(img: np.ndarray, color: int, plte) -> np.ndarray:
@@ -141,13 +154,24 @@ def _apply_palette(img: np.ndarray, color: int, plte) -> np.ndarray:
     return plte[idx]  # (h, w, 3)
 
 
-def _unfilter_image(raw: bytes, h: int, w: int, c: int) -> np.ndarray:
-    stride = w * c + 1
+def _expand_depth(rows: np.ndarray, w: int, depth: int, color: int) -> np.ndarray:
+    """(h, row_bytes) packed sub-8-bit scanlines -> (h, w) one byte
+    per sample (MSB-first packing per the PNG spec). Grey samples are
+    rescaled to full 8-bit range; palette samples stay raw indices."""
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (bits.reshape(rows.shape[0], w, depth) * weights).sum(axis=2)
+    if color == 0:
+        vals = vals * 255 // ((1 << depth) - 1)
+    return vals.astype(np.uint8)
+
+
+def _unfilter_image(raw: bytes, h: int, n_bytes: int, bpp: int) -> np.ndarray:
+    stride = n_bytes + 1
     if len(raw) != h * stride:
         raise ValueError("PNG payload size mismatch")
-    out = np.empty((h, w * c), dtype=np.uint8)
-    prev = np.zeros(w * c, dtype=np.int32)
-    bpp = c
+    out = np.empty((h, n_bytes), dtype=np.uint8)
+    prev = np.zeros(n_bytes, dtype=np.int32)
     for i in range(h):
         line = raw[i * stride : (i + 1) * stride]
         ftype = line[0]

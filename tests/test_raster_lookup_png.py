@@ -236,3 +236,44 @@ def test_palette_png_decodes_to_rgb():
     )
     with pytest.raises(ValueError):
         decode_png(small)
+
+
+def test_sub8bit_grey_and_palette_png():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lasutility_ray.geom.png import _SIG, _chunk, decode_png
+
+    rng = np.random.default_rng(5)
+    for depth in (1, 2, 4):
+        h, w = 9, 13  # width not a multiple of 8/depth -> padded rows
+        maxv = (1 << depth) - 1
+        img = rng.integers(0, maxv + 1, (h, w), dtype=np.uint8)
+        # pack rows MSB-first with zero padding to the byte boundary
+        rows = bytearray()
+        for r in range(h):
+            bits = np.zeros(((w * depth + 7) // 8) * 8, np.uint8)
+            for x in range(w):
+                for b in range(depth):
+                    bits[x * depth + b] = (img[r, x] >> (depth - 1 - b)) & 1
+            rows += b"\x00" + np.packbits(bits).tobytes()
+        # grey: samples rescale to 8-bit
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        data = (
+            _SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(rows))) + _chunk(b"IEND", b"")
+        )
+        out = decode_png(data)
+        expect = (img.astype(np.uint16) * 255 // maxv).astype(np.uint8)
+        assert np.array_equal(out[:, :, 0], expect), f"grey depth={depth}"
+        # palette: samples are raw indices into PLTE
+        pal = rng.integers(0, 256, (maxv + 1, 3), dtype=np.uint8)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+        data = (
+            _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+            + _chunk(b"IDAT", zlib.compress(bytes(rows))) + _chunk(b"IEND", b"")
+        )
+        out = decode_png(data)
+        assert np.array_equal(out, pal[img]), f"palette depth={depth}"
