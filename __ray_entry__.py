@@ -1093,6 +1093,20 @@ def q_image_resize(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_image_reencode(sf_dir: str):
+    """Image storage compaction: decode (GRD1/PNG/JPEG) -> re-encode
+    as baseline JPEG in an actor pool; reports compressed size and
+    round-trip MAE per doc (stages/multimodal.py ImageReencode —
+    the from-scratch T.81 codec, both directions, inside Ray)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import attach_images, image_reencode_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    with_imgs = docs.map_batches(attach_images, batch_format="pyarrow")
+    return image_reencode_stage(with_imgs).drop_columns(["image", "image_meta"])
+
+
 def q_frame_sample(sf_dir: str):
     """Multimodal frame sampling (video-style every-Nth selection)."""
     import ray.data as rd
@@ -1105,8 +1119,24 @@ def q_frame_sample(sf_dir: str):
     with_imgs = docs.map_batches(attach_images, batch_format="pyarrow")
 
     def to_video(t: pa.Table) -> pa.Table:
-        # fake video: 8 concatenated GRD1 frames per doc
-        vids = [data * 8 for data in t.column("image").to_pylist()]
+        # 8-frame videos: every 5th doc is a REAL animated GIF (the
+        # from-scratch codec decodes it inside frame_sample — same
+        # frame count, so the sampled-count result is identical to
+        # the GRD1 path), the rest raw GRD1 concatenations
+        import numpy as np
+
+        from lasutility_ray.geom.gif import encode_gif
+        from lasutility_ray.stages.multimodal import HEADER, decode_image
+
+        pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        ids = t.column("doc_id").to_numpy()
+        vids = []
+        for d, data in zip(ids, t.column("image").to_pylist()):
+            if d % 5 == 0:
+                frame = decode_image(data)
+                vids.append(encode_gif([frame] * 8, pal))
+            else:
+                vids.append(data * 8)
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
@@ -1232,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_audio_features": q_audio_features,
         "q_image_resize": q_image_resize,
         "q_frame_sample": q_frame_sample,
+        "q_image_reencode": q_image_reencode,
         "q_checkpoint_manifest": q_checkpoint_manifest,
     }
 

