@@ -46,6 +46,26 @@ def encode_grey_png(data: np.ndarray, top_down: bool = True) -> bytes:
     )
 
 
+def encode_grey16_png(data: np.ndarray, top_down: bool = True) -> bytes:
+    """uint16 (rows, cols) raster -> 16-bit greyscale PNG (big-endian
+    samples per the spec; filter 0 rows). The precision tier DEM
+    exports need — 8 bits quantize a 1000 m height range to 4 m
+    steps, 16 bits to 1.5 cm."""
+    if data.dtype != np.uint16 or data.ndim != 2:
+        raise ValueError("expected uint16 (rows, cols)")
+    h, w = data.shape
+    rows = data[::-1] if top_down else data
+    be = rows.astype(">u2")
+    raw = b"".join(b"\x00" + be[i].tobytes() for i in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
 _COLOR_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # grey, RGB, palette, RGBA (8-bit)
 
 
@@ -87,7 +107,7 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             ok = (depth == 8 and color in _COLOR_CHANNELS) or (
                 depth in (1, 2, 4) and color in (0, 3)
-            )
+            ) or (depth == 16 and color == 0)
             if not ok:
                 raise NotImplementedError(
                     f"PNG depth {depth} / color type {color} not supported "
@@ -115,16 +135,19 @@ def decode_png(data: bytes) -> np.ndarray:
 
     def pass_image(buf: bytes, ph: int, pw: int) -> np.ndarray:
         # unfilter at the byte level (bpp = ceil(depth*c/8)), then
-        # expand sub-8-bit samples to one byte per sample
+        # expand sub-8-bit samples / combine 16-bit sample pairs
         rows = _unfilter_image(buf, ph, row_bytes(pw), max(1, depth * c // 8))
         if depth == 8:
             return rows.reshape(ph, pw, c)
+        if depth == 16:
+            u16 = (rows[:, 0::2].astype(np.uint16) << 8) | rows[:, 1::2]
+            return u16.reshape(ph, pw, 1)
         return _expand_depth(rows, pw, depth, color).reshape(ph, pw, 1)
 
     if adam7:
         # Adam7: seven independently-filtered sub-images, scattered
         # onto the canvas by the standard (x0, y0, dx, dy) grids
-        out7 = np.empty((h, w, c), dtype=np.uint8)
+        out7 = np.empty((h, w, c), dtype=np.uint16 if depth == 16 else np.uint8)
         off7 = 0
         for x0, y0, dx, dy in (
             (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),

@@ -227,3 +227,79 @@ def write_dem_tiles_ascii(tin_tiles_ds, out_dir: str, cell_size: float = 10.0):
         )
 
     return tin_tiles_ds.map_batches(write_batch, batch_format="pandas").materialize()
+
+
+def write_dem_tiles_png16(
+    tin_tiles_ds, out_dir: str, cell_size: float = 10.0, z_scale: float = 100.0
+):
+    """Sink for ``stages.tin.tin_tiles`` rows: every tile's float DEM
+    as a 16-bit greyscale PNG (``geom.png.encode_grey16_png``) — 1 cm
+    height resolution at the default scale where the reference's
+    8-bit ``WriteAsPng`` path quantizes meters away. Per tile the
+    height is stored as ``round((z - z_offset) * z_scale)`` with
+    ``z_offset = floor(min(z))`` carried in the manifest; NODATA
+    cells map to 65535. A tile whose height span would overflow 16
+    bits at the requested scale gets the largest scale that fits
+    (the manifest records the per-tile effective scale, so reads stay
+    exact). Rows are written top-down (the image convention, same as
+    the ASCII export). Returns the manifest Dataset
+    (tile_id, path, n_bytes, md5, z_offset, z_scale)."""
+    from ..geom.png import encode_grey16_png
+
+    NODATA_U16 = np.uint16(65535)
+
+    def write_batch(df: pd.DataFrame) -> pd.DataFrame:
+        paths, sizes, hashes, offsets, scales = [], [], [], [], []
+        for tid, blob in zip(df["tile_id"], df["dem"]):
+            env = decode(tid)
+            bounds = RasterBounds.for_tile(env, cell_size)
+            dem = np.frombuffer(blob, dtype=np.float32).reshape(
+                bounds.n_rows, bounds.n_cols
+            )
+            ok = ~np.isnan(dem)
+            z_off = float(np.floor(dem[ok].min())) if ok.any() else 0.0
+            eff = z_scale
+            q = np.full(dem.shape, NODATA_U16, dtype=np.uint16)
+            if ok.any():
+                span = float(dem[ok].max()) - z_off
+                if span * z_scale > 65534.0:
+                    eff = 65534.0 / span
+                scaled = np.round((dem[ok].astype(np.float64) - z_off) * eff)
+                q[ok] = np.clip(scaled, 0, 65534).astype(np.uint16)
+            png = encode_grey16_png(q, top_down=True)
+            path = os.path.join(out_dir, f"{tid}.png")
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(png)
+            os.replace(tmp, path)
+            paths.append(path)
+            sizes.append(len(png))
+            hashes.append(hashlib.md5(png).hexdigest())
+            offsets.append(z_off)
+            scales.append(eff)
+        return pd.DataFrame(
+            {
+                "tile_id": df["tile_id"].to_numpy(),
+                "path": paths,
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "md5": hashes,
+                "z_offset": pd.Series(offsets, dtype="float64"),
+                "z_scale": pd.Series(scales, dtype="float64"),
+            }
+        )
+
+    return tin_tiles_ds.map_batches(write_batch, batch_format="pandas").materialize()
+
+
+def read_dem_png16(path: str, z_offset: float, z_scale: float = 100.0) -> np.ndarray:
+    """Inverse of the PNG-16 DEM export: (rows, cols) float32 heights
+    bottom-up (the raster convention), NODATA -> NaN."""
+    from ..geom.png import decode_png
+
+    with open(path, "rb") as f:
+        img = decode_png(f.read())
+    q = img[::-1, :, 0].astype(np.float64)  # undo top-down
+    out = q / z_scale + z_offset
+    out[q == 65535] = np.nan
+    return out.astype(np.float32)

@@ -277,3 +277,46 @@ def test_sub8bit_grey_and_palette_png():
         )
         out = decode_png(data)
         assert np.array_equal(out, pal[img]), f"palette depth={depth}"
+
+
+def test_grey16_png_roundtrip():
+    import numpy as np
+
+    from lasutility_ray.geom.png import decode_png, encode_grey16_png
+
+    rng = np.random.default_rng(6)
+    data = rng.integers(0, 65536, (23, 17), dtype=np.uint16)
+    png = encode_grey16_png(data, top_down=False)
+    out = decode_png(png)
+    assert out.dtype == np.uint16
+    assert np.array_equal(out[:, :, 0], data)
+
+
+def test_dem_png16_sink_roundtrip(ray_session, tmp_path):
+    import numpy as np
+
+    from lasutility_ray.sources.ascii_tiles import read_dem_png16, write_dem_tiles_png16
+    from lasutility_ray.stages.tiling import points_dataset
+    from lasutility_ray.stages.tin import tin_tiles
+
+    pts = points_dataset(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    )
+    tiles = tin_tiles(pts, include_rasters=True).materialize()
+    man = write_dem_tiles_png16(tiles, str(tmp_path / "png16"), cell_size=10.0)
+    rows = man.to_pandas()
+    assert len(rows) == tiles.count()
+    dems = {r["tile_id"]: r["dem"] for r in tiles.take_all()}
+    checked = 0
+    for _, r in rows.iterrows():
+        back = read_dem_png16(r["path"], r["z_offset"], r["z_scale"])
+        want = np.frombuffer(dems[r["tile_id"]], dtype=np.float32).reshape(back.shape)
+        m = ~np.isnan(want)
+        assert np.array_equal(np.isnan(back), np.isnan(want))
+        if m.any():
+            # 0.5/scale quantization + float32 ulp slack (~6e-5 at ~600 m)
+            assert np.abs(back[m] - want[m]).max() <= 0.5 / r["z_scale"] + 1e-4
+            checked += 1
+        if checked >= 5:
+            break
+    assert checked > 0  # sparse corpus: most tiles are all-NODATA
