@@ -91,6 +91,7 @@ def decode_png(data: bytes) -> np.ndarray:
     w = h = c = None
     color = None
     plte = None
+    trns = None
     idat = []
     while off + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, off)
@@ -121,6 +122,8 @@ def decode_png(data: bytes) -> np.ndarray:
             if len(payload) % 3 or len(payload) > 768:
                 raise ValueError("bad PLTE length")
             plte = np.frombuffer(payload, np.uint8).reshape(-1, 3).copy()
+        elif tag == b"tRNS" and color == 3:
+            trns = np.frombuffer(payload, np.uint8).copy()
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
@@ -162,11 +165,11 @@ def decode_png(data: bytes) -> np.ndarray:
             off7 += n
         if off7 != len(raw):
             raise ValueError("PNG interlaced payload size mismatch")
-        return _apply_palette(out7, color, plte)
-    return _apply_palette(pass_image(raw, h, w), color, plte)
+        return _apply_palette(out7, color, plte, trns)
+    return _apply_palette(pass_image(raw, h, w), color, plte, trns)
 
 
-def _apply_palette(img: np.ndarray, color: int, plte) -> np.ndarray:
+def _apply_palette(img: np.ndarray, color: int, plte, trns=None) -> np.ndarray:
     if color != 3:
         return img
     if plte is None:
@@ -174,7 +177,13 @@ def _apply_palette(img: np.ndarray, color: int, plte) -> np.ndarray:
     idx = img[..., 0]
     if idx.max(initial=0) >= len(plte):
         raise ValueError("palette index outside PLTE")
-    return plte[idx]  # (h, w, 3)
+    rgb = plte[idx]  # (h, w, 3)
+    if trns is None:
+        return rgb
+    # tRNS: per-palette-entry alpha (entries past the chunk are opaque)
+    alpha_tab = np.full(len(plte), 255, np.uint8)
+    alpha_tab[: min(len(trns), len(plte))] = trns[: len(plte)]
+    return np.concatenate([rgb, alpha_tab[idx][..., None]], axis=2)
 
 
 def _expand_depth(rows: np.ndarray, w: int, depth: int, color: int) -> np.ndarray:

@@ -213,7 +213,9 @@ class ImageReencode:
         )
 
 
-def image_reencode_stage(ds, quality: int = 85, concurrency: int = 4, batch_size: int = 256):
+def image_reencode_stage(ds, quality: int = 85, concurrency: int = 8, batch_size: int = 64):
+    # smaller batches + a wider pool: the per-image python huffman
+    # kernel (~2 ms) dominates, so spread batches across actors
     return ds.map_batches(
         ImageReencode,
         fn_constructor_kwargs={"quality": quality},

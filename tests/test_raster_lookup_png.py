@@ -320,3 +320,27 @@ def test_dem_png16_sink_roundtrip(ray_session, tmp_path):
         if checked >= 5:
             break
     assert checked > 0  # sparse corpus: most tiles are all-NODATA
+
+
+def test_palette_trns_gives_rgba():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lasutility_ray.geom.png import _SIG, _chunk, decode_png
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    pal8 = np.vstack([pal, np.zeros((253, 3), np.uint8)])[:3]  # keep 3 entries
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(2))
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    data = (
+        _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal8.tobytes())
+        + _chunk(b"tRNS", bytes([0, 128]))  # entry 0 clear, 1 half, 2 opaque
+        + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 3, 4)
+    assert np.array_equal(out[..., :3], pal8[idx])
+    assert out[0, 0, 3] == 0 and out[0, 1, 3] == 128 and out[0, 2, 3] == 255
