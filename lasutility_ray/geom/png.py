@@ -108,7 +108,7 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             ok = (depth == 8 and color in _COLOR_CHANNELS) or (
                 depth in (1, 2, 4) and color in (0, 3)
-            ) or (depth == 16 and color == 0)
+            ) or (depth == 16 and color in (0, 2, 6))
             if not ok:
                 raise NotImplementedError(
                     f"PNG depth {depth} / color type {color} not supported "
@@ -143,8 +143,9 @@ def decode_png(data: bytes) -> np.ndarray:
         if depth == 8:
             return rows.reshape(ph, pw, c)
         if depth == 16:
+            # byte pairs are big-endian per sample, channels interleaved
             u16 = (rows[:, 0::2].astype(np.uint16) << 8) | rows[:, 1::2]
-            return u16.reshape(ph, pw, 1)
+            return u16.reshape(ph, pw, c)
         return _expand_depth(rows, pw, depth, color).reshape(ph, pw, 1)
 
     if adam7:

@@ -344,3 +344,26 @@ def test_palette_trns_gives_rgba():
     assert out.shape == (2, 3, 4)
     assert np.array_equal(out[..., :3], pal8[idx])
     assert out[0, 0, 3] == 0 and out[0, 1, 3] == 128 and out[0, 2, 3] == 255
+
+
+def test_rgb16_and_rgba16_png_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from lasutility_ray.geom.png import _SIG, _chunk, decode_png
+
+    rng = np.random.default_rng(8)
+    for c, color in ((3, 2), (4, 6)):
+        img = rng.integers(0, 65536, (6, 5, c), dtype=np.uint16)
+        be = img.astype(">u2")
+        raw = b"".join(b"\x00" + be[r].tobytes() for r in range(6))
+        ihdr = struct.pack(">IIBBBBB", 5, 6, 16, color, 0, 0, 0)
+        data = (
+            _SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+        )
+        out = decode_png(data)
+        assert out.dtype == np.uint16 and out.shape == (6, 5, c)
+        assert np.array_equal(out, img)
