@@ -131,7 +131,10 @@ def decode_png(data: bytes) -> np.ndarray:
         off += 12 + length
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:  # CRC-valid but corrupt deflate stream
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
 
     def row_bytes(px: int) -> int:
         return (px * depth * c + 7) // 8
