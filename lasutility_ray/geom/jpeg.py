@@ -345,11 +345,13 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = []
+    # entropy-decode into per-component coefficient grids; the IDCT
+    # runs vectorized over ALL blocks afterwards (one einsum/plane)
+    coef_grids = []
     for c in comps:
-        ph = mcuy * 8 * c["v"]
-        pw = mcux * 8 * c["h"]
-        planes.append(np.zeros((ph, pw), np.float64))
+        coef_grids.append(
+            np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.float64)
+        )
     br = _BitReader(data, pos)
     pred = [0] * len(comps)
     mcu_count = 0
@@ -366,18 +368,19 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
                             block = _decode_block(
                                 br, huff_dc[dct], huff_ac[act], pred, ci
                             )
-                            coef = np.zeros(64, np.float64)
-                            coef[ZIGZAG] = block
-                            pix = idct2((coef.reshape(8, 8)) * qt[c["tq"]])
-                            y0 = (my * c["v"] + by) * 8
-                            x0 = (mx * c["h"] + bx) * 8
-                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
+                            coef_grids[ci][my * c["v"] + by, mx * c["h"] + bx] = block
             except (_RestartHit, _MarkerHit) as exc:
                 raise JpegError("entropy stream ended inside an MCU") from exc
             mcu_count += 1
     out_planes = []
     for ci, c in enumerate(comps):
-        p = planes[ci] + 128.0
+        ny, nx, _ = coef_grids[ci].shape
+        nat = np.zeros((ny, nx, 64), np.float64)
+        nat[:, :, ZIGZAG] = coef_grids[ci]
+        nat = nat.reshape(ny, nx, 8, 8) * qt[c["tq"]]
+        pix = np.einsum("kn,yxkl,lm->yxnm", _C, nat, _C, optimize=True)
+        plane = pix.transpose(0, 2, 1, 3).reshape(ny * 8, nx * 8)
+        p = plane + 128.0
         if c["h"] != hmax or c["v"] != vmax:
             p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         out_planes.append(p[:h, :w])
@@ -621,16 +624,29 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: str = "444") -> b
         pp[:h, w:] = p[:, w - 1 : w]
         pp[h:, w:] = p[h - 1, w - 1]
         padded.append(pp)
+    # vectorized transform: DCT + quantize + zigzag for ALL blocks of
+    # a plane in one einsum (the python loop below does entropy only)
+    zz_planes = []
+    for ci in range(nc):
+        q = qts[0] if ci == 0 else qts[1]
+        blocks = (
+            padded[ci]
+            .reshape(bh, 8, bwid, 8)
+            .transpose(0, 2, 1, 3)  # (bh, bwid, 8, 8)
+        )
+        coefs = np.einsum("kn,yxnm,lm->yxkl", _C, blocks, _C, optimize=True)
+        zz = (
+            np.round(coefs / q)
+            .astype(np.int64)
+            .reshape(bh, bwid, 64)[:, :, ZIGZAG]
+        )
+        zz_planes.append(zz)
     for by in range(bh):
         for bx in range(bwid):
             for ci in range(nc):
-                q = qts[0] if ci == 0 else qts[1]
-                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = dct2(block)
-                zz = np.round(coef / q).astype(np.int64).reshape(-1)[ZIGZAG]
                 dc_enc = enc_maps[0x00 if ci == 0 else 0x01]
                 ac_enc = enc_maps[0x10 if ci == 0 else 0x11]
-                _encode_block(bw, zz, pred, ci, dc_enc, ac_enc)
+                _encode_block(bw, zz_planes[ci][by, bx], pred, ci, dc_enc, ac_enc)
     bw.flush()
     out += bw.buf
     out += b"\xff\xd9"
