@@ -191,7 +191,10 @@ def lookup_join(
     ``ceil(count/threshold)`` sub-buckets (capped at
     ``MAX_HOT_FANOUT``) and only that key's right rows replicate.
     Well-distributed inputs pay one counting pass and nothing else;
-    results are identical in every mode."""
+    results are identical in every mode. NOTE: the counting pass is a
+    SECOND consumption of ``left_ds`` — a lazy Dataset re-executes its
+    upstream lineage per consumer, so materialize/checkpoint the left
+    side first when its upstream is expensive (line_dedup does)."""
     if n_buckets is None:
         n_buckets = default_n_buckets()
     auto_salt = n_salt == "auto"

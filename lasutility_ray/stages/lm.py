@@ -74,7 +74,12 @@ def train_unigram(ds, text_col: str = "text", max_vocab: int = MAX_VOCAB):
         .aggregate(Sum("n"))
         .materialize()
     )
-    total = int(agg.sum("sum(n)"))
+    total_raw = agg.sum("sum(n)")  # None on an all-empty corpus
+    total = int(total_raw) if total_raw is not None else 0
+    if total == 0:
+        # no tokens anywhere: empty model; the scorer drops every doc
+        # (all have n_tokens == 0) so oov is never consulted
+        return pd.DataFrame({"token": [], "millibits": []}), 0, 0
     top = (
         agg.sort(["sum(n)", "token"], descending=[True, False])
         .limit(max_vocab)

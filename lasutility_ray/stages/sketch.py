@@ -198,6 +198,16 @@ def heavy_hitters(
         .aggregate(Sum("n", alias_name="n"), Sum("err", alias_name="err"))
         .to_pandas()
     )
+    if merged.empty:  # zero tokens in the corpus: Ray returns a
+        # column-less empty frame, so build the schema explicitly
+        return pd.DataFrame(
+            {
+                "rank": pd.Series([], dtype="int64"),
+                "token": pd.Series([], dtype="object"),
+                "est_count": pd.Series([], dtype="int64"),
+                "max_error": pd.Series([], dtype="int64"),
+            }
+        )
     # the merged counter table is capacity x batches at worst — apply
     # one final MG truncation to the capacity, then take top-k
     max_error = int(merged["err"].sum())

@@ -68,3 +68,9 @@ def test_value_exact_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], ref[sorted(ref.columns)], check_dtype=False
     )
+
+
+def test_all_empty_corpus(ray_session):
+    ds = _mk_ds(["", "   ", "!!!"])
+    out = unigram_lm_score(ds).to_pandas()
+    assert len(out) == 0

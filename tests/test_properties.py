@@ -272,3 +272,17 @@ class TestHeavyHitters:
         exact = token_topk(docs, k=10)
         assert approx["token"].tolist() == exact["token"].tolist()
         assert approx["est_count"].tolist() == exact["n"].tolist()
+
+
+def test_heavy_hitters_empty_corpus(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.sketch import heavy_hitters
+
+    out = heavy_hitters(
+        rd.from_pandas(pd.DataFrame({"doc_id": [0, 1], "text": ["", "  "]}))
+    )
+    assert len(out) == 0
+    assert list(out.columns) == ["rank", "token", "est_count", "max_error"]
