@@ -1107,6 +1107,48 @@ def q_image_reencode(sf_dir: str):
     return image_reencode_stage(with_imgs).drop_columns(["image", "image_meta"])
 
 
+def q_image_dedup(sf_dir: str):
+    """Cross-container exact image dedup: every 10th doc's payload is
+    its predecessor's PIXELS re-encoded as a PNG, so container-level
+    hashing misses the duplicate while the canonical-pixel hash
+    (decode -> shape+bytes -> md5) collapses it
+    (stages/multimodal.py image_dedup). Rows-only; the pairing
+    invariant is pytest-pinned."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import attach_images, image_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    with_imgs = docs.map_batches(attach_images, batch_format="pyarrow")
+
+    def inject_cross_container_dups(t: pa.Table) -> pa.Table:
+        # imports INSIDE the task: struct.Struct module constants are
+        # not picklable in a closure
+        import numpy as np
+
+        from lasutility_ray.geom.png import encode_grey_png
+        from lasutility_ray.stages.multimodal import HEADER, synth_image_bytes
+
+        ids = t.column("doc_id").to_numpy()
+        payloads = t.column("image").to_pylist()
+        out = []
+        for d, data in zip(ids, payloads):
+            if d % 10 == 9:
+                prev = synth_image_bytes(np.array([d - 1]))[0]
+                img = np.frombuffer(prev, np.uint8, offset=HEADER.size).reshape(32, 32)
+                out.append(encode_grey_png(img, top_down=False))
+            else:
+                out.append(data)
+        idx = t.schema.get_field_index("image")
+        return t.set_column(idx, "image", pa.array(out, pa.large_binary()))
+
+    return image_dedup(
+        with_imgs.map_batches(inject_cross_container_dups, batch_format="pyarrow")
+    )
+
+
 def q_frame_sample(sf_dir: str):
     """Multimodal frame sampling (video-style every-Nth selection)."""
     import ray.data as rd
@@ -1263,6 +1305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_resize": q_image_resize,
         "q_frame_sample": q_frame_sample,
         "q_image_reencode": q_image_reencode,
+        "q_image_dedup": q_image_dedup,
         "q_checkpoint_manifest": q_checkpoint_manifest,
     }
 

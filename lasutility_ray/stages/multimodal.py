@@ -353,3 +353,49 @@ def image_feature_stage(ds, concurrency: int = 4, batch_size: int = 256):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def image_dedup(ds, id_col: str = "doc_id", image_col: str = "image"):
+    """Cross-container exact image dedup: decode every payload
+    (GRD1/PNG/lossless formats) to CANONICAL PIXELS — shape header +
+    raw bytes — and hash those, so the same picture stored as a PNG
+    and as a raw GRD1 blob collapses into one group. Container-level
+    byte hashing cannot do this (the md5 of a PNG differs from the
+    md5 of its own pixels).
+
+    Map-side partial (min id + count per pixel hash inside each
+    batch) -> one tiny ``groupby(pixel_hash)``; the shuffle carries
+    hashes, never pixels. Returns (pixel_hash, keep_id, n_copies)."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        hashes = []
+        for data in t.column(image_col).to_pylist():
+            img = decode_image(data)
+            canon = (
+                np.int64(img.shape[0]).tobytes()
+                + np.int64(img.shape[1]).tobytes()
+                + np.ascontiguousarray(img).tobytes()
+            )
+            hashes.append(hashlib.md5(canon).hexdigest())
+        df = pd.DataFrame({"pixel_hash": hashes, id_col: ids})
+        agg = (
+            df.groupby("pixel_hash", sort=False)[id_col]
+            .agg(["min", "count"])
+            .reset_index()
+            .rename(columns={"min": "pmin", "count": "pcount"})
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pixel_hash")
+        .aggregate(
+            Min("pmin", alias_name="keep_id"), Sum("pcount", alias_name="n_copies")
+        )
+    )

@@ -237,3 +237,36 @@ def test_image_reencode_stage(ray_session):
     # the emitted payloads are decodable JPEGs with the source shape
     img = decode_image(bytes(out["image"][0])) if "image" in out else None
     back = decode_jpeg(bytes(out["image"][0])) if "image" in out else None
+
+
+def test_image_dedup_across_containers(ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lasutility_ray.geom.png import encode_grey_png
+    from lasutility_ray.stages.multimodal import (
+        HEADER,
+        MAGIC,
+        image_dedup,
+        synth_image_bytes,
+    )
+
+    # docs 0..5: unique GRD1s; doc 6 = doc 0's PIXELS as a PNG; doc 7
+    # = byte-identical copy of doc 1's GRD1
+    grd = synth_image_bytes(np.arange(6))
+    img0 = np.frombuffer(grd[0], np.uint8, offset=HEADER.size).reshape(32, 32)
+    payloads = list(grd) + [encode_grey_png(img0, top_down=False), grd[1]]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                "image": pa.array(payloads, pa.large_binary()),
+            }
+        )
+    )
+    out = image_dedup(ds).to_pandas()
+    dups = out[out["n_copies"] > 1].sort_values("keep_id")
+    assert len(out) == 6  # 8 payloads, 6 distinct pictures
+    assert dups["keep_id"].tolist() == [0, 1]
+    assert dups["n_copies"].tolist() == [2, 2]
