@@ -1149,6 +1149,45 @@ def q_image_dedup(sf_dir: str):
     )
 
 
+def q_audio_dedup(sf_dir: str):
+    """Cross-container exact audio dedup: every 10th doc's clip is
+    its predecessor's SAMPLES wrapped as a RIFF/WAV file; the
+    canonical-PCM hash (decode -> rate+samples -> md5) collapses the
+    pair (stages/multimodal.py audio_dedup). Rows-only."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import attach_audio, audio_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    with_audio = docs.map_batches(attach_audio, batch_format="pyarrow")
+
+    def inject(t: pa.Table) -> pa.Table:
+        import struct
+
+        from lasutility_ray.stages.multimodal import AUDIO_HEADER, synth_audio_bytes
+
+        ids = t.column("doc_id").to_numpy()
+        out = []
+        for d, data in zip(ids, t.column("audio").to_pylist()):
+            if d % 10 == 9:
+                prev = synth_audio_bytes([d - 1])[0]
+                pcm = prev[AUDIO_HEADER.size :]
+                fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                out.append(
+                    b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(pcm)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(pcm)) + pcm
+                )
+            else:
+                out.append(data)
+        idx = t.schema.get_field_index("audio")
+        return t.set_column(idx, "audio", pa.array(out, pa.large_binary()))
+
+    return audio_dedup(with_audio.map_batches(inject, batch_format="pyarrow"))
+
+
 def q_frame_sample(sf_dir: str):
     """Multimodal frame sampling (video-style every-Nth selection)."""
     import ray.data as rd
@@ -1306,6 +1345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_frame_sample": q_frame_sample,
         "q_image_reencode": q_image_reencode,
         "q_image_dedup": q_image_dedup,
+        "q_audio_dedup": q_audio_dedup,
         "q_checkpoint_manifest": q_checkpoint_manifest,
     }
 

@@ -34,6 +34,10 @@ def _ring(coords) -> np.ndarray:
     r = np.asarray(coords, dtype=np.float64)
     if r.ndim != 2 or r.shape[1] != 2:
         raise ValueError("GeoJSON rings must be 2-D [x, y] positions")
+    if not np.isfinite(r).all():
+        # RFC 7946 JSON cannot represent NaN/Infinity; reject rather
+        # than emit/accept non-compliant documents
+        raise ValueError("GeoJSON coordinates must be finite")
     return r
 
 

@@ -399,3 +399,39 @@ def image_dedup(ds, id_col: str = "doc_id", image_col: str = "image"):
             Min("pmin", alias_name="keep_id"), Sum("pcount", alias_name="n_copies")
         )
     )
+
+
+def audio_dedup(ds, id_col: str = "doc_id", audio_col: str = "audio"):
+    """Cross-container exact audio dedup: decode (WAV or PCM1 fake)
+    to canonical samples — rate + mono int16 bytes — and hash those,
+    so the same clip as a RIFF/WAV file and as a raw PCM blob
+    collapses into one group. Same shape as :func:`image_dedup`."""
+    import hashlib
+
+    import pandas as pd
+
+    from ray.data.aggregate import Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        hashes = []
+        for data in t.column(audio_col).to_pylist():
+            rate, pcm = decode_audio(data)
+            canon = np.int64(rate).tobytes() + np.ascontiguousarray(pcm).tobytes()
+            hashes.append(hashlib.md5(canon).hexdigest())
+        df = pd.DataFrame({"pcm_hash": hashes, id_col: ids})
+        agg = (
+            df.groupby("pcm_hash", sort=False)[id_col]
+            .agg(["min", "count"])
+            .reset_index()
+            .rename(columns={"min": "pmin", "count": "pcount"})
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pcm_hash")
+        .aggregate(
+            Min("pmin", alias_name="keep_id"), Sum("pcount", alias_name="n_copies")
+        )
+    )

@@ -94,3 +94,13 @@ def test_geojson_holes_survive():
     assert len(g.interiors) == 1
     assert np.array_equal(g.interiors[0], np.asarray(hole))
     assert t.column("luokka")[0].as_py() == 7
+
+
+def test_non_finite_coordinates_rejected():
+    doc = (
+        '{"type": "FeatureCollection", "features": [{"type": "Feature", '
+        '"geometry": {"type": "LineString", "coordinates": [[0.0, 0.0], '
+        '[NaN, 1.0]]}, "properties": {}}]}'
+    )
+    with pytest.raises(ValueError):
+        read_geojson(doc)

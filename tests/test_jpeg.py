@@ -270,3 +270,40 @@ def test_image_dedup_across_containers(ray_session):
     assert len(out) == 6  # 8 payloads, 6 distinct pictures
     assert dups["keep_id"].tolist() == [0, 1]
     assert dups["n_copies"].tolist() == [2, 2]
+
+
+def test_audio_dedup_across_containers(ray_session):
+    import struct
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import (
+        AUDIO_HEADER,
+        audio_dedup,
+        synth_audio_bytes,
+    )
+
+    clips = synth_audio_bytes(np.arange(4))
+    # doc 4 = doc 0's SAMPLES as a RIFF/WAV file
+    rate, n = 8000, 1024
+    pcm = clips[0][AUDIO_HEADER.size :]
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 16 + 8 + len(pcm) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "audio": pa.array(list(clips) + [wav], pa.large_binary()),
+            }
+        )
+    )
+    out = audio_dedup(ds).to_pandas()
+    assert len(out) == 4
+    dups = out[out["n_copies"] > 1]
+    assert dups["keep_id"].tolist() == [0] and dups["n_copies"].tolist() == [2]
