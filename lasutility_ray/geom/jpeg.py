@@ -161,6 +161,31 @@ def _build_huffman(bits, values):
     return decode, encode
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _huff_decode_tables(bits_t: tuple, vals_t: tuple):
+    """Memoized (decode dict, 8-bit LUT) — virtually every stream
+    carries the Annex K tables, so the LUT builds once per process,
+    not once per image. Both structures are read-only in decode."""
+    dec, _ = _build_huffman(list(bits_t), list(vals_t))
+    return dec, _build_huffman_lut(dec)
+
+
+def _build_huffman_lut(decode) -> list:
+    """8-bit-prefix lookup table: entry = (value, length) for codes
+    <= 8 bits (every suffix filled in), (0, 0) where the prefix
+    belongs to a longer code — the bitwise walk handles those."""
+    lut = [(0, 0)] * 256
+    for length in range(1, 9):
+        for code, v in decode[length].items():
+            base = code << (8 - length)
+            for suffix in range(1 << (8 - length)):
+                lut[base | suffix] = (v, length)
+    return lut
+
+
 # --------------------------------------------------------------- decode
 
 
@@ -200,6 +225,22 @@ class _BitReader:
         self.cur &= (1 << self.bits) - 1
         return v
 
+    def peek8(self) -> int:
+        """Next 8 bits without consuming; zero-padded at stream end
+        (a real code never needs the pad — `skip` validates)."""
+        while self.bits < 8:
+            try:
+                self._fill()
+            except (_MarkerHit, _RestartHit):
+                return (self.cur << (8 - self.bits)) & 0xFF
+        return (self.cur >> (self.bits - 8)) & 0xFF
+
+    def skip(self, n: int):
+        if n > self.bits:
+            raise JpegError("entropy stream truncated inside a code")
+        self.bits -= n
+        self.cur &= (1 << self.bits) - 1
+
     def byte_align(self):
         self.bits = 0
         self.cur = 0
@@ -223,10 +264,15 @@ class _MarkerHit(Exception):
 
 
 def _decode_huff(br: _BitReader, table) -> int:
+    dec, lut = table
+    v, ln = lut[br.peek8()]
+    if ln:  # fast path: code fits the 8-bit prefix table
+        br.skip(ln)
+        return v
     code = 0
     for length in range(1, 17):
         code = (code << 1) | br.read(1)
-        hit = table[length].get(code)
+        hit = dec[length].get(code)
         if hit is not None:
             return hit
     raise JpegError("invalid huffman code")
@@ -293,8 +339,9 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
                 n = sum(bits)
                 vals = list(body[o + 17 : o + 17 + n])
                 o += 17 + n
-                dec, _ = _build_huffman(bits, vals)
-                (huff_dc if tc == 0 else huff_ac)[th] = dec
+                (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_tables(
+                    tuple(bits), tuple(vals)
+                )
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
