@@ -795,6 +795,33 @@ def q_heavy_hitters(sf_dir: str):
     return heavy_hitters(docs, text_col="text", k=20)
 
 
+def q_normalize_text(sf_dir: str):
+    """Unicode NFC + whitespace-collapse + trim normalization. The
+    ascii corpus gets deterministic decomposed-unicode and messy-
+    whitespace suffixes injected (mirrored in SQL) so the NFC path
+    does real work; value-exact vs DuckDB nfc_normalize."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.text import normalize_text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def inject(batch: pd.DataFrame) -> pd.DataFrame:
+        d = batch["doc_id"]
+        s = batch["text"]
+        s = s + pd.Series(" café", index=batch.index).where(d % 3 == 0, "")
+        s = s + pd.Series("  x\t\ty ", index=batch.index).where(d % 4 == 0, "")
+        batch["text"] = s
+        return batch
+
+    return (
+        normalize_text(docs.map_batches(inject, batch_format="pandas"))
+        .drop_columns(["text"])
+    )
+
+
 def q_contamination(sf_dir: str):
     """Benchmark-contamination check: deterministic 10% eval split
     (Lehmer hash on doc_id), flag every TRAIN doc sharing any word
@@ -1324,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_contamination": q_contamination,
         "q_pii_redact": q_pii_redact,
         "q_unigram_lm": q_unigram_lm,
+        "q_normalize_text": q_normalize_text,
         "q_distinctive_terms": q_distinctive_terms,
         "q_corpus_curation": q_corpus_curation,
         "q_host_stats": q_host_stats,
@@ -1544,6 +1572,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.corpus.polygons import rects_sql_cte
     from lasutility_ray.stages.dedup import HAMMING_MAX, _SH_C
     from lasutility_ray.stages.lm import unigram_lm_sql
+    from lasutility_ray.stages.text import normalize_text_sql
     from lasutility_ray.stages.pii import inject_pii_sql, pii_redact_sql
     from lasutility_ray.stages.text import FP_MOD
 
@@ -1873,6 +1902,14 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {inject_pii_sql()} AS t FROM documents"
         ),
         "q_unigram_lm": unigram_lm_sql(),
+        "q_normalize_text": normalize_text_sql(
+            source=(
+                "(SELECT doc_id, text || "
+                "(CASE WHEN doc_id % 3 = 0 THEN ' café' ELSE '' END) || "
+                "(CASE WHEN doc_id % 4 = 0 THEN '  x\t\ty ' ELSE '' END) "
+                "AS text FROM documents)"
+            )
+        ),
         "q_distinctive_terms": (
             "WITH toks AS (SELECT doc_id, unnest(regexp_extract_all("
             "lower(text), '[a-z0-9]+')) AS token FROM documents), "

@@ -162,3 +162,42 @@ def fingerprint_py(text: str) -> int:
     for v in text.encode():
         acc = (acc * 256 + v) % FP_MOD
     return acc
+
+
+# ------------------------------------------------ unicode normalization
+
+_WS_RE = r"[ \t\r\n\f\v]+"
+
+
+def normalize_text(ds, text_col: str = "text"):
+    """Canonical text normalization (the first pass of any web-corpus
+    cleanup): Unicode NFC composition, whitespace-run collapse to one
+    space, edge trim. Adds ``text_norm`` + ``n_chars_norm``. Pure map;
+    the DuckDB mirror (``nfc_normalize`` + ``regexp_replace`` +
+    ``trim``) is value-exact — both engines implement Unicode NFC."""
+    import re
+    import unicodedata
+
+    ws = re.compile(_WS_RE)
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        out = [
+            ws.sub(" ", unicodedata.normalize("NFC", t)).strip()
+            for t in batch[text_col]
+        ]
+        batch["text_norm"] = out
+        batch["n_chars_norm"] = pd.Series(out, index=batch.index).str.len().astype(
+            "int64"
+        )
+        return batch
+
+    return ds.map_batches(norm, batch_format="pandas")
+
+
+def normalize_text_sql(source: str = "documents", text_expr: str = "text") -> str:
+    return (
+        f"SELECT doc_id, trim(regexp_replace(nfc_normalize({text_expr}), "
+        f"'{_WS_RE}', ' ', 'g')) AS text_norm, "
+        f"length(trim(regexp_replace(nfc_normalize({text_expr}), "
+        f"'{_WS_RE}', ' ', 'g'))) AS n_chars_norm FROM {source}"
+    )

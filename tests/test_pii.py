@@ -94,3 +94,20 @@ def test_value_exact_vs_duckdb(ray_session):
     assert got["n_ipv4"].sum() > 0
     assert got["n_phone"].sum() > 0
     pd.testing.assert_frame_equal(got[sorted(got.columns)], ref[sorted(ref.columns)])
+
+
+def test_normalize_text_kernel(ray_session):
+    import ray.data as rd
+
+    from lasutility_ray.stages.text import normalize_text
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            # decomposed e+U+0301; tabs/newlines; already-clean
+            "text": ["  café \t x\n\ny ", "plain", ""],
+        }
+    )
+    out = normalize_text(rd.from_pandas(df)).to_pandas().sort_values("doc_id")
+    assert out["text_norm"].tolist() == ["café x y", "plain", ""]
+    assert out["n_chars_norm"].tolist() == [8, 5, 0]
