@@ -1297,57 +1297,18 @@ def q_image_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDERING IS EVIDENCE ROTATION, NOT AESTHETICS: the driver
+    # evaluates the first 50 entries against the DuckDB oracle each
+    # round. Round 2 evaluated the first 50 of the then-77 in original
+    # order, leaving the LLM-curation + multimodal tail (everything
+    # from q_contamination on) with no CORRECTNESS rows. Round 3 leads
+    # with exactly that 27-query tail, then the queries whose
+    # implementations changed this round (dedup/ANN/kmeans/semantic
+    # scale-path rewrites), then the flagship-core geospatial set. The
+    # 27 entries past position 50 all have green rows_match+hash_match
+    # rows in CORRECTNESS_r02.json and unchanged implementations.
     return {
-        "q_tile_counts": q_tile_counts,
-        "q_tile_counts_3km": q_tile_counts_3km,
-        "q_bbox": q_bbox,
-        "q_cell_ground_max": q_cell_ground_max,
-        "q_cell_top1_class35": q_cell_top1_class35,
-        "q_cell_bins": q_cell_bins,
-        "q_pip_join_rect": q_pip_join_rect,
-        "q_polygon_pip_join": q_polygon_pip_join,
-        "q_idw_interpolate": q_idw_interpolate,
-        "q_sliding_windows": q_sliding_windows,
-        "q_extract_invariant": q_extract_invariant,
-        "q_tin_tile_summary": q_tin_tile_summary,
-        "q_tin_tile_counts": q_tin_tile_counts,
-        "q_raster_lookup_rect": q_raster_lookup_rect,
-        "q_token_stats": q_token_stats,
-        "q_exact_dedup": q_exact_dedup,
-        "q_minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "q_simhash_pairs": q_simhash_pairs,
-        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "q_embed_nn_pairs": q_embed_nn_pairs,
-        "q_embed_lsh_pairs": q_embed_lsh_pairs,
-        "q_embed_lsh_recall": q_embed_lsh_recall,
-        "q_dup_components": q_dup_components,
-        "q_dedup_survivors": q_dedup_survivors,
-        "q_ann_topk": q_ann_topk,
-        "q_ann_topk_ivf": q_ann_topk_ivf,
-        "q_ann_recall": q_ann_recall,
-        "q_knn_spatial": q_knn_spatial,
-        "q_burned_tiles": q_burned_tiles,
-        "q_raster_value_lookup": q_raster_value_lookup,
-        "q_neighborhood_peaks": q_neighborhood_peaks,
-        "q_salted_tile_summary": q_salted_tile_summary,
-        "q_orders_customer_join": q_orders_customer_join,
-        "q_customer_nation_broadcast": q_customer_nation_broadcast,
-        "q_lineitem_agg": q_lineitem_agg,
-        "q_topk_orders": q_topk_orders,
-        "q_hll_distinct": q_hll_distinct,
-        "q_tin_triangles": q_tin_triangles,
-        "q_lang_id": q_lang_id,
-        "q_fingerprint": q_fingerprint,
-        "q_tumbling_windows": q_tumbling_windows,
-        "q_sessionize": q_sessionize,
-        "q_asof_join": q_asof_join,
-        "q_range_join": q_range_join,
-        "q_value_quantiles": q_value_quantiles,
-        "q_value_quantiles_hist": q_value_quantiles_hist,
-        "q_hash_sample": q_hash_sample,
-        "q_chunk_documents": q_chunk_documents,
-        "q_token_topk": q_token_topk,
-        "q_heavy_hitters": q_heavy_hitters,
+        # -- round-2 unverified tail: LLM curation family (1-19)
         "q_contamination": q_contamination,
         "q_pii_redact": q_pii_redact,
         "q_unigram_lm": q_unigram_lm,
@@ -1367,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_incremental_dedup": q_incremental_dedup,
         "q_bloom_contamination": q_bloom_contamination,
+        # -- round-2 unverified tail: multimodal + checkpoint (20-27)
         "q_image_features": q_image_features,
         "q_audio_features": q_audio_features,
         "q_image_resize": q_image_resize,
@@ -1375,6 +1337,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_dedup": q_image_dedup,
         "q_audio_dedup": q_audio_dedup,
         "q_checkpoint_manifest": q_checkpoint_manifest,
+        # -- implementations changed in round 3: must stay verified (28-39)
+        "q_dedup_survivors": q_dedup_survivors,
+        "q_embed_nn_pairs": q_embed_nn_pairs,
+        "q_embed_lsh_pairs": q_embed_lsh_pairs,
+        "q_embed_lsh_recall": q_embed_lsh_recall,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_topk_ivf": q_ann_topk_ivf,
+        "q_ann_recall": q_ann_recall,
+        "q_exact_dedup": q_exact_dedup,
+        "q_minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "q_dup_components": q_dup_components,
+        # -- flagship-core geospatial set (40-50)
+        "q_tile_counts": q_tile_counts,
+        "q_bbox": q_bbox,
+        "q_cell_ground_max": q_cell_ground_max,
+        "q_cell_bins": q_cell_bins,
+        "q_pip_join_rect": q_pip_join_rect,
+        "q_polygon_pip_join": q_polygon_pip_join,
+        "q_tin_tile_counts": q_tin_tile_counts,
+        "q_salted_tile_summary": q_salted_tile_summary,
+        "q_raster_lookup_rect": q_raster_lookup_rect,
+        "q_knn_spatial": q_knn_spatial,
+        "q_idw_interpolate": q_idw_interpolate,
+        # -- past the 50-window: unchanged since round 2, all green in
+        #    CORRECTNESS_r02.json (rows+schema+hash or rows-only by nature)
+        "q_tile_counts_3km": q_tile_counts_3km,
+        "q_cell_top1_class35": q_cell_top1_class35,
+        "q_sliding_windows": q_sliding_windows,
+        "q_extract_invariant": q_extract_invariant,
+        "q_tin_tile_summary": q_tin_tile_summary,
+        "q_token_stats": q_token_stats,
+        "q_burned_tiles": q_burned_tiles,
+        "q_raster_value_lookup": q_raster_value_lookup,
+        "q_neighborhood_peaks": q_neighborhood_peaks,
+        "q_orders_customer_join": q_orders_customer_join,
+        "q_customer_nation_broadcast": q_customer_nation_broadcast,
+        "q_lineitem_agg": q_lineitem_agg,
+        "q_topk_orders": q_topk_orders,
+        "q_hll_distinct": q_hll_distinct,
+        "q_tin_triangles": q_tin_triangles,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint": q_fingerprint,
+        "q_tumbling_windows": q_tumbling_windows,
+        "q_sessionize": q_sessionize,
+        "q_asof_join": q_asof_join,
+        "q_range_join": q_range_join,
+        "q_value_quantiles": q_value_quantiles,
+        "q_value_quantiles_hist": q_value_quantiles_hist,
+        "q_hash_sample": q_hash_sample,
+        "q_chunk_documents": q_chunk_documents,
+        "q_token_topk": q_token_topk,
+        "q_heavy_hitters": q_heavy_hitters,
     }
 
 
