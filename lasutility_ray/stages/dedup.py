@@ -889,11 +889,31 @@ def embedding_nn_pairs(ds, threshold: float = COSINE_THRESHOLD):
 
 N_LSH_TABLES = 16
 PLANES_PER_TABLE = 4
+LSH_TARGET_MISS = 1e-6
+
+
+def lsh_tables_for(threshold: float, planes_per_table: int = PLANES_PER_TABLE,
+                   target_miss: float = LSH_TARGET_MISS) -> int:
+    """Standard hyperplane-LSH recall tuning: per-plane collision
+    probability for a pair AT the threshold cosine is
+    p = 1 - arccos(t)/pi; a pair survives a b-plane table with p^b, so
+    T tables miss it with (1 - p^b)^T. Solve for the T that pushes the
+    per-pair miss below ``target_miss`` at the DECISION BOUNDARY (the
+    hardest pairs — anything more similar does strictly better).
+    Aggressive (low) thresholds therefore cost more tables — that is
+    the honest price of high recall at low cosine, and it is linear in
+    shuffle volume, never quadratic in corpus."""
+    p = 1.0 - np.arccos(np.clip(threshold, -1.0, 1.0)) / np.pi
+    pb = p**planes_per_table
+    if pb >= 1.0:
+        return 1
+    t = int(np.ceil(np.log(target_miss) / np.log1p(-pb)))
+    return int(np.clip(t, 8, 128))
 
 
 def embedding_lsh_pairs(
     ds,
-    n_tables: int = N_LSH_TABLES,
+    n_tables: int | None = None,
     planes_per_table: int = PLANES_PER_TABLE,
     threshold: float = COSINE_THRESHOLD,
 ):
@@ -905,9 +925,13 @@ def embedding_lsh_pairs(
     MinHash stage. A single wide AND-only signature (the round-1
     version) had recall ~= 0 at cosine 0.45: per-plane collision
     p = 1 - theta/pi ~= 0.65, so 8 planes agree with probability
-    0.65^8 ~= 0.03. With 16 tables x 4 planes expected recall is
-    1 - (1 - 0.65^4)^16 ~= 0.96 (``q_embed_lsh_recall`` measures it
-    against the exact path).
+    0.65^8 ~= 0.03.
+
+    ``n_tables=None`` (default) auto-tunes the table count to the
+    threshold via ``lsh_tables_for`` — per-pair miss <= 1e-6 AT the
+    decision boundary (16 tables would leave ~4% misses per boundary
+    pair at cosine 0.45; ``q_embed_lsh_recall`` measures realized
+    recall against the exact path, 1.0 on the fixtures).
 
     Shuffle volume = n_tables x the embeddings table; the shuffle key
     is a coarse 64-way hash bucket and the fine (table, key) grouping
@@ -917,6 +941,8 @@ def embedding_lsh_pairs(
     """
     from .cogroup import default_n_buckets
 
+    if n_tables is None:
+        n_tables = lsh_tables_for(threshold, planes_per_table)
     nb = default_n_buckets()
     rng = np.random.default_rng(7)
     planes = rng.standard_normal((64, n_tables * planes_per_table))
@@ -991,12 +1017,21 @@ def embedding_lsh_pairs(
 
 
 def dedup_corpus(docs_ds, emb_ds, id_col: str = "doc_id", text_col: str = "text",
-                 threshold: float = COSINE_THRESHOLD):
+                 threshold: float = COSINE_THRESHOLD, exact_pairs: bool = False):
     """End-to-end training-corpus dedup: exact content-hash dedup
     (min doc_id per md5 survives) composed with near-dup CLUSTER
     resolution over the embedding-cosine pair graph (only each
     component's min id survives). Returns the surviving doc ids — the
     "switch your corpus to the deduplicated one" pipeline.
+
+    The pair graph comes from the SCALE path by default:
+    ``embedding_lsh_pairs`` (banded hyperplane LSH whose buckets
+    verify exact cosine in-cluster — no false positives, measured
+    recall in ``q_embed_lsh_recall``), so the composed pipeline never
+    materializes the embeddings table anywhere. ``exact_pairs=True``
+    swaps in the brute-force ``embedding_nn_pairs`` baseline (which
+    broadcasts the full matrix from the driver) — it exists for
+    recall measurement, not production.
 
     The drop set (non-representative members of near-dup components)
     is assembled in a Ray task from block refs and broadcast once via
@@ -1004,7 +1039,8 @@ def dedup_corpus(docs_ds, emb_ds, id_col: str = "doc_id", text_col: str = "text"
     never the corpus.
     """
     keep = exact_dedup(docs_ds, id_col, text_col)
-    comp = duplicate_components(embedding_nn_pairs(emb_ds, threshold=threshold))
+    pairs_fn = embedding_nn_pairs if exact_pairs else embedding_lsh_pairs
+    comp = duplicate_components(pairs_fn(emb_ds, threshold=threshold))
 
     drop_refs = comp.map_batches(
         lambda t: pa.table(

@@ -8,6 +8,18 @@
   centroids (deterministic seeding), vectors bucketed by nearest
   centroid, queries probe the ``n_probe`` nearest buckets only.
   Approximate by design -> rows-only checks.
+- ``kmeans_assign`` / ``semantic_dedup``: deterministic cosine
+  k-means and SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+  within-cluster pruning, with cluster sizes bounded by recursive
+  splitting so no single co-group task ever holds an unbounded
+  member set.
+
+Sampling here NEVER sorts the corpus: the old
+``ds.sort("vec_id").limit(n)`` forced an all-to-all sort of the whole
+embeddings table to fetch a few hundred training rows. The samples
+are now a pushdown-able id-range filter (ids are contiguous from 0 in
+this corpus) with a Lehmer-hash thinning fallback for arbitrary id
+spaces — one streaming pass, driver pulls O(sample) rows.
 """
 
 from __future__ import annotations
@@ -18,14 +30,63 @@ import pyarrow as pa
 
 import ray
 
+# Lehmer (MINSTD) constants shared with quantiles.hash_sample: two
+# steps because one is linear with a small slope over sequential ids.
+_M = 2147483647
+_A = 48271
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
+def _head_by_id(ds, n: int, id_col: str = "vec_id") -> pd.DataFrame:
+    """The ``n`` lowest-id rows WITHOUT a global sort.
+
+    Ids are contiguous from 0 (corpus guarantee), so ``id < n`` is a
+    vectorized streaming filter selecting exactly the head — the
+    predicate prunes at the scan, nothing shuffles. If the id space
+    has holes (fewer than ``n`` rows match but the table holds more),
+    fall back to the old sort path for correctness; that fallback is
+    the exception, not the design."""
+    n = int(n)
+    df = ds.filter(expr=f"{id_col} < {n}").to_pandas()
+    if len(df) < n and ds.count() > len(df):
+        df = ds.sort(id_col).limit(n).to_pandas()
+    return df.sort_values(id_col).reset_index(drop=True)
+
+
+def _lehmer_sample(ds, n: int, total: int, id_col: str = "vec_id") -> pd.DataFrame:
+    """Deterministic ~``n``-row sample from a dataset with an
+    ARBITRARY int id space (e.g. the members of one hot cluster):
+    keep rows whose two-step Lehmer hash falls under a rate sized to
+    yield ~4n matches, pull those, keep the n smallest (hash, id).
+    One streaming pass, no sort, driver holds O(n) rows. Doubles the
+    rate and retries if the draw undershoots (bounded loop)."""
+    if total <= n:
+        return ds.to_pandas().sort_values(id_col).reset_index(drop=True)
+    rate = min(1.0, (4.0 * n) / total)
+    while True:
+        threshold = int(_M * rate)
+
+        def keep(t: pa.Table, thr=threshold) -> pa.Table:
+            k = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            h = (k % _M) * _A % _M * _A % _M
+            return t.append_column("__h", pa.array(h, pa.int64())).filter(
+                pa.array(h < thr)
+            )
+
+        df = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+        if len(df) >= n or rate >= 1.0:
+            break
+        rate = min(1.0, rate * 2)
+    df = df.sort_values(["__h", id_col], kind="mergesort").head(n)
+    return df.drop(columns="__h").sort_values(id_col).reset_index(drop=True)
+
+
 def default_queries(ds, n_queries: int = 10):
     """Deterministic query set: the n_queries lowest vec_ids."""
-    df = ds.sort("vec_id").limit(n_queries).to_pandas()
+    df = _head_by_id(ds, n_queries)
     ids = df["vec_id"].to_numpy()
     mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     return ids, mat
@@ -86,13 +147,12 @@ def ann_topk(ds, query_ids: np.ndarray, query_mat: np.ndarray, k: int = 5):
     )
 
 
-def _train_centroids(ds, n_lists: int, sample_n: int = 512, iters: int = 5):
-    """Deterministic mini-k-means (cosine) over a fixed sample: the
-    IVF training pass. Data-derived centroids are what make the probe
-    lists meaningful — random directions partition real embedding
-    clusters poorly (measured recall@5 0.38 vs ~0.9)."""
-    df = ds.sort("vec_id").limit(sample_n).to_pandas()
-    m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+def _kmeans_from_sample(m: np.ndarray, n_lists: int, iters: int) -> np.ndarray:
+    """Deterministic mini-k-means (cosine) over a sample matrix:
+    stride seeding + ``iters`` Lloyd rounds, centroids renormalized.
+    Data-derived centroids are what make IVF probe lists meaningful —
+    random directions partition real embedding clusters poorly
+    (measured recall@5 0.38 vs ~0.9)."""
     stride = max(len(m) // n_lists, 1)
     centroids = m[::stride][:n_lists].copy()
     for _ in range(iters):
@@ -103,6 +163,17 @@ def _train_centroids(ds, n_lists: int, sample_n: int = 512, iters: int = 5):
                 centroids[c] = members.mean(axis=0)
         centroids = _normalize(centroids)
     return centroids
+
+
+def _train_centroids(
+    ds, n_lists: int, sample_n: int = 512, iters: int = 5,
+    sample_df: pd.DataFrame | None = None,
+):
+    """IVF/k-means training pass over a deterministic sample fetched
+    with ``_head_by_id`` (id-range filter, no corpus sort)."""
+    df = sample_df if sample_df is not None else _head_by_id(ds, sample_n)
+    m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+    return _kmeans_from_sample(m, n_lists, iters)
 
 
 def ann_topk_ivf(ds, query_ids, query_mat, k: int = 5, n_lists: int = 16,
@@ -150,14 +221,18 @@ def ann_topk_ivf(ds, query_ids, query_mat, k: int = 5, n_lists: int = 16,
     )
 
 
-def kmeans_assign(ds, n_clusters: int = 16, sample_n: int = 512, iters: int = 5):
+def kmeans_assign(ds, n_clusters: int = 16, sample_n: int = 512, iters: int = 5,
+                  centroids: np.ndarray | None = None, id_base: int = 0):
     """Deterministic cosine k-means clustering as a first-class stage:
     centroids train on a fixed sample (``_train_centroids``), then ONE
     streaming pass assigns every vector — (vec_id, cluster, cos_sim).
     The 100 TB shape: training touches ``sample_n`` rows, assignment
     is an embarrassingly-parallel map with the centroid matrix
-    broadcast once via ``ray.put``."""
-    centroids = _train_centroids(ds, n_clusters, sample_n, iters)
+    broadcast once via ``ray.put``. ``centroids``/``id_base`` let a
+    caller supply pre-trained centroids and offset the emitted cluster
+    ids (used by semantic_dedup's recursive hot-cluster splitting)."""
+    if centroids is None:
+        centroids = _train_centroids(ds, n_clusters, sample_n, iters)
     cref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -168,7 +243,7 @@ def kmeans_assign(ds, n_clusters: int = 16, sample_n: int = 512, iters: int = 5)
         return pa.table(
             {
                 "vec_id": batch.column("vec_id"),
-                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "cluster": pa.array(a.astype(np.int64) + id_base, pa.int64()),
                 "cos_sim": pa.array(np.round(sims[np.arange(len(a)), a], 6), pa.float64()),
             }
         )
@@ -176,41 +251,202 @@ def kmeans_assign(ds, n_clusters: int = 16, sample_n: int = 512, iters: int = 5)
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
-def semantic_dedup(ds, n_clusters: int = 16, threshold: float = 0.85):
+def _greedy_cluster_dedup(
+    m: np.ndarray, ids: np.ndarray, threshold: float, chunk: int = 256
+):
+    """Exact SemDeDup greedy keep-scan, vectorized in chunks.
+
+    Semantics identical to the row loop it replaces: rows in id
+    order; row i is dropped iff some KEPT row j < i has
+    round(cos(i,j), 6) > threshold, and dup_of[i] is the smallest such
+    kept id. Chunking makes the hot work two matmuls per chunk
+    (chunk x kept and chunk x chunk); the only remaining python loop
+    runs over the chunk's survivors of the cross-chunk test, each step
+    a vectorized slice compare."""
+    n = len(ids)
+    kept = np.ones(n, dtype=bool)
+    dup_of = np.full(n, -1, dtype=np.int64)
+    kept_rows: list[int] = []
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        if kept_rows:
+            karr = np.asarray(kept_rows, dtype=np.int64)
+            cov = np.round(m[s:e] @ m[karr].T, 6) > threshold  # (c, nk)
+            has = cov.any(axis=1)
+            first = np.argmax(cov, axis=1)
+            drop = np.nonzero(has)[0]
+            kept[s + drop] = False
+            dup_of[s + drop] = ids[karr[first[drop]]]
+        # within-chunk dependencies: sequential over survivors only
+        csim = np.round(m[s:e] @ m[s:e].T, 6) > threshold
+        for li in range(e - s):
+            i = s + li
+            if not kept[i]:
+                continue
+            over = np.nonzero(csim[li, :li] & kept[s : s + li])[0]
+            if len(over):
+                kept[i] = False
+                dup_of[i] = ids[s + over[0]]
+            else:
+                kept_rows.append(i)
+    return kept, dup_of
+
+
+# cluster ids below this are "level-0" (raw k-means); ids allocated by
+# hot-cluster splitting start here so the two ranges never collide
+_SPLIT_ID_BASE = 1 << 20
+
+
+def semantic_dedup(
+    ds,
+    n_clusters: int | None = None,
+    threshold: float = 0.85,
+    target_cluster_size: int = 4096,
+    max_cluster_size: int | None = None,
+    max_split_rounds: int = 2,
+):
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
     then WITHIN each cluster drop every vector whose cosine to a
     lower-id cluster-mate exceeds ``threshold``. The cluster partition
     is what makes it scale: the quadratic step runs per cluster
     (n²/k work, co-grouped by one shuffle on the cluster id), never
-    across the corpus. Returns (vec_id, cluster, is_kept,
-    dup_of) with dup_of = the smallest kept id that covers a dropped
-    vector (-1 for kept rows)."""
-    assigned = kmeans_assign(ds, n_clusters)
+    across the corpus. Returns (vec_id, cluster, is_kept, dup_of)
+    with dup_of = the smallest kept id that covers a dropped vector
+    (-1 for kept rows).
+
+    Cluster sizes are BOUNDED, so no co-group task ever materializes
+    an unbounded membership or an n² sims matrix:
+
+    - ``n_clusters=None`` derives k from the corpus:
+      ``max(16, ceil(n / target_cluster_size))`` (the paper runs ~50k
+      clusters on a 440M-row corpus — k must scale with n for n²/k to
+      scale).
+    - any cluster above ``max_cluster_size`` (default 4x target) is
+      recursively re-clustered with sub-k-means trained on a
+      Lehmer-sampled subset of its members (ids from
+      ``_SPLIT_ID_BASE`` up, disjoint from level-0 ids); after
+      ``max_split_rounds`` any still-hot cluster is hash-split by
+      vec_id — degenerate clusters (e.g. thousands of identical
+      vectors) cannot defeat the bound.
+
+    Splitting refines the partition, so a doc is only compared against
+    its FINAL sub-cluster — pairs straddling a split are not pruned
+    (standard SemDeDup behavior: recall is a function of cluster
+    granularity). Unsplit clusters keep their level-0 ids, so outputs
+    are unchanged whenever nothing exceeds the cap.
+    """
+    n_total = ds.count()
+    if n_clusters is None:
+        n_clusters = max(16, -(-n_total // target_cluster_size))
+    if n_clusters >= _SPLIT_ID_BASE:
+        raise ValueError(f"n_clusters must be < {_SPLIT_ID_BASE}")
+    if max_cluster_size is None:
+        max_cluster_size = 4 * target_cluster_size
     from .cogroup import lookup_join
 
-    # one exchange total: the cluster id is attached to the vector
-    # rows in-cluster, then the groupby co-locates each cluster
-    cl = lookup_join(
-        ds.map_batches(lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"),
-        assigned,
-        "vec_id",
-        "vec_id",
-        {"cluster": "cluster"},
+    emb = ds.map_batches(
+        lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"
     )
+    # the split loop operates on the SLIM (vec_id, cluster) assignment
+    # table — size checks and hash-splits never move embeddings; only
+    # a k-means re-cluster of an actual hot cluster touches its
+    # members' vectors (and only those)
+    asg = kmeans_assign(ds, n_clusters).drop_columns(["cos_sim"])
 
-    def dedup_cluster(g: "pd.DataFrame") -> "pd.DataFrame":
+    next_id = _SPLIT_ID_BASE
+    for round_no in range(max_split_rounds + 1):
+        # per-cluster sizes: a tiny aggregate (one row per cluster)
+        sizes = asg.groupby("cluster").count().to_pandas()
+        hot = sizes[sizes["count()"] > max_cluster_size]
+        if hot.empty:
+            break
+        # three consumers follow (cold filter, hot filter, recount):
+        # pin the slim table so its lineage runs once per round
+        asg = asg.materialize()
+        href = ray.put(np.asarray(sorted(hot["cluster"].tolist()), dtype=np.int64))
+
+        def hot_mask_filter(t: pa.Table, r=href, invert=False) -> pa.Table:
+            mask = np.isin(t.column("cluster").to_numpy(), ray.get(r))
+            return t.filter(pa.array(~mask if invert else mask))
+
+        cold = asg.map_batches(
+            lambda t, r=href: hot_mask_filter(t, r, invert=True),
+            batch_format="pyarrow",
+        )
+        asg_hot = asg.map_batches(
+            lambda t, r=href: hot_mask_filter(t, r), batch_format="pyarrow"
+        )
+        hot_mass = int(hot["count()"].sum())
+        if round_no < max_split_rounds:
+            # re-cluster the hot members jointly with enough
+            # sub-centroids for the whole hot mass (an inner
+            # lookup_join narrows the embeddings to hot members only)
+            hot_emb = lookup_join(
+                emb, asg_hot, "vec_id", "vec_id", {"cluster": "cluster"}
+            ).map_batches(
+                lambda t: t.select(["vec_id", "embedding"]), batch_format="pyarrow"
+            )
+            n_sub = max(2, -(-hot_mass // target_cluster_size))
+            samp = _lehmer_sample(
+                hot_emb, min(max(512, 8 * n_sub), 8192), hot_mass
+            )
+            cents = _kmeans_from_sample(
+                _normalize(np.stack(samp["embedding"].to_numpy()).astype(np.float64)),
+                n_sub,
+                iters=5,
+            )
+            hot_re = kmeans_assign(
+                hot_emb, centroids=cents, id_base=next_id
+            ).drop_columns(["cos_sim"])
+            next_id += n_sub
+        else:
+            # final fallback: hash-split — per hot cluster, fanout
+            # ceil(size/target) on the Lehmer hash of vec_id. Loses
+            # cross-shard pairs but GUARANTEES the bound even for
+            # clusters k-means cannot separate (identical vectors).
+            fan = {
+                int(c): int(f)
+                for c, f in zip(
+                    hot["cluster"].tolist(),
+                    np.maximum(
+                        2, -(-hot["count()"].to_numpy() // target_cluster_size)
+                    ).tolist(),
+                )
+            }
+            bases = {}
+            for c in sorted(fan):
+                bases[c] = next_id
+                next_id += fan[c]
+            fref = ray.put((fan, bases))
+
+            def hash_split(t: pa.Table, r=fref) -> pa.Table:
+                fans, base = ray.get(r)
+                cc = t.column("cluster").to_numpy()
+                vid = t.column("vec_id").to_numpy().astype(np.int64)
+                h = (vid % _M) * _A % _M * _A % _M
+                out = np.empty(len(cc), dtype=np.int64)
+                for c in np.unique(cc):
+                    mask = cc == c
+                    out[mask] = base[int(c)] + h[mask] % fans[int(c)]
+                return t.set_column(
+                    t.schema.get_field_index("cluster"),
+                    "cluster",
+                    pa.array(out, pa.int64()),
+                )
+
+            hot_re = asg_hot.map_batches(hash_split, batch_format="pyarrow")
+        asg = cold.union(hot_re)
+
+    # one exchange in the no-hot-cluster case: the cluster id is
+    # attached to the vector rows in-cluster, then the groupby
+    # co-locates each cluster
+    cl = lookup_join(emb, asg, "vec_id", "vec_id", {"cluster": "cluster"})
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id").reset_index(drop=True)
         m = _normalize(np.stack(g["embedding"].to_numpy()).astype(np.float64))
         ids = g["vec_id"].to_numpy()
-        n = len(g)
-        kept = np.ones(n, dtype=bool)
-        dup_of = np.full(n, -1, dtype=np.int64)
-        sims = m @ m.T
-        for i in range(1, n):
-            over = np.where(kept[:i] & (np.round(sims[i, :i], 6) > threshold))[0]
-            if len(over):
-                kept[i] = False
-                dup_of[i] = ids[over[0]]
+        kept, dup_of = _greedy_cluster_dedup(m, ids, threshold)
         return pd.DataFrame(
             {
                 "vec_id": ids,

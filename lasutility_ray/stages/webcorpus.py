@@ -251,12 +251,23 @@ def pack_sequences(docs_ds, budget: int, id_col: str = "doc_id", text_col: str =
     standard LLM-pretraining packing). Per doc: its token count, the
     sequence its FIRST token lands in and the offset inside it.
 
-    Distributed exclusive prefix sum: (1) slim ``(id, n_tok, block)``
-    map with ``block = id // 65536``; (2) per-block token sums via one
-    tiny groupby whose result (blocks, not docs) is scanned on the
-    driver into block offsets and broadcast; (3) per-block groups
-    cumsum locally and add their block offset. The only driver-side
-    data is one row per 65k docs."""
+    TWO-LEVEL distributed exclusive prefix sum — driver state is
+    O(docs / 2^32), never corpus-proportional:
+
+    1. slim ``(id, n_tok, block)`` map with ``block = id // 65536``;
+    2. per-block token sums via one tiny groupby (one row per 65k
+       docs, stays a Dataset);
+    3. per-SUPER-block sums (``super = block // 65536``) — ONE row per
+       ~4.3B docs reaches the driver, is scanned into super offsets
+       and broadcast (~233 rows at 10^12 docs);
+    4. per-super groups cumsum their block sums in-cluster, emitting a
+       (block, offset) table;
+    5. the offset rows ride the SAME ``groupby(block)`` co-group as
+       the doc rows (union + one offset row per block, tagged
+       ``id = -1``), so each block packs locally with its offset —
+       no broadcast of the block-offset table.
+
+    Requires non-negative ids (the block arithmetic already does)."""
     if budget <= 0:
         raise ValueError(f"budget must be positive (got {budget})")
     # slim feeds the block-sum aggregate AND the final per-block pack;
@@ -269,16 +280,55 @@ def pack_sequences(docs_ds, budget: int, id_col: str = "doc_id", text_col: str =
 
     from ray.data.aggregate import Sum
 
-    bsums = slim.groupby("__block").aggregate(Sum("n_tok", alias_name="tok")).to_pandas()
-    bsums = bsums.sort_values("__block")
-    offsets = np.zeros(len(bsums), dtype=np.int64)
-    offsets[1:] = np.cumsum(bsums["tok"].to_numpy())[:-1]
-    off_map = dict(zip(bsums["__block"].tolist(), offsets.tolist()))
-    off_ref = ray.put(off_map)
+    bsums = (
+        slim.groupby("__block")
+        .aggregate(Sum("n_tok", alias_name="tok"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "__block": t.column("__block"),
+                    "tok": t.column("tok"),
+                    "__super": pa.array(
+                        t.column("__block").to_numpy(zero_copy_only=False)
+                        // PACK_BLOCK,
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ssums = (
+        bsums.groupby("__super").aggregate(Sum("tok", alias_name="stok")).to_pandas()
+    )
+    ssums = ssums.sort_values("__super")
+    s_off = np.zeros(len(ssums), dtype=np.int64)
+    s_off[1:] = np.cumsum(ssums["stok"].to_numpy())[:-1]
+    soff_ref = ray.put(dict(zip(ssums["__super"].tolist(), s_off.tolist())))
+
+    def block_offsets(t: pa.Table) -> pa.Table:
+        blocks = t.column("__block").to_numpy()
+        toks = t.column("tok").to_numpy()
+        order = np.argsort(blocks, kind="stable")
+        blocks, toks = blocks[order], toks[order]
+        base = ray.get(soff_ref)[int(t.column("__super")[0].as_py())]
+        off = base + np.cumsum(toks) - toks
+        # offset rows share the slim schema (id=-1 tags them) so they
+        # ride the same groupby(__block) co-group as the doc rows
+        return pa.table(
+            {
+                id_col: pa.array(np.full(len(blocks), -1, dtype=np.int64)),
+                "n_tok": pa.array(off, pa.int64()),
+                "__block": pa.array(blocks, pa.int64()),
+            }
+        )
+
+    offs = bsums.groupby("__super").map_groups(block_offsets, batch_format="pyarrow")
 
     def pack_block(g: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(off_ref)[int(g["__block"].iloc[0])]
-        g = g.sort_values(id_col)
+        is_off = g[id_col].to_numpy() < 0
+        off = int(g["n_tok"].to_numpy()[is_off][0])
+        g = g[~is_off].sort_values(id_col)
         start = off + np.cumsum(g["n_tok"].to_numpy()) - g["n_tok"].to_numpy()
         return pd.DataFrame(
             {
@@ -289,7 +339,9 @@ def pack_sequences(docs_ds, budget: int, id_col: str = "doc_id", text_col: str =
             }
         )
 
-    return slim.groupby("__block").map_groups(pack_block, batch_format="pandas")
+    return slim.union(offs).groupby("__block").map_groups(
+        pack_block, batch_format="pandas"
+    )
 
 
 # -------------------------------------------------- url canonicalization

@@ -61,3 +61,103 @@ def test_semantic_dedup_invariants(ray_session):
         assert sims[pos[r.vec_id], pos[r.dup_of]] > t
     # kept rows carry the sentinel
     assert (sd[sd.is_kept]["dup_of"] == -1).all()
+
+
+def test_greedy_cluster_dedup_matches_row_loop():
+    """The chunked-vectorized greedy scan must be bit-identical to the
+    naive sequential reference (including chain cases where a dropped
+    row would have covered a later one)."""
+    from lasutility_ray.stages.similarity import _greedy_cluster_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 8))
+    # build chains: near-copies of earlier rows at varying strengths
+    rows = [base[0]]
+    for i in range(1, 600):
+        if i % 3:
+            src = rows[rng.integers(0, len(rows))]
+            rows.append(src + rng.standard_normal(8) * rng.uniform(0.01, 1.5))
+        else:
+            rows.append(rng.standard_normal(8))
+    m = _normalize(np.stack(rows).astype(np.float64))
+    ids = np.arange(1000, 1000 + len(m), dtype=np.int64)
+    t = 0.85
+
+    def reference(m, ids, t):
+        n = len(ids)
+        kept = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        sims = m @ m.T
+        for i in range(1, n):
+            over = np.where(kept[:i] & (np.round(sims[i, :i], 6) > t))[0]
+            if len(over):
+                kept[i] = False
+                dup_of[i] = ids[over[0]]
+        return kept, dup_of
+
+    for chunk in (7, 64, 256, 1024):
+        kept, dup_of = _greedy_cluster_dedup(m, ids, t, chunk=chunk)
+        rk, rd_ = reference(m, ids, t)
+        np.testing.assert_array_equal(kept, rk)
+        np.testing.assert_array_equal(dup_of, rd_)
+
+
+def test_semantic_dedup_giant_cluster_is_bounded(ray_session):
+    """A deliberately-giant cluster (everything near one direction,
+    plus a block of IDENTICAL vectors k-means cannot separate) must be
+    split below the cap — no co-group task may receive an unbounded
+    membership — while the dedup invariants still hold."""
+    from lasutility_ray.stages.similarity import _SPLIT_ID_BASE
+
+    rng = np.random.default_rng(11)
+    axis = rng.standard_normal(16)
+    n = 3000
+    vecs = axis[None, :] + rng.standard_normal((n, 16)) * 0.02
+    vecs[1000:1500] = axis  # 500 identical rows
+    # through parquet so embedding is list<float> like the corpus
+    # (from_pandas would produce the tensor extension type)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tab = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    path = "/tmp/test_semantic_giant.parquet"
+    pq.write_table(tab, path)
+    ds = rd.read_parquet(path)
+    target, cap = 200, 400
+    sd = (
+        semantic_dedup(
+            ds,
+            n_clusters=4,
+            threshold=0.999999,
+            target_cluster_size=target,
+            max_cluster_size=cap,
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(sd) == n
+    counts = sd.groupby("cluster").size()
+    # every final cluster respects the bound (hash-split guarantees it
+    # even for the identical block); split ids live above the base
+    assert counts.max() <= cap
+    assert (sd["cluster"] >= _SPLIT_ID_BASE).any()
+    # the identical rows that share a final cluster dedup to one keeper
+    ident = sd[(sd.vec_id >= 1000) & (sd.vec_id < 1500)]
+    for _, grp in ident.groupby("cluster"):
+        assert int(grp["is_kept"].sum()) == 1
+
+
+def test_semantic_dedup_auto_cluster_count(ray_session):
+    """n_clusters=None derives k from the corpus size."""
+    sd = semantic_dedup(_emb(), threshold=0.45, target_cluster_size=50).to_pandas()
+    # 500 vectors / 50 target -> >= 10 clusters trained (16 floor)
+    assert sd["cluster"].nunique() > 1
+    assert len(sd) == 500
