@@ -1,10 +1,17 @@
-"""From-scratch baseline JPEG codec (stdlib + numpy — no image libs).
+"""From-scratch JPEG codec (stdlib + numpy — no image libs).
 
-Decoder: baseline sequential DCT (SOF0), 8-bit, grey or YCbCr with
+Decoder: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2,
+spectral selection + successive approximation per ITU-T T.81 G.1.2 —
+DC first/refine scans interleaved in MCU order, per-component AC
+first/refine scans with EOB-run coding), 8-bit, grey or YCbCr with
 arbitrary sampling factors (4:4:4 / 4:2:0 / 4:2:2), DQT/DHT/DRI/RST
-markers, byte-stuffing. Encoder: baseline 4:4:4 (or grey) with the
-ITU-T T.81 Annex K quantization + Huffman tables and a quality knob
-using the libjpeg scaling convention.
+markers, byte-stuffing. Encoder: baseline 4:4:4 / 4:2:0 (or grey)
+with the ITU-T T.81 Annex K quantization + Huffman tables and a
+quality knob using the libjpeg scaling convention, plus a progressive
+encoder (``encode_jpeg_progressive``) that emits a DC-first /
+DC-refine / AC-first / AC-refine scan script with cross-block EOB-run
+accumulation — it exists to pin the SOF2 decoder with real
+multi-scan streams.
 
 The DCT runs as two 8x8 orthonormal-basis matmuls (numpy, float64);
 IDCT is the transpose pair, rounded and clamped. Huffman entropy
@@ -17,8 +24,8 @@ HONEST CAVEAT: the sandbox has no JPEG fixtures and no network, so
 conformance against external encoders is validated only by the
 spec-derived unit tests (zigzag, DCT orthonormality, Annex K table
 checksums) and lossy round trips decode(encode(x)) with bounded
-error. Streams using features outside baseline (progressive SOF2,
-arithmetic coding, 12-bit) raise loudly.
+error. Streams using features outside these profiles (arithmetic
+coding, lossless, hierarchical, 12-bit) raise loudly.
 """
 
 from __future__ import annotations
@@ -310,6 +317,7 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
     huff_ac: dict[int, tuple] = {}
     frame = None
     restart_interval = 0
+    coef_grids = None  # progressive: accumulated across scans
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError(f"marker expected at {pos}")
@@ -342,7 +350,7 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = _huff_decode_tables(
                     tuple(bits), tuple(vals)
                 )
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -361,11 +369,12 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
             vm = max(c["v"] for c in comps)
             if any(hm % c["h"] or vm % c["v"] for c in comps):
                 raise JpegError("non-dividing sampling factors")
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF 0x{marker:02x} (progressive/arithmetic/lossless) "
-                "not supported — baseline sequential only"
+                f"JPEG SOF 0x{marker:02x} (arithmetic/lossless/hierarchical) "
+                "not supported — baseline sequential + progressive only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -373,6 +382,26 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
             if frame is None:
                 raise JpegError("SOS before SOF")
             ns = body[0]
+            if frame["progressive"]:
+                if coef_grids is None:
+                    coef_grids = _alloc_coef_grids(frame, np.int64)
+                scan_comps = []
+                for i in range(ns):
+                    cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                    idx = next(
+                        (j for j, c in enumerate(frame["comps"]) if c["id"] == cs),
+                        None,
+                    )
+                    if idx is None:
+                        raise JpegError(f"scan references unknown component {cs}")
+                    scan_comps.append((idx, tt >> 4, tt & 0x0F))
+                ss, se, a = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+                pos = _decode_scan_prog(
+                    data, pos + seglen, frame, scan_comps, ss, se,
+                    a >> 4, a & 0x0F, huff_dc, huff_ac, restart_interval,
+                    coef_grids,
+                )
+                continue
             scan = {}
             for i in range(ns):
                 cs, tt = body[1 + 2 * i], body[2 + 2 * i]
@@ -382,23 +411,34 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> np.ndarray:
                 restart_interval,
             )
         pos += seglen
+    if frame is not None and frame.get("progressive") and coef_grids is not None:
+        return _finish_frame(frame, coef_grids, qt)
     raise JpegError("no scan data found")
+
+
+def _mcu_dims(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _alloc_coef_grids(frame, dtype):
+    _, _, mcux, mcuy = _mcu_dims(frame)
+    return [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype)
+        for c in frame["comps"]
+    ]
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     comps = frame["comps"]
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    hmax, vmax, mcux, mcuy = _mcu_dims(frame)
     # entropy-decode into per-component coefficient grids; the IDCT
     # runs vectorized over ALL blocks afterwards (one einsum/plane)
-    coef_grids = []
-    for c in comps:
-        coef_grids.append(
-            np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.float64)
-        )
+    coef_grids = _alloc_coef_grids(frame, np.float64)
     br = _BitReader(data, pos)
     pred = [0] * len(comps)
     mcu_count = 0
@@ -419,8 +459,20 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval)
             except (_RestartHit, _MarkerHit) as exc:
                 raise JpegError("entropy stream ended inside an MCU") from exc
             mcu_count += 1
+    return _finish_frame(frame, coef_grids, qt)
+
+
+def _finish_frame(frame, coef_grids, qt):
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    coefficient grids (shared by the baseline single-scan path and the
+    progressive multi-scan path)."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax, _, _ = _mcu_dims(frame)
     out_planes = []
     for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise JpegError(f"missing quantization table {c['tq']}")
         ny, nx, _ = coef_grids[ci].shape
         nat = np.zeros((ny, nx, 64), np.float64)
         nat[:, :, ZIGZAG] = coef_grids[ci]
@@ -461,6 +513,209 @@ def _decode_block(br, dc_tab, ac_tab, pred, ci):
         out[k] = _extend(br.read(s), s)
         k += 1
     return out
+
+
+# ------------------------------------------------- progressive decode
+
+
+def _comp_block_dims(frame, ci):
+    """Non-interleaved scans cover ceil(comp_extent/8) blocks per axis
+    (T.81 A.2.2), NOT the MCU-padded grid."""
+    c = frame["comps"][ci]
+    hmax, vmax, _, _ = _mcu_dims(frame)
+    cw = -(-frame["w"] * c["h"] // hmax)
+    chh = -(-frame["h"] * c["v"] // vmax)
+    return -(-chh // 8), -(-cw // 8)
+
+
+def _decode_scan_prog(
+    data, pos, frame, scan_comps, ss, se, ah, al, huff_dc, huff_ac,
+    restart_interval, coef_grids,
+):
+    """One progressive scan (T.81 G.1.2): updates ``coef_grids`` in
+    place and returns the stream position of the next marker.
+
+    - DC scans (ss=0): interleaved in MCU order when the scan lists
+      several components; first scan (ah=0) codes diffs of the
+      point-transformed DC, refinements append one bit at position al.
+    - AC scans: exactly one component, blocks in that component's
+      raster order, EOB-run coded; refinements use the G.1.2.3
+      correction-bit walk."""
+    if ss == 0 and se != 0:
+        raise JpegError("progressive scan mixes DC and AC bands")
+    if ss != 0 and len(scan_comps) != 1:
+        raise JpegError("progressive AC scan must be single-component")
+    if se > 63 or ss > se:
+        raise JpegError(f"bad spectral band {ss}..{se}")
+    br = _BitReader(data, pos)
+    if ss == 0:
+        _prog_dc_scan(
+            br, frame, scan_comps, ah, al, huff_dc, restart_interval, coef_grids
+        )
+    else:
+        ci, _, ta = scan_comps[0]
+        if ah == 0:
+            _prog_ac_first(
+                br, frame, ci, ss, se, al, huff_ac[ta], restart_interval,
+                coef_grids[ci],
+            )
+        else:
+            _prog_ac_refine(
+                br, frame, ci, ss, se, al, huff_ac[ta], restart_interval,
+                coef_grids[ci],
+            )
+    br.byte_align()
+    return br.pos
+
+
+def _prog_dc_scan(br, frame, scan_comps, ah, al, huff_dc, restart_interval,
+                  coef_grids):
+    comps = frame["comps"]
+    interleaved = len(scan_comps) > 1
+    pred = [0] * len(comps)
+
+    def one_block(ci, by, bx, td):
+        grid = coef_grids[ci]
+        if ah == 0:
+            t = _decode_huff(br, huff_dc[td])
+            diff = _extend(br.read(t), t) if t else 0
+            pred[ci] += diff
+            grid[by, bx, 0] = pred[ci] << al
+        else:
+            if br.read(1):
+                # two's-complement bit fill — works for negative DC
+                grid[by, bx, 0] = int(grid[by, bx, 0]) | (1 << al)
+
+    try:
+        if interleaved:
+            _, _, mcux, mcuy = _mcu_dims(frame)
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart_interval and n and n % restart_interval == 0:
+                        br.skip_restart()
+                        pred[:] = [0] * len(comps)
+                    for ci, td, _ in scan_comps:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                one_block(
+                                    ci, my * c["v"] + by, mx * c["h"] + bx, td
+                                )
+                    n += 1
+        else:
+            ci, td, _ = scan_comps[0]
+            nby, nbx = _comp_block_dims(frame, ci)
+            n = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and n and n % restart_interval == 0:
+                        br.skip_restart()
+                        pred[:] = [0] * len(comps)
+                    one_block(ci, by, bx, td)
+                    n += 1
+    except (_RestartHit, _MarkerHit) as exc:
+        raise JpegError("progressive DC scan truncated") from exc
+
+
+def _prog_ac_first(br, frame, ci, ss, se, al, ac_tab, restart_interval, grid):
+    nby, nbx = _comp_block_dims(frame, ci)
+    eobrun = 0
+    n = 0
+    try:
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and n and n % restart_interval == 0:
+                    br.skip_restart()
+                    eobrun = 0
+                n += 1
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                blk = grid[by, bx]
+                k = ss
+                while k <= se:
+                    rs = _decode_huff(br, ac_tab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise JpegError("AC run overruns spectral band")
+                    blk[k] = _extend(br.read(s), s) << al
+                    k += 1
+    except (_RestartHit, _MarkerHit) as exc:
+        raise JpegError("progressive AC scan truncated") from exc
+
+
+def _prog_ac_refine(br, frame, ci, ss, se, al, ac_tab, restart_interval, grid):
+    """T.81 G.1.2.3 correction-bit walk (mirrors libjpeg's
+    decode_mcu_AC_refine control flow, reimplemented from the spec)."""
+    nby, nbx = _comp_block_dims(frame, ci)
+    p1 = 1 << al
+    m1 = -1 << al
+    eobrun = 0
+    n = 0
+
+    def correct(blk, k):
+        v = int(blk[k])
+        if br.read(1) and (v & p1) == 0:
+            blk[k] = v + (p1 if v >= 0 else m1)
+
+    try:
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and n and n % restart_interval == 0:
+                    br.skip_restart()
+                    eobrun = 0
+                n += 1
+                blk = grid[by, bx]
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _decode_huff(br, ac_tab)
+                        r, s = rs >> 4, rs & 0x0F
+                        val = 0
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += br.read(r)
+                                break
+                            # r == 15: run of 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise JpegError(
+                                    "AC refinement size must be 1"
+                                )
+                            val = p1 if br.read(1) else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                correct(blk, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val:
+                            if k > se:
+                                raise JpegError("refinement overruns band")
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            correct(blk, k)
+                        k += 1
+                    eobrun -= 1
+    except (_RestartHit, _MarkerHit) as exc:
+        raise JpegError("progressive AC refinement truncated") from exc
 
 
 # --------------------------------------------------------------- encode
@@ -696,5 +951,286 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: str = "444") -> b
                 _encode_block(bw, zz_planes[ci][by, bx], pred, ci, dc_enc, ac_enc)
     bw.flush()
     out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# -------------------------------------------------- progressive encode
+
+# custom AC table for progressive scans: every (run, size) symbol the
+# scans can emit — including the EOB-run symbols 0x10..0xE0 that the
+# Annex K tables lack — as uniform 8-bit canonical codes (176 codes,
+# so the all-ones reserved code is never assigned). Compression is
+# deliberately traded for a table that covers cross-block EOB runs.
+_AC_PROG_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _pad_plane(p, bh, bw_):
+    h, w = p.shape
+    pp = np.zeros((bh * 8, bw_ * 8), np.float64)
+    pp[:h, :w] = p
+    pp[h:, :w] = p[h - 1 : h, :]
+    pp[:h, w:] = pp[:h, w - 1 : w]
+    pp[h:, w:] = pp[h - 1, w - 1]
+    return pp
+
+
+def _zz_blocks(plane, q, bh=None, bw_=None):
+    """Quantized zigzag DCT coefficients for every 8x8 block of a
+    plane (padded with edge replication to bh x bw_ blocks)."""
+    h, w = plane.shape
+    bh = bh if bh is not None else -(-h // 8)
+    bw_ = bw_ if bw_ is not None else -(-w // 8)
+    pp = _pad_plane(plane, bh, bw_)
+    blocks = pp.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("kn,yxnm,lm->yxkl", _C, blocks, _C, optimize=True)
+    return np.round(coefs / q).astype(np.int64).reshape(bh, bw_, 64)[:, :, ZIGZAG]
+
+
+class _ProgAcEncoder:
+    """AC-scan entropy state: cross-block EOB-run accumulation plus
+    (for refinement scans) the correction bits buffered against the
+    next emitted symbol (T.81 G.1.2.2-3, control flow mirroring
+    libjpeg's jcphuff reimplemented from the spec)."""
+
+    def __init__(self, bw, enc):
+        self.bw = bw
+        self.enc = enc
+        self.eobrun = 0
+        self.be = []  # correction bits awaiting the next EOB flush
+
+    def sym(self, s):
+        c, ln = self.enc[s]
+        self.bw.put(c, ln)
+
+    def flush_eob(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.sym(r << 4)
+            if r:
+                self.bw.put(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.be:
+            self.bw.put(b, 1)
+        self.be = []
+
+    def bump_eob(self, bits=()):
+        self.eobrun += 1
+        self.be.extend(bits)
+        if self.eobrun == 0x7FFF or len(self.be) > 900:
+            self.flush_eob()
+
+
+def _encode_ac_first(acc: _ProgAcEncoder, band, al):
+    """One block of an AC first scan: point-transformed magnitudes,
+    ZRL runs, EOB folded into the shared run."""
+    temp = np.abs(band) >> al
+    nz = np.nonzero(temp)[0]
+    if not len(nz):
+        acc.bump_eob()
+        return
+    acc.flush_eob()
+    last = nz[-1]
+    run = 0
+    for k in range(last + 1):
+        if temp[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            acc.sym(0xF0)
+            run -= 16
+        v = int(temp[k]) if band[k] > 0 else -int(temp[k])
+        t, code = _mag(v)
+        acc.sym((run << 4) | t)
+        acc.bw.put(code, t)
+        run = 0
+    if last < len(band) - 1:
+        acc.bump_eob()
+
+
+def _encode_ac_refine(acc: _ProgAcEncoder, band, al):
+    """One block of an AC refinement scan (G.1.2.3): newly-significant
+    coefficients get (run, 1) + sign, already-significant ones a
+    buffered correction bit flushed with the next symbol."""
+    temp = np.abs(band) >> al
+    newly = np.nonzero(temp == 1)[0]
+    eob = newly[-1] if len(newly) else -1
+    br_bits: list[int] = []
+    run = 0
+    for k in range(len(band)):
+        t = int(temp[k])
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eob:
+            acc.flush_eob()
+            acc.sym(0xF0)
+            run -= 16
+            for b in br_bits:
+                acc.bw.put(b, 1)
+            br_bits = []
+        if t > 1:
+            br_bits.append(t & 1)
+            continue
+        acc.flush_eob()
+        acc.sym((run << 4) | 1)
+        acc.bw.put(1 if band[k] > 0 else 0, 1)
+        for b in br_bits:
+            acc.bw.put(b, 1)
+        br_bits = []
+        run = 0
+    if run > 0 or br_bits:
+        acc.bump_eob(br_bits)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsample: str = "444",
+    al_levels: int = 1,
+) -> bytes:
+    """(h, w) grey or (h, w, 3) RGB uint8 -> progressive JPEG (SOF2).
+
+    Scan script (exercises all four progressive scan types):
+      1. DC first, all components interleaved, Al=al_levels
+      2. per component: AC first, Ss=1..63, Al=al_levels
+      3. DC refinements, Ah=l+1 -> Al=l for l = al_levels-1 .. 0
+      4. per component: AC refinements, same ladder
+
+    ``al_levels`` deepens the successive-approximation ladder (more
+    refinement scans over the same bands — the structure real encoders
+    emit at al up to ~4)."""
+    if not 0 <= al_levels <= 10:
+        raise JpegError("al_levels must be in [0, 10]")
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise JpegError("encode_jpeg_progressive expects uint8")
+    grey = img.ndim == 2
+    if not grey and (img.ndim != 3 or img.shape[2] != 3):
+        raise JpegError("expected (h,w) grey or (h,w,3) RGB")
+    if subsample not in ("444", "420"):
+        raise JpegError(f"subsample must be 444 or 420 (got {subsample!r})")
+    h, w = img.shape[:2]
+    sub420 = subsample == "420" and not grey
+    q_luma = _scale_quant(QUANT_LUMA, quality)
+    q_chroma = _scale_quant(QUANT_CHROMA, quality)
+    if grey:
+        planes = [img.astype(np.float64) - 128.0]
+    else:
+        f = img.astype(np.float64)
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b,
+            0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    nc = len(planes)
+    if sub420:
+        mh, mw = -(-h // 16), -(-w // 16)
+        yp = _pad_plane(planes[0], mh * 2, mw * 2)
+        cbp = _pad_plane(planes[1], mh * 2, mw * 2)
+        crp = _pad_plane(planes[2], mh * 2, mw * 2)
+        cb2 = cbp.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+        cr2 = crp.reshape(mh * 8, 2, mw * 8, 2).mean(axis=(1, 3))
+        zz = [
+            _zz_blocks(yp, q_luma, mh * 2, mw * 2),
+            _zz_blocks(cb2, q_chroma, mh, mw),
+            _zz_blocks(cr2, q_chroma, mh, mw),
+        ]
+        samp = [(2, 2), (1, 1), (1, 1)]
+        # AC scans cover only ceil(extent/8) blocks, not MCU padding
+        ac_dims = [
+            (-(-h // 8), -(-w // 8)),
+            (-(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8)),
+            (-(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8)),
+        ]
+        mcus = (mh, mw)
+    else:
+        bh, bw_ = -(-h // 8), -(-w // 8)
+        zz = [
+            _zz_blocks(planes[ci], q_luma if ci == 0 else q_chroma, bh, bw_)
+            for ci in range(nc)
+        ]
+        samp = [(1, 1)] * nc
+        ac_dims = [(bh, bw_)] * nc
+        mcus = (bh, bw_)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16)
+    out += b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    qts = [q_luma] if grey else [q_luma, q_chroma]
+    for tq, q in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tq)
+        out += bytes(int(v) for v in q.reshape(-1)[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        sh, sv = samp[ci]
+        out += struct.pack(
+            ">BBB", ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1
+        )
+    enc_maps = {}
+    dht = [(DC_LUMA, 0x00)]
+    if not grey:
+        dht.append((DC_CHROMA, 0x01))
+    dht.append(((_AC_PROG_BITS, _AC_PROG_VALS), 0x10))
+    for (bits, vals), tclass in dht:
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals), tclass)
+        out += bytes(bits) + bytes(vals)
+        _, enc = _build_huffman(bits, vals)
+        enc_maps[tclass] = enc
+
+    def sos(comp_sel, ss, se, ah, al):
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_sel), len(comp_sel)))
+        for cid, td, ta in comp_sel:
+            out.extend(struct.pack(">BB", cid, (td << 4) | ta))
+        out.extend(struct.pack(">BBB", ss, se, (ah << 4) | al))
+
+    def dc_scan(al, refine):
+        sos([(ci + 1, 0 if ci == 0 else 1, 0) for ci in range(nc)], 0, 0, 1 if refine else 0, al)
+        bw = _BitWriter()
+        pred = [0] * nc
+        for my in range(mcus[0]):
+            for mx in range(mcus[1]):
+                for ci in range(nc):
+                    sh, sv = samp[ci]
+                    for by in range(sv):
+                        for bx in range(sh):
+                            dc = int(zz[ci][my * sv + by, mx * sh + bx, 0])
+                            if refine:
+                                bw.put((dc >> al) & 1, 1)
+                            else:
+                                v = dc >> al  # arithmetic shift per spec
+                                diff = v - pred[ci]
+                                pred[ci] = v
+                                t, code = _mag(diff)
+                                c, ln = enc_maps[0x00 if ci == 0 else 0x01][t]
+                                bw.put(c, ln)
+                                if t:
+                                    bw.put(code, t)
+        bw.flush()
+        out.extend(bw.buf)
+
+    def ac_scan(ci, al, refine):
+        sos([(ci + 1, 0, 0)], 1, 63, 1 if refine else 0, al)
+        bw = _BitWriter()
+        acc = _ProgAcEncoder(bw, enc_maps[0x10])
+        nby, nbx = ac_dims[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                band = zz[ci][by, bx, 1:64]
+                if refine:
+                    _encode_ac_refine(acc, band, al)
+                else:
+                    _encode_ac_first(acc, band, al)
+        acc.flush_eob()
+        bw.flush()
+        out.extend(bw.buf)
+
+    dc_scan(al_levels, refine=False)
+    for ci in range(nc):
+        ac_scan(ci, al_levels, refine=False)
+    for lvl in range(al_levels - 1, -1, -1):
+        dc_scan(lvl, refine=True)
+        for ci in range(nc):
+            ac_scan(ci, lvl, refine=True)
     out += b"\xff\xd9"
     return bytes(out)

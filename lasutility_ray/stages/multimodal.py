@@ -3,13 +3,14 @@ metadata.
 
 The container ships no media libraries (no PIL/ffmpeg), so the codecs
 here are FROM SCRATCH where a format is tractable — PNG
-(``geom.png``), RIFF/WAV PCM (:func:`decode_wav`), animated GIF
-(``geom.gif``) — and clearly-marked ``NotImplementedError`` stubs for
-the rest (jpeg/mp3/mp4/...), plus a deterministic fake codec ("GRID"
-format: 16-byte header ``b'GRD1' + u32 width + u32 height + u32
-channels`` followed by raw u8 pixels) so the Ray-side plumbing —
-schema, actor-pool signature, batch sizing, output layout — is real
-and tested end to end regardless of format.
+(``geom.png``), JPEG baseline + progressive (``geom.jpeg``), RIFF/WAV
+PCM (:func:`decode_wav`), animated GIF (``geom.gif``) — and
+clearly-marked ``NotImplementedError`` stubs for the rest
+(webp/mp3/mp4), plus a deterministic fake codec ("GRID" format:
+16-byte header ``b'GRD1' + u32 width + u32 height + u32 channels``
+followed by raw u8 pixels) so the Ray-side plumbing — schema,
+actor-pool signature, batch sizing, output layout — is real and
+tested end to end regardless of format.
 
 Stages are actor pools (codec tables "loaded" once per actor in
 ``__init__``); batches stay in Arrow with ``large_binary`` payloads

@@ -121,10 +121,15 @@ def test_error_paths():
         decode_jpeg(b"not a jpeg")
     img = np.zeros((8, 8), np.uint8)
     data = bytearray(encode_jpeg(img))
-    # flip SOF0 marker to SOF2 (progressive) -> loud NotImplementedError
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC2
+    # flip SOF0 to SOF3 (lossless) -> loud NotImplementedError
+    data[i + 1] = 0xC3
     with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+    # flip SOF0 to SOF2: now SUPPORTED, but a baseline scan header
+    # (Ss=0, Se=63) is invalid inside a progressive frame -> JpegError
+    data[i + 1] = 0xC2
+    with pytest.raises(JpegError):
         decode_jpeg(bytes(data))
     with pytest.raises(JpegError):
         encode_jpeg(img.astype(np.int32))
@@ -307,3 +312,101 @@ def test_audio_dedup_across_containers(ray_session):
     assert len(out) == 4
     dups = out[out["n_copies"] > 1]
     assert dups["keep_id"].tolist() == [0] and dups["n_copies"].tolist() == [2]
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+
+def _structured(h, w, color, seed=5):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (yy * 3 + xx * 2) % 256
+    img = np.stack([base, (base * 2) % 256, 255 - base], -1) if color else base
+    return np.clip(img + rng.integers(0, 30, img.shape), 0, 255).astype(np.uint8)
+
+
+def test_progressive_matches_baseline_bit_for_bit():
+    """The progressive scan ladder transmits every quantized
+    coefficient bit, so decode(progressive) must equal
+    decode(baseline) EXACTLY for the same image/quality/subsampling —
+    the strongest internal consistency check available without foreign
+    fixtures. Covers 4:4:4, 4:2:0, grey, odd sizes (MCU padding
+    blocks: DC-coded, AC-skipped) and every scan type (DC first/refine
+    interleaved, AC first/refine with EOB runs and ZRL)."""
+    from lasutility_ray.geom.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    cases = [
+        (64, 64, True, "444"), (50, 37, True, "444"), (40, 40, False, "444"),
+        (17, 9, False, "444"), (64, 48, True, "420"), (50, 37, True, "420"),
+    ]
+    for h, w, color, sub in cases:
+        img = _structured(h, w, color)
+        base = decode_jpeg(
+            encode_jpeg(img, quality=80, subsample=sub if color else "444")
+        )
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=80, subsample=sub)
+        )
+        assert np.array_equal(base, prog), (h, w, color, sub)
+
+
+def test_progressive_successive_approximation_ladder():
+    """Deeper Al ladders (more refinement scans over the same band)
+    still reconstruct the identical coefficients."""
+    from lasutility_ray.geom.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    img = _structured(48, 56, True)
+    base = decode_jpeg(encode_jpeg(img, quality=70))
+    for lv in (0, 1, 2, 4):
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=70, al_levels=lv)
+        )
+        assert np.array_equal(base, prog), lv
+
+
+def test_progressive_cross_block_eob_runs():
+    """A near-flat low-quality image makes almost every AC block empty
+    -> long cross-block EOB runs (and their buffered refinement bits)
+    are actually exercised, including the 0x7FFF flush path on the
+    encoder side of larger frames."""
+    from lasutility_ray.geom.jpeg import (
+        decode_jpeg, encode_jpeg, encode_jpeg_progressive,
+    )
+
+    img = np.full((128, 128), 130, np.uint8)
+    img[5, 5] = 140  # one detail so not every scan is pure EOB
+    base = decode_jpeg(encode_jpeg(img, quality=30))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=30))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_fuzz_truncation_and_corruption():
+    """Malformed progressive streams raise JpegError (or the explicit
+    NotImplementedError), never bare IndexError/struct.error."""
+    from lasutility_ray.geom.jpeg import (
+        JpegError, encode_jpeg_progressive, decode_jpeg,
+    )
+
+    img = _structured(32, 32, True)
+    data = encode_jpeg_progressive(img, quality=75)
+    decode_jpeg(data)  # sanity: intact stream decodes
+    rng = np.random.default_rng(0)
+    for cut in rng.integers(2, len(data) - 1, 60).tolist():
+        try:
+            decode_jpeg(data[:cut])
+        except (JpegError, NotImplementedError):
+            pass
+    arr = bytearray(data)
+    for _ in range(60):
+        i = int(rng.integers(2, len(arr)))
+        old = arr[i]
+        arr[i] = int(rng.integers(0, 256))
+        try:
+            decode_jpeg(bytes(arr))
+        except (JpegError, NotImplementedError):
+            pass
+        arr[i] = old
