@@ -344,3 +344,45 @@ def lookup_join(
         return out
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def group_apply_bucketed(ds, key_col: str, fn, n_buckets: int | None = None):
+    """``ds.groupby(key_col).map_groups(fn)`` with the per-group UDF
+    dispatch paid at C speed.
+
+    Ray 2.49's ``map_groups`` slices and format-converts once per
+    group inside the sort-shuffled blocks — measured ~11 s of pure
+    overhead for a NOOP over 576 groups x 4M rows, dwarfing the actual
+    0.3 s sort. This helper shuffles on a coarse int bucket of the key
+    (full-content siphash for string keys) and applies ``fn`` per key
+    via an in-bucket ``pandas.groupby`` — the engine's established
+    coarse-bucket shape (see voxelize/sessionize/line_dedup).
+
+    ``fn`` must CONSTRUCT its output frame (not mutate/pass through
+    the input — the input ``sub`` still carries the bucket column).
+    Group order within/across buckets is unspecified, as with
+    map_groups."""
+    n_buckets = n_buckets or default_n_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        col = t.column(key_col)
+        if _is_str_key(col.type):
+            b = _str_bucket_of(col, n_buckets)
+        else:
+            b = _bucket_of(
+                col.to_numpy(zero_copy_only=False).astype(np.int64), n_buckets
+            )
+        return t.append_column("__gab_bucket", pa.array(b, pa.int64()))
+
+    def apply_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            fn(sub.drop(columns="__gab_bucket"))
+            for _, sub in g.groupby(key_col, sort=False)
+        ]
+        return pd.concat(outs, ignore_index=True) if len(outs) > 1 else outs[0]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__gab_bucket")
+        .map_groups(apply_bucket, batch_format="pandas")
+    )

@@ -352,6 +352,26 @@ def _window_pending(tri, out_tri, wbounds, level, sr, sc, hull, halo_m) -> int:
     return int(pending.sum())
 
 
+def halo_pass(src_ds, levels, hulls, halo_m, certify):
+    """One salted-window pass: replicate points into (tile, window)
+    groups with a halo margin, TIN + rasterize each window, merge the
+    disjoint windows per tile. Module-level so the halo-doubling loop
+    and its tests drive single rounds directly."""
+    salted = src_ds.map_batches(
+        lambda t, lv=levels, h=halo_m: _salt_batch(t, lv, h),
+        batch_format="pyarrow",
+    )
+    windows = salted.groupby(["tile_id", "salt_sub"]).map_groups(
+        lambda g, h=halo_m, cert=certify: rasterize_salted(
+            g, halo_m=h, hulls=hulls, certify=cert
+        ),
+        batch_format="pandas",
+    )
+    return windows.groupby("tile_id").map_groups(
+        merge_tile_windows, batch_format="pandas"
+    )
+
+
 def rasterize_salted(
     group: pd.DataFrame,
     halo_m: float = HALO_M,
@@ -696,6 +716,7 @@ def salted_tin_tiles(
     exact: bool = True,
     exact_level: int = 1,
     certify: bool = True,
+    key_col: str = "tile_id",
 ):
     """Skew-aware variant of ``stages.tin.tin_tiles``.
 
@@ -718,76 +739,129 @@ def salted_tin_tiles(
 
     Falls back to plain per-tile processing when nothing is hot.
 
-    ``points_ds`` is consumed twice in exact mode (one-column count
-    pass + one full scan) and up to four times in certified halo mode
-    (count + hull pass + salted scan + pending recompute): feed it a
-    checkpointed / parquet-backed dataset (projection pushdown makes
-    the count pass a one-column read), not an expensive synthetic
-    pipeline."""
+    ``points_ds`` is consumed ONCE in exact mode (the hot decision is
+    len(group) inside the dispatch task — no count pre-pass) and up to
+    four times in certified halo mode (count + hull pass + salted scan
+    + pending recompute): for halo mode feed it a checkpointed /
+    parquet-backed dataset (projection pushdown makes the count pass a
+    one-column read), not an expensive synthetic pipeline."""
+    from .cogroup import group_apply_bucketed
     from .tin import tin_tiles
 
-    counts = tile_count_partials(points_ds)
-    levels = salt_levels(counts, threshold, exact=exact)
-    if not levels:
-        return tin_tiles(points_ds, include_rasters=include_rasters)
-
     if exact:
-        # ONE scan + ONE per-tile shuffle: the dispatch group builds a
-        # hot tile's TIN and fans out window rows, while a cold tile
-        # rasterizes in place and emits one finished full-tile window.
-        # (The previous shape ran cold and hot as two separate scans
-        # of the input unioned at the end — the second scan serialized
-        # behind the first and doubled the read at 4M docs.)
+        # NO count pre-pass: the dispatch group already holds the
+        # whole tile, so "hot" is just len(group) — one scan + one
+        # coarse-bucket shuffle instead of a tile_id-column scan +
+        # aggregate followed by the tile shuffle. A hot tile's group
+        # builds the TIN once and fans out window rows; a cold tile
+        # rasterizes in place and emits one finished full-tile window
+        # that rides the (cheap, row-per-tile) merge exchange through.
         from .tin import rasterize_tile as _rt
 
-        hot_set = set(levels)
-
         def dispatch(g: pd.DataFrame) -> pd.DataFrame:
+            if key_col != "tile_id":
+                # int64 tile key rode the shuffle (strings cost
+                # seconds per million rows there); reconstruct the
+                # user-facing name once per GROUP
+                from .tiling import tile_key_to_name
+
+                g = g.assign(tile_id=tile_key_to_name(g[key_col].iloc[0]))
+                g = g.drop(columns=[key_col])
             tile_id = g["tile_id"].iloc[0]
-            if tile_id in hot_set:
+            if len(g) > threshold:
                 return _build_hot_tile(g, exact_level)
             env = decode(tile_id)
             tb = RasterBounds.for_tile(env, CELL_SIZE_M)
             return _finished_tile_window(_rt(g), tile_id, tb.n_rows, tb.n_cols)
 
-        out = (
-            points_ds.groupby("tile_id")
-            .map_groups(dispatch, batch_format="pandas")
-            .map_batches(_window_batch, batch_format="pandas", batch_size=1)
-            .groupby("tile_id")
-            .map_groups(merge_tile_windows, batch_format="pandas")
-        )
-    else:
-        hulls = tile_hulls(points_ds, levels) if certify else {}
-        salted = points_ds.map_batches(
-            lambda t: _salt_batch(t, levels, halo_m), batch_format="pyarrow"
-        )
-        windows = salted.groupby(["tile_id", "salt_sub"]).map_groups(
-            lambda g: rasterize_salted(
-                g, halo_m=halo_m, hulls=hulls, certify=certify
+        out = group_apply_bucketed(
+            group_apply_bucketed(points_ds, key_col, dispatch).map_batches(
+                _window_batch, batch_format="pandas", batch_size=1
             ),
-            batch_format="pandas",
+            "tile_id",
+            merge_tile_windows,
         )
-        out = windows.groupby("tile_id").map_groups(
-            merge_tile_windows, batch_format="pandas"
-        )
+        if not include_rasters:
+            out = out.drop_columns(["dem", "classification_raster"])
+        return out
+
+    # certified-halo mode still needs the count pre-pass: the split
+    # LEVEL (window fanout) depends on the tile's density before any
+    # group materializes
+    counts = tile_count_partials(points_ds)
+    levels = salt_levels(counts, threshold, exact=exact)
+    if not levels:
+        return tin_tiles(points_ds, include_rasters=include_rasters)
+
+    if True:  # halo mode (kept indented to preserve the diff's shape)
+        hulls = tile_hulls(points_ds, levels) if certify else {}
+        out = halo_pass(points_ds, levels, hulls, halo_m, certify)
         if certify:
             out = out.materialize()
-            pend = sorted(
-                r["tile_id"]
-                for r in out.map_batches(
-                    lambda t: t.select(["tile_id", "n_pending"]),
-                    batch_format="pyarrow",
-                ).take_all()
-                if r["n_pending"] > 0
-            )
+
+            def pending_of(ds):
+                return sorted(
+                    r["tile_id"]
+                    for r in ds.map_batches(
+                        lambda t: t.select(["tile_id", "n_pending"]),
+                        batch_format="pyarrow",
+                    ).take_all()
+                    if r["n_pending"] > 0
+                )
+
+            def in_set(t: pa.Table, arr, invert=False) -> pa.Table:
+                ids = t.column("tile_id").to_numpy(zero_copy_only=False)
+                mask = pd.Index(ids).isin(arr)
+                return t.filter(pa.array(~mask if invert else mask))
+
+            # HALO DOUBLING: uncertified tiles (hull slivers, wide
+            # circumdisks) re-run the SAME split with a doubled halo —
+            # each round certifies strictly more cells, the builds stay
+            # window-local (no single task ever holds the whole hot
+            # tile), and for real point distributions one doubling
+            # resolves nearly everything. The build-once path is only
+            # the terminal fallback when doubling would exceed the
+            # tile (pathological: certificates keep failing at
+            # halo ~ tile scale).
+            pend = pending_of(out)
+            halo_r = halo_m
+            while pend and halo_r * 2 <= TILE_SIZE_M / 2:
+                halo_r *= 2
+                pend_arr = np.sort(np.array(pend, dtype=object))
+                sub_levels = {t: levels[t] for t in pend if t in levels}
+                redo = halo_pass(
+                    points_ds.map_batches(
+                        lambda t, a=pend_arr: in_set(t, a), batch_format="pyarrow"
+                    ),
+                    sub_levels,
+                    hulls,
+                    halo_r,
+                    True,
+                ).materialize()
+                out = (
+                    out.map_batches(
+                        lambda t, a=pend_arr: in_set(t, a, invert=True),
+                        batch_format="pyarrow",
+                    )
+                    .union(redo)
+                    .materialize()
+                )
+                new_pend = pending_of(redo)
+                if set(new_pend) == set(pend):
+                    # non-improving round: these tiles carry
+                    # tile-spanning circumdisks (border slivers) that
+                    # no local halo can certify — stop doubling, let
+                    # the terminal build-once fallback take them
+                    pend = new_pend
+                    break
+                pend = new_pend
+
             pend_arr = np.sort(np.array(pend, dtype=object))
 
             def drop_pending(t: pa.Table, keep_rows: bool) -> pa.Table:
                 t = t.drop_columns(["n_pending"])
                 if not keep_rows:
-                    ids = t.column("tile_id").to_numpy(zero_copy_only=False)
-                    t = t.filter(pa.array(~pd.Index(ids).isin(pend_arr)))
+                    return in_set(t, pend_arr, invert=True)
                 return t
 
             ok = out.map_batches(
@@ -795,15 +869,10 @@ def salted_tin_tiles(
                 batch_format="pyarrow",
             )
             if pend:
-                # uncertified tiles (hull slivers, wide circumdisks):
-                # recompute through the build-once exact path — the
-                # certified majority keeps the halo-mode cost profile
-                def in_pend(t: pa.Table) -> pa.Table:
-                    ids = t.column("tile_id").to_numpy(zero_copy_only=False)
-                    return t.filter(pa.array(pd.Index(ids).isin(pend_arr)))
-
                 fixed = (
-                    points_ds.map_batches(in_pend, batch_format="pyarrow")
+                    points_ds.map_batches(
+                        lambda t, a=pend_arr: in_set(t, a), batch_format="pyarrow"
+                    )
                     .groupby("tile_id")
                     .map_groups(
                         lambda g: _build_hot_tile(g, 1), batch_format="pandas"

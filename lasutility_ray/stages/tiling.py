@@ -45,8 +45,50 @@ def add_point_columns(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
         .append_column("classification", pa.array(cls, pa.uint8()))
         .append_column("is_ground", pa.array(is_ground, pa.bool_()))
         .append_column("tile_id", pa.array(tile_id, pa.string()))
+        .append_column("tile_key", pa.array(tile_key_of(x, y), pa.int64()))
         .append_column("row", pa.array(row, pa.int64()))
         .append_column("col", pa.array(col, pa.int64()))
+    )
+
+
+# ---------------------------------------------------- int64 tile key
+#
+# The string tile name is the USER-facing id, but carrying 4M+ python
+# strings through a shuffle + pandas group conversion costs multiple
+# seconds per million rows (measured: the string column dominates the
+# checkpoint read, the sort payload AND the to_pandas step). The key
+# packs the tile's km-grid coordinates bijectively into an int64; the
+# name is reconstructed ONCE PER GROUP on the far side of the shuffle.
+
+_TILE_KEY_SHIFT = 20  # e_km fits in 20 bits (envelope max 692 km)
+
+
+def tile_key_of(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """(n_km << 20) | e_km for the TILE_SIZE_M-aligned floor corner."""
+    e_km = np.floor(x / TILE_SIZE_M).astype(np.int64)
+    n_km = np.floor(y / TILE_SIZE_M).astype(np.int64)
+    return (n_km << _TILE_KEY_SHIFT) | e_km
+
+
+def tile_key_to_name(key: int) -> str:
+    """Reconstruct the string tile name from the packed key (exact:
+    encodes the tile's center point)."""
+    e_km = int(key) & ((1 << _TILE_KEY_SHIFT) - 1)
+    n_km = int(key) >> _TILE_KEY_SHIFT
+    return str(
+        tilenamer.encode(
+            np.array([e_km * TILE_SIZE_M + TILE_SIZE_M / 2]),
+            np.array([n_km * TILE_SIZE_M + TILE_SIZE_M / 2]),
+            TILE_SIZE_M,
+        )[0]
+    )
+
+
+def name_to_tile_key(name: str) -> int:
+    """Inverse of :func:`tile_key_to_name` via the tilenamer decode."""
+    min_e, min_n, _, _ = tilenamer.decode(name)
+    return (int(min_n) // TILE_SIZE_M << _TILE_KEY_SHIFT) | (
+        int(min_e) // TILE_SIZE_M
     )
 
 

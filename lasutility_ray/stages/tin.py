@@ -83,10 +83,13 @@ def rasterize_tile(group: pd.DataFrame) -> pd.DataFrame:
 
 def tin_tiles(points_ds, include_rasters: bool = True):
     """points -> one row per tile. Set ``include_rasters=False`` for
-    summary-only outputs (oracle checks)."""
-    out = points_ds.groupby("tile_id").map_groups(
-        rasterize_tile, batch_format="pandas"
-    )
+    summary-only outputs (oracle checks). Runs through the coarse-
+    bucket co-group (one int-key sort + in-bucket pandas groupby) —
+    Ray's native per-group map_groups dispatch costs ~10s of pure
+    overhead at a few hundred tiles x millions of rows."""
+    from .cogroup import group_apply_bucketed
+
+    out = group_apply_bucketed(points_ds, "tile_id", rasterize_tile)
     if not include_rasters:
         out = out.drop_columns(["dem", "classification_raster"])
     return out
@@ -140,6 +143,6 @@ def triangles_tile(group: pd.DataFrame) -> pd.DataFrame:
 
 def tin_triangles(points_ds):
     """points -> one row per (tile, triangle) with PolygonZ WKB (S11)."""
-    return points_ds.groupby("tile_id").map_groups(
-        triangles_tile, batch_format="pandas"
-    )
+    from .cogroup import group_apply_bucketed
+
+    return group_apply_bucketed(points_ds, "tile_id", triangles_tile)

@@ -99,12 +99,21 @@ class DropFinished:
         ref = done_ref[0] if isinstance(done_ref, list) else done_ref
         self.done = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         self.key_col = key_col
+        # vectorized path for int keys (tile_key resume filter)
+        self.done_arr = (
+            np.fromiter(self.done, dtype=np.int64, count=len(self.done))
+            if self.done and all(isinstance(k, int) for k in self.done)
+            else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.done:
             return batch
         keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
-        mask = np.array([k not in self.done for k in keys], dtype=bool)
+        if self.done_arr is not None and keys.dtype.kind in "iu":
+            mask = ~np.isin(keys, self.done_arr)
+        else:
+            mask = np.array([k not in self.done for k in keys], dtype=bool)
         return batch.filter(pa.array(mask))
 
 
@@ -146,7 +155,8 @@ METRIC_COLS = (
 )
 
 
-def _pending_input(points_ds, out_dir: str, key_col: str, concurrency: int):
+def _pending_input(points_ds, out_dir: str, key_col: str, concurrency: int,
+                   done_translate=None):
     """Sweep torn tmp files, list finished keys, anti-join them out
     of the input via the broadcast DropFinished pool."""
     import ray
@@ -166,6 +176,8 @@ def _pending_input(points_ds, out_dir: str, key_col: str, concurrency: int):
     done = finished_keys(out_dir)
     if not done:
         return points_ds
+    if done_translate is not None:
+        done = {done_translate(k) for k in done}
     done_ref = ray.put(done)
     # autoscaling pool (min 1): never reserves every CPU, so the
     # downstream groupby shuffle can always make progress
@@ -183,6 +195,8 @@ def resumable_tiles(
     tiles_fn,
     key_col: str = "tile_id",
     concurrency: int = 4,
+    pending_key_col: str | None = None,
+    done_translate=None,
 ):
     """Checkpoint ANY tile-keyed wide step: ``tiles_fn`` maps the
     pending points Dataset to a tiles Dataset (one row per key);
@@ -191,8 +205,16 @@ def resumable_tiles(
     (METRIC_COLS intersection). A killed job resumes by skipping keys
     already in the manifest (the LockedCells idea at tile
     granularity). Returns the manifest table after driving the
-    pipeline."""
-    pending = _pending_input(points_ds, out_dir, key_col, concurrency)
+    pipeline.
+
+    ``pending_key_col``/``done_translate``: when the INPUT carries a
+    different key column than the output (e.g. the int64 tile_key),
+    the resume filter runs on that column with the manifest's string
+    keys mapped through ``done_translate``."""
+    pending = _pending_input(
+        points_ds, out_dir, pending_key_col or key_col, concurrency,
+        done_translate=done_translate,
+    )
     tiles = tiles_fn(pending)
 
     def commit_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -240,20 +262,33 @@ def resumable_burned_tiles(features_by_tile_ds, out_dir: str, concurrency: int =
 
 
 def resumable_salted_tin_tiles(
-    points_ds, out_dir: str, threshold: int = 4000, concurrency: int = 4, exact: bool = True
+    points_ds, out_dir: str, threshold: int = 4000, concurrency: int = 4,
+    exact: bool = True, key_col: str = "tile_id",
 ):
     """Skew-salted AND checkpointed: the hot-tile split happens inside
     the pending computation; commits stay at tile granularity, so
-    resume semantics are identical to the unsalted path."""
+    resume semantics are identical to the unsalted path.
+
+    ``key_col="tile_key"`` shuffles on the int64 packed tile key
+    instead of the string name (manifest keys stay string names; the
+    resume filter translates them)."""
     from ..stages.salting import salted_tin_tiles
 
+    done_translate = None
+    if key_col != "tile_id":
+        from ..stages.tiling import name_to_tile_key
+
+        done_translate = name_to_tile_key
     return resumable_tiles(
         points_ds,
         out_dir,
         lambda pending: salted_tin_tiles(
-            pending, threshold=threshold, include_rasters=True, exact=exact
+            pending, threshold=threshold, include_rasters=True, exact=exact,
+            key_col=key_col,
         ),
         concurrency=concurrency,
+        pending_key_col=key_col,
+        done_translate=done_translate,
     )
 
 

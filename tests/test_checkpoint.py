@@ -249,3 +249,55 @@ def test_resumable_corpus_partitions(ray_session, tmp_path):
     assert not os.path.exists(torn)
     for k, mt in mtimes.items():
         assert os.path.getmtime(os.path.join(out, "tiles", f"{k}.parquet")) == mt
+
+
+def test_tile_key_resume_matches_string_key(out_dir, ray_session):
+    """The int64 tile_key fast path (shuffle on the packed key, string
+    names reconstructed per group, resume filter translating manifest
+    names back to keys) produces the identical manifest and output as
+    the string-keyed path, and resume after a partial run completes
+    only the pending tiles."""
+    import pandas as pd
+
+    from lasutility_ray.state.manifest import (
+        manifest_table,
+        resumable_salted_tin_tiles,
+    )
+
+    pts_cols = [
+        "doc_id", "x", "y", "z", "classification", "is_ground",
+        "tile_id", "tile_key",
+    ]
+    pts = _points().select_columns(pts_cols)
+
+    str_dir, key_dir = out_dir + "_s", out_dir + "_k"
+    m_s = resumable_salted_tin_tiles(pts, str_dir, threshold=50, exact=True)
+    m_k = resumable_salted_tin_tiles(
+        pts.drop_columns(["tile_id"]), key_dir, threshold=50, exact=True,
+        key_col="tile_key",
+    )
+    a = m_s.to_pandas().sort_values("key").reset_index(drop=True)
+    b = m_k.to_pandas().sort_values("key").reset_index(drop=True)
+    volatile = ["wall_s", "ts", "output_path"]
+    pd.testing.assert_frame_equal(
+        a.drop(columns=volatile, errors="ignore"),
+        b.drop(columns=volatile, errors="ignore"),
+    )
+
+    # simulate a partial run: drop half the manifest + outputs, resume
+    # with the int key — only pending tiles recompute, final manifest
+    # matches the full one
+    keys = sorted(finished_keys(key_dir))
+    drop = keys[::2]
+    for k in drop:
+        os.remove(os.path.join(key_dir, "_manifest", f"{k}.parquet"))
+        os.remove(os.path.join(key_dir, "tiles", f"{k}.parquet"))
+    assert len(finished_keys(key_dir)) == len(keys) - len(drop)
+    m_k2 = resumable_salted_tin_tiles(
+        pts.drop_columns(["tile_id"]), key_dir, threshold=50, exact=True,
+        key_col="tile_key",
+    )
+    b2 = m_k2.to_pandas().sort_values("key").reset_index(drop=True)
+    assert sorted(b2["key"]) == keys
+    shutil.rmtree(str_dir, ignore_errors=True)
+    shutil.rmtree(key_dir, ignore_errors=True)

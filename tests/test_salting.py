@@ -187,3 +187,55 @@ def test_no_hot_tiles_falls_back(ray_session):
     a = out.to_pandas().sort_values("tile_id").reset_index(drop=True)
     b = plain.to_pandas().sort_values("tile_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_halo_doubling_certifies_more_tiles(ray_session):
+    """Halo-doubling (round-3): a doubled halo strictly shrinks the
+    uncertified tile set on the urban fixture (4 pending at 15 m -> 2
+    at 30 m — the remaining two carry tile-spanning border-sliver
+    circumdisks no local halo can certify and take the terminal
+    build-once fallback). End-to-end certified output through the
+    doubling rounds stays bit-identical to the unsalted path."""
+    from lasutility_ray.stages.salting import halo_pass, tile_hulls
+
+    pts = _points()
+    counts = tile_count_partials(pts)
+    levels = salt_levels(counts, threshold=3000, exact=False)
+    hulls = tile_hulls(pts, levels)
+
+    def pend_at(h):
+        out = halo_pass(pts, levels, hulls, h, True)
+        return sorted(
+            r["tile_id"]
+            for r in out.map_batches(
+                lambda t: t.select(["tile_id", "n_pending"]),
+                batch_format="pyarrow",
+            ).take_all()
+            if r["n_pending"] > 0
+        )
+
+    p15, p30 = pend_at(15.0), pend_at(30.0)
+    assert p15, "fixture must stress the certificate at the small halo"
+    assert set(p30) < set(p15), "doubling must certify strictly more tiles"
+
+    plain = (
+        tin_tiles(pts, include_rasters=True)
+        .to_pandas()
+        .set_index("tile_id")
+        .sort_index()
+    )
+    salted = (
+        salted_tin_tiles(
+            pts, threshold=3000, halo_m=15.0, include_rasters=True,
+            exact=False, certify=True,
+        )
+        .to_pandas()
+        .set_index("tile_id")
+        .sort_index()
+    )
+    assert list(plain.index) == list(salted.index)
+    for tid in plain.index:
+        pd_dem = np.frombuffer(plain.loc[tid, "dem"], dtype=np.float32)
+        sd_dem = np.frombuffer(salted.loc[tid, "dem"], dtype=np.float32)
+        neq = ~((pd_dem == sd_dem) | (np.isnan(pd_dem) & np.isnan(sd_dem)))
+        assert not neq.any(), f"{tid}: {neq.sum()} DEM cells differ"
