@@ -160,6 +160,7 @@ def run_flagship(n_docs: int, out_dir: str, resume: bool = False) -> dict:
     manifest = resumable_salted_tin_tiles(
         points, out_dir, exact=True, concurrency=max(2, ncpu // 4),
         key_col="tile_key", threshold=max(20_000, n_docs // (2 * ncpu)),
+        build=os.environ.get("GRAFT_TIN_BUILD", "merge"),
     )
     th.join()
     dt = time.perf_counter() - t0

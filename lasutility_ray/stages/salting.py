@@ -546,6 +546,29 @@ def _finished_tile_window(full: pd.DataFrame, tile_id: str, n_rows: int,
     )
 
 
+def _pack_pts(x, y, z, cls, is_ground) -> bytes:
+    return b"".join(
+        (
+            x.astype("<f8").tobytes(),
+            y.astype("<f8").tobytes(),
+            z.astype("<f8").tobytes(),
+            cls.astype(np.uint8).tobytes(),
+            is_ground.astype(np.uint8).tobytes(),
+        )
+    )
+
+
+def _unpack_pts(blob: bytes):
+    n = len(blob) // (8 * 3 + 2)
+    o = 0
+    x = np.frombuffer(blob, dtype="<f8", count=n, offset=o); o += 8 * n
+    y = np.frombuffer(blob, dtype="<f8", count=n, offset=o); o += 8 * n
+    z = np.frombuffer(blob, dtype="<f8", count=n, offset=o); o += 8 * n
+    cls = np.frombuffer(blob, dtype=np.uint8, count=n, offset=o); o += n
+    is_ground = np.frombuffer(blob, dtype=np.uint8, count=n, offset=o).astype(bool)
+    return x, y, z, cls, is_ground
+
+
 def _build_hot_tile(group: pd.DataFrame, level: int) -> pd.DataFrame:
     """One task per hot tile: build the FULL tile's Delaunay TIN (and
     its grid index) exactly as ``tin.rasterize_tile`` would — same
@@ -579,17 +602,17 @@ def _build_hot_tile(group: pd.DataFrame, level: int) -> pd.DataFrame:
         return _finished_tile_window(
             rasterize_tile(group), tile_id, tile_bounds.n_rows, tile_bounds.n_cols
         )
+    return _fanout_window_rows(tile_id, level, tri, x, y, z, cls, is_ground)
 
+
+def _fanout_window_rows(
+    tile_id: str, level: int, tri: SurfaceTriangulation, x, y, z, cls, is_ground
+) -> pd.DataFrame:
+    """Serialize a built full-tile TIN into one row per raster window
+    (the rasterize-split fanout shared by the build-once and the
+    distributed strip-merge paths)."""
     n_tri = tri.triangle_count()
-    blob_pts = b"".join(
-        (
-            x.astype("<f8").tobytes(),
-            y.astype("<f8").tobytes(),
-            z.astype("<f8").tobytes(),
-            cls.astype(np.uint8).tobytes(),
-            is_ground.astype(np.uint8).tobytes(),
-        )
-    )
+    blob_pts = _pack_pts(x, y, z, cls, is_ground)
     blob_tris = tri._tris.astype("<i4").tobytes()
     blob_index = (
         tri._cell_starts.astype("<i8").tobytes()
@@ -638,14 +661,7 @@ def _rasterize_prebuilt_window(row: dict) -> dict:
     env = decode(tile_id)
     tile_bounds = RasterBounds.for_tile(env, CELL_SIZE_M)
 
-    blob = row["blob_pts"]
-    n = len(blob) // (8 * 3 + 2)
-    o = 0
-    x = np.frombuffer(blob, dtype="<f8", count=n, offset=o); o += 8 * n
-    y = np.frombuffer(blob, dtype="<f8", count=n, offset=o); o += 8 * n
-    z = np.frombuffer(blob, dtype="<f8", count=n, offset=o); o += 8 * n
-    cls = np.frombuffer(blob, dtype=np.uint8, count=n, offset=o); o += n
-    is_ground = np.frombuffer(blob, dtype=np.uint8, count=n, offset=o).astype(bool)
+    x, y, z, cls, is_ground = _unpack_pts(row["blob_pts"])
 
     tris = np.frombuffer(row["blob_tris"], dtype="<i4").reshape(-1, 3)
     idx_blob = row["blob_index"]
@@ -708,6 +724,172 @@ def _window_batch(df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+# ------------------------- exact mode: distributed strip-merge build
+
+
+N_BUILD_STRIPS = 8
+MIN_STRIP_POINTS = 16
+
+
+def _hot_tile_strip_rows(g: pd.DataFrame, level: int, n_strips: int) -> pd.DataFrame:
+    """Split a hot tile's points into x-strips for the distributed
+    merge build: one row per nonempty strip carrying that strip's
+    packed points (win_sr = -2 marks a strip row; win_sc = strip id).
+    Falls back to the single-task build when the x distribution is so
+    skewed that halving cannot give every nonempty strip
+    ``MIN_STRIP_POINTS`` points."""
+    from ..geom.dc_merge import strip_assign
+
+    x = g["x"].to_numpy()
+    while n_strips > 1:
+        strip = strip_assign(x, n_strips)
+        counts = np.bincount(strip, minlength=n_strips)
+        if counts[counts > 0].min() >= MIN_STRIP_POINTS:
+            break
+        n_strips //= 2
+    else:
+        return _build_hot_tile(g, level)
+
+    tile_id = g["tile_id"].iloc[0]
+    y = g["y"].to_numpy()
+    z = g["z"].to_numpy()
+    cls = g["classification"].to_numpy()
+    is_ground = g["is_ground"].to_numpy()
+    rows = []
+    for s in range(n_strips):
+        m = strip == s
+        if not m.any():
+            continue
+        rows.append(
+            {
+                "tile_id": tile_id,
+                "r_off": -1,
+                "c_off": -1,
+                "n_h": -1,
+                "n_w": -1,
+                "n_points": 0,
+                "n_ground": 0,
+                "n_triangles": 0,
+                "missing_before": -1,
+                "missing_after": -1,
+                "n_voxel_cells": 0,
+                "tin_dem_win": b"",
+                "cls_win": b"",
+                "blob_pts": _pack_pts(x[m], y[m], z[m], cls[m], is_ground[m]),
+                "blob_tris": b"",
+                "blob_index": b"",
+                "win_sr": -2,
+                "win_sc": s,
+                "win_level": level,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _strip_build_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """Triangulate one strip (the parallel O(n log n) part of the
+    distributed build). Non-strip rows pass through untouched.
+    Degenerate strips (collinear) keep empty blobs — the merge task
+    falls back to a single full build for that tile."""
+    from ..geom.dc_merge import build_strip
+
+    if int(df["win_sr"].iloc[0]) != -2:
+        return df
+    row = df.iloc[0]
+    x, y, *_ = _unpack_pts(row["blob_pts"])
+    tris, hull = build_strip(x, y, np.arange(len(x), dtype=np.int64))
+    if tris is None:
+        return df
+    return df.assign(
+        blob_tris=[tris.astype("<i4").tobytes()],
+        blob_index=[hull.astype("<i4").tobytes()],
+    )
+
+
+def _merge_tile_tris(parts):
+    """Seam-merge built strips (list of (x, y, z, cls, is_ground,
+    tris_local, hull_local) per strip, left-to-right). Returns the
+    concatenated point arrays plus the merged triangle array, or
+    ``None`` for the triangles when any strip is degenerate or the
+    merge cannot certify exactness (Euler check) — callers then run
+    the single-task full build over the returned points."""
+    from ..geom.dc_merge import MergeError, merge_parts
+
+    xs = np.concatenate([p[0] for p in parts])
+    ys = np.concatenate([p[1] for p in parts])
+    zs = np.concatenate([p[2] for p in parts])
+    cs = np.concatenate([p[3] for p in parts])
+    igs = np.concatenate([p[4] for p in parts])
+    part_tris, part_hulls = [], []
+    off = 0
+    degenerate = False
+    for p in parts:
+        if p[5] is None:
+            degenerate = True
+        else:
+            part_tris.append(p[5] + off)
+            part_hulls.append(p[6] + off)
+        off += len(p[0])
+    tris = None
+    if not degenerate and part_tris:
+        try:
+            tris = merge_parts(xs, ys, part_tris, part_hulls)
+        except MergeError:
+            tris = None
+    return xs, ys, zs, cs, igs, tris
+
+
+def _merge_built_strips(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-tile merge task of the distributed build: seam-merge the
+    strip triangulations into the tile's full Delaunay TIN, build the
+    grid index (vectorized), and fan out the rasterize-split window
+    rows. Cold tiles' finished rows pass through untouched."""
+    from .tin import rasterize_tile
+
+    if int(group["win_sr"].iloc[0]) != -2:
+        return group
+    tile_id = group["tile_id"].iloc[0]
+    level = int(group["win_level"].iloc[0])
+    g = group.sort_values("win_sc")
+    parts = []
+    for _, r in g.iterrows():
+        x, y, z, cls, ig = _unpack_pts(r["blob_pts"])
+        if len(r["blob_tris"]):
+            tris = np.frombuffer(r["blob_tris"], dtype="<i4").astype(np.int64).reshape(-1, 3)
+            hull = np.frombuffer(r["blob_index"], dtype="<i4").astype(np.int64)
+        else:
+            tris = hull = None
+        parts.append((x, y, z, cls, ig, tris, hull))
+    x, y, z, cls, is_ground, tris = _merge_tile_tris(parts)
+
+    env = decode(tile_id)
+    tile_bounds = RasterBounds.for_tile(env, CELL_SIZE_M)
+    tri = SurfaceTriangulation(tile_bounds)
+    tri.set_points(x, y, z, cls)
+    if tris is not None:
+        tri.set_triangulation(tris)
+    else:
+        try:
+            tri.create()
+        except ValueError:
+            tri = None  # collinear — no TIN
+    if tri is None or tri.triangle_count() == 0:
+        df = pd.DataFrame(
+            {
+                "tile_id": tile_id,
+                "x": x,
+                "y": y,
+                "z": z,
+                "classification": cls,
+                "is_ground": is_ground,
+            }
+        )
+        return _finished_tile_window(
+            rasterize_tile(df), tile_id, tile_bounds.n_rows, tile_bounds.n_cols
+        )
+    return _fanout_window_rows(tile_id, level, tri, x, y, z, cls, is_ground)
+
+
 def salted_tin_tiles(
     points_ds,
     threshold: int = HOT_THRESHOLD,
@@ -717,16 +899,33 @@ def salted_tin_tiles(
     exact_level: int = 1,
     certify: bool = True,
     key_col: str = "tile_id",
+    build: str = "merge",
+    n_strips: int = N_BUILD_STRIPS,
 ):
     """Skew-aware variant of ``stages.tin.tin_tiles``.
 
-    - ``exact=True`` (default): **build once, rasterize split** — one
-      task per hot tile builds the full-tile Delaunay TIN, then
-      ``(2**exact_level)**2`` window tasks rasterize/gap-fill disjoint
-      windows of it. Bit-identical to the unsalted path (same TIN,
-      same tri ids, including ``n_triangles``); total CPU ~= unsalted
-      + serialization, wall of the straggler = one build + 1/n_windows
-      of the raster work.
+    - ``exact=True`` (default): the hot tile's raster work is split
+      into ``(2**exact_level)**2`` disjoint windows; the BUILD is
+      controlled by ``build``:
+
+      * ``build="merge"`` (default): **distributed strip-merge** —
+        ``n_strips`` tasks each triangulate one x-strip of the hot
+        tile in parallel, a per-tile merge task seam-merges them into
+        the full Delaunay TIN (``geom.dc_merge``, Guibas–Stolfi
+        rising bridge) and fans out the window rows. No single task
+        ever runs the full-tile O(n log n) build; the merge task's
+        python work is proportional to the seams. The Delaunay of
+        points in general position is unique, so the triangle set —
+        and therefore the rasters and ``n_triangles`` — equal the
+        single-build output (pinned by tests); degenerate strips or a
+        failed Euler certification fall back to a single full build
+        inside the merge task.
+      * ``build="once"``: **build once, rasterize split** — one task
+        per hot tile builds the full-tile TIN, window tasks
+        rasterize/gap-fill disjoint windows of it. Bit-identical to
+        the unsalted path by construction (same TIN, same tri ids);
+        wall of the straggler = one full build + 1/n_windows of the
+        raster work.
     - ``exact=False``: halo mode, the extreme-skew path — split level
       grows with density and BUILD cost is divided too. With
       ``certify=True`` (default) every cell is checked against the
@@ -769,15 +968,27 @@ def salted_tin_tiles(
                 g = g.drop(columns=[key_col])
             tile_id = g["tile_id"].iloc[0]
             if len(g) > threshold:
+                if build == "merge":
+                    return _hot_tile_strip_rows(g, exact_level, n_strips)
                 return _build_hot_tile(g, exact_level)
             env = decode(tile_id)
             tb = RasterBounds.for_tile(env, CELL_SIZE_M)
             return _finished_tile_window(_rt(g), tile_id, tb.n_rows, tb.n_cols)
 
+        staged = group_apply_bucketed(points_ds, key_col, dispatch)
+        if build == "merge":
+            # distributed build: strip triangulations in parallel
+            # tasks, one cheap seam-merge task per hot tile — no
+            # single task ever runs the full-tile O(n log n) build
+            staged = group_apply_bucketed(
+                staged.map_batches(
+                    _strip_build_batch, batch_format="pandas", batch_size=1
+                ),
+                "tile_id",
+                _merge_built_strips,
+            )
         out = group_apply_bucketed(
-            group_apply_bucketed(points_ds, key_col, dispatch).map_batches(
-                _window_batch, batch_format="pandas", batch_size=1
-            ),
+            staged.map_batches(_window_batch, batch_format="pandas", batch_size=1),
             "tile_id",
             merge_tile_windows,
         )

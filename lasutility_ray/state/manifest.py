@@ -263,7 +263,7 @@ def resumable_burned_tiles(features_by_tile_ds, out_dir: str, concurrency: int =
 
 def resumable_salted_tin_tiles(
     points_ds, out_dir: str, threshold: int = 4000, concurrency: int = 4,
-    exact: bool = True, key_col: str = "tile_id",
+    exact: bool = True, key_col: str = "tile_id", build: str = "merge",
 ):
     """Skew-salted AND checkpointed: the hot-tile split happens inside
     the pending computation; commits stay at tile granularity, so
@@ -284,7 +284,7 @@ def resumable_salted_tin_tiles(
         out_dir,
         lambda pending: salted_tin_tiles(
             pending, threshold=threshold, include_rasters=True, exact=exact,
-            key_col=key_col,
+            key_col=key_col, build=build,
         ),
         concurrency=concurrency,
         pending_key_col=key_col,

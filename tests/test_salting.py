@@ -38,7 +38,8 @@ def test_count_pass_and_levels(ray_session):
     assert all(lv >= 1 for lv in levels.values())
 
 
-def test_salted_equals_unsalted(ray_session):
+@pytest.mark.parametrize("build", ["merge", "once"])
+def test_salted_equals_unsalted(ray_session, build):
     pts = _points()
     plain = (
         tin_tiles(pts, include_rasters=True)
@@ -47,7 +48,7 @@ def test_salted_equals_unsalted(ray_session):
         .sort_index()
     )
     salted = (
-        salted_tin_tiles(pts, threshold=3000, include_rasters=True)
+        salted_tin_tiles(pts, threshold=3000, include_rasters=True, build=build)
         .to_pandas()
         .set_index("tile_id")
         .sort_index()
