@@ -310,7 +310,11 @@ def q_embed_lsh_pairs(sf_dir: str):
     from lasutility_ray.stages.dedup import embedding_lsh_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_lsh_pairs(emb, threshold=0.45)
+    # exact_limit=0 forces the REAL banded-LSH machinery: this query
+    # (and the recall query built on it) exists as evidence that the
+    # scale path finds the pairs, so the small-input exact fast path
+    # must not stand in for it here
+    return embedding_lsh_pairs(emb, threshold=0.45, exact_limit=0)
 
 
 def q_embed_lsh_recall(sf_dir: str):

@@ -911,11 +911,15 @@ def lsh_tables_for(threshold: float, planes_per_table: int = PLANES_PER_TABLE,
     return int(np.clip(t, 8, 128))
 
 
+EXACT_EMBED_PAIRS_LIMIT = 32_768
+
+
 def embedding_lsh_pairs(
     ds,
     n_tables: int | None = None,
     planes_per_table: int = PLANES_PER_TABLE,
     threshold: float = COSINE_THRESHOLD,
+    exact_limit: int = EXACT_EMBED_PAIRS_LIMIT,
 ):
     """Scale path for embedding near-dup: banded (multi-table)
     hyperplane LSH, exact cosine verified within buckets.
@@ -938,8 +942,58 @@ def embedding_lsh_pairs(
     runs inside each bucket at C speed (same pattern as
     ``minhash_candidate_pairs``). Cross-table duplicate pairs collapse
     in a final vectorized groupby-aggregate.
+
+    SIZE-ADAPTIVE (the dedup family's established shape): below
+    ``exact_limit`` vectors the n_tables-fold shuffle's fixed cost
+    dwarfs the work, so ONE Ray task computes the exact >=threshold
+    pair set from block refs with a row-chunked matmul — a strict
+    superset of what LSH can find, identical under the tuned
+    per-pair miss <= 1e-6, and never a driver materialization. The
+    ``ds.count()`` gate is parquet-metadata-fast for read inputs;
+    derived inputs pay one extra upstream execution on the small
+    branch only (forced-fallback test pins both paths equal).
     """
     from .cogroup import default_n_buckets
+
+    n_vecs = ds.count()
+    if n_vecs <= exact_limit:
+        import ray as _ray
+        import ray.data as _rd
+
+        refs = ds.materialize().to_arrow_refs()
+
+        @_ray.remote
+        def exact_pairs(refs, threshold):
+            ts = [t for t in map(_block_as_table, _ray.get(list(refs))) if t.num_rows]
+            if not ts:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            full = pa.concat_tables(ts)
+            ids = full.column("vec_id").to_numpy()
+            m = np.stack(full.column("embedding").to_numpy()).astype(np.float64)
+            m = m / np.linalg.norm(m, axis=1)[:, None]
+            outs = {"a": [], "b": [], "cosine": []}
+            for lo in range(0, len(ids), 2048):  # bound the sims slab
+                sims = m[lo : lo + 2048] @ m.T
+                pi, qi = np.nonzero(sims >= threshold)
+                keep = ids[lo + pi] < ids[qi]
+                outs["a"].append(ids[lo + pi][keep])
+                outs["b"].append(ids[qi][keep])
+                outs["cosine"].append(np.round(sims[pi, qi][keep], 6))
+            return pa.table(
+                {
+                    "a": pa.array(np.concatenate(outs["a"]), pa.int64()),
+                    "b": pa.array(np.concatenate(outs["b"]), pa.int64()),
+                    "cosine": pa.array(np.concatenate(outs["cosine"]), pa.float64()),
+                }
+            )
+
+        return _rd.from_arrow(_ray.get(exact_pairs.remote(refs, threshold)))
 
     if n_tables is None:
         n_tables = lsh_tables_for(threshold, planes_per_table)

@@ -183,7 +183,8 @@ def test_embedding_lsh_banded_recall(ray_session):
         "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     exact = embedding_nn_pairs(emb, threshold=0.45).to_pandas()
-    lsh = embedding_lsh_pairs(emb, threshold=0.45).to_pandas()
+    # exact_limit=0: force the real LSH path (the point of this test)
+    lsh = embedding_lsh_pairs(emb, threshold=0.45, exact_limit=0).to_pandas()
     t = set(zip(exact["a"], exact["b"]))
     a = set(zip(lsh["a"], lsh["b"]))
     assert len(t) > 0

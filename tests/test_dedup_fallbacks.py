@@ -73,3 +73,33 @@ def test_components_fallback_matches_local_path(ray_session):
     # local_edge_limit=0 forces the distributed label-propagation loop
     dist = duplicate_components(pairs, local_edge_limit=0).to_pandas()
     assert dict(zip(dist["node"], dist["component"])) == want
+
+
+def test_embed_lsh_exact_fast_path_matches_lsh(ray_session):
+    """Size-adaptive embedding pairs: the one-task exact fast path
+    (default below EXACT_EMBED_PAIRS_LIMIT vectors) and the forced
+    banded-LSH path must produce the same pair set on the fixture
+    (LSH recall is 1.0 there), with identical schema and cosines."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.dedup import embedding_lsh_pairs
+
+    emb = rd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    fast = (
+        embedding_lsh_pairs(emb, threshold=0.45)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    lsh = (
+        embedding_lsh_pairs(emb, threshold=0.45, exact_limit=0)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    assert set(fast.columns) == set(lsh.columns)
+    pd.testing.assert_frame_equal(fast[["a", "b", "cosine"]], lsh[["a", "b", "cosine"]])
