@@ -50,10 +50,11 @@ def attach_images(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Decode one image payload: real PNG (8-bit grey/RGB/RGBA via the
-    from-scratch ``geom.png.decode_png``), real baseline JPEG
-    (``geom.jpeg.decode_jpeg``) or the deterministic GRD1 fake. Other
-    real formats (webp/...) remain STUBBED — this container has no
+    """Decode one image payload: real PNG (via the from-scratch
+    ``geom.png.decode_png``), baseline+progressive JPEG
+    (``geom.jpeg.decode_jpeg``), BMP / PNM / Sun-raster / XBM
+    (``geom.simple_images``) or the deterministic GRD1 fake. Remaining
+    real formats (webp lossy/...) are STUBBED — this container has no
     image codecs. Returns (h, w*channels) uint8."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         from ..geom.png import decode_png
@@ -65,11 +66,30 @@ def decode_image(data: bytes) -> np.ndarray:
 
         img = decode_jpeg(data)
         return img.reshape(img.shape[0], -1)
+    if data[:2] == b"BM":
+        from ..geom.simple_images import decode_bmp
+
+        img = decode_bmp(data)
+        return img.reshape(img.shape[0], -1)
+    if data[:1] == b"P" and data[1:2] in b"123456":
+        from ..geom.simple_images import decode_pnm
+
+        img = decode_pnm(data)
+        return img.reshape(img.shape[0], -1)
+    if data[:4] == b"\x59\xa6\x6a\x95":
+        from ..geom.simple_images import decode_ras
+
+        img = decode_ras(data)
+        return img.reshape(img.shape[0], -1)
+    if data[:7] == b"#define":
+        from ..geom.simple_images import decode_xbm
+
+        return decode_xbm(data)
     if data[:4] != MAGIC:
         raise NotImplementedError(
-            "image decoding beyond PNG/baseline-JPEG (webp/...) is stubbed "
-            "in this environment; PNG, JPEG and the deterministic GRD1 "
-            "fake are supported"
+            "image decoding beyond PNG/JPEG/BMP/PNM/RAS/XBM (webp/...) is "
+            "stubbed in this environment; those formats and the "
+            "deterministic GRD1 fake are supported"
         )
     _, w, h, c = HEADER.unpack_from(data, 0)
     return np.frombuffer(data, dtype=np.uint8, offset=HEADER.size).reshape(h, w * c)
@@ -247,11 +267,14 @@ def attach_audio(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
 
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     """From-scratch RIFF/WAVE decoder (no audio library): walks the
-    chunk list; supports integer PCM at 16 and 8 bits (8-bit WAV is
-    unsigned, rescaled to int16) and IEEE float32 (format tag 3,
-    clipped to [-1, 1] and scaled to int16). Returns (sample_rate,
-    mono int16 samples — multi-channel clips are averaged to mono
-    with int32 headroom, the standard feature-input convention)."""
+    chunk list; supports integer PCM at 32/24/16/8 bits (8-bit WAV is
+    unsigned, rescaled to int16; 24/32-bit are truncated to the top
+    16 bits) and IEEE float32 (format tag 3, clipped to [-1, 1] and
+    scaled to int16). Returns (sample_rate, mono int16 samples —
+    multi-channel clips are averaged to mono with int32 headroom, the
+    standard feature-input convention). Conformance: pinned
+    sample-exact against foreign-encoder AU/AIFF encodings of the
+    same clip (tests/test_foreign_conformance.py)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     off = 12
@@ -267,10 +290,10 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         if tag == b"fmt ":
             fmt_tag, n_ch, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
-            if (fmt_tag, bits) not in ((1, 16), (1, 8), (3, 32)):
+            if (fmt_tag, bits) not in ((1, 16), (1, 8), (1, 24), (1, 32), (3, 32)):
                 raise NotImplementedError(
                     f"WAV format {fmt_tag}/{bits}-bit not supported "
-                    "(16/8-bit integer PCM and float32 only)"
+                    "(32/24/16/8-bit integer PCM and float32 only)"
                 )
         elif tag == b"data":
             body_raw = body
@@ -279,6 +302,14 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         raise ValueError("WAV missing fmt/data chunk")
     if fmt_tag == 1 and bits == 16:
         pcm = np.frombuffer(body_raw, dtype="<i2")
+    elif fmt_tag == 1 and bits == 24:  # 3-byte little-endian signed -> top 16
+        raw = np.frombuffer(body_raw[: len(body_raw) - len(body_raw) % 3], np.uint8)
+        tri = raw.reshape(-1, 3).astype(np.int32)
+        val = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+        val -= (val & 0x800000) << 1  # sign-extend
+        pcm = (val >> 8).astype(np.int16)
+    elif fmt_tag == 1 and bits == 32:
+        pcm = (np.frombuffer(body_raw, dtype="<i4") >> 16).astype(np.int16)
     elif fmt_tag == 1:  # 8-bit PCM is UNSIGNED, midpoint 128
         pcm = (
             (np.frombuffer(body_raw, dtype=np.uint8).astype(np.int16) - 128) << 8
@@ -297,13 +328,115 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     return rate, pcm
 
 
+def _pcm_be_to_i16(raw: bytes, bits: int) -> np.ndarray:
+    """Big-endian signed PCM (8/16/24/32-bit) -> int16 (top bits)."""
+    if bits == 16:
+        return np.frombuffer(raw, dtype=">i2").astype(np.int16)
+    if bits == 8:  # AU/AIFF 8-bit PCM is SIGNED (unlike WAV)
+        return np.frombuffer(raw, dtype=np.int8).astype(np.int16) << 8
+    if bits == 24:
+        b = np.frombuffer(raw[: len(raw) - len(raw) % 3], np.uint8)
+        tri = b.reshape(-1, 3).astype(np.int32)
+        val = (tri[:, 0] << 16) | (tri[:, 1] << 8) | tri[:, 2]
+        val -= (val & 0x800000) << 1
+        return (val >> 8).astype(np.int16)
+    if bits == 32:
+        return (np.frombuffer(raw, dtype=">i4") >> 16).astype(np.int16)
+    raise NotImplementedError(f"{bits}-bit big-endian PCM not supported")
+
+
+_ULAW_EXP = np.array([0, 132, 396, 924, 1980, 4092, 8316, 16764], np.int32)
+
+
+def _mono(pcm: np.ndarray, n_ch: int) -> np.ndarray:
+    if n_ch > 1:
+        pcm = (
+            pcm[: len(pcm) - len(pcm) % n_ch]
+            .reshape(-1, n_ch)
+            .astype(np.int32)
+            .mean(axis=1)
+            .astype(np.int16)
+        )
+    return pcm
+
+
+def decode_au(data: bytes) -> tuple[int, np.ndarray]:
+    """From-scratch Sun/NeXT .au decoder (big-endian header + PCM):
+    encodings 1 (u-law, G.711 table-free expansion), 2/3/4/5 (signed
+    linear 8/16/24/32-bit). Returns (sample_rate, mono int16) —
+    24/32-bit keep their top 16 bits, matching :func:`decode_wav`'s
+    convention, so the same clip in .wav/.au/.aiff decodes
+    sample-identically (pinned in tests/test_foreign_conformance.py)."""
+    if len(data) < 24 or data[:4] != b".snd":
+        raise ValueError("not a Sun .au stream")
+    _, off, _size, enc, rate, n_ch = struct.unpack_from(">6I", data, 0)
+    if off < 24 or off > len(data):
+        raise ValueError("bad .au data offset")
+    body = data[off:]
+    if enc == 1:  # 8-bit u-law
+        u = ~np.frombuffer(body, np.uint8)
+        sign = u & 0x80
+        exp = (u.astype(np.int32) >> 4) & 7
+        mant = u & 0x0F
+        mag = (mant.astype(np.int32) << (exp + 3)) + _ULAW_EXP[exp]
+        pcm = np.where(sign, -mag, mag).astype(np.int16)
+    elif enc in (2, 3, 4, 5):
+        pcm = _pcm_be_to_i16(body, 8 * (enc - 1))
+    else:
+        raise NotImplementedError(f".au encoding {enc} not supported")
+    return rate, _mono(pcm, max(n_ch, 1))
+
+
+def _f80_to_float(b: bytes) -> float:
+    """80-bit IEEE 754 extended (AIFF sample rate) -> float."""
+    (se,) = struct.unpack_from(">H", b, 0)
+    (mant,) = struct.unpack_from(">Q", b, 2)
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    val = mant * 2.0 ** (exp - 16383 - 63)
+    return -val if se & 0x8000 else val
+
+
+def decode_aiff(data: bytes) -> tuple[int, np.ndarray]:
+    """From-scratch AIFF decoder (IFF FORM/COMM/SSND, big-endian
+    signed PCM 8/16/24/32-bit, 80-bit extended-float sample rate).
+    Returns (sample_rate, mono int16) under the same top-16-bits
+    convention as :func:`decode_wav` / :func:`decode_au`."""
+    if len(data) < 12 or data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise ValueError("not an AIFF stream")
+    off = 12
+    rate = n_ch = bits = None
+    n_frames = 0
+    body = None
+    while off + 8 <= len(data):
+        tag = data[off : off + 4]
+        (ln,) = struct.unpack_from(">I", data, off + 4)
+        chunk = data[off + 8 : off + 8 + ln]
+        if tag == b"COMM":
+            n_ch, n_frames, bits = struct.unpack_from(">HIH", chunk, 0)
+            rate = int(round(_f80_to_float(chunk[8:18])))
+        elif tag == b"SSND":
+            (data_off,) = struct.unpack_from(">I", chunk, 0)
+            body = chunk[8 + data_off :]
+        off += 8 + ln + (ln & 1)
+    if rate is None or body is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    pcm = _pcm_be_to_i16(body[: n_frames * n_ch * (bits // 8)], bits)
+    return rate, _mono(pcm, max(n_ch, 1))
+
+
 def decode_audio(data: bytes) -> tuple[int, np.ndarray]:
-    """Decode one audio payload: real WAV (RIFF 16-bit PCM via
-    :func:`decode_wav`) or the deterministic PCM1 fake. Compressed
-    codecs (mp3/flac/...) remain STUBBED — this container has no
-    audio libraries."""
+    """Decode one audio payload: real WAV (RIFF PCM via
+    :func:`decode_wav`), Sun .au, AIFF, or the deterministic PCM1
+    fake. Compressed codecs (mp3/flac/...) remain STUBBED — this
+    container has no audio libraries."""
     if data[:4] == b"RIFF":
         return decode_wav(data)
+    if data[:4] == b".snd":
+        return decode_au(data)
+    if data[:4] == b"FORM" and data[8:12] == b"AIFF":
+        return decode_aiff(data)
     if data[:4] != AUDIO_MAGIC:
         raise NotImplementedError(
             "audio decoding beyond WAV PCM (mp3/flac/...) is stubbed in "

@@ -515,6 +515,10 @@ def test_wav_8bit_and_float32_decode():
     body = np.array([0.0, 1.0, -1.0, 2.0, 0.5], "<f4").tobytes()
     rate, pcm = decode_wav(wav(3, 32, body))
     assert pcm.tolist() == [0, 32767, -32767, 32767, 16384]
-    # 24-bit stays a loud stub
+    # 24-bit little-endian signed PCM keeps its top 16 bits
+    body = b"\x00\x00\x40" + b"\xff\xff\xbf" + b"\x01\x00\x00"
+    rate, pcm = decode_wav(wav(1, 24, body))
+    assert pcm.tolist() == [0x4000, -0x4001, 0]
+    # 12-bit stays a loud stub
     with pytest.raises(NotImplementedError):
-        decode_wav(wav(1, 24, b"\x00" * 6))
+        decode_wav(wav(1, 12, b"\x00" * 6))
