@@ -3,10 +3,13 @@ metadata.
 
 The container ships no media libraries (no PIL/ffmpeg), so the codecs
 here are FROM SCRATCH where a format is tractable — PNG
-(``geom.png``), JPEG baseline + progressive (``geom.jpeg``), RIFF/WAV
-PCM (:func:`decode_wav`), animated GIF (``geom.gif``) — and
-clearly-marked ``NotImplementedError`` stubs for the rest
-(webp/mp3/mp4), plus a deterministic fake codec ("GRID" format:
+(``geom.png``), JPEG baseline + progressive (``geom.jpeg``), lossless
+WebP/VP8L (``geom.webp``, incl. the ALPH alpha plane of lossy files),
+BMP/PNM/Sun-raster/XBM (``geom.simple_images``), RIFF/WAV +
+AU + AIFF PCM (:func:`decode_wav` / :func:`decode_au` /
+:func:`decode_aiff`), animated GIF (``geom.gif``) — and
+clearly-marked ``NotImplementedError`` stubs for the rest (lossy
+VP8/mp3/mp4), plus a deterministic fake codec ("GRID" format:
 16-byte header ``b'GRD1' + u32 width + u32 height + u32 channels``
 followed by raw u8 pixels) so the Ray-side plumbing — schema,
 actor-pool signature, batch sizing, output layout — is real and
@@ -66,6 +69,11 @@ def decode_image(data: bytes) -> np.ndarray:
 
         img = decode_jpeg(data)
         return img.reshape(img.shape[0], -1)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from ..geom.webp import decode_webp
+
+        img = decode_webp(data)
+        return img.reshape(img.shape[0], -1)
     if data[:2] == b"BM":
         from ..geom.simple_images import decode_bmp
 
@@ -87,9 +95,9 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_xbm(data)
     if data[:4] != MAGIC:
         raise NotImplementedError(
-            "image decoding beyond PNG/JPEG/BMP/PNM/RAS/XBM (webp/...) is "
-            "stubbed in this environment; those formats and the "
-            "deterministic GRD1 fake are supported"
+            "image decoding beyond PNG/JPEG/lossless-WebP/BMP/PNM/RAS/XBM "
+            "(lossy VP8, HEIC, ...) is stubbed in this environment; those "
+            "formats and the deterministic GRD1 fake are supported"
         )
     _, w, h, c = HEADER.unpack_from(data, 0)
     return np.frombuffer(data, dtype=np.uint8, offset=HEADER.size).reshape(h, w * c)

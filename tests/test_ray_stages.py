@@ -253,17 +253,21 @@ class TestMultimodal:
         assert row["img_std"] == img.std()
 
     def test_real_codec_boundaries(self):
-        # PNG and baseline JPEG are REAL (geom/png.py, geom/jpeg.py):
-        # malformed bytes are data errors; webp-like payloads remain
-        # stubbed with a loud NotImplementedError
+        # PNG, JPEG and lossless WebP are REAL (geom/png.py,
+        # geom/jpeg.py, geom/webp.py): malformed bytes are data
+        # errors; lossy-VP8 color planes remain stubbed with a loud
+        # NotImplementedError
         from lasutility_ray.stages.multimodal import decode_image
 
         with pytest.raises(ValueError):
             decode_image(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxxxxxx")
         with pytest.raises(ValueError):
             decode_image(b"\xff\xd8\xff\xe0jpeg-like-but-truncated")
+        with pytest.raises(ValueError):
+            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")  # torn chunk
+        lossy = b"RIFF\x16\x00\x00\x00WEBPVP8 \x0a\x00\x00\x00" + b"\x00" * 10
         with pytest.raises(NotImplementedError):
-            decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+            decode_image(lossy)
 
     def test_resize_and_frame_sample(self, ray_session):
         from lasutility_ray.stages.multimodal import (
