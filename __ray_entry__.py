@@ -1140,11 +1140,11 @@ def q_image_reencode(sf_dir: str):
 
 def q_image_dedup(sf_dir: str):
     """Cross-container exact image dedup: every 10th doc's payload is
-    its predecessor's PIXELS re-encoded as a PNG, so container-level
-    hashing misses the duplicate while the canonical-pixel hash
-    (decode -> shape+bytes -> md5) collapses it
-    (stages/multimodal.py image_dedup). Rows-only; the pairing
-    invariant is pytest-pinned."""
+    its predecessor's PIXELS re-encoded as a PNG (d%20==9) or a
+    lossless WebP/VP8L (d%20==19), so container-level hashing misses
+    the duplicate while the canonical-pixel hash (decode ->
+    shape+bytes -> md5) collapses it (stages/multimodal.py
+    image_dedup). Rows-only; the pairing invariant is pytest-pinned."""
     import pyarrow as pa
 
     import ray.data as rd
@@ -1160,6 +1160,7 @@ def q_image_dedup(sf_dir: str):
         import numpy as np
 
         from lasutility_ray.geom.png import encode_grey_png
+        from lasutility_ray.geom.webp import encode_webp
         from lasutility_ray.stages.multimodal import HEADER, synth_image_bytes
 
         ids = t.column("doc_id").to_numpy()
@@ -1169,7 +1170,10 @@ def q_image_dedup(sf_dir: str):
             if d % 10 == 9:
                 prev = synth_image_bytes(np.array([d - 1]))[0]
                 img = np.frombuffer(prev, np.uint8, offset=HEADER.size).reshape(32, 32)
-                out.append(encode_grey_png(img, top_down=False))
+                if d % 20 == 19:  # alternate container: lossless WebP
+                    out.append(encode_webp(img))
+                else:
+                    out.append(encode_grey_png(img, top_down=False))
             else:
                 out.append(data)
         idx = t.schema.get_field_index("image")

@@ -52,43 +52,38 @@ def attach_images(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
     )
 
 
-def decode_image(data: bytes) -> np.ndarray:
-    """Decode one image payload: real PNG (via the from-scratch
+def decode_image_nd(data: bytes) -> np.ndarray:
+    """Decode one image payload to its NATIVE shape — (h, w) grey or
+    (h, w, c) color: real PNG (via the from-scratch
     ``geom.png.decode_png``), baseline+progressive JPEG
-    (``geom.jpeg.decode_jpeg``), BMP / PNM / Sun-raster / XBM
-    (``geom.simple_images``) or the deterministic GRD1 fake. Remaining
-    real formats (webp lossy/...) are STUBBED — this container has no
-    image codecs. Returns (h, w*channels) uint8."""
+    (``geom.jpeg.decode_jpeg``), lossless WebP (``geom.webp``),
+    BMP / PNM / Sun-raster / XBM (``geom.simple_images``) or the
+    deterministic GRD1 fake. Remaining real formats (lossy VP8 /
+    HEIC / ...) are STUBBED — this container has no image codecs."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         from ..geom.png import decode_png
 
-        img = decode_png(data)
-        return img.reshape(img.shape[0], -1)
+        return decode_png(data)
     if data[:2] == b"\xff\xd8":
         from ..geom.jpeg import decode_jpeg
 
-        img = decode_jpeg(data)
-        return img.reshape(img.shape[0], -1)
+        return decode_jpeg(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         from ..geom.webp import decode_webp
 
-        img = decode_webp(data)
-        return img.reshape(img.shape[0], -1)
+        return decode_webp(data)
     if data[:2] == b"BM":
         from ..geom.simple_images import decode_bmp
 
-        img = decode_bmp(data)
-        return img.reshape(img.shape[0], -1)
+        return decode_bmp(data)
     if data[:1] == b"P" and data[1:2] in b"123456":
         from ..geom.simple_images import decode_pnm
 
-        img = decode_pnm(data)
-        return img.reshape(img.shape[0], -1)
+        return decode_pnm(data)
     if data[:4] == b"\x59\xa6\x6a\x95":
         from ..geom.simple_images import decode_ras
 
-        img = decode_ras(data)
-        return img.reshape(img.shape[0], -1)
+        return decode_ras(data)
     if data[:7] == b"#define":
         from ..geom.simple_images import decode_xbm
 
@@ -101,6 +96,29 @@ def decode_image(data: bytes) -> np.ndarray:
         )
     _, w, h, c = HEADER.unpack_from(data, 0)
     return np.frombuffer(data, dtype=np.uint8, offset=HEADER.size).reshape(h, w * c)
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """:func:`decode_image_nd` flattened to the feature-stage
+    convention: (h, w*channels) uint8."""
+    img = decode_image_nd(data)
+    return img.reshape(img.shape[0], -1)
+
+
+def canonical_pixels(data: bytes) -> np.ndarray:
+    """Decode to CANONICAL pixels for cross-container dedup: the same
+    picture must hash identically however it is stored, so redundant
+    channels are collapsed — a fully-opaque alpha channel is dropped
+    and an RGB image whose three channels are equal becomes grey
+    (e.g. a grey picture stored as an RGB WebP == its raw grey
+    bytes)."""
+    img = decode_image_nd(data)
+    if img.ndim == 3 and img.shape[2] == 4 and (img[:, :, 3] == 255).all():
+        img = img[:, :, :3]
+    if img.ndim == 3 and img.shape[2] == 3:
+        if (img[:, :, 0] == img[:, :, 1]).all() and (img[:, :, 0] == img[:, :, 2]).all():
+            img = img[:, :, 0]
+    return np.ascontiguousarray(img.reshape(img.shape[0], -1))
 
 
 class ImageFeatures:
@@ -499,11 +517,12 @@ def image_feature_stage(ds, concurrency: int = 4, batch_size: int = 256):
 
 def image_dedup(ds, id_col: str = "doc_id", image_col: str = "image"):
     """Cross-container exact image dedup: decode every payload
-    (GRD1/PNG/lossless formats) to CANONICAL PIXELS — shape header +
-    raw bytes — and hash those, so the same picture stored as a PNG
-    and as a raw GRD1 blob collapses into one group. Container-level
-    byte hashing cannot do this (the md5 of a PNG differs from the
-    md5 of its own pixels).
+    (GRD1/PNG/lossless-WebP/...) to CANONICAL PIXELS
+    (:func:`canonical_pixels`: shape header + channel-collapsed raw
+    bytes) and hash those, so the same picture stored as a PNG, as an
+    RGB WebP or as a raw GRD1 blob collapses into one group.
+    Container-level byte hashing cannot do this (the md5 of a PNG
+    differs from the md5 of its own pixels).
 
     Map-side partial (min id + count per pixel hash inside each
     batch) -> one tiny ``groupby(pixel_hash)``; the shuffle carries
@@ -518,11 +537,11 @@ def image_dedup(ds, id_col: str = "doc_id", image_col: str = "image"):
         ids = t.column(id_col).to_numpy()
         hashes = []
         for data in t.column(image_col).to_pylist():
-            img = decode_image(data)
+            img = canonical_pixels(data)
             canon = (
                 np.int64(img.shape[0]).tobytes()
                 + np.int64(img.shape[1]).tobytes()
-                + np.ascontiguousarray(img).tobytes()
+                + img.tobytes()
             )
             hashes.append(hashlib.md5(canon).hexdigest())
         df = pd.DataFrame({"pixel_hash": hashes, id_col: ids})
