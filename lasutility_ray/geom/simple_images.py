@@ -277,6 +277,227 @@ def decode_ras(data: bytes) -> np.ndarray:
     return img
 
 
+# -------------------------------------------------------------- TIFF
+
+
+def _tiff_lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW: MSB-first codes, 9->12 bits with EarlyChange
+    (width grows one code early), Clear=256, EOI=257."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # Clear
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOI
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ImageDataError("bad first LZW code")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ImageDataError("LZW code out of range")
+            out += entry
+            if len(out) > max_out:
+                raise ImageDataError("LZW output overruns strip")
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:  # EarlyChange
+                width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < max_out:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ImageDataError("truncated PackBits run")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _tiff_read_values(data, fmt, typ, cnt, raw_off):
+    """IFD entry values (SHORT/LONG arrays, inline or pointed-to)."""
+    size = {1: 1, 3: 2, 4: 4}.get(typ)
+    if size is None:
+        raise ImageDataError(f"unsupported TIFF value type {typ}")
+    total = size * cnt
+    if total <= 4:
+        body = data[raw_off : raw_off + total]
+    else:
+        (ptr,) = struct.unpack_from(fmt + "I", data, raw_off)
+        body = data[ptr : ptr + total]
+    if len(body) < total:
+        raise ImageDataError("truncated TIFF value")
+    code = {1: "B", 3: "H", 4: "I"}[typ]
+    return list(struct.unpack(fmt + code * cnt, body))
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Decode a baseline TIFF (first IFD): uncompressed, PackBits or
+    LZW (with horizontal predictor), grey / RGB / RGBA / palette,
+    8-bit chunky samples, strip-based, both byte orders. Returns
+    (h, w[, c]) uint8."""
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise ImageDataError("not a TIFF stream")
+    fmt = "<" if data[:2] == b"II" else ">"
+    (magic,) = struct.unpack_from(fmt + "H", data, 2)
+    if magic != 42:
+        raise ImageDataError("bad TIFF magic")
+    (ifd,) = struct.unpack_from(fmt + "I", data, 4)
+    if ifd + 2 > len(data):
+        raise ImageDataError("truncated TIFF IFD")
+    (n,) = struct.unpack_from(fmt + "H", data, ifd)
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        base = ifd + 2 + i * 12
+        if base + 12 > len(data):
+            raise ImageDataError("truncated TIFF IFD entry")
+        tag, typ, cnt = struct.unpack_from(fmt + "HHI", data, base)
+        if typ in (1, 3, 4):
+            tags[tag] = _tiff_read_values(data, fmt, typ, cnt, base + 8)
+    try:
+        w, h = tags[256][0], tags[257][0]
+    except KeyError:
+        raise ImageDataError("TIFF missing dimensions") from None
+    _check_dims(w, h)
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    comp = tags.get(259, [1])[0]
+    photo = tags.get(262, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    planar = tags.get(284, [1])[0]
+    if planar != 1:
+        raise ImageDataError("planar TIFF not supported")
+    if any(b != 8 for b in bits) or spp not in (1, 3, 4):
+        raise ImageDataError(f"unsupported TIFF layout bits={bits} spp={spp}")
+    if comp not in (1, 5, 32773):
+        raise ImageDataError(f"unsupported TIFF compression {comp}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ImageDataError("TIFF missing strip tables")
+    rows_per_strip = tags.get(278, [h])[0] or h
+    row_bytes = w * spp
+    rows = []
+    for si, (off, cnt_b) in enumerate(zip(offsets, counts)):
+        strip = data[off : off + cnt_b]
+        if len(strip) < cnt_b:
+            raise ImageDataError("truncated TIFF strip")
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        need = n_rows * row_bytes
+        if comp == 5:
+            strip = _tiff_lzw_decode(strip, need)
+        elif comp == 32773:
+            strip = _packbits_decode(strip, need)
+        if len(strip) < need:
+            raise ImageDataError("TIFF strip too short")
+        rows.append(np.frombuffer(strip, np.uint8, need).reshape(n_rows, row_bytes))
+    flat = np.concatenate(rows, axis=0)
+    img = flat.reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing per sample
+        img = np.cumsum(img.astype(np.uint16), axis=1).astype(np.uint8)
+    if photo == 0:  # white-is-zero
+        img = 255 - img
+    if photo == 3:  # palette
+        if 320 not in tags:
+            raise ImageDataError("palette TIFF missing colormap")
+        cm = np.array(tags[320], np.uint32)
+        if len(cm) < 3 * 256:
+            raise ImageDataError("short TIFF colormap")
+        pal = (cm.reshape(3, -1).T >> 8).astype(np.uint8)
+        img = pal[img[:, :, 0].astype(np.intp)]
+        return img
+    return img[:, :, 0] if spp == 1 else img
+
+
+# --------------------------------------------------------------- SGI
+
+
+def decode_sgi(data: bytes) -> np.ndarray:
+    """Decode an SGI RGB image (magic 0x01DA): verbatim or RLE,
+    1 byte/channel, 1-4 channels (rows stored bottom-up, planar).
+    Returns (h, w[, c]) uint8."""
+    if len(data) < 512:
+        raise ImageDataError("truncated SGI header")
+    magic, storage, bpc, dim, w, h, c = struct.unpack_from(">HBBHHHH", data, 0)
+    if magic != 0x01DA:
+        raise ImageDataError("not an SGI stream")
+    if bpc != 1 or storage not in (0, 1):
+        raise ImageDataError(f"unsupported SGI bpc={bpc} storage={storage}")
+    if dim == 1:
+        h = c = 1
+    elif dim == 2:
+        c = 1
+    _check_dims(w, h)
+    if not 1 <= c <= 4:
+        raise ImageDataError(f"unsupported SGI channel count {c}")
+    img = np.zeros((h, w, c), np.uint8)
+    if storage == 0:  # verbatim planar
+        need = 512 + w * h * c
+        if len(data) < need:
+            raise ImageDataError("truncated SGI data")
+        planes = np.frombuffer(data, np.uint8, w * h * c, 512).reshape(c, h, w)
+        img = np.moveaxis(planes, 0, 2)
+    else:  # RLE: per-(row, channel) offset/length tables
+        n_tab = h * c
+        if len(data) < 512 + 8 * n_tab:
+            raise ImageDataError("truncated SGI RLE tables")
+        starts = np.frombuffer(data, ">u4", n_tab, 512)
+        lengths = np.frombuffer(data, ">u4", n_tab, 512 + 4 * n_tab)
+        for ch in range(c):
+            for y in range(h):
+                off = int(starts[ch * h + y])
+                end = off + int(lengths[ch * h + y])
+                if end > len(data):
+                    raise ImageDataError("SGI RLE run out of bounds")
+                row = bytearray()
+                i = off
+                while i < end:
+                    pixel = data[i]
+                    i += 1
+                    count = pixel & 0x7F
+                    if count == 0:
+                        break
+                    if pixel & 0x80:  # copy literal bytes
+                        row += data[i : i + count]
+                        i += count
+                    else:  # repeat next byte
+                        if i >= end:
+                            raise ImageDataError("truncated SGI RLE run")
+                        row += bytes([data[i]]) * count
+                        i += 1
+                if len(row) < w:
+                    raise ImageDataError("short SGI RLE row")
+                img[y, :, ch] = np.frombuffer(bytes(row[:w]), np.uint8)
+    img = img[::-1].copy()  # rows are bottom-up
+    return img[:, :, 0] if c == 1 else img
+
+
 # --------------------------------------------------------------- XBM
 
 

@@ -84,15 +84,24 @@ def decode_image_nd(data: bytes) -> np.ndarray:
         from ..geom.simple_images import decode_ras
 
         return decode_ras(data)
+    if data[:2] in (b"II", b"MM") and data[2:4] in (b"*\x00", b"\x00*"):
+        from ..geom.simple_images import decode_tiff
+
+        return decode_tiff(data)
+    if data[:2] == b"\x01\xda":
+        from ..geom.simple_images import decode_sgi
+
+        return decode_sgi(data)
     if data[:7] == b"#define":
         from ..geom.simple_images import decode_xbm
 
         return decode_xbm(data)
     if data[:4] != MAGIC:
         raise NotImplementedError(
-            "image decoding beyond PNG/JPEG/lossless-WebP/BMP/PNM/RAS/XBM "
-            "(lossy VP8, HEIC, ...) is stubbed in this environment; those "
-            "formats and the deterministic GRD1 fake are supported"
+            "image decoding beyond PNG/JPEG/lossless-WebP/TIFF/SGI/BMP/"
+            "PNM/RAS/XBM (lossy VP8, HEIC, ...) is stubbed in this "
+            "environment; those formats and the deterministic GRD1 fake "
+            "are supported"
         )
     _, w, h, c = HEADER.unpack_from(data, 0)
     return np.frombuffer(data, dtype=np.uint8, offset=HEADER.size).reshape(h, w * c)

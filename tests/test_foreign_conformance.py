@@ -190,3 +190,175 @@ def test_simple_image_decoders_reject_garbage():
         decode_bmp(_load("python.bmp")[:60])
     with pytest.raises(ImageDataError):
         decode_pnm(_load("python.ppm")[:20])
+
+
+def test_tiff_decoder_bit_exact_vs_foreign_png(png_truth):
+    """python.tiff is an uncompressed RGBA TIFF from a foreign
+    encoder — bit-exact ground truth for the TIFF reader."""
+    from lasutility_ray.geom.simple_images import decode_tiff
+
+    tif = decode_tiff(_load("python.tiff"))
+    assert tif.shape == (16, 16, 4)
+    assert np.array_equal(tif, png_truth)
+
+
+def test_sgi_decoder_bit_exact_vs_foreign_png(png_truth):
+    """python.sgi is an RLE SGI image — exercises the per-(row,
+    channel) RLE tables and bottom-up row order."""
+    from lasutility_ray.geom.simple_images import decode_sgi
+
+    sgi = decode_sgi(_load("python.sgi"))
+    assert np.array_equal(sgi, png_truth)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """Test-local TIFF LZW encoder (greedy longest match, EarlyChange
+    width growth) to round-trip the decoder."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = []
+    bits = []
+
+    def emit(code):
+        bits.append((code, width))
+
+    emit(256)  # Clear
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        table[cur] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # EarlyChange
+            width += 1
+        prev = bytes([byte])
+    if prev:
+        emit(table[prev])
+    emit(257)  # EOI
+    acc = n = 0
+    for code, wd in bits:
+        acc = (acc << wd) | code
+        n += wd
+        while n >= 8:
+            out.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < len(data)
+                and j - i < 128
+                and not (j + 1 < len(data) and data[j] == data[j + 1])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _make_tiff(img, compression=1, predictor=1, byteorder="<"):
+    import struct
+
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    pix = img.reshape(h, w * spp)
+    if predictor == 2:
+        d = pix.reshape(h, w, spp).astype(np.int16)
+        d[:, 1:] -= d[:, :-1].copy()
+        pix = (d & 0xFF).astype(np.uint8).reshape(h, w * spp)
+    raw = pix.tobytes()
+    if compression == 5:
+        raw = _tiff_lzw_encode(raw)
+    elif compression == 32773:
+        raw = _packbits_encode(raw)
+    entries = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (259, 3, 1, compression),
+        (262, 3, 1, 1 if spp == 1 else 2),
+        (277, 3, 1, spp),
+        (278, 3, 1, h),
+        (317, 3, 1, predictor),
+    ]
+    bits_off = None
+    if spp > 1:
+        entries.insert(2, (258, 3, spp, None))  # pointer patched below
+    else:
+        entries.insert(2, (258, 3, 1, 8))
+    header_size = 8
+    ifd_off = header_size + len(raw)
+    strip_off = header_size
+    entries.append((273, 4, 1, strip_off))
+    entries.append((279, 4, 1, len(raw)))
+    entries.sort()
+    extra = b""
+    extra_base = ifd_off + 2 + 12 * len(entries) + 4
+    body = b""
+    for tag, typ, cnt, val in entries:
+        if tag == 258 and val is None:
+            val = extra_base + len(extra)
+            extra += struct.pack(byteorder + "H" * cnt, *([8] * cnt))
+            typ_for_val = 4  # pointer is a LONG
+        else:
+            typ_for_val = typ
+        # inline values are LEFT-justified in the 4-byte field
+        if typ_for_val == 3:
+            raw_val = struct.pack(byteorder + "HH", val, 0)
+        else:
+            raw_val = struct.pack(byteorder + "I", val)
+        body += struct.pack(byteorder + "HHI", tag, typ, cnt) + raw_val
+    order = b"II" if byteorder == "<" else b"MM"
+    out = order + struct.pack(byteorder + "HI", 42, ifd_off) + raw
+    out += struct.pack(byteorder + "H", len(entries)) + body
+    out += struct.pack(byteorder + "I", 0) + extra
+    return out
+
+
+@pytest.mark.parametrize("compression", [1, 5, 32773])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("byteorder", ["<", ">"])
+def test_tiff_compressions_round_trip(compression, predictor, byteorder):
+    from lasutility_ray.geom.simple_images import decode_tiff
+
+    rng = np.random.default_rng(compression * 7 + predictor)
+    img = rng.integers(0, 8, (9, 13, 3)).astype(np.uint8) * 32  # runs
+    data = _make_tiff(img, compression, predictor, byteorder)
+    assert np.array_equal(decode_tiff(data), img)
+
+
+def test_tiff_grey_and_truncation():
+    from lasutility_ray.geom.simple_images import ImageDataError, decode_tiff
+
+    img = (np.arange(64, dtype=np.uint8) * 4).reshape(8, 8)
+    data = _make_tiff(img)
+    assert np.array_equal(decode_tiff(data), img)
+    with pytest.raises(ImageDataError):
+        decode_tiff(data[:30])
+    with pytest.raises(ImageDataError):
+        decode_tiff(b"II\x2b\x00" + data[4:])  # bad magic
+
+
+def test_decode_image_dispatches_tiff_and_sgi():
+    from lasutility_ray.stages.multimodal import decode_image
+
+    for name, cols in [("python.tiff", 64), ("python.sgi", 64)]:
+        flat = decode_image(_load(name))
+        assert flat.shape == (16, cols)
