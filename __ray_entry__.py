@@ -250,6 +250,54 @@ def q_raster_lookup_rect(sf_dir: str):
 # ------------------------------------------- webtext / dedup / ANN
 
 
+def q_quality_score(sf_dir: str):
+    """Batched model scoring: the published quality classifier
+    (integer logistic-regression weights broadcast in the task
+    closure) over ratio features — margin_micro + predicted label,
+    integer end to end so the DuckDB mirror is value-exact
+    (stages/classifier.py score_quality)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.classifier import score_quality
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return score_quality(docs)
+
+
+def q_train_quality(sf_dir: str):
+    """Distributed logistic-regression TRAINING (rows-only: iterative
+    model fitting is not SQL-expressible). Full-batch GD where every
+    iteration reduces per-document int64-quantized gradients with
+    Dataset.sum — exactly partitioning-independent, so the learned
+    weights are bit-identical at any cluster size. Returns one row
+    per model term plus convergence metadata; the recovered-planted-
+    model accuracy is pinned in tests/test_classifier.py."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.classifier import (
+        FEATURES,
+        featurize_documents,
+        train_quality_logreg,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    w, b, hist = train_quality_logreg(featurize_documents(docs), iters=30)
+    rows = [
+        {"term": c, "weight_micro": wc, "final_loss_micro": hist[-1]["loss_micro"]}
+        for c, wc in zip(FEATURES, w)
+    ]
+    rows.append(
+        {
+            "term": "__bias__",
+            "weight_micro": b,
+            "final_loss_micro": hist[-1]["loss_micro"],
+        }
+    )
+    return pd.DataFrame(rows)
+
+
 def q_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -1336,6 +1384,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_incremental_dedup": q_incremental_dedup,
         "q_bloom_contamination": q_bloom_contamination,
+        # -- new in round 3: model scoring + distributed training
+        "q_quality_score": q_quality_score,
+        "q_train_quality": q_train_quality,
         # -- round-2 unverified tail: multimodal + checkpoint (20-27)
         "q_image_features": q_image_features,
         "q_audio_features": q_audio_features,
@@ -1595,6 +1646,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.corpus.pages import HTML_PREFIX, HTML_SUFFIX
     from lasutility_ray.corpus.polygons import rects_sql_cte
     from lasutility_ray.stages.dedup import HAMMING_MAX, _SH_C
+    from lasutility_ray.stages.classifier import score_quality_sql
     from lasutility_ray.stages.lm import unigram_lm_sql
     from lasutility_ray.stages.text import normalize_text_sql
     from lasutility_ray.stages.pii import inject_pii_sql, pii_redact_sql
@@ -1655,6 +1707,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM pts p JOIN rects r ON p.x >= r.min_x AND p.x < r.max_x "
             "AND p.y >= r.min_y AND p.y < r.max_y"
         ),
+        "q_quality_score": score_quality_sql(),
         "q_token_stats": (
             "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
             "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
