@@ -457,3 +457,174 @@ def semantic_dedup(
         )
 
     return cl.groupby("cluster").map_groups(dedup_cluster, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def _lloyd_l2(m: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Deterministic EUCLIDEAN Lloyd k-means for PQ sub-codebooks
+    (stride seeding; empty clusters keep their previous centroid).
+    Unlike :func:`_kmeans_from_sample` the centroids are NOT
+    renormalized — PQ approximates the vector itself."""
+    stride = max(len(m) // k, 1)
+    cent = m[::stride][:k].copy()
+    for _ in range(iters):
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def train_pq_codebooks(
+    ds, n_sub: int = 8, n_centroids: int = 256, sample_n: int = 512, iters: int = 8
+) -> np.ndarray:
+    """Product-quantization codebooks (Jegou, Douze, Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search", IEEE TPAMI):
+    split the (normalized) embedding into ``n_sub`` contiguous
+    subspaces and run Euclidean k-means per subspace on a
+    deterministic head sample (``_head_by_id`` — id-range filter, no
+    corpus sort). Returns (n_sub, n_centroids, sub_d) float64."""
+    df = _head_by_id(ds, sample_n)
+    m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+    d = m.shape[1]
+    if d % n_sub:
+        raise ValueError(f"embedding dim {d} not divisible by n_sub {n_sub}")
+    sub_d = d // n_sub
+    return np.stack(
+        [
+            _lloyd_l2(m[:, s * sub_d : (s + 1) * sub_d], n_centroids, iters)
+            for s in range(n_sub)
+        ]
+    )
+
+
+def pq_encode(ds, codebooks: np.ndarray):
+    """One streaming pass: (vec_id, pq_code list<uint8>). The code is
+    ``n_sub`` bytes — 32x smaller than the 64-dim float32 embedding —
+    which is what lets the ANN working set live in memory at corpus
+    scale. Codebooks broadcast once via ``ray.put``."""
+    cref = ray.put(codebooks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        books = ray.get(cref)
+        n_sub, _, sub_d = books.shape
+        m = _normalize(
+            np.stack(batch.column("embedding").to_numpy()).astype(np.float64)
+        )
+        codes = np.empty((len(m), n_sub), np.uint8)
+        for s in range(n_sub):
+            sub = m[:, s * sub_d : (s + 1) * sub_d]
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 -> argmin over c
+            d = -2.0 * (sub @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+            codes[:, s] = np.argmin(d, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "pq_code": pa.array(list(codes), pa.list_(pa.uint8())),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def ann_topk_pq(
+    ds,
+    query_ids,
+    query_mat,
+    k: int = 5,
+    codebooks: np.ndarray | None = None,
+    codes_ds=None,
+    refine_factor: int = 8,
+):
+    """PQ asymmetric-distance ANN with exact re-ranking (ADC+R,
+    Jegou et al. 2011 §V): queries stay exact, corpus vectors are
+    their PQ codes; approx_score(q, x) = sum_s LUT_q[s, code_s] where
+    LUT_q[s, c] = q_sub_s . codebook[s, c] (inner product decomposes
+    over subspaces; on normalized vectors inner product == cosine).
+    The SCAN touches only the code table (n_sub bytes/vector, 32x
+    smaller than float32 embeddings) plus a per-query LUT broadcast
+    once. The shortlist (``refine_factor * k`` per query — tiny) then
+    re-ranks EXACTLY: a ``lookup_join`` fetches just the shortlisted
+    embeddings and one vectorized pass rescores true cosine. Memory-
+    bound scale path next to ``ann_topk`` (exact) / ``ann_topk_ivf``
+    (pruned); recall measured in q_ann_pq_recall. ``refine_factor=0``
+    returns the raw ADC ranking (no second pass over embeddings)."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(ds)
+    if codes_ds is None:
+        codes_ds = pq_encode(ds, codebooks)
+    qn = _normalize(np.asarray(query_mat, dtype=np.float64))
+    n_sub, n_cent, sub_d = codebooks.shape
+    # (n_q, n_sub, n_centroids) inner-product lookup tables
+    luts = np.einsum("qsd,scd->qsc", qn.reshape(len(qn), n_sub, sub_d), codebooks)
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), luts))
+    shortlist_k = max(k, refine_factor * k) if refine_factor else k
+
+    def local(batch: pa.Table) -> pa.Table:
+        q_ids, lut = ray.get(qref)
+        ids = batch.column("vec_id").to_numpy()
+        codes = np.stack(
+            batch.column("pq_code").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        sub_idx = np.arange(lut.shape[1])[None, :]
+        rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+        for qi in range(len(q_ids)):
+            s = np.round(lut[qi][sub_idx, codes].sum(axis=1), 6)
+            mask = ids != q_ids[qi]
+            cand_ids = ids[mask]
+            cand_s = s[mask]
+            order = np.lexsort((cand_ids, -cand_s))[:shortlist_k]
+            rows["query_id"].extend([q_ids[qi]] * len(order))
+            rows["neighbor_id"].extend(cand_ids[order].tolist())
+            rows["cosine"].extend(cand_s[order].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], pa.int64()),
+                "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+                "cosine": pa.array(rows["cosine"], pa.float64()),
+            }
+        )
+
+    shortlist = (
+        codes_ds.map_batches(local, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(_merge_topk(shortlist_k), batch_format="pandas")
+    )
+    if not refine_factor:
+        return shortlist.sort(["query_id", "rank"])
+
+    from .cogroup import lookup_join
+
+    with_vecs = lookup_join(
+        shortlist.drop_columns(["cosine", "rank"]),
+        ds,
+        left_key="neighbor_id",
+        right_key="vec_id",
+        attach={"embedding": "embedding"},
+    )
+    qref2 = ray.put((np.asarray(query_ids, dtype=np.int64), qn))
+
+    def rescore(df: pd.DataFrame) -> pd.DataFrame:
+        q_ids, q = ray.get(qref2)
+        qpos = {int(qid): i for i, qid in enumerate(q_ids)}
+        m = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        qi = np.array([qpos[int(v)] for v in df["query_id"]], np.int64)
+        cos = np.round((m * q[qi]).sum(axis=1), 6)
+        return pd.DataFrame(
+            {
+                "query_id": df["query_id"].to_numpy(),
+                "neighbor_id": df["neighbor_id"].to_numpy(),
+                "cosine": cos,
+            }
+        )
+
+    return (
+        with_vecs.map_batches(rescore, batch_format="pandas")
+        .groupby("query_id")
+        .map_groups(_merge_topk(k), batch_format="pandas")
+        .sort(["query_id", "rank"])
+    )

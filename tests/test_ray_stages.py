@@ -526,3 +526,75 @@ def test_wav_8bit_and_float32_decode():
     # 12-bit stays a loud stub
     with pytest.raises(NotImplementedError):
         decode_wav(wav(1, 12, b"\x00" * 6))
+
+
+class TestProductQuantization:
+    def test_pq_encode_shape_and_compression(self, ray_session):
+        import ray.data as rd
+
+        from lasutility_ray.stages.similarity import pq_encode, train_pq_codebooks
+
+        emb = rd.read_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        books = train_pq_codebooks(emb, n_sub=8, n_centroids=32)
+        assert books.shape == (8, 32, 8)
+        codes = pq_encode(emb, books).to_pandas()
+        assert len(codes) == emb.count()
+        assert all(len(c) == 8 for c in codes.pq_code)  # 8 bytes vs 256
+
+    def test_pq_rerank_recovers_exact_topk(self, ray_session):
+        """ADC shortlist + exact re-rank: on the fixture the refined
+        top-5 matches brute force perfectly (recall 1.0 measured);
+        the raw ADC ranking alone is far weaker — the test pins the
+        refine pass actually working, not luck."""
+        import ray.data as rd
+
+        from lasutility_ray.stages.similarity import (
+            ann_topk,
+            ann_topk_pq,
+            default_queries,
+            train_pq_codebooks,
+        )
+
+        emb = rd.read_parquet(
+            "/root/testdata/sf0.01/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        )
+        qids, qmat = default_queries(emb)
+        truth = ann_topk(emb, qids, qmat, k=5).to_pandas()
+        books = train_pq_codebooks(emb)
+        refined = ann_topk_pq(emb, qids, qmat, k=5, codebooks=books).to_pandas()
+        raw = ann_topk_pq(
+            emb, qids, qmat, k=5, codebooks=books, refine_factor=0
+        ).to_pandas()
+        t = set(zip(truth.query_id, truth.neighbor_id))
+        r = set(zip(refined.query_id, refined.neighbor_id))
+        w = set(zip(raw.query_id, raw.neighbor_id))
+        assert len(t & r) / len(t) >= 0.95
+        assert len(t & r) > len(t & w)  # the refine pass earns its keep
+        # refined cosines are TRUE cosines: match truth on shared pairs
+        tm = truth.set_index(["query_id", "neighbor_id"]).cosine
+        rm = refined.set_index(["query_id", "neighbor_id"]).cosine
+        shared = tm.index.intersection(rm.index)
+        assert (tm.loc[shared] == rm.loc[shared]).all()
+
+    def test_pq_rejects_indivisible_dim(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import pytest
+        import ray.data as rd
+
+        from lasutility_ray.stages.similarity import train_pq_codebooks
+
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(8), pa.int64()),
+                "embedding": pa.array(
+                    [[float(i)] * 10 for i in range(8)], pa.list_(pa.float32())
+                ),
+            }
+        )
+        with pytest.raises(ValueError):
+            train_pq_codebooks(rd.from_arrow(t), n_sub=8)
