@@ -250,6 +250,21 @@ def q_raster_lookup_rect(sf_dir: str):
 # ------------------------------------------- webtext / dedup / ANN
 
 
+def q_substring_dedup(sf_dir: str):
+    """Exact-substring dedup (ExactSubstr, Lee et al. 2022): every
+    20-token span occurring more than once in the corpus survives
+    only at its globally-first (doc_id, pos); other occurrences'
+    tokens are cut and docs rebuilt (stages/webcorpus.py
+    substring_dedup — md5 window hashes on the wire, value-exact vs
+    the DuckDB window-function mirror)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.webcorpus import substring_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return substring_dedup(docs, window=20)
+
+
 def q_quality_score(sf_dir: str):
     """Batched model scoring: the published quality classifier
     (integer logistic-regression weights broadcast in the task
@@ -1422,7 +1437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semantic_dedup": q_semantic_dedup,
         "q_incremental_dedup": q_incremental_dedup,
         "q_bloom_contamination": q_bloom_contamination,
-        # -- new in round 3: model scoring + training, PQ ANN
+        # -- new in round 3: model scoring + training, PQ ANN, ExactSubstr
+        "q_substring_dedup": q_substring_dedup,
         "q_quality_score": q_quality_score,
         "q_train_quality": q_train_quality,
         "q_ann_topk_pq": q_ann_topk_pq,
@@ -1688,6 +1704,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.dedup import HAMMING_MAX, _SH_C
     from lasutility_ray.stages.classifier import score_quality_sql
     from lasutility_ray.stages.lm import unigram_lm_sql
+    from lasutility_ray.stages.webcorpus import substring_dedup_sql
     from lasutility_ray.stages.text import normalize_text_sql
     from lasutility_ray.stages.pii import inject_pii_sql, pii_redact_sql
     from lasutility_ray.stages.text import FP_MOD
@@ -1747,6 +1764,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM pts p JOIN rects r ON p.x >= r.min_x AND p.x < r.max_x "
             "AND p.y >= r.min_y AND p.y < r.max_y"
         ),
+        "q_substring_dedup": substring_dedup_sql(20),
         "q_quality_score": score_quality_sql(),
         "q_token_stats": (
             "WITH s AS (SELECT doc_id, length(text) AS n_chars, "

@@ -504,3 +504,211 @@ def line_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
         .groupby("__b")
         .map_groups(rebuild_bucket, batch_format="pandas")
     )
+
+
+def substring_dedup(
+    docs_ds, window: int = 20, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Exact-substring dedup (ExactSubstr, Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): any ``window``-token span that occurs more than
+    once in the corpus survives ONLY at its globally-first occurrence
+    (min doc_id<<20|pos); every other occurrence's token positions are
+    cut, and documents are rebuilt from their surviving tokens.
+    Output: (doc_id, text, n_removed_tokens) where text is the kept
+    tokens joined by single spaces (token-level dedup canonicalizes
+    whitespace — same convention as the paper's implementation).
+
+    Shape (the line_dedup skeleton): explode rolling windows to
+    (id, pos, md5(window)) — 16-byte hex hashes on the wire, never
+    window text — ONE hash-keyed groupby computes each window's
+    occurrence count and packed winner, a lookup_join attaches them
+    back, covered positions expand to cut sets, and one id-bucketed
+    groupby rebuilds texts. The md5 is shared with the DuckDB mirror
+    (md5() over the same space-joined window), so the whole operator
+    is value-exact against SQL.
+
+    Docs shorter than ``window`` tokens emit no windows and pass
+    through intact (canonical whitespace only)."""
+    import hashlib
+
+    from ray.data.aggregate import Count, Min
+
+    from .cogroup import _bucket_of, default_n_buckets, lookup_join
+
+    if window < 2:
+        raise ValueError("window must be >= 2 tokens")
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = t.column(text_col).to_pandas().str.findall(r"\S+")
+        counts = toks.map(len).to_numpy(dtype=np.int64)
+        if (counts >= (1 << LINE_IDX_BITS)).any():
+            raise ValueError(f"doc exceeds {1 << LINE_IDX_BITS} tokens")
+        d_out, p_out, h_out = [], [], []
+        for did, ws in zip(ids, toks):
+            n = len(ws)
+            for pos in range(n - window + 1):
+                d_out.append(did)
+                p_out.append(pos)
+                h_out.append(
+                    hashlib.md5(" ".join(ws[pos : pos + window]).encode()).hexdigest()
+                )
+        d = np.array(d_out, np.int64) if d_out else np.empty(0, np.int64)
+        p = np.array(p_out, np.int64) if p_out else np.empty(0, np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(d, pa.int64()),
+                "pos": pa.array(p, pa.int64()),
+                "whash": pa.array(h_out, pa.string()),
+                "packed": pa.array((d << LINE_IDX_BITS) | p, pa.int64()),
+            }
+        )
+
+    ex = docs_ds.map_batches(explode, batch_format="pyarrow").materialize()
+    if ex.count() == 0:  # every doc shorter than the window
+        return docs_ds.select_columns([id_col, text_col]).map_batches(
+            lambda df: _rebuild_substring(df, None, id_col, text_col),
+            batch_format="pandas",
+        )
+    winners = ex.groupby("whash").aggregate(
+        Min("packed", alias_name="keep"), Count(alias_name="cnt")
+    )
+    joined = lookup_join(
+        ex,
+        winners,
+        "whash",
+        "whash",
+        {"keep": "keep", "cnt": "cnt"},
+        type_overrides={"whash": pa.large_string()},
+        n_salt="auto",
+    )
+
+    def cut_positions(t: pa.Table) -> pa.Table:
+        cnt = t.column("cnt").to_numpy()
+        packed = t.column("packed").to_numpy()
+        keep = t.column("keep").to_numpy()
+        m = (cnt >= 2) & (packed != keep)
+        ids = t.column(id_col).to_numpy()[m]
+        pos = t.column("pos").to_numpy()[m]
+        # expand [pos, pos+window) coverage
+        d = np.repeat(ids, window)
+        c = (pos[:, None] + np.arange(window)[None, :]).ravel()
+        return pa.table(
+            {id_col: pa.array(d, pa.int64()), "cut": pa.array(c, pa.int64())}
+        )
+
+    cuts = joined.map_batches(cut_positions, batch_format="pyarrow")
+
+    n_buckets = default_n_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        return t.append_column("__b", pa.array(_bucket_of(ids, n_buckets)))
+
+    def collect_cuts(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(id_col, sort=True)["cut"].agg(
+            lambda v: ",".join(map(str, sorted(set(v))))
+        )
+        return pd.DataFrame({id_col: s.index.to_numpy(), "cutlist": s.to_numpy()})
+
+    per_doc_cuts = (
+        cuts.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(collect_cuts, batch_format="pandas")
+    ).materialize()  # tiny: one row per doc that loses tokens
+
+    slim_docs = docs_ds.select_columns([id_col, text_col])
+    if per_doc_cuts.count() == 0:  # no duplicated spans anywhere
+        return slim_docs.map_batches(
+            lambda df: _rebuild_substring(df, None, id_col, text_col),
+            batch_format="pandas",
+        )
+    with_cuts = lookup_join(
+        slim_docs,
+        per_doc_cuts,
+        id_col,
+        id_col,
+        {"cutlist": "cutlist"},
+        type_overrides={"cutlist": pa.large_string()},
+    )
+    untouched = lookup_join(
+        slim_docs,
+        per_doc_cuts,
+        id_col,
+        id_col,
+        {},
+        how="anti",
+        type_overrides={"cutlist": pa.large_string()},
+    )
+
+    rebuilt = with_cuts.map_batches(
+        lambda df: _rebuild_substring(df, "cutlist", id_col, text_col),
+        batch_format="pandas",
+    )
+    passthru = untouched.map_batches(
+        lambda df: _rebuild_substring(df, None, id_col, text_col),
+        batch_format="pandas",
+    )
+    return rebuilt.union(passthru)
+
+
+def _rebuild_substring(df, cut_col, id_col, text_col):
+    out_ids, out_text, out_removed = [], [], []
+    cutlists = df[cut_col] if cut_col else None
+    for i, (did, text) in enumerate(zip(df[id_col], df[text_col])):
+        ws = text.split()
+        if cut_col:
+            cut = {int(v) for v in cutlists.iloc[i].split(",")}
+            kept = [w for p, w in enumerate(ws) if p not in cut]
+        else:
+            kept = ws
+        out_ids.append(did)
+        out_text.append(" ".join(kept))
+        out_removed.append(len(ws) - len(kept))
+    return pd.DataFrame(
+        {
+            id_col: np.array(out_ids, np.int64),
+            text_col: out_text,
+            "n_removed_tokens": np.array(out_removed, np.int64),
+        }
+    )
+
+
+def substring_dedup_sql(window: int = 20, table: str = "documents") -> str:
+    """DuckDB mirror of :func:`substring_dedup` — same md5 window
+    hashes, same packed winner rule, same single-space rebuild."""
+    bits = 1 << LINE_IDX_BITS
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM {table}
+), tok AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(0, len(t) - 1)) AS pos
+  FROM toks
+), win AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, len(t) - {window})) AS pos
+  FROM toks
+), marked AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY w) AS cnt,
+         min(doc_id * {bits} + pos) OVER (PARTITION BY w) AS keep,
+         doc_id * {bits} + pos AS packed
+  FROM (SELECT doc_id, pos,
+               md5(array_to_string(t[pos + 1 : pos + {window}], ' ')) AS w
+        FROM win)
+), cuts AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + {window} - 1)) AS cutpos
+  FROM marked WHERE cnt >= 2 AND packed <> keep
+), kept AS (
+  SELECT k.doc_id, k.pos, k.tok
+  FROM tok k LEFT JOIN cuts c ON c.doc_id = k.doc_id AND c.cutpos = k.pos
+  WHERE c.doc_id IS NULL
+)
+SELECT s.doc_id,
+       coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text,
+       len(any_value(s.t)) - count(k.tok) AS n_removed_tokens
+FROM toks s LEFT JOIN kept k ON k.doc_id = s.doc_id
+GROUP BY s.doc_id
+"""

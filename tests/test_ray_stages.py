@@ -598,3 +598,83 @@ class TestProductQuantization:
         )
         with pytest.raises(ValueError):
             train_pq_codebooks(rd.from_arrow(t), n_sub=8)
+
+
+class TestSubstringDedup:
+    def test_exact_copies_fully_cut_and_sql_exact(self, pages_ds, ray_session):
+        """Injected exact-duplicate docs share every 20-token window
+        with their predecessor, so the copy loses ALL covered tokens;
+        the winner keeps its text (canonical whitespace). Whole output
+        is value-exact against the DuckDB window-function mirror."""
+        import duckdb
+
+        from lasutility_ray.stages.webcorpus import (
+            substring_dedup,
+            substring_dedup_sql,
+        )
+
+        out = (
+            substring_dedup(pages_ds, window=20)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == N
+        texts = dict(
+            zip(
+                pages_ds.select_columns(["doc_id"]).to_pandas()["doc_id"],
+                pages_ds.select_columns(["text"]).to_pandas()["text"],
+            )
+        )
+        by_id = out.set_index("doc_id")
+        n_checked = 0
+        for d in range(N):
+            if d % DUP_EVERY != DUP_EVERY - 1:
+                continue
+            n_tok = len(texts[d].split())
+            if n_tok < 20:
+                continue  # too short to form a window
+            # every window of the copy also exists at the lower-id
+            # original, so the copy is always fully cut; the original
+            # may still lose boilerplate spans shared corpus-wide, but
+            # never more than the copy
+            assert by_id.loc[d, "text"] == ""
+            assert by_id.loc[d, "n_removed_tokens"] == n_tok
+            assert by_id.loc[d - 1, "n_removed_tokens"] <= n_tok
+            n_checked += 1
+        assert n_checked > 10
+
+        con = duckdb.connect()
+        con.register("documents", pages_ds.to_pandas()[["doc_id", "text"]])
+        ref = (
+            con.execute(substring_dedup_sql(20))
+            .df()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            out[["doc_id", "text", "n_removed_tokens"]],
+            ref[["doc_id", "text", "n_removed_tokens"]],
+            check_dtype=False,
+        )
+
+    def test_short_docs_pass_through(self, ray_session):
+        from lasutility_ray.stages.webcorpus import substring_dedup
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["tiny doc here", "another  small\tdoc"]),
+            }
+        )
+        out = substring_dedup(rd.from_arrow(t), window=20).to_pandas()
+        assert sorted(out.text) == ["another small doc", "tiny doc here"]
+        assert (out.n_removed_tokens == 0).all()
+
+    def test_window_validation(self, ray_session):
+        import pytest
+
+        from lasutility_ray.stages.webcorpus import substring_dedup
+
+        with pytest.raises(ValueError):
+            substring_dedup(None, window=1)
