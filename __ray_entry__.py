@@ -298,7 +298,10 @@ def q_train_quality(sf_dir: str):
     )
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    w, b, hist = train_quality_logreg(featurize_documents(docs), iters=30)
+    # 15 iterations: enough to show convergence in the loss series;
+    # each iteration pays one Dataset.sum round trip, so the driver
+    # query stays lean (full 80-iter training is pinned in pytest)
+    w, b, hist = train_quality_logreg(featurize_documents(docs), iters=15)
     rows = [
         {"term": c, "weight_micro": wc, "final_loss_micro": hist[-1]["loss_micro"]}
         for c, wc in zip(FEATURES, w)
