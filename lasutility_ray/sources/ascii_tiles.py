@@ -303,3 +303,86 @@ def read_dem_png16(path: str, z_offset: float, z_scale: float = 100.0) -> np.nda
     out = q / z_scale + z_offset
     out[q == 65535] = np.nan
     return out.astype(np.float32)
+
+
+def _quantize_dem_u16(dem: np.ndarray, z_scale: float):
+    """Shared 16-bit DEM quantization (PNG-16 and WebP-16 sinks):
+    round((z - floor(min z)) * scale), NODATA=65535, scale shrunk to
+    the largest that fits when the tile's span would overflow."""
+    ok = ~np.isnan(dem)
+    z_off = float(np.floor(dem[ok].min())) if ok.any() else 0.0
+    eff = z_scale
+    q = np.full(dem.shape, np.uint16(65535), dtype=np.uint16)
+    if ok.any():
+        span = float(dem[ok].max()) - z_off
+        if span * z_scale > 65534.0:
+            eff = 65534.0 / span
+        scaled = np.round((dem[ok].astype(np.float64) - z_off) * eff)
+        q[ok] = np.clip(scaled, 0, 65534).astype(np.uint16)
+    return q, z_off, eff
+
+
+def write_dem_tiles_webp16(
+    tin_tiles_ds, out_dir: str, cell_size: float = 10.0, z_scale: float = 100.0
+):
+    """Per-tile DEM sink as LOSSLESS WebP (VP8L, ``geom.webp``): the
+    16-bit quantized height (same ``_quantize_dem_u16`` contract as
+    the PNG-16 sink) rides the red(hi)/green(lo) byte channels —
+    VP8L is 8-bit ARGB, so the split is the exact-16-bit container
+    trick; the subtract-green transform still compresses the
+    correlated planes. Returns the same manifest schema as
+    :func:`write_dem_tiles_png16`; reads via :func:`read_dem_webp16`
+    are bit-identical to the PNG-16 path (pinned in tests)."""
+    from ..geom.webp import encode_webp
+
+    def write_batch(df: pd.DataFrame) -> pd.DataFrame:
+        paths, sizes, hashes, offsets, scales = [], [], [], [], []
+        for tid, blob in zip(df["tile_id"], df["dem"]):
+            env = decode(tid)
+            bounds = RasterBounds.for_tile(env, cell_size)
+            dem = np.frombuffer(blob, dtype=np.float32).reshape(
+                bounds.n_rows, bounds.n_cols
+            )
+            q, z_off, eff = _quantize_dem_u16(dem, z_scale)
+            q = q[::-1]  # raster rows are bottom-up; store top-down
+            img = np.zeros((*q.shape, 3), np.uint8)
+            img[:, :, 0] = (q >> 8).astype(np.uint8)
+            img[:, :, 1] = (q & 0xFF).astype(np.uint8)
+            data = encode_webp(img)
+            os.makedirs(out_dir, exist_ok=True)
+            path = os.path.join(out_dir, f"{tid}.webp")
+            tmp = f"{path}.tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+            paths.append(path)
+            sizes.append(len(data))
+            hashes.append(hashlib.md5(data).hexdigest())
+            offsets.append(z_off)
+            scales.append(eff)
+        return pd.DataFrame(
+            {
+                "tile_id": df["tile_id"].to_numpy(),
+                "path": paths,
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "md5": hashes,
+                "z_offset": pd.Series(offsets, dtype="float64"),
+                "z_scale": pd.Series(scales, dtype="float64"),
+            }
+        )
+
+    return tin_tiles_ds.map_batches(write_batch, batch_format="pandas").materialize()
+
+
+def read_dem_webp16(path: str, z_offset: float, z_scale: float = 100.0) -> np.ndarray:
+    """Inverse of the WebP-16 DEM export: (rows, cols) float32 heights
+    bottom-up, NODATA -> NaN (same convention as read_dem_png16)."""
+    from ..geom.webp import decode_webp
+
+    with open(path, "rb") as f:
+        img = decode_webp(f.read())
+    q = (img[:, :, 0].astype(np.uint16) << 8) | img[:, :, 1]
+    q = q[::-1].astype(np.float64)  # rows were written top-down
+    out = q / z_scale + z_offset
+    out[q == 65535] = np.nan
+    return out.astype(np.float32)

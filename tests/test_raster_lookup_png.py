@@ -367,3 +367,44 @@ def test_rgb16_and_rgba16_png_decode():
         out = decode_png(data)
         assert out.dtype == np.uint16 and out.shape == (6, 5, c)
         assert np.array_equal(out, img)
+
+
+def test_dem_webp16_sink_matches_png16(ray_session, tmp_path):
+    """The WebP-16 DEM sink (hi/lo bytes on the R/G channels of a
+    lossless VP8L image) must read back BIT-IDENTICAL to the PNG-16
+    sink on the same tiles — same quantization contract, different
+    container."""
+    import numpy as np
+
+    from lasutility_ray.sources.ascii_tiles import (
+        read_dem_png16,
+        read_dem_webp16,
+        write_dem_tiles_png16,
+        write_dem_tiles_webp16,
+    )
+    from lasutility_ray.stages.tiling import points_dataset
+    from lasutility_ray.stages.tin import tin_tiles
+
+    pts = points_dataset(
+        rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id"])
+    )
+    tiles = tin_tiles(pts, include_rasters=True).materialize()
+    man_p = write_dem_tiles_png16(tiles, str(tmp_path / "p16")).to_pandas()
+    man_w = write_dem_tiles_webp16(tiles, str(tmp_path / "w16")).to_pandas()
+    assert len(man_p) == len(man_w) == tiles.count()
+    mp = man_p.set_index("tile_id")
+    checked = 0
+    for _, r in man_w.iterrows():
+        p = mp.loc[r["tile_id"]]
+        assert p["z_offset"] == r["z_offset"] and p["z_scale"] == r["z_scale"]
+        a = read_dem_webp16(r["path"], r["z_offset"], r["z_scale"])
+        b = read_dem_png16(p["path"], p["z_offset"], p["z_scale"])
+        assert a.shape == b.shape
+        assert np.array_equal(np.isnan(a), np.isnan(b))
+        m = ~np.isnan(a)
+        assert np.array_equal(a[m], b[m])
+        if m.any():
+            checked += 1
+        if checked >= 5:
+            break
+    assert checked > 0
