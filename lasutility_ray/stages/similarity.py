@@ -439,8 +439,9 @@ def semantic_dedup(
 
     # one exchange in the no-hot-cluster case: the cluster id is
     # attached to the vector rows in-cluster, then the groupby
-    # co-locates each cluster
-    cl = lookup_join(emb, asg, "vec_id", "vec_id", {"cluster": "cluster"})
+    # co-locates each cluster (asg pinned: the join consumes the slim
+    # right side more than once)
+    cl = lookup_join(emb, asg.materialize(), "vec_id", "vec_id", {"cluster": "cluster"})
 
     def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("vec_id").reset_index(drop=True)
@@ -596,6 +597,9 @@ def ann_topk_pq(
     )
     if not refine_factor:
         return shortlist.sort(["query_id", "rank"])
+    # tiny (n_queries * shortlist_k rows); pin it so the join's
+    # schema probe + passes don't re-run the whole ADC scan
+    shortlist = shortlist.materialize()
 
     from .cogroup import lookup_join
 

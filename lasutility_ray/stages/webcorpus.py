@@ -464,7 +464,10 @@ def line_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
     # backed (spills to disk at corpus scale) — the cheaper of the two
     # costs by construction.
     ex = docs_ds.map_batches(explode, batch_format="pyarrow").materialize()
-    winners = ex.groupby("line").aggregate(Min("packed", alias_name="keep"))
+    # materialize: the join machinery schema-probes and consumes the
+    # right side more than once — a lazy Aggregate would re-run the
+    # whole groupby each time (measured 3x on the substring variant)
+    winners = ex.groupby("line").aggregate(Min("packed", alias_name="keep")).materialize()
     # boilerplate lines ("", headers, nav text) repeat across a large
     # fraction of a web corpus — exactly the hot-left-key case, so the
     # join self-salts (the counting pre-pass reads the materialized
@@ -571,9 +574,12 @@ def substring_dedup(
             lambda df: _rebuild_substring(df, None, id_col, text_col),
             batch_format="pandas",
         )
+    # materialize: the join machinery probes schema() and consumes
+    # the right side in more than one pass — a lazy Aggregate would
+    # re-run the whole groupby each time
     winners = ex.groupby("whash").aggregate(
         Min("packed", alias_name="keep"), Count(alias_name="cnt")
-    )
+    ).materialize()
     joined = lookup_join(
         ex,
         winners,
@@ -600,57 +606,71 @@ def substring_dedup(
 
     cuts = joined.map_batches(cut_positions, batch_format="pyarrow")
 
+    # ONE bucketed cogroup rebuilds everything: doc rows (side 0,
+    # carrying text) and raw cut rows (side 1) shuffle together on a
+    # coarse doc-hash bucket; each bucket builds its cut sets and
+    # rebuilds its docs in pandas. This replaces the earlier
+    # collect-cuts groupby + two doc-level lookup_joins (three
+    # all-to-all exchanges) with a single one.
     n_buckets = default_n_buckets()
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy()
-        return t.append_column("__b", pa.array(_bucket_of(ids, n_buckets)))
-
-    def collect_cuts(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby(id_col, sort=True)["cut"].agg(
-            lambda v: ",".join(map(str, sorted(set(v))))
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "text": t.column(text_col),
+                "cut": pa.array(np.full(len(ids), -1, np.int64)),
+                "__b": pa.array(_bucket_of(ids, n_buckets)),
+            }
         )
-        return pd.DataFrame({id_col: s.index.to_numpy(), "cutlist": s.to_numpy()})
 
-    per_doc_cuts = (
-        cuts.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("__b")
-        .map_groups(collect_cuts, batch_format="pandas")
-    ).materialize()  # tiny: one row per doc that loses tokens
+    def tag_cuts(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "text": pa.array([""] * len(ids), pa.string()),
+                "cut": t.column("cut"),
+                "__b": pa.array(_bucket_of(ids, n_buckets)),
+            }
+        )
 
     slim_docs = docs_ds.select_columns([id_col, text_col])
-    if per_doc_cuts.count() == 0:  # no duplicated spans anywhere
-        return slim_docs.map_batches(
-            lambda df: _rebuild_substring(df, None, id_col, text_col),
-            batch_format="pandas",
-        )
-    with_cuts = lookup_join(
-        slim_docs,
-        per_doc_cuts,
-        id_col,
-        id_col,
-        {"cutlist": "cutlist"},
-        type_overrides={"cutlist": pa.large_string()},
-    )
-    untouched = lookup_join(
-        slim_docs,
-        per_doc_cuts,
-        id_col,
-        id_col,
-        {},
-        how="anti",
-        type_overrides={"cutlist": pa.large_string()},
-    )
 
-    rebuilt = with_cuts.map_batches(
-        lambda df: _rebuild_substring(df, "cutlist", id_col, text_col),
-        batch_format="pandas",
+    def rebuild_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_doc = g["cut"].to_numpy() == -1
+        docs = g[is_doc]
+        cut_rows = g[~is_doc]
+        cut_sets = (
+            cut_rows.groupby(id_col, sort=False)["cut"].agg(set).to_dict()
+            if len(cut_rows)
+            else {}
+        )
+        out_ids, out_text, out_removed = [], [], []
+        for did, text in zip(docs[id_col], docs["text"]):
+            ws = text.split()
+            cut = cut_sets.get(did)
+            kept = (
+                [w for p, w in enumerate(ws) if p not in cut] if cut else ws
+            )
+            out_ids.append(did)
+            out_text.append(" ".join(kept))
+            out_removed.append(len(ws) - len(kept))
+        return pd.DataFrame(
+            {
+                id_col: np.array(out_ids, np.int64),
+                text_col: out_text,
+                "n_removed_tokens": np.array(out_removed, np.int64),
+            }
+        )
+
+    return (
+        slim_docs.map_batches(tag_docs, batch_format="pyarrow")
+        .union(cuts.map_batches(tag_cuts, batch_format="pyarrow"))
+        .groupby("__b")
+        .map_groups(rebuild_bucket, batch_format="pandas")
     )
-    passthru = untouched.map_batches(
-        lambda df: _rebuild_substring(df, None, id_col, text_col),
-        batch_format="pandas",
-    )
-    return rebuilt.union(passthru)
 
 
 def _rebuild_substring(df, cut_col, id_col, text_col):
