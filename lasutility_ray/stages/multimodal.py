@@ -323,6 +323,8 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         (ln,) = struct.unpack_from("<I", data, off + 4)
         body = data[off + 8 : off + 8 + ln]
         if tag == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt_tag, n_ch, rate = struct.unpack_from("<HHI", body, 0)
             (bits,) = struct.unpack_from("<H", body, 14)
             if (fmt_tag, bits) not in ((1, 16), (1, 8), (1, 24), (1, 32), (3, 32)):
@@ -449,9 +451,13 @@ def decode_aiff(data: bytes) -> tuple[int, np.ndarray]:
         (ln,) = struct.unpack_from(">I", data, off + 4)
         chunk = data[off + 8 : off + 8 + ln]
         if tag == b"COMM":
+            if len(chunk) < 18:
+                raise ValueError("truncated AIFF COMM chunk")
             n_ch, n_frames, bits = struct.unpack_from(">HIH", chunk, 0)
             rate = int(round(_f80_to_float(chunk[8:18])))
         elif tag == b"SSND":
+            if len(chunk) < 8:
+                raise ValueError("truncated AIFF SSND chunk")
             (data_off,) = struct.unpack_from(">I", chunk, 0)
             body = chunk[8 + data_off :]
         off += 8 + ln + (ln & 1)

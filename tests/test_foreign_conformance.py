@@ -362,3 +362,72 @@ def test_decode_image_dispatches_tiff_and_sgi():
     for name, cols in [("python.tiff", 64), ("python.sgi", 64)]:
         flat = decode_image(_load(name))
         assert flat.shape == (16, cols)
+
+
+def test_fuzz_simple_decoders_truncation_and_bitflips():
+    """Truncations and bit flips of real fixture payloads must raise
+    ONLY the typed data error (or decode to something) — never hang
+    or leak IndexError/struct.error (same sweep contract as the
+    GIF/JPEG fuzz tests)."""
+    from lasutility_ray.geom.simple_images import (
+        ImageDataError,
+        decode_bmp,
+        decode_pnm,
+        decode_ras,
+        decode_sgi,
+        decode_tiff,
+        decode_xbm,
+    )
+
+    cases = [
+        ("python.bmp", decode_bmp),
+        ("python.ppm", decode_pnm),
+        ("python.pgm", decode_pnm),
+        ("python.pbm", decode_pnm),
+        ("python.ras", decode_ras),
+        ("python.sgi", decode_sgi),
+        ("python.tiff", decode_tiff),
+        ("python.xbm", decode_xbm),
+    ]
+    rng = np.random.default_rng(11)
+    for name, fn in cases:
+        data = _load(name)
+        for cut in range(0, len(data), max(len(data) // 23, 1)):
+            try:
+                fn(data[:cut])
+            except (ImageDataError, ValueError):
+                pass
+        for _ in range(60):
+            i = int(rng.integers(0, len(data)))
+            bit = 1 << int(rng.integers(0, 8))
+            mut = data[:i] + bytes([data[i] ^ bit]) + data[i + 1 :]
+            try:
+                fn(mut)
+            except (ImageDataError, ValueError):
+                pass  # typed data errors only
+
+
+def test_fuzz_audio_decoders_truncation_and_bitflips():
+    from lasutility_ray.stages.multimodal import decode_aiff, decode_au, decode_wav
+
+    cases = [
+        ("pluck-pcm16.wav", decode_wav),
+        ("pluck-pcm24.au", decode_au),
+        ("pluck-pcm32.aiff", decode_aiff),
+    ]
+    rng = np.random.default_rng(12)
+    for name, fn in cases:
+        data = _load(name)
+        for cut in (0, 3, 11, 23, 100, len(data) // 2):
+            try:
+                fn(data[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for _ in range(40):
+            i = int(rng.integers(0, min(len(data), 200)))
+            bit = 1 << int(rng.integers(0, 8))
+            mut = data[:i] + bytes([data[i] ^ bit]) + data[i + 1 :]
+            try:
+                fn(mut)
+            except (ValueError, NotImplementedError):
+                pass
