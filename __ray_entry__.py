@@ -316,6 +316,42 @@ def q_train_quality(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_quality_auc(sf_dir: str):
+    """Distributed exact ROC-AUC of the published quality classifier's
+    margin against the planted label — rank statistics (Mann-Whitney
+    with half-credit ties) computed over distinct scores only: the
+    shuffle carries (score, pos, neg) count rows, never documents, and
+    the driver combines O(blocks) partials. Integer end to end so the
+    window-function DuckDB mirror is value-exact
+    (stages/classifier.py auc_score / quality_auc_sql)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.classifier import (
+        DEFAULT_QUALITY_BIAS,
+        DEFAULT_QUALITY_WEIGHTS,
+        auc_score,
+        featurize_documents,
+        planted_label,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    items = sorted(DEFAULT_QUALITY_WEIGHTS.items())
+
+    def score_and_label(df: pd.DataFrame) -> pd.DataFrame:
+        margin = np.full(len(df), DEFAULT_QUALITY_BIAS, np.int64)
+        for c, wc in items:
+            margin += wc * df[c].to_numpy(np.int64)
+        return pd.DataFrame({"margin_micro": margin, "label": planted_label(df)})
+
+    scored = featurize_documents(docs).map_batches(
+        score_and_label, batch_format="pandas"
+    )
+    return auc_score(scored)
+
+
 def q_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -1444,6 +1480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_substring_dedup": q_substring_dedup,
         "q_quality_score": q_quality_score,
         "q_train_quality": q_train_quality,
+        "q_quality_auc": q_quality_auc,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_ann_pq_recall": q_ann_pq_recall,
         # -- round-2 unverified tail: multimodal + checkpoint (20-27)
@@ -1705,7 +1742,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.corpus.pages import HTML_PREFIX, HTML_SUFFIX
     from lasutility_ray.corpus.polygons import rects_sql_cte
     from lasutility_ray.stages.dedup import HAMMING_MAX, _SH_C
-    from lasutility_ray.stages.classifier import score_quality_sql
+    from lasutility_ray.stages.classifier import quality_auc_sql, score_quality_sql
     from lasutility_ray.stages.lm import unigram_lm_sql
     from lasutility_ray.stages.webcorpus import substring_dedup_sql
     from lasutility_ray.stages.text import normalize_text_sql
@@ -1769,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_substring_dedup": substring_dedup_sql(20),
         "q_quality_score": score_quality_sql(),
+        "q_quality_auc": quality_auc_sql(),
         "q_token_stats": (
             "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
             "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "

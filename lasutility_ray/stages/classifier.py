@@ -267,6 +267,124 @@ def score_quality(
     return ds.map_batches(score, batch_format="pandas")
 
 
+def planted_label_sql(margin_expr: str | None = None) -> str:
+    """SQL expression mirroring :func:`planted_label` over the `f`
+    feature CTE of :func:`score_quality_sql` (columns
+    stop_ratio_milli/alpha_ratio_milli/n_tokens/doc_id). Exact for
+    doc_id < ~3.4e9 (no int64 overflow on either side)."""
+    noise = "((((doc_id * 2654435761) % 4294967296) >> 12) % 201 - 100)"
+    margin = margin_expr or (
+        "3 * stop_ratio_milli + alpha_ratio_milli - 4 * n_tokens + " + noise
+    )
+    return f"CASE WHEN ({margin}) > 820 THEN 1 ELSE 0 END"
+
+
+def auc_score(ds, score_col: str = "margin_micro", label_col: str = "label"):
+    """Distributed exact ROC-AUC (Mann-Whitney with half-credit ties)
+    of an integer score column against binary labels — the evaluation
+    half of the classifier family (every curation filter needs a
+    measured AUC before it gates 100 TB of data).
+
+    Shape (all-integer, partitioning-independent):
+
+    1. per-batch partial: group scores within the batch ->
+       (score, pos, neg) count rows — shuffle carries distinct scores
+       only, never documents;
+    2. ``groupby(score).sum`` -> one row per distinct score;
+    3. ``sort(score)`` (the distinct-score table, tiny vs the corpus)
+       then one vectorized pass per block computing the in-block tie
+       term  sum_s P_s * (2*cumNeg_below + N_s);
+    4. driver combine over O(blocks) partials: add 2 * pos_b *
+       negs_in_earlier_blocks. Driver state is O(blocks), same
+       accepted shape as pack_sequences' prefix sum.
+
+    Returns a one-row pandas DataFrame: n_pos, n_neg, auc_num_x2
+    (= 2*P*N*AUC, exact int), auc_den_x2 (= 2*P*N), auc_milli
+    (= 1000*num//den). Integer end to end -> value-exact vs
+    :func:`auc_score_sql`. AUC of an empty class is undefined:
+    den=0 -> auc_milli = -1 (sentinel on both sides)."""
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[score_col].to_numpy(np.int64)
+        y = df[label_col].to_numpy(np.int64)
+        uniq, inv = np.unique(s, return_inverse=True)
+        pos = np.bincount(inv, weights=y, minlength=len(uniq)).astype(np.int64)
+        cnt = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pd.DataFrame({"score": uniq, "pos": pos, "neg": cnt - pos})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("score")
+        .sum(["pos", "neg"])
+        .sort("score")
+    )
+
+    def block_term(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["sum(pos)"].to_numpy(np.int64)
+        n = df["sum(neg)"].to_numpy(np.int64)
+        cum_below = np.concatenate(([0], np.cumsum(n)[:-1]))
+        term = int((p * (2 * cum_below + n)).sum())
+        return pd.DataFrame(
+            {
+                "min_score": [int(df["score"].iloc[0])],
+                "pos": [int(p.sum())],
+                "neg": [int(n.sum())],
+                "term": [term],
+            }
+        )
+
+    parts = counts.map_batches(
+        block_term, batch_format="pandas", batch_size=None
+    ).to_pandas()
+    parts = parts.sort_values("min_score").reset_index(drop=True)
+    num = 0
+    neg_before = 0
+    for _, r in parts.iterrows():  # O(blocks) rows, not O(rows)
+        num += int(r["term"]) + 2 * int(r["pos"]) * neg_before
+        neg_before += int(r["neg"])
+    n_pos = int(parts["pos"].sum()) if len(parts) else 0
+    n_neg = int(parts["neg"].sum()) if len(parts) else 0
+    den = 2 * n_pos * n_neg
+    return pd.DataFrame(
+        {
+            "n_pos": [n_pos],
+            "n_neg": [n_neg],
+            "auc_num_x2": [num],
+            "auc_den_x2": [den],
+            "auc_milli": [1000 * num // den if den else -1],
+        }
+    )
+
+
+def auc_score_sql(
+    scored_cte: str, score_col: str = "margin_micro", label_col: str = "label"
+) -> str:
+    """DuckDB mirror of :func:`auc_score`: window-function cumulative
+    negatives below each distinct score. `scored_cte` must be a
+    complete WITH prefix defining a relation `scored(score_col,
+    label_col)`."""
+    return (
+        scored_cte + ", "
+        f"cnts AS (SELECT {score_col} AS score, "
+        f"CAST(sum({label_col}) AS BIGINT) AS pos, "
+        f"CAST(sum(1 - {label_col}) AS BIGINT) AS neg "
+        f"FROM scored GROUP BY {score_col}), "
+        "cum AS (SELECT score, pos, neg, "
+        "CAST(coalesce(sum(neg) OVER (ORDER BY score ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below "
+        "FROM cnts), "
+        "tot AS (SELECT CAST(coalesce(sum(pos), 0) AS BIGINT) AS n_pos, "
+        "CAST(coalesce(sum(neg), 0) AS BIGINT) AS n_neg, "
+        "CAST(coalesce(sum(pos * (2 * neg_below + neg)), 0) AS BIGINT) AS num "
+        "FROM cum) "
+        "SELECT n_pos, n_neg, num AS auc_num_x2, "
+        "2 * n_pos * n_neg AS auc_den_x2, "
+        "CASE WHEN n_pos * n_neg = 0 THEN -1 "
+        "ELSE 1000 * num // (2 * n_pos * n_neg) END AS auc_milli FROM tot"
+    )
+
+
 def score_quality_sql(
     weights_micro: dict[str, int] | None = None,
     bias_micro: int | None = None,
@@ -277,13 +395,23 @@ def score_quality_sql(
     if weights_micro is None:
         weights_micro = DEFAULT_QUALITY_WEIGHTS
         bias_micro = DEFAULT_QUALITY_BIAS
+    base = _features_cte(table)
+    margin = _margin_expr(weights_micro, bias_micro)
+    return (
+        base
+        + f"SELECT doc_id, ({margin}) AS margin_micro, "
+        + f"CASE WHEN ({margin}) > 0 THEN 1 ELSE 0 END AS predicted FROM f"
+    )
+
+
+def _features_cte(table: str = "documents") -> str:
     from .text import STOPWORDS
 
     stop_list = ",".join(f"'{w}'" for w in STOPWORDS["en"])
     # base stats use the exact SQL contracts TextStats documents (the
     # same expressions q_token_stats' oracle uses); ratios mirror
     # featurize_documents' integer // arithmetic
-    base = (
+    return (
         "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
         r"length(regexp_extract_all(text, '\S+')) AS n_tokens, "
         "length(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars, "
@@ -298,12 +426,26 @@ def score_quality_sql(
         "n_bpe_tokens * 1000 // greatest(n_tokens, 1) AS bpe_ratio_milli, "
         "n_tokens FROM s) "
     )
+
+
+def _margin_expr(
+    weights_micro: dict[str, int] | None = None, bias_micro: int | None = None
+) -> str:
+    if weights_micro is None:
+        weights_micro = DEFAULT_QUALITY_WEIGHTS
+        bias_micro = DEFAULT_QUALITY_BIAS
     terms = [str(int(bias_micro or 0))]
     for c, wc in sorted(weights_micro.items()):
         terms.append(f"CAST({int(wc)} AS BIGINT) * {c}")
-    margin = " + ".join(terms)
-    return (
-        base
-        + f"SELECT doc_id, ({margin}) AS margin_micro, "
-        + f"CASE WHEN ({margin}) > 0 THEN 1 ELSE 0 END AS predicted FROM f"
+    return " + ".join(terms)
+
+
+def quality_auc_sql(table: str = "documents") -> str:
+    """DuckDB mirror of featurize -> score (default weights) ->
+    planted label -> :func:`auc_score`, one query."""
+    scored_cte = (
+        _features_cte(table)
+        + f", scored AS (SELECT ({_margin_expr()}) AS margin_micro, "
+        + f"{planted_label_sql()} AS label FROM f)"
     )
+    return auc_score_sql(scored_cte)

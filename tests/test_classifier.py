@@ -131,3 +131,92 @@ def test_score_accepts_prefeaturized_table(feats):
     docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
     b = score_quality(docs).to_pandas().sort_values("doc_id")
     assert a.margin_micro.tolist() == b.margin_micro.tolist()
+
+
+# ------------------------------------------------------------- AUC
+
+
+def _auc_reference(scores, labels):
+    """Brute-force pair-counting AUC (half-credit ties), doubled."""
+    s = np.asarray(scores)
+    y = np.asarray(labels)
+    pos, neg = s[y == 1], s[y == 0]
+    num = 0
+    for p in pos:
+        num += 2 * int((p > neg).sum()) + int((p == neg).sum())
+    return num, 2 * len(pos) * len(neg)
+
+
+def test_auc_matches_bruteforce_pairs(ray_session):
+    from lasutility_ray.stages.classifier import auc_score
+
+    rng = np.random.default_rng(7)
+    n = 400
+    scores = rng.integers(-20, 20, n)  # heavy ties on purpose
+    labels = (scores + rng.integers(-15, 15, n) > 0).astype(np.int64)
+    df = pd.DataFrame({"margin_micro": scores, "label": labels})
+    out = auc_score(rd.from_pandas(df).repartition(7))
+    num, den = _auc_reference(scores, labels)
+    assert out.auc_num_x2.iloc[0] == num
+    assert out.auc_den_x2.iloc[0] == den
+    assert out.auc_milli.iloc[0] == 1000 * num // den
+
+
+def test_auc_partitioning_invariant(ray_session):
+    from lasutility_ray.stages.classifier import auc_score
+
+    rng = np.random.default_rng(8)
+    df = pd.DataFrame(
+        {
+            "margin_micro": rng.integers(-5, 5, 300),
+            "label": rng.integers(0, 2, 300),
+        }
+    )
+    outs = [
+        auc_score(rd.from_pandas(df).repartition(k)).to_dict("records")[0]
+        for k in (1, 3, 11)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_auc_degenerate_single_class(ray_session):
+    from lasutility_ray.stages.classifier import auc_score
+
+    df = pd.DataFrame({"margin_micro": [1, 2, 3], "label": [1, 1, 1]})
+    out = auc_score(rd.from_pandas(df))
+    assert out.auc_den_x2.iloc[0] == 0
+    assert out.auc_milli.iloc[0] == -1
+
+
+def test_quality_auc_sql_mirror_value_exact(ray_session):
+    """Composed featurize -> score -> planted label -> AUC matches the
+    single DuckDB window-function query exactly."""
+    from lasutility_ray.stages.classifier import (
+        DEFAULT_QUALITY_BIAS,
+        DEFAULT_QUALITY_WEIGHTS,
+        auc_score,
+        featurize_documents,
+        quality_auc_sql,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    items = sorted(DEFAULT_QUALITY_WEIGHTS.items())
+
+    def score_and_label(df):
+        margin = np.full(len(df), DEFAULT_QUALITY_BIAS, np.int64)
+        for c, wc in items:
+            margin += wc * df[c].to_numpy(np.int64)
+        return pd.DataFrame({"margin_micro": margin, "label": planted_label(df)})
+
+    ours = auc_score(
+        featurize_documents(docs).map_batches(score_and_label, batch_format="pandas")
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    ref = con.execute(quality_auc_sql()).df()
+    assert ours.astype("int64").to_dict("records") == ref.astype("int64").to_dict(
+        "records"
+    )
