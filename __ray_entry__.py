@@ -352,6 +352,21 @@ def q_quality_auc(sf_dir: str):
     return auc_score(scored)
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted index over the documents table: token -> (document
+    frequency, ascending posting list). Per-doc distinct pairs
+    deduped in-batch, one coarse token-hash bucket shuffle, postings
+    assembled via arrow ListArray offsets — no per-token python
+    (stages/chunking.py inverted_index). Value-exact incl. posting
+    order vs the DuckDB list(ORDER BY) mirror."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.chunking import inverted_index
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return inverted_index(docs, min_df=2)
+
+
 def q_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -1481,6 +1496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality_score": q_quality_score,
         "q_train_quality": q_train_quality,
         "q_quality_auc": q_quality_auc,
+        "q_inverted_index": q_inverted_index,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_ann_pq_recall": q_ann_pq_recall,
         # -- round-2 unverified tail: multimodal + checkpoint (20-27)
@@ -1807,6 +1823,14 @@ def oracle_sql() -> dict[str, str]:
         "q_substring_dedup": substring_dedup_sql(20),
         "q_quality_score": score_quality_sql(),
         "q_quality_auc": quality_auc_sql(),
+        "q_inverted_index": (
+            "WITH pairs AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
+            "FROM documents) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS df, "
+            "list(doc_id ORDER BY doc_id) AS postings "
+            "FROM pairs GROUP BY token HAVING count(*) >= 2"
+        ),
         "q_token_stats": (
             "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
             "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "

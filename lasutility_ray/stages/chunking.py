@@ -225,3 +225,107 @@ def distinctive_terms(ds, k: int = 3, id_col: str = "doc_id", text_col: str = "t
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def inverted_index(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_postings: int | None = None,
+):
+    """Build an inverted index: one row per token with its document
+    frequency and the ascending posting list of doc ids — the search/
+    retrieval primitive (BM25 candidates, contamination lookups,
+    keyword routing) over the corpus.
+
+    Shape: per-batch per-doc DISTINCT (token, doc_id) pairs (a doc
+    never spans batches, so in-batch dedup is exact and the shuffle
+    carries at most one pair per (doc, token)); coarse token-hash
+    bucket shuffle (cogroup._str_bucket_of, the engine's established
+    shape); per bucket one vectorized pass — sort by (token, doc_id),
+    group boundaries by np.unique, postings assembled zero-python via
+    ``pa.ListArray.from_arrays`` offsets. No per-token work anywhere.
+
+    100 TB: hot tokens ("the") concentrate their postings in one
+    bucket row — cap them with ``max_postings`` (keeps the smallest
+    doc ids, ``df`` stays exact) or pre-filter with ``min_df``/
+    stopword gates upstream; per-bucket memory is bounded by
+    corpus_pairs / n_buckets and buckets scale with cluster CPUs.
+
+    SQL mirror: unnest(regexp_extract_all(lower(text), TOKEN_RE))
+    DISTINCT pairs -> GROUP BY token with list(doc_id ORDER BY
+    doc_id) — value-exact including postings order."""
+    import re
+
+    from .cogroup import _str_bucket_of, default_n_buckets
+
+    pat = re.compile(TOKEN_RE)
+    n_buckets = default_n_buckets()
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = t.column(text_col).to_pandas().str.lower().str.findall(pat)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = toks.map(len).to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    "__bucket": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.array([w for ws in toks for w in ws], dtype=object)
+        doc = np.repeat(ids, lens)
+        dedup = pd.DataFrame({"token": flat, id_col: doc}).drop_duplicates()
+        tok_arr = pa.array(dedup["token"], pa.string())
+        return pa.table(
+            {
+                "token": tok_arr,
+                id_col: pa.array(dedup[id_col].to_numpy(np.int64), pa.int64()),
+                "__bucket": pa.array(_str_bucket_of(tok_arr, n_buckets), pa.int64()),
+            }
+        )
+
+    def build(g: pd.DataFrame) -> pa.Table:
+        sub = g.sort_values(["token", id_col], kind="mergesort")
+        toks = sub["token"].to_numpy(object)
+        docs = sub[id_col].to_numpy(np.int64)
+        uniq, starts, counts = np.unique(toks, return_index=True, return_counts=True)
+        # np.unique sorts lexicographically, matching the sort above,
+        # so starts/counts delimit contiguous runs
+        if min_df > 1:
+            keep = counts >= min_df
+            uniq, starts, counts = uniq[keep], starts[keep], counts[keep]
+        if max_postings is not None and len(counts) and counts.max() > max_postings:
+            clipped = np.minimum(counts, max_postings)
+            idx = np.concatenate(
+                [np.arange(s, s + c) for s, c in zip(starts, clipped)]
+            )
+            docs_out = docs[idx]
+            offsets = np.concatenate(([0], np.cumsum(clipped)))
+        else:
+            docs_out = docs
+            offsets = np.concatenate(([0], np.cumsum(counts))) if len(counts) else [0]
+            if min_df > 1 and len(counts):
+                idx = np.concatenate(
+                    [np.arange(s, s + c) for s, c in zip(starts, counts)]
+                )
+                docs_out = docs[idx]
+        postings = pa.ListArray.from_arrays(
+            pa.array(np.asarray(offsets, np.int32), pa.int32()),
+            pa.array(docs_out, pa.int64()),
+        )
+        return pa.table(
+            {
+                "token": pa.array(uniq, pa.string()),
+                "df": pa.array(counts.astype(np.int64), pa.int64()),
+                "postings": postings,
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(build, batch_format="pandas")
+    )

@@ -126,3 +126,53 @@ def test_distinctive_terms_ranking_rule(ray_session):
     # both tf=1; df(solo)=1 < df(common)=3 -> solo ranks first
     assert d2.token.tolist() == ["solo", "common"]
     assert d2.df.tolist() == [1, 3]
+
+
+# ---------------------------------------------------------- inverted index
+
+
+def test_inverted_index_matches_bruteforce(ray_session):
+    import re
+
+    from lasutility_ray.stages.chunking import TOKEN_RE, inverted_index
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    out = inverted_index(docs).to_pandas().sort_values("token").reset_index(drop=True)
+    pdf = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    pat = re.compile(TOKEN_RE)
+    ref = {}
+    for did, txt in zip(pdf.doc_id, pdf.text):
+        for tok in set(pat.findall(txt.lower())):
+            ref.setdefault(tok, []).append(int(did))
+    assert sorted(ref) == out.token.tolist()
+    for _, r in out.iterrows():
+        assert list(r.postings) == sorted(ref[r.token])
+        assert r.df == len(ref[r.token])
+
+
+def test_inverted_index_min_df_and_cap(ray_session):
+    from lasutility_ray.stages.chunking import inverted_index
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    full = inverted_index(docs).to_pandas()
+    kept = inverted_index(docs, min_df=3).to_pandas()
+    assert set(kept.token) == set(full[full.df >= 3].token)
+    capped = inverted_index(docs, min_df=3, max_postings=2).to_pandas()
+    m = capped.set_index("token")
+    for _, r in kept.iterrows():
+        assert list(m.loc[r.token].postings) == list(r.postings)[:2]
+        assert m.loc[r.token].df == r.df  # df stays exact under the cap
+
+
+def test_inverted_index_partitioning_invariant(ray_session):
+    from lasutility_ray.stages.chunking import inverted_index
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    a = inverted_index(docs.repartition(1), min_df=2).to_pandas()
+    b = inverted_index(docs.repartition(9), min_df=2).to_pandas()
+    a = a.sort_values("token").reset_index(drop=True)
+    b = b.sort_values("token").reset_index(drop=True)
+    assert a.token.tolist() == b.token.tolist()
+    assert a.df.tolist() == b.df.tolist()
+    for x, y in zip(a.postings, b.postings):
+        assert list(x) == list(y)
