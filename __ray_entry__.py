@@ -1378,6 +1378,68 @@ def q_audio_dedup(sf_dir: str):
     return audio_dedup(with_audio.map_batches(inject, batch_format="pyarrow"))
 
 
+def q_media_metadata(sf_dir: str):
+    """Container-level media profiling WITHOUT payload decode: each
+    doc carries a real MP4 (ISO-BMFF sample tables, geom/mp4.py), MP3
+    (frame-header walk, geom/mp3.py) or RIFF/WAV payload whose
+    container parameters are closed forms of doc_id, and the probe
+    (stages/multimodal.py probe_media) extracts frame counts /
+    durations / rates from the headers alone. Value-exact vs a SQL
+    mirror of the closed forms — the muxer and parser must agree
+    end to end."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import attach_media, media_metadata
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return docs.map_batches(attach_media, batch_format="pyarrow").map_batches(
+        media_metadata, batch_format="pyarrow"
+    )
+
+
+def q_warc_roundtrip(sf_dir: str):
+    """Full WARC-container cycle over the Common-Crawl page shape:
+    documents -> pages (url, warc_ts, html) -> one .warc.gz shard per
+    batch (ISO 28500 records, per-record gzip members,
+    sources/warc.py) -> parse back -> extract text from html. The
+    output columns are pure functions of doc_id/text, so the oracle
+    is value-exact: any framing, header, gzip or extraction byte slip
+    breaks the md5."""
+    import hashlib
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lasutility_ray.corpus.pages import extract_text_from_html, pages_from_documents
+    from lasutility_ray.sources.warc import pages_to_warc, warc_to_pages
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    warcs = docs.map_batches(pages_from_documents, batch_format="pyarrow").map_batches(
+        pages_to_warc, batch_format="pyarrow"
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        pages = warc_to_pages(t)
+        text = extract_text_from_html(pages.column("html").combine_chunks())
+        ts_ms = pages.column("warc_ts").cast(pa.timestamp("ms")).cast(pa.int64())
+        return pa.table(
+            {
+                "url": pages.column("url"),
+                "ts_ms": ts_ms,
+                "n_chars": pa.array(
+                    [len(s) for s in text.to_pylist()], pa.int64()
+                ),
+                "text_md5": pa.array(
+                    [hashlib.md5(s.encode()).hexdigest() for s in text.to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return warcs.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_frame_sample(sf_dir: str):
     """Multimodal frame sampling (video-style every-Nth selection)."""
     import ray.data as rd
@@ -1507,6 +1569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_reencode": q_image_reencode,
         "q_image_dedup": q_image_dedup,
         "q_audio_dedup": q_audio_dedup,
+        "q_media_metadata": q_media_metadata,
+        "q_warc_roundtrip": q_warc_roundtrip,
         "q_checkpoint_manifest": q_checkpoint_manifest,
         # -- implementations changed in round 3: must stay verified (28-39)
         "q_dedup_survivors": q_dedup_survivors,
@@ -1755,7 +1819,7 @@ WHERE COALESCE(i.i, 0) / (nx.n + ny.n - COALESCE(i.i, 0))
 
 
 def oracle_sql() -> dict[str, str]:
-    from lasutility_ray.corpus.pages import HTML_PREFIX, HTML_SUFFIX
+    from lasutility_ray.corpus.pages import EPOCH_MS, HTML_PREFIX, HTML_SUFFIX, url_sql
     from lasutility_ray.corpus.polygons import rects_sql_cte
     from lasutility_ray.stages.dedup import HAMMING_MAX, _SH_C
     from lasutility_ray.stages.classifier import quality_auc_sql, score_quality_sql
@@ -1819,6 +1883,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.doc_id, r.k AS feature_id, CAST(r.luokka AS INT) AS luokka "
             "FROM pts p JOIN rects r ON p.x >= r.min_x AND p.x < r.max_x "
             "AND p.y >= r.min_y AND p.y < r.max_y"
+        ),
+        "q_media_metadata": (
+            # Mirror of synth_media_bytes' closed forms (multimodal.py):
+            # doc_id % 3 picks mp4/mp3/wav; every numeric field below
+            # reproduces what the muxer wrote and the probe must read
+            # back from the container headers alone.
+            "SELECT doc_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'mp4' WHEN 1 THEN 'mp3' "
+            "ELSE 'wav' END AS container, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'video' ELSE 'audio' END AS kind, "
+            "CASE doc_id % 3 WHEN 0 THEN 'grd1' WHEN 1 THEN 'mpeg1l3' "
+            "ELSE 'pcm16' END AS codec, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 END AS BIGINT) AS width, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 8 END AS BIGINT) AS height, "
+            "CAST(CASE WHEN doc_id % 3 = 1 THEN "
+            "CASE WHEN (doc_id // 3) % 2 = 0 THEN 1 ELSE 2 END "
+            "WHEN doc_id % 3 = 2 THEN 1 END AS BIGINT) AS channels, "
+            "CAST(CASE WHEN doc_id % 3 = 1 THEN 44100 "
+            "WHEN doc_id % 3 = 2 THEN 8000 END AS BIGINT) AS sample_rate, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN 3 + doc_id % 5 "
+            "WHEN doc_id % 3 = 1 THEN 20 + doc_id % 7 END AS BIGINT) AS n_frames, "
+            "CAST(CASE WHEN doc_id % 3 = 1 THEN (20 + doc_id % 7) * 1152 "
+            "WHEN doc_id % 3 = 2 THEN 512 + 16 * (doc_id % 4) END AS BIGINT) "
+            "AS n_samples, "
+            "CAST(CASE WHEN doc_id % 3 = 0 THEN (3 + doc_id % 5) * 40 "
+            "WHEN doc_id % 3 = 1 THEN 1000 * (20 + doc_id % 7) * 1152 // 44100 "
+            "ELSE (512 + 16 * (doc_id % 4)) // 8 END AS BIGINT) AS duration_ms, "
+            "CAST(CASE WHEN doc_id % 3 = 1 THEN "
+            "(8 * ((144 * 1000 * (CASE (doc_id // 3) % 3 WHEN 0 THEN 96 "
+            "WHEN 1 THEN 128 ELSE 192 END)) // 44100) * 44100) // 1152000 "
+            "END AS BIGINT) AS bitrate_kbps "
+            "FROM documents"
+        ),
+        "q_warc_roundtrip": (
+            f"SELECT {url_sql()} AS url, "
+            f"CAST({EPOCH_MS} + (doc_id % 86400) * 1000 AS BIGINT) AS ts_ms, "
+            "CAST(length(text) AS BIGINT) AS n_chars, "
+            "md5(text) AS text_md5 FROM documents"
         ),
         "q_substring_dedup": substring_dedup_sql(20),
         "q_quality_score": score_quality_sql(),

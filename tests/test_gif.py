@@ -120,8 +120,14 @@ def test_decode_video_gif_and_grd1():
     raw = HEADER.pack(MAGIC, 9, 8, 1) + f.tobytes()
     frames = decode_video(raw + raw)
     assert len(frames) == 2 and np.array_equal(frames[0], f)
+    # MP4 containers are parsed for real now (geom/mp4.py): a
+    # moov-less ftyp fragment is malformed data, not a stubbed format
+    from lasutility_ray.geom.mp4 import Mp4DataError
+
+    with pytest.raises(Mp4DataError):
+        decode_video(b"\x00\x00\x00\x10ftypmp42xxxxxxxx" + b"\x00\x00\x00\x08free")
     with pytest.raises(NotImplementedError):
-        decode_video(b"\x00\x00\x00\x18ftypmp42" + b"x" * 32)
+        decode_video(b"RIFX" + b"x" * 32)
 
 
 def test_frame_sample_on_gif_batch():
