@@ -940,6 +940,36 @@ def q_unigram_lm(sf_dir: str):
     return unigram_lm_score(docs)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed unigram+
+    bigram bag-of-ngrams models for target (lang='en') vs raw corpus,
+    per-doc integer-millibit log-importance sums (stages/dsir.py).
+    Train pass ships <=256 bucket counters per batch; scoring
+    broadcasts a fixed 256-int model. Value-exact SQL mirror."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.dsir import dsir_weights
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir_weights(docs)
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR selection: top-50 docs by (log-importance desc, doc_id) —
+    the resampling step made deterministic; per-batch partial top-k
+    bounds the shuffle at k rows per batch (stages/dsir.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.dsir import dsir_select
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir_select(docs, 50)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Misra-Gries mergeable top-20: each batch ships at most
     ``capacity`` counters regardless of vocabulary (stages/sketch.py).
@@ -1537,6 +1567,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_contamination": q_contamination,
         "q_pii_redact": q_pii_redact,
         "q_unigram_lm": q_unigram_lm,
+        "q_dsir_weights": q_dsir_weights,
+        "q_dsir_select": q_dsir_select,
         "q_normalize_text": q_normalize_text,
         "q_distinctive_terms": q_distinctive_terms,
         "q_corpus_curation": q_corpus_curation,
@@ -1823,6 +1855,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.corpus.polygons import rects_sql_cte
     from lasutility_ray.stages.dedup import HAMMING_MAX, _SH_C
     from lasutility_ray.stages.classifier import quality_auc_sql, score_quality_sql
+    from lasutility_ray.stages.dsir import dsir_select_sql, dsir_weights_sql
     from lasutility_ray.stages.lm import unigram_lm_sql
     from lasutility_ray.stages.webcorpus import substring_dedup_sql
     from lasutility_ray.stages.text import normalize_text_sql
@@ -2204,6 +2237,8 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, {inject_pii_sql()} AS t FROM documents"
         ),
         "q_unigram_lm": unigram_lm_sql(),
+        "q_dsir_weights": dsir_weights_sql(),
+        "q_dsir_select": dsir_select_sql(50),
         "q_normalize_text": normalize_text_sql(
             source=(
                 "(SELECT doc_id, text || "
