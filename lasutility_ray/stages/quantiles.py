@@ -9,7 +9,8 @@ for quality cutoffs, deterministic subsampling for eval splits).
 Three shapes:
 
 - ``group_quantiles`` — EXACT, linear interpolation (bit-equal to
-  DuckDB ``quantile_cont`` / ``np.quantile``). One ``groupby`` +
+  DuckDB ``quantile_cont``; NOT ``np.quantile``, whose lerp shape
+  rounds differently by 1 ulp in ~16% of cases). One ``groupby`` +
   ``map_groups``: every value of a group is co-located on one
   worker. Right when groups are bounded (per-source, per-language,
   per-tile); NOT the 100 TB path for a single giant group.
@@ -62,9 +63,9 @@ def group_quantiles(ds, group_col: str, value_col: str, qs: dict[str, float]):
         return t.append_column("__b", pa.array(b))
 
     # shuffle on a coarse group-hash bucket (all values of a group
-    # still co-locate — exactness is preserved); the per-group
-    # np.quantile stays IDENTICAL to before, just driven by a local
-    # slice loop instead of one ray-level python group per key
+    # still co-locate — exactness is preserved); per-group quantiles
+    # run as a local slice loop instead of one ray-level python
+    # group per key
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(group_col, kind="stable")
         keys_all = g[group_col].to_numpy()
@@ -74,7 +75,16 @@ def group_quantiles(ds, group_col: str, value_col: str, qs: dict[str, float]):
         ncol = (bounds[1:] - bounds[:-1]).astype(np.int64)
         qcols = {name: np.empty(len(keys), np.float64) for name in names}
         for i in range(len(keys)):
-            vals = np.quantile(v[bounds[i] : bounds[i + 1]], probs)
+            seg = np.sort(v[bounds[i] : bounds[i + 1]])
+            # DuckDB quantile_cont's exact float shape (empirically
+            # pinned over 1500 random cases): h = (m-1)*q,
+            # g = h - floor(h), result = lo*(1-g) + hi*g. numpy's
+            # lerp lo + (hi-lo)*g differs by 1 ulp in ~16% of cases.
+            h = (len(seg) - 1) * probs
+            f = np.floor(h).astype(np.int64)
+            c = np.minimum(f + 1, len(seg) - 1)
+            g = h - np.floor(h)
+            vals = seg[f] * (1.0 - g) + seg[c] * g
             for name, x in zip(names, vals):
                 qcols[name][i] = x
         out = {group_col: keys, "n": ncol}
