@@ -970,6 +970,35 @@ def q_dsir_select(sf_dir: str):
     return dsir_select(docs, 50)
 
 
+def q_canonical_urls(sf_dir: str):
+    """URL canonicalization (Common-Crawl front door): deterministic
+    variant injection (shared bases, tracking params, fragments,
+    uppercased hosts) -> fragment/tracking strip + separator collapse
+    + scheme+host lowercase (stages/urlnorm.py). Stateless vectorized
+    map; regexes in the re/RE2 common subset so the SQL mirror is
+    value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.urlnorm import canonicalize_urls, inject_url_variants
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return canonicalize_urls(
+        docs.map_batches(inject_url_variants, batch_format="pyarrow")
+    )
+
+
+def q_url_dedup(sf_dir: str):
+    """URL-keyed crawl dedup: canonicalize then keep min doc_id per
+    canonical URL; the shuffle carries (canon_url, min, count) rows
+    only — documents never move (stages/urlnorm.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.urlnorm import inject_url_variants, url_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return url_dedup(docs.map_batches(inject_url_variants, batch_format="pyarrow"))
+
+
 def q_heavy_hitters(sf_dir: str):
     """Misra-Gries mergeable top-20: each batch ships at most
     ``capacity`` counters regardless of vocabulary (stages/sketch.py).
@@ -1569,6 +1598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_unigram_lm": q_unigram_lm,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_select": q_dsir_select,
+        "q_canonical_urls": q_canonical_urls,
+        "q_url_dedup": q_url_dedup,
         "q_normalize_text": q_normalize_text,
         "q_distinctive_terms": q_distinctive_terms,
         "q_corpus_curation": q_corpus_curation,
@@ -1856,6 +1887,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.dedup import HAMMING_MAX, _SH_C
     from lasutility_ray.stages.classifier import quality_auc_sql, score_quality_sql
     from lasutility_ray.stages.dsir import dsir_select_sql, dsir_weights_sql
+    from lasutility_ray.stages.urlnorm import canonical_urls_sql, url_dedup_sql
     from lasutility_ray.stages.lm import unigram_lm_sql
     from lasutility_ray.stages.webcorpus import substring_dedup_sql
     from lasutility_ray.stages.text import normalize_text_sql
@@ -2239,6 +2271,8 @@ def oracle_sql() -> dict[str, str]:
         "q_unigram_lm": unigram_lm_sql(),
         "q_dsir_weights": dsir_weights_sql(),
         "q_dsir_select": dsir_select_sql(50),
+        "q_canonical_urls": canonical_urls_sql(),
+        "q_url_dedup": url_dedup_sql(),
         "q_normalize_text": normalize_text_sql(
             source=(
                 "(SELECT doc_id, text || "
