@@ -367,6 +367,33 @@ def q_inverted_index(sf_dir: str):
     return inverted_index(docs, min_df=2)
 
 
+def q_s2_cell_counts(sf_dir: str):
+    """S2-cell tiling (the north rule's H3/S2 index): docs -> hash
+    direction -> level-5 spherical quad-tree cell via the from-scratch
+    Hilbert codec (geom/s2.py) -> one groupby-count shuffle on the
+    int64 cell key. Value-exact vs a DuckDB mirror that unrolls the
+    SAME 8-round integer Hilbert FSM in SQL."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.s2tiles import s2_cell_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return s2_cell_counts(docs)
+
+
+def q_s2_parent_rollup(sf_dir: str):
+    """Hierarchy rollup: the level-5 cell-count table aggregated to
+    each cell's level-2 ancestor by PURE BIT ARITHMETIC on the id
+    (range containment is what the Hilbert packing buys) — no second
+    corpus pass."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.s2tiles import s2_parent_rollup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return s2_parent_rollup(docs)
+
+
 def q_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -1622,6 +1649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_train_quality": q_train_quality,
         "q_quality_auc": q_quality_auc,
         "q_inverted_index": q_inverted_index,
+        "q_s2_cell_counts": q_s2_cell_counts,
+        "q_s2_parent_rollup": q_s2_parent_rollup,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_ann_pq_recall": q_ann_pq_recall,
         # -- round-2 unverified tail: multimodal + checkpoint (20-27)
@@ -1888,6 +1917,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.classifier import quality_auc_sql, score_quality_sql
     from lasutility_ray.stages.dsir import dsir_select_sql, dsir_weights_sql
     from lasutility_ray.stages.urlnorm import canonical_urls_sql, url_dedup_sql
+    from lasutility_ray.stages.s2tiles import s2_cell_counts_sql, s2_parent_rollup_sql
     from lasutility_ray.stages.lm import unigram_lm_sql
     from lasutility_ray.stages.webcorpus import substring_dedup_sql
     from lasutility_ray.stages.text import normalize_text_sql
@@ -1990,6 +2020,8 @@ def oracle_sql() -> dict[str, str]:
         "q_substring_dedup": substring_dedup_sql(20),
         "q_quality_score": score_quality_sql(),
         "q_quality_auc": quality_auc_sql(),
+        "q_s2_cell_counts": s2_cell_counts_sql(),
+        "q_s2_parent_rollup": s2_parent_rollup_sql(),
         "q_inverted_index": (
             "WITH pairs AS (SELECT DISTINCT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "

@@ -400,7 +400,7 @@ def score_quality_sql(
     return (
         base
         + f"SELECT doc_id, ({margin}) AS margin_micro, "
-        + f"CASE WHEN ({margin}) > 0 THEN 1 ELSE 0 END AS predicted FROM f"
+        + f"CAST(CASE WHEN ({margin}) > 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted FROM f"
     )
 
 

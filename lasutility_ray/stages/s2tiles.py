@@ -1,0 +1,126 @@
+"""S2-cell tiling over the web-page corpus (the north rule's "H3/S2
+index" component).
+
+Each document is mapped to a deterministic direction on the unit
+sphere (three hash-derived components — unnormalized on purpose: the
+S2 face/uv projection only uses component ratios, which keeps every
+float op IEEE-identical between numpy and the DuckDB oracle, see
+``geom/s2.py``), keyed by its S2 cell at a chosen level, and counted
+per cell with an ordinary groupby-aggregate shuffle — the spherical
+generalization of the engine's km-grid ``tile_counts``
+(``Nls/TileNamer.cs`` role in the reference).
+
+100 TB shape: the cell id is ONE int64 shuffle key; counts are
+Ray-Data partial-aggregated per block before the exchange, so the
+all-to-all carries one row per (block, cell). The parent rollup is
+pure bit arithmetic on the already-aggregated table (no second pass
+over the corpus) — the point of the S2 hierarchy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..corpus.geocode import H1_MUL, H2_MUL, H2_ADD, M32, hashes
+from ..geom import s2
+
+CELL_LEVEL = 5
+ROLLUP_LEVEL = 2
+
+
+def directions_of(doc_id: np.ndarray):
+    """doc_id -> deterministic unnormalized direction in [-1,1]^3."""
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    h1, h2 = hashes(doc_id)
+    h3 = (h1 * 31 + h2) % M32
+    dx = (h1 % 2000001) / 1e6 - 1.0
+    dy = (h2 % 2000001) / 1e6 - 1.0
+    dz = (h3 % 2000001) / 1e6 - 1.0
+    return dx, dy, dz
+
+
+def add_s2_columns(batch: pa.Table, level: int = CELL_LEVEL) -> pa.Table:
+    """Append cell_id (uint64 id reinterpreted as int64) + face."""
+    doc_id = batch.column("doc_id").to_numpy()
+    dx, dy, dz = directions_of(doc_id)
+    cell = s2.xyz_to_cell(dx, dy, dz, level)
+    return batch.append_column(
+        "cell_id", pa.array(cell.view(np.int64), pa.int64())
+    ).append_column("face", pa.array(s2.face_of(cell), pa.int64()))
+
+
+def s2_cell_counts(ds, level: int = CELL_LEVEL):
+    """documents -> (cell_id, face, n_docs) at ``level``."""
+    from ray.data.aggregate import Count
+
+    return (
+        ds.select_columns(["doc_id"])
+        .map_batches(lambda t: add_s2_columns(t, level), batch_format="pyarrow")
+        .groupby(["cell_id", "face"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
+def s2_parent_rollup(ds, level: int = CELL_LEVEL, parent_level: int = ROLLUP_LEVEL):
+    """Cell counts rolled up the hierarchy: aggregate the LEVEL table
+    (not the corpus) by each cell's ``parent_level`` ancestor."""
+    from ray.data.aggregate import Sum
+
+    def to_parent(t: pa.Table) -> pa.Table:
+        cell = t.column("cell_id").to_numpy().view(np.uint64)
+        par = s2.parent(cell, parent_level)
+        return pa.table(
+            {
+                "parent_id": pa.array(par.view(np.int64), pa.int64()),
+                "face": t.column("face"),
+                "n_docs": t.column("n_docs"),
+            }
+        )
+
+    return (
+        s2_cell_counts(ds, level)
+        .map_batches(to_parent, batch_format="pyarrow")
+        .groupby(["parent_id", "face"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+# -------------------------------------------------------- SQL mirror
+
+
+def _dirs_cte(src: str = "documents") -> str:
+    h1 = f"((doc_id * {H1_MUL}) % {M32})"
+    h2 = f"((doc_id * {H2_MUL} + {H2_ADD}) % {M32})"
+    h3 = f"(({h1} * 31 + {h2}) % {M32})"
+    return (
+        f"s2dirs AS (SELECT doc_id, "
+        f"({h1} % 2000001) / 1000000.0 - 1.0 AS dx, "
+        f"({h2} % 2000001) / 1000000.0 - 1.0 AS dy, "
+        f"({h3} % 2000001) / 1000000.0 - 1.0 AS dz FROM {src})"
+    )
+
+
+def s2_cell_counts_sql(level: int = CELL_LEVEL, src: str = "documents") -> str:
+    return (
+        f"WITH {_dirs_cte(src)}, {s2.sql_ctes('s2dirs', level=level)} "
+        "SELECT cell_id, CAST(face AS BIGINT) AS face, count(*) AS n_docs "
+        "FROM s2out GROUP BY 1, 2"
+    )
+
+
+def s2_parent_rollup_sql(
+    level: int = CELL_LEVEL, parent_level: int = ROLLUP_LEVEL, src: str = "documents"
+) -> str:
+    step = 2 << (2 * (s2.MAX_LEVEL - parent_level))
+    half = step // 2
+    parent_u = f"(cell_u // {step}) * {step} + {half}"
+    return (
+        f"WITH {_dirs_cte(src)}, {s2.sql_ctes('s2dirs', level=level)}, "
+        f"lvl AS (SELECT cell_u, CAST(face AS BIGINT) AS face, count(*) AS n "
+        "FROM s2out GROUP BY 1, 2) "
+        f"SELECT CASE WHEN {parent_u} >= {1 << 63} "
+        f"THEN CAST({parent_u} - {1 << 64} AS BIGINT) "
+        f"ELSE CAST({parent_u} AS BIGINT) END AS parent_id, face, "
+        "CAST(sum(n) AS BIGINT) AS n_docs FROM lvl GROUP BY 1, 2"
+    )

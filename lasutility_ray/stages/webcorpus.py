@@ -45,7 +45,9 @@ def _host_partial(t: pa.Table) -> pa.Table:
     df = pd.DataFrame(
         {
             "host": t.column("host").to_pandas(),
-            "chars": pc.utf8_length(t.column("text")).to_numpy(),
+            # utf8_length is int32; widen so the summed n_chars column
+            # is int64 like the oracle's
+            "chars": pc.utf8_length(t.column("text")).to_numpy().astype(np.int64),
             "ts_ms": t.column("warc_ts")
             .cast(pa.timestamp("ms"))
             .cast(pa.int64())

@@ -1,0 +1,182 @@
+"""S2 cell-id codec (geom/s2.py) + the s2tiles stage.
+
+The codec is from scratch (no S2 library exists here), so the pins
+are structural invariants that uniquely characterize the scheme:
+leaf round-trips, Hilbert-curve adjacency continuity, hierarchy
+containment, face chart orientation, and the generated DuckDB SQL
+mirror agreeing bit-for-bit with the numpy path.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from lasutility_ray.geom import s2
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dirs():
+    rng = np.random.default_rng(7)
+    n = 20000
+    x = rng.uniform(-1, 1, n)
+    y = rng.uniform(-1, 1, n)
+    z = rng.uniform(-1, 1, n)
+    # axis points, the degenerate all-zero vector, an |x|==|y| tie,
+    # and exact face-boundary diagonals
+    x[:6] = [1, 0, 0, -1, 0, 0]
+    y[:6] = [0, 1, 0, 0, -1, 0]
+    z[:6] = [0, 0, 1, 0, 0, -1]
+    x[6] = y[6] = z[6] = 0.0
+    x[7] = y[7] = 1.0
+    z[7] = 0.5
+    x[8] = y[8] = z[8] = 1.0
+    return x, y, z
+
+
+def test_lookup_tables_are_inverse_permutations():
+    for orient in range(4):
+        idx = np.arange(256)
+        fwd = s2.LOOKUP_POS[(idx << 2) + orient]
+        back = s2.LOOKUP_IJ[((fwd >> 2) << 2) + orient]
+        assert np.array_equal(back >> 2, idx)
+        # orientation transitions agree between the two tables
+        assert np.array_equal(fwd & 3, back & 3)
+
+
+def test_leaf_roundtrip(dirs):
+    x, y, z = dirs
+    leaf = s2.xyz_to_cell(x, y, z, 30)
+    assert np.all(s2.level(leaf) == 30)
+    f, i, j = s2.cell_to_face_ij(leaf)
+    pos = s2._hilbert_pos(f, i, j)
+    re = (
+        (f.astype(np.uint64) << np.uint64(61))
+        | (pos.astype(np.uint64) << np.uint64(1))
+        | np.uint64(1)
+    )
+    assert np.array_equal(re, leaf)
+
+
+def test_axis_directions_hit_all_six_faces():
+    f, u, v = s2.face_uv(
+        np.array([1.0, 0, 0, -1, 0, 0]),
+        np.array([0.0, 1, 0, 0, -1, 0]),
+        np.array([0.0, 0, 1, 0, 0, -1]),
+    )
+    assert f.tolist() == [0, 1, 2, 3, 4, 5]
+    # face centers project to (u, v) = (0, 0)
+    assert np.all(u == 0) and np.all(v == 0)
+
+
+def test_hilbert_curve_is_continuous():
+    """Consecutive leaf positions differ by exactly one step in i or
+    j — the defining property of the Hilbert order (and the locality
+    the shuffle key relies on)."""
+    for face in (0, 3):
+        pos = np.arange(500000, 520000, dtype=np.int64)
+        ids = (
+            (np.uint64(face) << np.uint64(61))
+            | (pos.astype(np.uint64) << np.uint64(1))
+            | np.uint64(1)
+        )
+        _, i, j = s2.cell_to_face_ij(ids)
+        step = np.abs(np.diff(i)) + np.abs(np.diff(j))
+        assert np.all(step == 1)
+
+
+def test_parent_containment_and_levels(dirs):
+    x, y, z = dirs
+    leaf = s2.xyz_to_cell(x, y, z, 30)
+    for lvl in (0, 2, 7, 12, 29):
+        p = s2.parent(leaf, lvl)
+        assert np.all(s2.level(p) == lvl)
+        assert np.all(s2.range_min(p) <= leaf)
+        assert np.all(leaf <= s2.range_max(p))
+        # direct encode at lvl == parent of leaf
+        assert np.array_equal(s2.xyz_to_cell(x, y, z, lvl), p)
+        assert np.array_equal(s2.face_of(p), s2.face_of(leaf))
+
+
+def test_st_uv_inverse_and_area_balance():
+    s = np.linspace(0.0, 1.0, 1001)
+    assert np.allclose(s2.uv_to_st(s2.st_to_uv(s)), s, atol=1e-12)
+    # quadratic transform keeps cell areas within ~2.1x of each other
+    # (the published bound for the quadratic projection is ~2.08)
+    u = s2.st_to_uv(s)
+    widths = np.diff(u)
+    assert widths.max() / widths.min() < 2.2
+
+
+def test_center_roundtrip_lonlat():
+    rng = np.random.default_rng(3)
+    lon = rng.uniform(-180, 180, 3000)
+    lat = rng.uniform(-89.9, 89.9, 3000)
+    for lvl in (4, 12, 20):
+        c = s2.lonlat_to_cell(lon, lat, lvl)
+        lo, la = s2.cell_to_lonlat(c)
+        assert np.array_equal(s2.lonlat_to_cell(lo, la, lvl), c)
+
+
+def test_token_roundtrip(dirs):
+    x, y, z = dirs
+    for lvl in (1, 13, 30):
+        cells = s2.xyz_to_cell(x[:50], y[:50], z[:50], lvl)
+        for c in cells.tolist():
+            tok = s2.token(c)
+            assert len(tok) <= 16
+            assert s2.from_token(tok) == c
+
+
+def test_sql_mirror_bit_exact(dirs):
+    x, y, z = dirs
+    con = duckdb.connect()
+    con.register("dirs", pd.DataFrame({"k": np.arange(len(x)), "dx": x, "dy": y, "dz": z}))
+    for lvl in (2, 5, 12, 30):
+        got = (
+            con.execute(
+                f"WITH {s2.sql_ctes('dirs', level=lvl)} "
+                "SELECT k, cell_id FROM s2out ORDER BY k"
+            )
+            .df()["cell_id"]
+            .to_numpy()
+        )
+        want = s2.xyz_to_cell(x, y, z, lvl).view(np.int64)
+        assert np.array_equal(got, want)
+
+
+def test_s2_stage_queries_match_oracle(ray_session):
+    sf_dir = SF
+    import __ray_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    qs, osql = E.queries(), E.oracle_sql()
+    for name in ("q_s2_cell_counts", "q_s2_parent_rollup"):
+        df = qs[name](sf_dir).to_pandas()
+        odf = con.execute(osql[name]).df()
+        cols = sorted(df.columns)
+        a = df[cols].sort_values(cols).reset_index(drop=True)
+        b = odf[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_parent_rollup_conserves_docs(ray_session):
+    sf_dir = SF
+    import ray.data as rd
+
+    from lasutility_ray.stages.s2tiles import s2_cell_counts, s2_parent_rollup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    total = docs.count()
+    lvl = s2_cell_counts(docs).to_pandas()
+    par = s2_parent_rollup(docs).to_pandas()
+    assert lvl["n_docs"].sum() == total == par["n_docs"].sum()
+    # every face is populated and the rollup is strictly coarser
+    assert set(lvl["face"]) == set(range(6))
+    assert len(par) < len(lvl)
