@@ -394,6 +394,21 @@ def q_s2_parent_rollup(sf_dir: str):
     return s2_parent_rollup(docs)
 
 
+def q_pagerank_hosts(sf_dir: str):
+    """Exact fixed-point PageRank (5 damped rounds, int64 1e9 scale)
+    over the host link graph: rank x edges lookup_join -> per-dst
+    groupby-sum each round, dangling mass as one driver scalar,
+    union+groupby instead of an outer join for sink hosts
+    (stages/graph.py). Bit-identical across partitionings and to the
+    DuckDB oracle's unrolled-CTE iterations."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.graph import pagerank_hosts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return pagerank_hosts(docs)
+
+
 def q_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -1651,6 +1666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_inverted_index": q_inverted_index,
         "q_s2_cell_counts": q_s2_cell_counts,
         "q_s2_parent_rollup": q_s2_parent_rollup,
+        "q_pagerank_hosts": q_pagerank_hosts,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_ann_pq_recall": q_ann_pq_recall,
         # -- round-2 unverified tail: multimodal + checkpoint (20-27)
@@ -1918,6 +1934,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.dsir import dsir_select_sql, dsir_weights_sql
     from lasutility_ray.stages.urlnorm import canonical_urls_sql, url_dedup_sql
     from lasutility_ray.stages.s2tiles import s2_cell_counts_sql, s2_parent_rollup_sql
+    from lasutility_ray.stages.graph import pagerank_sql
     from lasutility_ray.stages.lm import unigram_lm_sql
     from lasutility_ray.stages.webcorpus import substring_dedup_sql
     from lasutility_ray.stages.text import normalize_text_sql
@@ -2022,6 +2039,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_auc": quality_auc_sql(),
         "q_s2_cell_counts": s2_cell_counts_sql(),
         "q_s2_parent_rollup": s2_parent_rollup_sql(),
+        "q_pagerank_hosts": pagerank_sql(),
         "q_inverted_index": (
             "WITH pairs AS (SELECT DISTINCT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "

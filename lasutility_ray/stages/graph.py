@@ -1,0 +1,245 @@
+"""Host-graph analytics: distributed PageRank in exact integer
+arithmetic.
+
+The web-corpus tables induce a host link graph (each page's host
+links to hash-derived target hosts — the synthetic stand-in for
+href extraction, mirrored 1:1 in SQL).  PageRank is the canonical
+*iterative* distributed workload the engine was missing: T rounds of
+(rank ⋈ edges) -> groupby(dst).sum, a per-round all-to-all whose
+shuffle volume is O(edges), with only two scalars (dangling mass,
+host count) ever reaching the driver.
+
+Exactness: ranks are int64 fixed-point (1e9 = 1.0) and every update
+is floor division —
+
+    contrib(e)   = (85 * r[src] * w) // (100 * out_w[src])
+    r'[h]        = 150_000_000 + (85 * dangling) // (100 * N)
+                   + sum over in-edges of contrib
+
+so sums are order-independent and the result is bit-identical across
+partitionings, cluster sizes, and the DuckDB oracle (which unrolls
+the T iterations as chained CTEs with the same integer ops).
+
+100 TB shape: edges/out-degrees build with one groupby each; the
+static (edge, out_w) table is re-used every round; the per-round join
+is the engine's bucketed ``lookup_join`` (rank table as the keyed
+right side) and the new rank table is produced by a union+groupby
+(no outer join needed).  The driver never sees a per-host row.
+Overflow bound: 85 * r * w needs r * w < 1.1e17; with SCALE=1e9 that
+holds while N_hosts * max_edge_weight < 1e8 — beyond that, drop
+SCALE or split hot edges (documented contract, asserted below).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..corpus.geocode import H1_MUL, M32, hashes
+
+SCALE = 1_000_000_000
+DAMP_NUM, DAMP_DEN = 85, 100
+BASE = ((DAMP_DEN - DAMP_NUM) * SCALE) // DAMP_DEN  # 150_000_000
+N_HOST_SITES = 1000
+N_ITERS = 5
+
+# distributed-path machinery kicks in above this many edges; below it
+# one task holds the (tiny) host graph. Forced in tests both ways.
+FAST_PATH_MAX_EDGES = 2_000_000
+
+
+def edge_targets(doc_id: np.ndarray):
+    """Each doc links its host (doc_id % 1000, see pages.make_urls)
+    to two hash-derived hosts. Self-links are dropped downstream."""
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    h1, _ = hashes(doc_id)
+    src = doc_id % N_HOST_SITES
+    d1 = h1 % N_HOST_SITES
+    d2 = (h1 // N_HOST_SITES) % N_HOST_SITES
+    return src, d1, d2
+
+
+def _edge_batch(t: pa.Table) -> pa.Table:
+    src, d1, d2 = edge_targets(t.column("doc_id").to_numpy())
+    s = np.concatenate([src, src])
+    d = np.concatenate([d1, d2])
+    keep = s != d
+    return pa.table(
+        {"src": pa.array(s[keep], pa.int64()), "dst": pa.array(d[keep], pa.int64())}
+    )
+
+
+def host_edges(docs_ds):
+    """documents -> weighted edge table (src, dst, w)."""
+    from ray.data.aggregate import Count
+
+    return (
+        docs_ds.select_columns(["doc_id"])
+        .map_batches(_edge_batch, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="w"))
+    )
+
+
+def _pagerank_local(edges: pd.DataFrame, n_iters: int) -> pd.DataFrame:
+    """Single-task reference loop (np.bincount over the edge arrays);
+    bit-identical to the distributed path by construction."""
+    src = edges["src"].to_numpy(np.int64)
+    dst = edges["dst"].to_numpy(np.int64)
+    w = edges["w"].to_numpy(np.int64)
+    hosts = np.unique(np.concatenate([src, dst]))
+    n = len(hosts)
+    idx = {h: i for i, h in enumerate(hosts.tolist())}
+    si = np.array([idx[h] for h in src.tolist()], dtype=np.int64)
+    di = np.array([idx[h] for h in dst.tolist()], dtype=np.int64)
+    out_w = np.zeros(n, dtype=np.int64)
+    np.add.at(out_w, si, w)  # integer accumulate (bincount's float
+    # weights path would lose exactness past 2^53)
+    assert int(w.max(initial=0)) * n * SCALE * DAMP_NUM < 2**62, "rescale SCALE"
+    r = np.full(n, SCALE, dtype=np.int64)
+    dangling = out_w == 0
+    for _ in range(n_iters):
+        contrib = (DAMP_NUM * r[si] * w) // (DAMP_DEN * out_w[si])
+        dang = int(r[dangling].sum())
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, di, contrib)
+        r = BASE + (DAMP_NUM * dang) // (DAMP_DEN * n) + acc
+    return pd.DataFrame({"host_id": hosts, "rank_e9": r})
+
+
+def pagerank_hosts(docs_ds, n_iters: int = N_ITERS, force_distributed: bool = False):
+    """documents -> (host_id, rank_e9) after ``n_iters`` exact
+    fixed-point PageRank rounds over the host link graph."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .cogroup import lookup_join
+
+    edges = host_edges(docs_ds).materialize()
+    if not force_distributed and edges.count() <= FAST_PATH_MAX_EDGES:
+        out = _pagerank_local(edges.to_pandas(), n_iters)
+        return rd.from_pandas(out)
+
+    # ---- distributed path: same recurrence, Dataset algebra only
+    out_w = edges.groupby("src").aggregate(Sum("w", alias_name="out_w"))
+    # static per-edge join of the out-degree (reused every round)
+    ew = lookup_join(
+        edges, out_w, "src", "src", {"out_w": "out_w"}
+    ).materialize()
+    hosts = (
+        edges.select_columns(["src"])
+        .rename_columns({"src": "host_id"})
+        .union(edges.select_columns(["dst"]).rename_columns({"dst": "host_id"}))
+        .groupby("host_id")
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["host_id"])
+        .materialize()
+    )
+    n = hosts.count()
+    # dangling host set is static: hosts that never appear as src
+    dang_hosts = lookup_join(hosts, out_w, "host_id", "src", {}, how="anti").materialize()
+
+    def base_rank(t: pa.Table, value: int) -> pa.Table:
+        return pa.table(
+            {
+                "host_id": t.column("host_id"),
+                "r": pa.array(np.full(t.num_rows, value, np.int64), pa.int64()),
+            }
+        )
+
+    ranks = hosts.map_batches(
+        lambda t: base_rank(t, SCALE), batch_format="pyarrow"
+    ).materialize()
+
+    for _ in range(n_iters):
+        dang = (
+            lookup_join(ranks, dang_hosts, "host_id", "host_id", {}, how="semi")
+            .sum("r")
+            or 0
+        )
+        add = BASE + (DAMP_NUM * int(dang)) // (DAMP_DEN * n)
+        with_r = lookup_join(ew, ranks, "src", "host_id", {"r": "r"})
+
+        def contrib(t: pa.Table) -> pa.Table:
+            r = t.column("r").to_numpy()
+            w = t.column("w").to_numpy()
+            ow = t.column("out_w").to_numpy()
+            return pa.table(
+                {
+                    "host_id": t.column("dst"),
+                    "c": pa.array((DAMP_NUM * r * w) // (DAMP_DEN * ow), pa.int64()),
+                }
+            )
+
+        contribs = with_r.map_batches(contrib, batch_format="pyarrow")
+        # union the per-host base term, then one groupby-sum: avoids
+        # an outer join for hosts with no in-edges
+        base_rows = hosts.map_batches(
+            lambda t, v=add: pa.table(
+                {
+                    "host_id": t.column("host_id"),
+                    "c": pa.array(np.full(t.num_rows, v, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ranks = (
+            contribs.union(base_rows)
+            .groupby("host_id")
+            .aggregate(Sum("c", alias_name="r"))
+            .materialize()
+        )
+    return ranks.rename_columns({"r": "rank_e9"})
+
+
+# -------------------------------------------------------- SQL mirror
+
+
+def pagerank_sql(n_iters: int = N_ITERS, src: str = "documents") -> str:
+    h1 = f"((doc_id * {H1_MUL}) % {M32})"
+    ctes = [
+        (
+            f"pr_raw AS (SELECT doc_id % {N_HOST_SITES} AS src, "
+            f"{h1} % {N_HOST_SITES} AS d1, "
+            f"({h1} // {N_HOST_SITES}) % {N_HOST_SITES} AS d2 FROM {src})"
+        ),
+        (
+            "pr_e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM ("
+            "SELECT src, d1 AS dst FROM pr_raw UNION ALL "
+            "SELECT src, d2 AS dst FROM pr_raw) WHERE src <> dst GROUP BY 1, 2)"
+        ),
+        (
+            "pr_h AS (SELECT DISTINCT host_id FROM ("
+            "SELECT src AS host_id FROM pr_e UNION ALL SELECT dst FROM pr_e))"
+        ),
+        "pr_ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM pr_e GROUP BY 1)",
+        "pr_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pr_h)",
+        (
+            "pr_dh AS (SELECT host_id FROM pr_h WHERE host_id NOT IN "
+            "(SELECT src FROM pr_ow))"
+        ),
+        f"pr_r0 AS (SELECT host_id, CAST({SCALE} AS BIGINT) AS r FROM pr_h)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = f"pr_r{i - 1}"
+        ctes.append(
+            f"pr_d{i} AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang "
+            f"FROM {p} WHERE host_id IN (SELECT host_id FROM pr_dh))"
+        )
+        ctes.append(
+            f"pr_c{i} AS (SELECT e.dst AS host_id, "
+            f"CAST(sum(({DAMP_NUM} * r.r * e.w) // ({DAMP_DEN} * o.ow)) AS BIGINT) AS c "
+            f"FROM pr_e e JOIN {p} r ON e.src = r.host_id "
+            "JOIN pr_ow o ON e.src = o.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"pr_r{i} AS (SELECT h.host_id, "
+            f"{BASE} + (SELECT ({DAMP_NUM} * dang) // ({DAMP_DEN} * n) "
+            f"FROM pr_d{i}, pr_n) + coalesce(c.c, 0) AS r "
+            f"FROM pr_h h LEFT JOIN pr_c{i} c ON h.host_id = c.host_id)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT host_id, CAST(r AS BIGINT) AS rank_e9 FROM pr_r{n_iters}"
+    )
