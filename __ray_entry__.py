@@ -409,6 +409,21 @@ def q_pagerank_hosts(sf_dir: str):
     return pagerank_hosts(docs)
 
 
+def q_bm25_scores(sf_dir: str):
+    """Okapi BM25 retrieval scores (k1=1.2, b=0.75) for a fixed query
+    term set: phase A reduces ONE corpus-stats row (N, total length,
+    per-term df) to driver scalars, phase B is a broadcast map-only
+    scoring pass; per-term integer micro-unit quantization keeps the
+    summed score order-independent and value-exact vs the SQL mirror
+    (stages/bm25.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.bm25 import bm25_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bm25_scores(docs)
+
+
 def q_token_stats(sf_dir: str):
     import ray.data as rd
 
@@ -1667,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_s2_cell_counts": q_s2_cell_counts,
         "q_s2_parent_rollup": q_s2_parent_rollup,
         "q_pagerank_hosts": q_pagerank_hosts,
+        "q_bm25_scores": q_bm25_scores,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_ann_pq_recall": q_ann_pq_recall,
         # -- round-2 unverified tail: multimodal + checkpoint (20-27)
@@ -1935,6 +1951,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.urlnorm import canonical_urls_sql, url_dedup_sql
     from lasutility_ray.stages.s2tiles import s2_cell_counts_sql, s2_parent_rollup_sql
     from lasutility_ray.stages.graph import pagerank_sql
+    from lasutility_ray.stages.bm25 import bm25_sql
     from lasutility_ray.stages.lm import unigram_lm_sql
     from lasutility_ray.stages.webcorpus import substring_dedup_sql
     from lasutility_ray.stages.text import normalize_text_sql
@@ -2040,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
         "q_s2_cell_counts": s2_cell_counts_sql(),
         "q_s2_parent_rollup": s2_parent_rollup_sql(),
         "q_pagerank_hosts": pagerank_sql(),
+        "q_bm25_scores": bm25_sql(),
         "q_inverted_index": (
             "WITH pairs AS (SELECT DISTINCT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
