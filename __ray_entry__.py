@@ -394,6 +394,19 @@ def q_s2_parent_rollup(sf_dir: str):
     return s2_parent_rollup(docs)
 
 
+def q_s2_range_select(sf_dir: str):
+    """Spatial pruning via the Hilbert packing: membership of a doc's
+    level-5 cell in a fixed level-2 region is two int64 comparisons
+    against the region's [range_min, range_max] — the predicate a
+    cell-sorted 100 TB layout pushes into parquet row-group pruning."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.s2tiles import s2_range_select
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return s2_range_select(docs)
+
+
 def q_pagerank_hosts(sf_dir: str):
     """Exact fixed-point PageRank (5 damped rounds, int64 1e9 scale)
     over the host link graph: rank x edges lookup_join -> per-dst
@@ -1681,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_inverted_index": q_inverted_index,
         "q_s2_cell_counts": q_s2_cell_counts,
         "q_s2_parent_rollup": q_s2_parent_rollup,
+        "q_s2_range_select": q_s2_range_select,
         "q_pagerank_hosts": q_pagerank_hosts,
         "q_bm25_scores": q_bm25_scores,
         "q_ann_topk_pq": q_ann_topk_pq,
@@ -1949,7 +1963,11 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.classifier import quality_auc_sql, score_quality_sql
     from lasutility_ray.stages.dsir import dsir_select_sql, dsir_weights_sql
     from lasutility_ray.stages.urlnorm import canonical_urls_sql, url_dedup_sql
-    from lasutility_ray.stages.s2tiles import s2_cell_counts_sql, s2_parent_rollup_sql
+    from lasutility_ray.stages.s2tiles import (
+        s2_cell_counts_sql,
+        s2_parent_rollup_sql,
+        s2_range_select_sql,
+    )
     from lasutility_ray.stages.graph import pagerank_sql
     from lasutility_ray.stages.bm25 import bm25_sql
     from lasutility_ray.stages.lm import unigram_lm_sql
@@ -2056,6 +2074,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_auc": quality_auc_sql(),
         "q_s2_cell_counts": s2_cell_counts_sql(),
         "q_s2_parent_rollup": s2_parent_rollup_sql(),
+        "q_s2_range_select": s2_range_select_sql(),
         "q_pagerank_hosts": pagerank_sql(),
         "q_bm25_scores": bm25_sql(),
         "q_inverted_index": (

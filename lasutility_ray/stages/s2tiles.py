@@ -86,6 +86,54 @@ def s2_parent_rollup(ds, level: int = CELL_LEVEL, parent_level: int = ROLLUP_LEV
     )
 
 
+REGION_LEVEL = 2
+REGION_INDEX = 17  # an arbitrary fixed level-2 region for the query
+
+
+def region_cell(index: int = REGION_INDEX, level: int = REGION_LEVEL) -> int:
+    """The ``index``-th level-``level`` cell in Hilbert id order —
+    face = index // 4^level, position = index % 4^level."""
+    per_face = 1 << (2 * level)
+    face = index // per_face
+    pos = index % per_face
+    lsb_ = 1 << (2 * (s2.MAX_LEVEL - level))
+    return (face << (2 * s2.MAX_LEVEL + 1)) | (pos * 2 * lsb_) | lsb_
+
+
+def s2_range_select(ds, index: int = REGION_INDEX, level: int = CELL_LEVEL):
+    """Docs whose level-``level`` cell lies inside the fixed level-2
+    region cell — membership is TWO INTEGER COMPARISONS against the
+    region's [range_min, range_max], the pruning primitive a
+    100 TB spatial join uses to skip blocks/files (cell-sorted
+    parquet + these bounds = row-group pruning at the read)."""
+    region = np.uint64(region_cell(index))
+    lo = int(s2.range_min(region))
+    hi = int(s2.range_max(region))
+    lo_s = np.int64(np.uint64(lo))
+    hi_s = np.int64(np.uint64(hi))
+
+    def select(t: pa.Table) -> pa.Table:
+        t = add_s2_columns(t, level)
+        cell = t.column("cell_id").to_numpy()  # signed view
+        keep = (cell >= lo_s) & (cell <= hi_s)
+        return t.filter(pa.array(keep))
+
+    return ds.select_columns(["doc_id"]).map_batches(select, batch_format="pyarrow")
+
+
+def s2_range_select_sql(
+    index: int = REGION_INDEX, level: int = CELL_LEVEL, src: str = "documents"
+) -> str:
+    region = np.uint64(region_cell(index))
+    lo = int(np.int64(s2.range_min(region)))
+    hi = int(np.int64(s2.range_max(region)))
+    return (
+        f"WITH {_dirs_cte(src)}, {s2.sql_ctes('s2dirs', level=level)} "
+        "SELECT doc_id, cell_id, CAST(face AS BIGINT) AS face FROM s2out "
+        f"WHERE cell_id BETWEEN {lo} AND {hi}"
+    )
+
+
 # -------------------------------------------------------- SQL mirror
 
 

@@ -180,3 +180,40 @@ def test_parent_rollup_conserves_docs(ray_session):
     # every face is populated and the rollup is strictly coarser
     assert set(lvl["face"]) == set(range(6))
     assert len(par) < len(lvl)
+
+
+def test_range_select_matches_oracle_and_recompute(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from lasutility_ray.stages import s2tiles
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    got = (
+        s2tiles.s2_range_select(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = (
+        con.execute(s2tiles.s2_range_select_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], ref[sorted(ref.columns)])
+    # range membership == hierarchy membership: parent at REGION_LEVEL
+    # of every selected cell is exactly the region cell
+    region = np.uint64(s2tiles.region_cell())
+    cells = got["cell_id"].to_numpy().view(np.uint64)
+    assert np.all(s2.parent(cells, s2tiles.REGION_LEVEL) == region)
+    # and nothing outside was missed: recompute membership directly
+    all_cells = s2tiles.s2_cell_counts(docs).to_pandas()
+    inside = all_cells["cell_id"].to_numpy().view(np.uint64)
+    inside = inside[s2.parent(inside, s2tiles.REGION_LEVEL) == region]
+    assert int(all_cells.set_index("cell_id").loc[inside.view(np.int64)]["n_docs"].sum()) == len(got)
