@@ -422,6 +422,20 @@ def q_pagerank_hosts(sf_dir: str):
     return pagerank_hosts(docs)
 
 
+def q_bigram_lm(sf_dir: str):
+    """Interpolated-bigram LM familiarity (the next rung of the CCNet
+    perplexity ladder above q_unigram_lm): per-pair integer millibits
+    from a dense (K+1)^2 broadcast matrix — model bounded by vocab,
+    never corpus — summed per doc as int64 (stages/lm.py
+    bigram_lm_score). Value-exact vs the pair-count SQL mirror."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.lm import bigram_lm_score
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_lm_score(docs)
+
+
 def q_bm25_scores(sf_dir: str):
     """Okapi BM25 retrieval scores (k1=1.2, b=0.75) for a fixed query
     term set: phase A reduces ONE corpus-stats row (N, total length,
@@ -1697,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_s2_range_select": q_s2_range_select,
         "q_pagerank_hosts": q_pagerank_hosts,
         "q_bm25_scores": q_bm25_scores,
+        "q_bigram_lm": q_bigram_lm,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_ann_pq_recall": q_ann_pq_recall,
         # -- round-2 unverified tail: multimodal + checkpoint (20-27)
@@ -1970,7 +1985,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from lasutility_ray.stages.graph import pagerank_sql
     from lasutility_ray.stages.bm25 import bm25_sql
-    from lasutility_ray.stages.lm import unigram_lm_sql
+    from lasutility_ray.stages.lm import bigram_lm_sql, unigram_lm_sql
     from lasutility_ray.stages.webcorpus import substring_dedup_sql
     from lasutility_ray.stages.text import normalize_text_sql
     from lasutility_ray.stages.pii import inject_pii_sql, pii_redact_sql
@@ -2077,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
         "q_s2_range_select": s2_range_select_sql(),
         "q_pagerank_hosts": pagerank_sql(),
         "q_bm25_scores": bm25_sql(),
+        "q_bigram_lm": bigram_lm_sql(),
         "q_inverted_index": (
             "WITH pairs AS (SELECT DISTINCT doc_id, "
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
