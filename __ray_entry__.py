@@ -422,6 +422,24 @@ def q_pagerank_hosts(sf_dir: str):
     return pagerank_hosts(docs)
 
 
+def q_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking dedup over the binary html payloads
+    (Gear rolling hash vectorized as a 64-shift batch convolution,
+    stages/cdc.py): one row per distinct chunk content with copy
+    count and deterministic keeper. Finds SUB-document duplicate
+    bytes (the injected near-dup docs share leading chunks) that
+    whole-doc hashing cannot. No SQL oracle (byte convolution);
+    pinned by a byte-at-a-time reference in tests/test_cdc.py."""
+    import ray.data as rd
+
+    from lasutility_ray.corpus.pages import pages_from_documents
+    from lasutility_ray.stages.cdc import cdc_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    pages = docs.map_batches(pages_from_documents, batch_format="pyarrow")
+    return cdc_dedup(pages, min_size=32, avg_bits=6, max_size=512)
+
+
 def q_bigram_lm(sf_dir: str):
     """Interpolated-bigram LM familiarity (the next rung of the CCNet
     perplexity ladder above q_unigram_lm): per-pair integer millibits
@@ -1712,6 +1730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pagerank_hosts": q_pagerank_hosts,
         "q_bm25_scores": q_bm25_scores,
         "q_bigram_lm": q_bigram_lm,
+        "q_cdc_dedup": q_cdc_dedup,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_ann_pq_recall": q_ann_pq_recall,
         # -- round-2 unverified tail: multimodal + checkpoint (20-27)
