@@ -117,3 +117,121 @@ def broadcast_join(left_ds, small_table: pa.Table, on: str, right_on: str | None
         batch_format="pyarrow",
         concurrency=(1, concurrency),
     )
+
+
+def tpch_q3(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10):
+    """TPC-H Q3-shaped 3-way join with a mixed strategy chosen by
+    side size — the multi-join planning pattern the single joins
+    above compose into:
+
+    1. customers filtered on ``segment`` -> a SMALL key set,
+       broadcast once (``ray.put``) and probed per orders batch: the
+       customer⋈orders edge costs NO shuffle.
+    2. qualifying slim orders (o_orderkey, o_orderdate,
+       o_orderpriority) become the keyed right side of a bucketed
+       ``lookup_join`` against the date-filtered lineitem scan: ONE
+       shuffle, carrying only the two slim sides.
+    3. revenue quantized per line item to integer cents
+       (``floor(p * (1 - d) * 100 + 0.5)``) so the per-order sums
+       are order-independent, then one groupby and a partial-top-k
+       global ranking (never a full sort).
+
+    Output: top-``k`` orders by (revenue_cents desc, o_orderkey asc)
+    with rank. Value-exact vs the SQL mirror in __ray_entry__.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .cogroup import lookup_join
+
+    cutoff_us = np.datetime64(cutoff, "us")
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust.column("c_mktsegment"), segment)).select(
+        ["c_custkey"]
+    )
+    keys_ref = ray.put(keys.combine_chunks())
+
+    class _SemiCust:
+        def __init__(self, ref):
+            self.keys = ray.get(ref[0]).column("c_custkey")
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = pc.is_valid(pc.index_in(t.column("o_custkey"), value_set=self.keys))
+            return t.filter(keep)
+
+    orders = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.less(t.column("o_orderdate"), pa.scalar(cutoff_us.item(), pa.timestamp("us")))
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(
+            _SemiCust,
+            fn_constructor_kwargs={"ref": [keys_ref]},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .drop_columns(["o_custkey"])
+    )
+
+    def line_rev(t: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            t.column("l_shipdate"), pa.scalar(cutoff_us.item(), pa.timestamp("us"))
+        )
+        t = t.filter(keep)
+        p = t.column("l_extendedprice").to_numpy()
+        d = t.column("l_discount").to_numpy()
+        rev = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "rev_cents": pa.array(rev, pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(line_rev, batch_format="pyarrow")
+
+    def date_ms(t: pa.Table) -> pa.Table:
+        # int64 epoch-ms instead of a timestamp column: pandas
+        # round-trips timestamps to ns and breaks schema comparison
+        ms = t.column("o_orderdate").cast(pa.timestamp("ms")).cast(pa.int64())
+        return t.drop_columns(["o_orderdate"]).append_column("o_orderdate_ms", ms)
+
+    joined = lookup_join(
+        li,
+        orders.map_batches(date_ms, batch_format="pyarrow").materialize(),
+        "l_orderkey",
+        "o_orderkey",
+        {"o_orderdate_ms": "o_orderdate_ms", "o_orderpriority": "o_orderpriority"},
+    )
+    from ray.data.aggregate import Sum
+
+    per_order = (
+        joined.groupby(["l_orderkey", "o_orderdate_ms", "o_orderpriority"])
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    )
+    topk = topk_per_group(
+        per_order.map_batches(
+            lambda t: t.append_column(
+                "__one", pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        "__one",
+        "revenue_cents",
+        "l_orderkey",
+        k=k,
+    )
+    return topk.drop_columns(["__one"])
