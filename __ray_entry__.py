@@ -422,6 +422,34 @@ def q_pagerank_hosts(sf_dir: str):
     return pagerank_hosts(docs)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weighted sample without replacement (Efraimidis–Spirakis):
+    deterministic Lehmer uniform per doc, es_key = -ln(u)/w with
+    w = char length, k smallest via per-batch partial top-k — no
+    global sort, no RNG state (stages/quantiles.py weighted_sample).
+    Selected set AND keys value-exact vs the SQL mirror."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.quantiles import weighted_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "w": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
+            }
+        )
+
+    return weighted_sample(
+        docs.map_batches(slim, batch_format="pyarrow"), "doc_id", "w", k=25
+    )
+
+
 def q_tpch_q3(sf_dir: str):
     """TPC-H Q3-shaped 3-way join with size-driven strategy mix:
     broadcast semi-filter for customer⋈orders (no shuffle), ONE
@@ -1744,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bigram_lm": q_bigram_lm,
         "q_cdc_dedup": q_cdc_dedup,
         "q_tpch_q3": q_tpch_q3,
+        "q_weighted_sample": q_weighted_sample,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_ann_pq_recall": q_ann_pq_recall,
         # -- round-2 unverified tail: multimodal + checkpoint (20-27)
@@ -2125,6 +2154,17 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank_hosts": pagerank_sql(),
         "q_bm25_scores": bm25_sql(),
         "q_bigram_lm": bigram_lm_sql(),
+        "q_weighted_sample": (
+            "WITH ws_w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS w "
+            "FROM documents WHERE length(text) > 0), "
+            "ws_s AS (SELECT doc_id, w, (doc_id % 2147483647) * 48271 "
+            "% 2147483647 * 48271 % 2147483647 AS st FROM ws_w), "
+            "ws_k AS (SELECT doc_id, w, "
+            "-ln((st + 1) / 2147483647.0) / w AS es_key FROM ws_s) "
+            "SELECT doc_id, w, es_key, "
+            "row_number() OVER (ORDER BY es_key, doc_id) AS rank "
+            "FROM ws_k ORDER BY es_key, doc_id LIMIT 25"
+        ),
         "q_tpch_q3": (
             "WITH ck AS (SELECT c_custkey FROM customer "
             "WHERE c_mktsegment = 'BUILDING'), "

@@ -231,3 +231,43 @@ def stratified_sample(ds, group_col: str, key_col: str, k: int):
         key_col,
         k=k,
     )
+
+
+def weighted_sample(ds, key_col: str, weight_col: str, k: int):
+    """Weighted sample without replacement (Efraimidis–Spirakis A-ES,
+    public algorithm): each row draws a deterministic uniform
+    ``u = (lehmer2(key) + 1) / M`` in (0, 1] and is ranked by
+    ``es_key = -ln(u) / w`` — the k SMALLEST keys are a weighted
+    sample without replacement (higher weight -> stochastically
+    smaller key). Deterministic (Lehmer hash, no RNG state), and the
+    float expression is written with the same literal operand order
+    as the SQL mirror, so the selected set AND the keys are
+    value-exact vs DuckDB.
+
+    100 TB shape: per-batch partial top-k bounds the shuffle at k
+    rows per batch (relational.topk_per_group with a constant group);
+    no global sort. Rows with w <= 0 are excluded in both engines."""
+    from .relational import topk_per_group
+
+    def add_key(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.filter(pa.array(w > 0))
+        w = w[w > 0]
+        key = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        state = (key % _M) * _A % _M * _A % _M
+        u = (state + 1) / float(_M)
+        es = (-np.log(u)) / w.astype(np.float64)
+        return (
+            t.append_column("es_key", pa.array(es, pa.float64()))
+            .append_column("__neg", pa.array(-es, pa.float64()))
+            .append_column("__one", pa.array(np.zeros(len(w), np.int64), pa.int64()))
+        )
+
+    out = topk_per_group(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        "__one",
+        "__neg",
+        key_col,
+        k=k,
+    )
+    return out.drop_columns(["__one", "__neg"])
