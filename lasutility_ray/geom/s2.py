@@ -284,6 +284,76 @@ def cell_to_lonlat(cell: np.ndarray):
     return lon, lat
 
 
+# ---------------------------------------------------------- covering
+
+
+def children(cell: int) -> list:
+    """The four level+1 children of a non-leaf cell (dyadic id
+    arithmetic: parent id p with marker l -> p - l + (2k+1) * l/4)."""
+    l = int(lsb(np.uint64(cell)))
+    if l < 4:
+        raise ValueError("leaf cells have no children")
+    return [int(cell) - l + (2 * k + 1) * (l // 4) for k in range(4)]
+
+
+def _cell_geometry(cell: int):
+    """(unit center xyz, max corner angle) of a cell — its bounding
+    spherical cap, from the dyadic ij square the Hilbert id covers."""
+    c = np.uint64(cell)
+    lvl = int(level(np.array([c]))[0])
+    face, i_leaf, j_leaf = cell_to_face_ij(np.array([c]))
+    size = np.int64(1) << np.int64(MAX_LEVEL - lvl)
+    i0 = (i_leaf[0] // size) * size
+    j0 = (j_leaf[0] // size) * size
+    lim = float(np.int64(1) << MAX_LEVEL)
+    us = st_to_uv(np.array([i0, i0 + size], dtype=np.float64) / lim)
+    vs = st_to_uv(np.array([j0, j0 + size], dtype=np.float64) / lim)
+    cu = st_to_uv(np.array([(float(i0) + size / 2.0) / lim]))[0]
+    cv = st_to_uv(np.array([(float(j0) + size / 2.0) / lim]))[0]
+    f = int(face[0])
+    cx, cy, cz = (a[0] for a in _FACE_XYZ[f](np.array([cu]), np.array([cv])))
+    cn = np.sqrt(cx * cx + cy * cy + cz * cz)
+    center = np.array([cx, cy, cz]) / cn
+    r = 0.0
+    for u in us:
+        for v in vs:
+            x, y, z = (a[0] for a in _FACE_XYZ[f](np.array([u]), np.array([v])))
+            n = np.sqrt(x * x + y * y + z * z)
+            d = (center[0] * x + center[1] * y + center[2] * z) / n
+            r = max(r, float(np.arccos(np.clip(d, -1.0, 1.0))))
+    return center, r
+
+
+def cap_covering(center_xyz, angle_rad: float, max_level: int = 8) -> np.ndarray:
+    """Cells (mixed levels <= ``max_level``) covering the spherical
+    cap — the S2RegionCoverer role: a query region becomes a cell
+    set whose [range_min, range_max] intervals prune a cell-keyed
+    corpus (no false negatives; conservative on boundary cells).
+
+    BFS from the 6 face cells; a cell fully inside the cap is emitted
+    as-is, an intersecting cell splits until ``max_level``."""
+    c = np.asarray(center_xyz, np.float64)
+    c = c / np.sqrt((c * c).sum())
+    out = []
+    # the six level-0 face cells
+    stack = [int((np.uint64(f) << np.uint64(_POS_BITS)) | np.uint64(1 << 60)) for f in range(6)]
+    if angle_rad >= np.pi:
+        # whole sphere: the triangle-inequality inside-test is too
+        # conservative for the antipodal faces; short-circuit
+        return np.array(sorted(stack), dtype=np.uint64)
+    while stack:
+        cell = stack.pop()
+        cc, r = _cell_geometry(cell)
+        d = float(np.arccos(np.clip(float((cc * c).sum()), -1.0, 1.0)))
+        if d > r + angle_rad:
+            continue  # disjoint
+        if d + r <= angle_rad or int(level(np.array([np.uint64(cell)]))[0]) >= max_level:
+            out.append(cell)  # fully inside, or resolution floor
+            continue
+        stack.extend(children(cell))
+    return np.array(sorted(out), dtype=np.uint64)
+
+
 # -------------------------------------------------------- SQL mirror
 
 

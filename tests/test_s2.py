@@ -217,3 +217,62 @@ def test_range_select_matches_oracle_and_recompute(ray_session):
     inside = all_cells["cell_id"].to_numpy().view(np.uint64)
     inside = inside[s2.parent(inside, s2tiles.REGION_LEVEL) == region]
     assert int(all_cells.set_index("cell_id").loc[inside.view(np.int64)]["n_docs"].sum()) == len(got)
+
+
+def test_cap_covering_whole_sphere_is_six_faces():
+    cov = s2.cap_covering(np.array([1.0, 0.0, 0.0]), np.pi, max_level=8)
+    assert len(cov) == 6
+    assert sorted(s2.face_of(cov).tolist()) == [0, 1, 2, 3, 4, 5]
+
+
+def test_cap_covering_no_false_negatives_and_prunes():
+    rng = np.random.default_rng(23)
+    n = 30000
+    pts = rng.normal(size=(n, 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    center = np.array([0.3, -0.5, 0.81])
+    center /= np.linalg.norm(center)
+    angle = 0.25
+    cov = s2.cap_covering(center, angle, max_level=8)
+    assert len(cov) > 4
+    leaf = s2.xyz_to_cell(pts[:, 0], pts[:, 1], pts[:, 2], 30)
+    lo = s2.range_min(cov)
+    hi = s2.range_max(cov)
+    idx = np.searchsorted(lo, leaf, side="right") - 1
+    idx = np.clip(idx, 0, len(cov) - 1)
+    in_cover = (leaf >= lo[idx]) & (leaf <= hi[idx])
+    ang = np.arccos(np.clip(pts @ center, -1, 1))
+    # every point inside the cap is covered (no false negatives)
+    assert bool(np.all(in_cover[ang <= angle]))
+    # covered points are within the cap plus one max-level cell
+    # diameter of slack (conservative boundary cells only)
+    max_diam = 2.0 * max(s2._cell_geometry(int(c))[1] for c in cov.tolist())
+    assert float(ang[in_cover].max()) <= angle + max_diam
+    # and the covering really prunes: most of the sphere is excluded
+    assert in_cover.mean() < 0.05
+
+
+def test_children_partition_parent():
+    cell = int(s2.xyz_to_cell(np.array([0.4]), np.array([0.2]), np.array([0.9]), 7)[0])
+    ch = s2.children(cell)
+    assert len(ch) == 4
+    lo = sorted(int(s2.range_min(np.uint64(c))) for c in ch)
+    hi = sorted(int(s2.range_max(np.uint64(c))) for c in ch)
+    assert lo[0] == int(s2.range_min(np.uint64(cell)))
+    assert hi[-1] == int(s2.range_max(np.uint64(cell)))
+    # disjoint quarters separated by exactly one non-cell id (leaf
+    # ids have stride 2; the even id between child ranges is not a
+    # valid cell)
+    for a, b in zip(hi[:-1], lo[1:]):
+        assert b == a + 2
+    assert all(int(s2.level(np.array([np.uint64(c)]))[0]) == 8 for c in ch)
+    # sampled leaves of the parent each fall in exactly one child range
+    rng = np.random.default_rng(1)
+    lo0 = int(s2.range_min(np.uint64(cell)))
+    hi0 = int(s2.range_max(np.uint64(cell)))
+    leaves = (lo0 + 2 * rng.integers(0, (hi0 - lo0) // 2 + 1, 5000)).astype(np.uint64)
+    hits = sum(
+        ((leaves >= s2.range_min(np.uint64(c))) & (leaves <= s2.range_max(np.uint64(c)))).sum()
+        for c in ch
+    )
+    assert int(hits) == len(leaves)
