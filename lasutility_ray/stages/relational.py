@@ -155,33 +155,25 @@ def tpch_q3(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", 
     )
     keys_ref = ray.put(keys.combine_chunks())
 
-    class _SemiCust:
-        def __init__(self, ref):
-            self.keys = ray.get(ref[0]).column("c_custkey")
+    def prep_orders(t: pa.Table, ref=keys_ref) -> pa.Table:
+        # one stateless stage: date filter + broadcast semi filter +
+        # epoch-ms conversion (plain tasks — an actor pool's spin-up
+        # costs more than this whole tiny right side; ray.get of the
+        # shared key table is zero-copy)
+        t = t.filter(
+            pc.less(t.column("o_orderdate"), pa.scalar(cutoff_us.item(), pa.timestamp("us")))
+        )
+        kset = ray.get(ref).column("c_custkey")
+        t = t.filter(pc.is_valid(pc.index_in(t.column("o_custkey"), value_set=kset)))
+        ms = t.column("o_orderdate").cast(pa.timestamp("ms")).cast(pa.int64())
+        return (
+            t.drop_columns(["o_custkey", "o_orderdate"]).append_column("o_orderdate_ms", ms)
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keep = pc.is_valid(pc.index_in(t.column("o_custkey"), value_set=self.keys))
-            return t.filter(keep)
-
-    orders = (
-        rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-        )
-        .map_batches(
-            lambda t: t.filter(
-                pc.less(t.column("o_orderdate"), pa.scalar(cutoff_us.item(), pa.timestamp("us")))
-            ),
-            batch_format="pyarrow",
-        )
-        .map_batches(
-            _SemiCust,
-            fn_constructor_kwargs={"ref": [keys_ref]},
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
-        .drop_columns(["o_custkey"])
-    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(prep_orders, batch_format="pyarrow")
 
     def line_rev(t: pa.Table) -> pa.Table:
         keep = pc.greater(
@@ -203,15 +195,9 @@ def tpch_q3(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", 
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(line_rev, batch_format="pyarrow")
 
-    def date_ms(t: pa.Table) -> pa.Table:
-        # int64 epoch-ms instead of a timestamp column: pandas
-        # round-trips timestamps to ns and breaks schema comparison
-        ms = t.column("o_orderdate").cast(pa.timestamp("ms")).cast(pa.int64())
-        return t.drop_columns(["o_orderdate"]).append_column("o_orderdate_ms", ms)
-
     joined = lookup_join(
         li,
-        orders.map_batches(date_ms, batch_format="pyarrow").materialize(),
+        orders.materialize(),  # slim keyed right side: pin before the join
         "l_orderkey",
         "o_orderkey",
         {"o_orderdate_ms": "o_orderdate_ms", "o_orderpriority": "o_orderpriority"},
