@@ -69,6 +69,7 @@ def run_flagship(n_docs: int, out_dir: str, resume: bool = False) -> dict:
     ).map_batches(lambda t: t, batch_format="pyarrow").count()
 
     t0 = time.perf_counter()
+    phases = {}
     if not os.path.exists(done_marker):
         # torn checkpoint from a killed run: rewrite from scratch (the
         # tmp+rename protocol makes the committed dir all-or-nothing)
@@ -114,6 +115,7 @@ def run_flagship(n_docs: int, out_dir: str, resume: bool = False) -> dict:
         os.rename(tmp_dir, points_dir)
         with open(done_marker, "w") as f:
             f.write("ok")
+        phases["checkpoint_s"] = round(time.perf_counter() - t0, 2)
 
     # column-pruned read per consumer: the TIN stage never touches
     # doc_id/extract_ok, the PIP join never touches z/class/tile_key
@@ -138,12 +140,14 @@ def run_flagship(n_docs: int, out_dir: str, resume: bool = False) -> dict:
     pip_out = {}
 
     def run_pip():
+        tp = time.perf_counter()
         pip = rect_pip_join(
             rd.read_parquet(points_dir, columns=["doc_id", "x", "y"]),
             build_feature_table(),
             concurrency=max(2, ncpu // 4),
         )
         pip_out["n"] = pip.count()
+        pip_out["wall_s"] = round(time.perf_counter() - tp, 2)
 
     th = threading.Thread(target=run_pip)
     th.start()
@@ -164,11 +168,15 @@ def run_flagship(n_docs: int, out_dir: str, resume: bool = False) -> dict:
     )
     th.join()
     dt = time.perf_counter() - t0
+    # TIN wall = everything after the checkpoint, concurrent with PIP
+    phases["pip_concurrent_s"] = pip_out.get("wall_s")
+    phases["tin_plus_pip_s"] = round(dt - phases.get("checkpoint_s", 0.0), 2)
     return {
         "sec": dt,
         "docs_per_sec": n_docs / dt,
         "n_pip_rows": pip_out["n"],
         "n_tiles": manifest.num_rows,
+        "phases": phases,
     }
 
 
