@@ -781,6 +781,34 @@ def q_orders_customer_join(sf_dir: str):
     return hash_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
 
 
+def q_orders_customer_left(sf_dir: str):
+    """LEFT OUTER hash join (Dataset.join join_type=left_outer):
+    every customer row survives; customers with no big order carry
+    NULL order columns — the null-preserving member of the join
+    family (inner/broadcast/semi/anti/asof/range/pip are elsewhere).
+    Value-exact vs the SQL mirror incl. the NULL rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import hash_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 200000.0)),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey",
+        num_partitions=8, join_type="left_outer",
+    )
+
+
 def q_customer_nation_broadcast(sf_dir: str):
     """Broadcast join (small side ray.put once, probed per batch; no
     shuffle) — the J2 dict-lookup pattern generalized."""
@@ -1824,6 +1852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_neighborhood_peaks": q_neighborhood_peaks,
         "q_orders_customer_join": q_orders_customer_join,
         "q_customer_nation_broadcast": q_customer_nation_broadcast,
+        "q_orders_customer_left": q_orders_customer_left,
         "q_lineitem_agg": q_lineitem_agg,
         "q_topk_orders": q_topk_orders,
         "q_hll_distinct": q_hll_distinct,
@@ -2154,6 +2183,12 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank_hosts": pagerank_sql(),
         "q_bm25_scores": bm25_sql(),
         "q_bigram_lm": bigram_lm_sql(),
+        "q_orders_customer_left": (
+            "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice "
+            "FROM customer c LEFT JOIN "
+            "(SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_totalprice > 200000.0) o ON c.c_custkey = o.o_custkey"
+        ),
         "q_weighted_sample": (
             "WITH ws_w AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS w "
             "FROM documents WHERE length(text) > 0), "

@@ -39,3 +39,21 @@ def test_rank_is_total_order(ray_session):
         lambda s: s.is_monotonic_increasing
     )
     assert ties.all()
+
+
+def test_left_outer_join_matches_oracle(ray_session):
+    """q_orders_customer_left: every customer survives; NULL order
+    columns for customers with no qualifying order."""
+    con = duckdb.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    got = E.queries()["q_orders_customer_left"](SF).to_pandas()
+    ref = con.execute(E.oracle_sql()["q_orders_customer_left"]).df()
+    cols = sorted(got.columns)
+    a = got[cols].sort_values(cols).reset_index(drop=True)
+    b = ref[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    n_cust = con.execute("SELECT count(DISTINCT c_custkey) FROM customer").fetchone()[0]
+    assert got["c_custkey"].nunique() == n_cust  # no customer dropped
