@@ -407,6 +407,21 @@ def q_s2_range_select(sf_dir: str):
     return s2_range_select(docs)
 
 
+def q_s2_cap_join(sf_dir: str):
+    """Spherical spatial join, filter + refine: per cap a cell
+    covering prunes each batch via range searchsorted on the leaf id
+    (map-only), survivors take the exact trig-free membership test
+    dot/|d| >= cos(angle). Value-exact vs a FULL-SCAN oracle running
+    the same predicate without the prune — equality proves the
+    covering admits no false negatives."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.s2tiles import s2_cap_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return s2_cap_join(docs)
+
+
 def q_pagerank_hosts(sf_dir: str):
     """Exact fixed-point PageRank (5 damped rounds, int64 1e9 scale)
     over the host link graph: rank x edges lookup_join -> per-dst
@@ -1853,6 +1868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_customer_join": q_orders_customer_join,
         "q_customer_nation_broadcast": q_customer_nation_broadcast,
         "q_orders_customer_left": q_orders_customer_left,
+        "q_s2_cap_join": q_s2_cap_join,
         "q_lineitem_agg": q_lineitem_agg,
         "q_topk_orders": q_topk_orders,
         "q_hll_distinct": q_hll_distinct,
@@ -2069,6 +2085,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.dsir import dsir_select_sql, dsir_weights_sql
     from lasutility_ray.stages.urlnorm import canonical_urls_sql, url_dedup_sql
     from lasutility_ray.stages.s2tiles import (
+        s2_cap_join_sql,
         s2_cell_counts_sql,
         s2_parent_rollup_sql,
         s2_range_select_sql,
@@ -2180,6 +2197,7 @@ def oracle_sql() -> dict[str, str]:
         "q_s2_cell_counts": s2_cell_counts_sql(),
         "q_s2_parent_rollup": s2_parent_rollup_sql(),
         "q_s2_range_select": s2_range_select_sql(),
+        "q_s2_cap_join": s2_cap_join_sql(),
         "q_pagerank_hosts": pagerank_sql(),
         "q_bm25_scores": bm25_sql(),
         "q_bigram_lm": bigram_lm_sql(),

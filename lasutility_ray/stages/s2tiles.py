@@ -134,6 +134,100 @@ def s2_range_select_sql(
     )
 
 
+# ----------------------------------------------------------- cap join
+#
+# Filter + refine, the spatial-join pattern the covering exists for:
+# each query cap becomes a cell covering (python-side, tiny) whose
+# [range_min, range_max] intervals PRUNE each batch by searchsorted
+# on the doc's leaf cell id (map-only, no shuffle); survivors take
+# the EXACT membership test  dot(d, c) / |d| >= cos(angle)  — no
+# acos, so every float op (mul/add/sqrt/div/compare) is IEEE-exact
+# and the result is value-exact vs a DuckDB oracle that runs the SAME
+# predicate WITHOUT the prune: the oracle equality doubles as proof
+# the covering admits no false negatives.
+
+# three fixed query caps (unit centers inlined as literals into SQL)
+_CAP_DEFS = (
+    (0, (0.3, -0.5, 0.81), 0.30),
+    (1, (-0.9, 0.1, 0.2), 0.20),
+    (2, (0.0, 1.0, 0.05), 0.45),
+)
+
+
+def query_caps():
+    caps = []
+    for cap_id, c, ang in _CAP_DEFS:
+        v = np.array(c, np.float64)
+        v = v / np.sqrt((v * v).sum())
+        caps.append((cap_id, v, float(ang), float(np.cos(ang))))
+    return caps
+
+
+def s2_cap_join(ds, max_level: int = 8):
+    """documents x caps membership: (cap_id, doc_id, cell_id)."""
+    caps = query_caps()
+    covers = []
+    for cap_id, v, ang, cos_a in caps:
+        cov = s2.cap_covering(v, ang, max_level=max_level)
+        covers.append((cap_id, v, cos_a, s2.range_min(cov), s2.range_max(cov)))
+
+    def batch(t: pa.Table) -> pa.Table:
+        doc_id = t.column("doc_id").to_numpy()
+        dx, dy, dz = directions_of(doc_id)
+        leaf = s2.xyz_to_cell(dx, dy, dz, s2.MAX_LEVEL)
+        norm = np.sqrt(dx * dx + dy * dy + dz * dz)
+        out_cap, out_doc, out_cell = [], [], []
+        for cap_id, v, cos_a, lo, hi in covers:
+            idx = np.searchsorted(lo, leaf, side="right") - 1
+            idx = np.clip(idx, 0, len(lo) - 1)
+            cand = (leaf >= lo[idx]) & (leaf <= hi[idx])
+            if not cand.any():
+                continue
+            d = dx[cand] * v[0] + dy[cand] * v[1] + dz[cand] * v[2]
+            inside = d / norm[cand] >= cos_a
+            keep = np.nonzero(cand)[0][inside]
+            out_cap.append(np.full(len(keep), cap_id, np.int64))
+            out_doc.append(doc_id[keep])
+            out_cell.append(leaf[keep].view(np.int64))
+        if not out_cap:
+            return pa.table(
+                {
+                    "cap_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "cell_id": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "cap_id": pa.array(np.concatenate(out_cap), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "cell_id": pa.array(np.concatenate(out_cell), pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["doc_id"]).map_batches(batch, batch_format="pyarrow")
+
+
+def s2_cap_join_sql(src: str = "documents") -> str:
+    """Full-scan oracle: the exact predicate with NO covering prune —
+    equality with the Ray path proves the prune is lossless."""
+    arms = []
+    for cap_id, v, ang, cos_a in query_caps():
+        vx, vy, vz = (float(x) for x in v)
+        pred = (
+            f"(dx * {vx!r} + dy * {vy!r} + dz * {vz!r}) / "
+            f"sqrt(dx * dx + dy * dy + dz * dz) >= {cos_a!r}"
+        )
+        arms.append(
+            f"SELECT CAST({cap_id} AS BIGINT) AS cap_id, doc_id, cell_id "
+            f"FROM s2out WHERE {pred}"
+        )
+    return (
+        f"WITH {_dirs_cte(src)}, {s2.sql_ctes('s2dirs', level=s2.MAX_LEVEL)} "
+        + " UNION ALL ".join(arms)
+    )
+
+
 # -------------------------------------------------------- SQL mirror
 
 

@@ -276,3 +276,31 @@ def test_children_partition_parent():
         for c in ch
     )
     assert int(hits) == len(leaves)
+
+
+def test_cap_join_matches_fullscan_oracle(ray_session):
+    """The filter+refine cap join equals the prune-free full-scan SQL
+    oracle — covering losslessness proven by equality."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.s2tiles import s2_cap_join, s2_cap_join_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    got = (
+        s2_cap_join(docs)
+        .to_pandas()
+        .sort_values(["cap_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        con.execute(s2_cap_join_sql())
+        .df()
+        .sort_values(["cap_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got[sorted(got.columns)], ref[sorted(ref.columns)])
