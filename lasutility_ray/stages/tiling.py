@@ -97,3 +97,64 @@ def points_dataset(ds, doc_col: str = "doc_id"):
     return ds.map_batches(
         lambda b: add_point_columns(b, doc_col), batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------- S2-keyed shuffle
+#
+# The north rule's exact phrasing: "a groupby-aggregate shuffle over
+# H3/S2 cell keys reproduces LasUtility's km-grid tiling". The work
+# area is planar ETRS-TM35FIN, so each km tile maps to a spherical
+# point by a fixed linear chart (center meters -> degrees on a small
+# patch near 25E 61N — any injective chart works, the key only has
+# to CO-LOCATE whole tiles); the shuffle key is the S2 cell of that
+# point at S2_BUCKET_LEVEL (coarser than a tile: one S2 cell holds a
+# contiguous block of km tiles, preserving Hilbert locality), and the
+# per-tile work runs inside each S2 group. Output is bit-identical to
+# the direct km-grid groupby (pinned in tests/test_s2.py).
+
+S2_BUCKET_LEVEL = 11  # ~8 km cells on the unit sphere's scale below
+_CHART_LON0, _CHART_LAT0 = 25.0, 61.0  # degrees per 100 km, chart origin
+_CHART_SCALE = 1.0 / 100_000.0
+
+
+def s2_bucket_of_tiles(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """km-tile-center coords -> coarse S2 cell key (int64 view)."""
+    from ..geom import s2
+
+    e_km = np.floor(x / TILE_SIZE_M) * TILE_SIZE_M + TILE_SIZE_M / 2
+    n_km = np.floor(y / TILE_SIZE_M) * TILE_SIZE_M + TILE_SIZE_M / 2
+    lon = _CHART_LON0 + e_km * _CHART_SCALE
+    lat = _CHART_LAT0 + n_km * _CHART_SCALE
+    return s2.lonlat_to_cell(lon, lat, S2_BUCKET_LEVEL).view(np.int64)
+
+
+def tile_counts_via_s2(points_ds):
+    """``voxelize.tile_counts`` re-expressed with the S2 cell as the
+    shuffle key: groupby(s2_bucket) moves whole km tiles together
+    (Hilbert locality keeps neighboring tiles in one group), then the
+    per-tile aggregation happens inside each group — same output,
+    different (spherical, hierarchy-capable) partition key."""
+    import pandas as pd
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "s2_bucket",
+            pa.array(
+                s2_bucket_of_tiles(
+                    t.column("x").to_numpy(), t.column("y").to_numpy()
+                ),
+                pa.int64(),
+            ),
+        )
+
+    def per_tile(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tile_id", sort=False).size().reset_index(name="n_docs")
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    return (
+        points_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .select_columns(["s2_bucket", "tile_id"])
+        .groupby("s2_bucket")
+        .map_groups(per_tile, batch_format="pandas")
+    )

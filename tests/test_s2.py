@@ -304,3 +304,33 @@ def test_cap_join_matches_fullscan_oracle(ray_session):
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(got[sorted(got.columns)], ref[sorted(ref.columns)])
+
+
+def test_s2_keyed_shuffle_reproduces_km_grid_tiling(ray_session):
+    """North-rule phrasing pinned: the groupby-aggregate shuffle keyed
+    by S2 cells reproduces the km-grid tile counts EXACTLY, and the
+    coarse S2 bucket really co-locates multiple whole tiles."""
+    import ray.data as rd
+
+    from lasutility_ray.pipelines.flagship import documents_to_points
+    from lasutility_ray.stages.tiling import s2_bucket_of_tiles, tile_counts_via_s2
+    from lasutility_ray.stages.voxelize import tile_counts
+
+    pts = documents_to_points(SF)
+    direct = (
+        tile_counts(pts).to_pandas().sort_values("tile_id").reset_index(drop=True)
+    )
+    via_s2 = (
+        tile_counts_via_s2(pts)
+        .to_pandas()
+        .sort_values("tile_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(direct, via_s2)
+    # bucket granularity: fewer buckets than tiles (whole tiles are
+    # co-located), more than one bucket (it is a real partition key)
+    xs = pts.to_pandas()
+    buckets = s2_bucket_of_tiles(xs["x"].to_numpy(), xs["y"].to_numpy())
+    n_buckets = len(np.unique(buckets))
+    n_tiles = len(direct)
+    assert 1 < n_buckets < n_tiles
