@@ -319,8 +319,14 @@ def scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     warm = run(n_lo)  # warm page cache / compile, untimed baseline discard
-    lo = run(n_lo)
-    hi = run(n_hi)
+    # best-of-2 per leg: single-run legs measured 0.555 and 0.854 for
+    # the SAME binary back-to-back (BASELINE.md session 4) — the
+    # shared host's minute-scale swing, not the pipeline. The faster
+    # of two runs per leg is the noise floor; all runs are reported.
+    lo_runs = [run(n_lo), run(n_lo)]
+    hi_runs = [run(n_hi), run(n_hi)]
+    lo = max(lo_runs, key=lambda r: r["docs_per_sec"])
+    hi = max(hi_runs, key=lambda r: r["docs_per_sec"])
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (n_hi / n_lo)
     print(
         json.dumps(
@@ -333,6 +339,9 @@ def scaling() -> None:
                 f"sec_{n_lo}": lo["value"],
                 f"sec_{n_hi}": hi["value"],
                 "scaling_efficiency": round(eff, 3),
+                "best_of": 2,
+                f"runs_docs_per_sec_{n_lo}": [r["docs_per_sec"] for r in lo_runs],
+                f"runs_docs_per_sec_{n_hi}": [r["docs_per_sec"] for r in hi_runs],
                 "n_docs": lo["n_docs"],
             }
         )

@@ -286,3 +286,68 @@ def test_heavy_hitters_empty_corpus(ray_session):
     )
     assert len(out) == 0
     assert list(out.columns) == ["rank", "token", "est_count", "max_error"]
+
+
+# ----------------------------------------------------- S2 properties
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-1, 1, allow_nan=False, width=64),
+            st.floats(-1, 1, allow_nan=False, width=64),
+            st.floats(-1, 1, allow_nan=False, width=64),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(0, 30),
+)
+@settings(max_examples=150, deadline=None)
+def test_s2_parent_of_leaf_equals_direct_encode(dirs, lvl):
+    from lasutility_ray.geom import s2
+
+    x = np.array([d[0] for d in dirs])
+    y = np.array([d[1] for d in dirs])
+    z = np.array([d[2] for d in dirs])
+    leaf = s2.xyz_to_cell(x, y, z, 30)
+    direct = s2.xyz_to_cell(x, y, z, lvl)
+    assert np.array_equal(s2.parent(leaf, lvl), direct)
+    assert np.all(s2.level(direct) == lvl)
+    assert np.all(s2.range_min(direct) <= leaf)
+    assert np.all(leaf <= s2.range_max(direct))
+
+
+@given(
+    st.floats(-1, 1, allow_nan=False, width=64),
+    st.floats(-1, 1, allow_nan=False, width=64),
+    st.floats(-1, 1, allow_nan=False, width=64),
+    st.floats(1.0, 1e6, allow_nan=False, width=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_s2_cell_is_scale_invariant(x, y, z, scale):
+    """The cell of a direction must not depend on vector length
+    (the ratio-only face/uv design) — up to float division effects
+    this holds exactly for power-of-two scales."""
+    from lasutility_ray.geom import s2
+
+    p2 = 2.0 ** np.floor(np.log2(scale))  # exact mantissa-preserving
+    a = s2.xyz_to_cell(np.array([x]), np.array([y]), np.array([z]), 30)
+    b = s2.xyz_to_cell(np.array([x * p2]), np.array([y * p2]), np.array([z * p2]), 30)
+    assert a[0] == b[0]
+
+
+@given(st.binary(min_size=0, max_size=3000))
+@settings(max_examples=100, deadline=None)
+def test_cdc_vectorized_equals_scalar_reference(payload):
+    import pyarrow as pa
+
+    from lasutility_ray.stages import cdc
+
+    t = pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "html": pa.array([payload], pa.binary())}
+    )
+    got = cdc.chunk_batch(t, min_size=16, avg_bits=6, max_size=256).to_pandas()
+    ends = cdc.reference_chunk(payload, 16, 6, 256)
+    assert got["length"].sum() == len(payload)
+    assert (got["offset"] + got["length"]).tolist() == ends
