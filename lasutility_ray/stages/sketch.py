@@ -223,3 +223,66 @@ def heavy_hitters(
     df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
     df["max_error"] = np.int64(max_error)
     return df[["rank", "token", "est_count", "max_error"]].reset_index(drop=True)
+
+
+# ------------------------------------------------- count-min sketch
+
+CMS_WIDTH = 2048
+CMS_DEPTH = 4
+
+
+def cms_cells(values_hashed: np.ndarray, width: int = CMS_WIDTH,
+              depth: int = CMS_DEPTH) -> np.ndarray:
+    """Row-local CMS cell ids for pre-hashed values: depth rows, each
+    with an independent splitmix64 re-hash, flattened to
+    ``row * width + col`` (one int per (value, row))."""
+    cells = np.empty((depth, len(values_hashed)), dtype=np.int64)
+    h = values_hashed.copy()
+    for d in range(depth):
+        h = _splitmix64(h + np.uint64(d + 0x9E37))
+        cells[d] = (d * width + (h % np.uint64(width))).astype(np.int64)
+    return cells.reshape(-1)
+
+
+def cms_build(ds, col: str, width: int = CMS_WIDTH, depth: int = CMS_DEPTH):
+    """Distributed count-min sketch over ``col``: per-batch partial
+    cell counts (at most width*depth rows per batch on the wire —
+    bounded, corpus-size-independent) -> one groupby-sum. Returns the
+    dense (depth, width) int64 matrix.
+
+    Mergeability is addition, so the construction is exactly
+    partitioning-independent; the estimate's one-sided error bound
+    (est >= true; est <= true + 2N/width w.p. 1 - 2^-depth) is the
+    public CMS guarantee and pinned in tests."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _hash_column(t.column(col))
+        cells = cms_cells(h, width, depth)
+        nz, cnt = np.unique(cells, return_counts=True)
+        return pa.table(
+            {
+                "cell": pa.array(nz, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    m = np.zeros(depth * width, dtype=np.int64)
+    if len(agg):
+        m[agg["cell"].to_numpy(np.int64)] = agg["n"].to_numpy(np.int64)
+    return m.reshape(depth, width)
+
+
+def cms_estimate(matrix: np.ndarray, queries: pa.Array) -> np.ndarray:
+    """Point-frequency estimates: min over depth rows."""
+    depth, width = matrix.shape
+    h = _hash_column(queries)
+    cells = cms_cells(h, width, depth).reshape(depth, -1)
+    ests = matrix.reshape(-1)[cells]
+    return ests.min(axis=0)

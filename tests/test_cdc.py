@@ -114,6 +114,8 @@ def test_dedup_finds_subdocument_duplicates(ray_session):
         include_groups=False,
     )
     assert grp.all()
+
+
 def test_near_dups_share_leading_chunks(ray_session):
     """On the package's synthetic pages (documented dup injection:
     d%25==24 exact copy, d%25==12 copy + appended tail) exact-dup
@@ -158,3 +160,47 @@ def test_determinism_across_partitionings(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------- count-min sketch pins
+
+
+def test_cms_exact_regime_and_one_sided_error(ray_session):
+    """Width far above distinct-count: estimates equal exact counts.
+    Narrow width: estimates are one-sided (est >= true) with the
+    2N/width bound holding for the min over rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lasutility_ray.stages.sketch import cms_build, cms_estimate
+
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, 200, 50000).astype(np.int64)  # 200 distinct
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    true = pd.Series(vals).value_counts()
+    queries = pa.array(true.index.to_numpy(np.int64), pa.int64())
+
+    wide = cms_build(ds, "v", width=4096, depth=4)
+    est = cms_estimate(wide, queries)
+    assert np.array_equal(est, true.to_numpy())  # exact regime
+
+    narrow = cms_build(ds, "v", width=64, depth=4)
+    est_n = cms_estimate(narrow, queries)
+    assert np.all(est_n >= true.to_numpy())  # one-sided
+    assert np.all(est_n <= true.to_numpy() + 2 * len(vals) / 64 * 4)
+    # total mass per row is exact in both regimes
+    assert np.all(narrow.sum(axis=1) == len(vals))
+
+
+def test_cms_partitioning_independence(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lasutility_ray.stages.sketch import cms_build
+
+    rng = np.random.default_rng(37)
+    vals = rng.integers(0, 5000, 30000).astype(np.int64)
+    t = pa.table({"v": pa.array(vals, pa.int64())})
+    a = cms_build(rd.from_arrow(t), "v", width=256, depth=3)
+    b = cms_build(rd.from_arrow(t).repartition(13), "v", width=256, depth=3)
+    assert np.array_equal(a, b)
