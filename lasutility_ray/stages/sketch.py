@@ -286,3 +286,48 @@ def cms_estimate(matrix: np.ndarray, queries: pa.Array) -> np.ndarray:
     cells = cms_cells(h, width, depth).reshape(depth, -1)
     ests = matrix.reshape(-1)[cells]
     return ests.min(axis=0)
+
+
+def hll_group_distinct(ds, group_col: str, value_col: str, p: int = 10):
+    """Approximate DISTINCT ``value_col`` per ``group_col`` value:
+    per-batch per-group register partials (one 2^p-byte blob per
+    (batch, group) on the wire — bounded regardless of row count),
+    combined by element-wise max inside one groupby. The scalable
+    form of ``SELECT g, count(DISTINCT v)`` when the exact answer
+    would shuffle every distinct pair.
+
+    Returns (group, estimate float, n_registers). Max-merge makes the
+    result exactly partitioning-independent."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col).to_pandas()
+        h = _hash_column(t.column(value_col))
+        groups, codes = np.unique(g.to_numpy(), return_inverse=True)
+        blobs = []
+        for gi in range(len(groups)):
+            blobs.append(hll_registers(h[codes == gi], p).tobytes())
+        return pa.table(
+            {
+                group_col: pa.array(groups),
+                "regs": pa.array(blobs, pa.large_binary()),
+            }
+        )
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.uint8)
+        for b in df["regs"]:
+            regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+        return pd.DataFrame(
+            {
+                group_col: df[group_col].iloc[:1],
+                "estimate": [round(hll_estimate(regs), 2)],
+                "n_registers": [np.int64(1 << p)],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(combine, batch_format="pandas")
+    )

@@ -204,3 +204,38 @@ def test_cms_partitioning_independence(ray_session):
     a = cms_build(rd.from_arrow(t), "v", width=256, depth=3)
     b = cms_build(rd.from_arrow(t).repartition(13), "v", width=256, depth=3)
     assert np.array_equal(a, b)
+
+
+def test_hll_group_distinct(ray_session):
+    """Per-group HLL: within standard error of exact per-group
+    distinct counts, exactly partitioning-independent, and the wire
+    only ever carries register blobs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lasutility_ray.stages.sketch import hll_group_distinct
+
+    rng = np.random.default_rng(41)
+    n = 60000
+    g = rng.integers(0, 8, n)
+    # distinct universe size differs strongly per group
+    v = rng.integers(0, 50 * (1 + g * 10), n) + g * 10_000_000
+    t = pa.table({"g": pa.array(g, pa.int64()), "v": pa.array(v, pa.int64())})
+    out = (
+        hll_group_distinct(rd.from_arrow(t), "g", "v", p=10)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    true = pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].nunique()
+    assert len(out) == 8
+    rel = np.abs(out["estimate"].to_numpy() - true.to_numpy()) / true.to_numpy()
+    assert rel.max() < 0.15  # ~3 sigma at p=10 (sigma ~ 3.25%)
+    # partitioning independence (bit-exact estimates)
+    out2 = (
+        hll_group_distinct(rd.from_arrow(t).repartition(9), "g", "v", p=10)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
