@@ -465,6 +465,68 @@ def q_weighted_sample(sf_dir: str):
     )
 
 
+def q_window_functions(sf_dir: str):
+    """SQL window functions re-expressed Ray-native: per-user
+    row_number / lag / running-sum / partition-count in ONE
+    coarse-bucket shuffle + a vectorized segment scan
+    (stages/windowfn.py). Integer cents + microsecond tie order keep
+    it value-exact vs DuckDB's OVER (PARTITION BY ... ORDER BY)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.windowfn import partitioned_window
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return partitioned_window(events)
+
+
+def q_rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
+    one tiny fused-key groupby, super-aggregates derived by
+    re-aggregating the key-space-bounded fine table
+    (stages/relational.py rollup_agg). Int64 quantity sums make every
+    level value-exact incl. the NULL marker rows."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import rollup_agg
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return rollup_agg(li)
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style quality rules (Rae et al. 2021 A1.1), integerized:
+    word-count band, mean-word-length band, symbol ratios, alpha-word
+    share, stop-word hits — all single-pass RE2 kernels over zero-copy
+    Arrow batches, keep flag mirrored 1:1 in SQL
+    (stages/gopher.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.gopher import gopher_quality
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return gopher_quality(docs)
+
+
+def q_budget_select(sf_dir: str):
+    """Token-budget data selection: keep docs in (score DESC, doc_id)
+    order until half the corpus's tokens are spent — no global sort:
+    a score-space-bounded histogram classifies whole scores, and only
+    the single boundary score runs a two-level distributed prefix sum
+    (stages/selection.py). Selection flag value-exact vs the SQL
+    running-sum window."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.selection import budget_select
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return budget_select(docs)
+
+
 def q_tpch_q3(sf_dir: str):
     """TPC-H Q3-shaped 3-way join with size-driven strategy mix:
     broadcast semi-filter for customer⋈orders (no shuffle), ONE
@@ -1795,12 +1857,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_curate_for_training": q_curate_for_training,
         "q_line_dedup": q_line_dedup,
         "q_stratified_sample": q_stratified_sample,
-        "q_bpe_vocab": q_bpe_vocab,
+        # q_orders_customer_left / q_s2_cap_join were added after the
+        # round-3 window filled; rotated in here (value-exact oracles,
+        # no prior driver row) in place of q_bpe_vocab / q_ann_pq_recall
+        # whose machinery stays window-covered by q_bpe_tokens /
+        # q_ann_topk_pq and whose rows-only checks are pytest-pinned.
+        "q_orders_customer_left": q_orders_customer_left,
         "q_bpe_tokens": q_bpe_tokens,
-        "q_kmeans_clusters": q_kmeans_clusters,
+        # new session-5 value-exact ops take window slots from four
+        # rows-only queries (q_kmeans_clusters, q_bloom_contamination,
+        # q_image_resize, q_audio_features — each family keeps another
+        # in-window representative and all four are pytest-pinned)
+        "q_window_functions": q_window_functions,
         "q_semantic_dedup": q_semantic_dedup,
         "q_incremental_dedup": q_incremental_dedup,
-        "q_bloom_contamination": q_bloom_contamination,
+        "q_rollup_agg": q_rollup_agg,
         # -- new in round 3: model scoring + training, PQ ANN, ExactSubstr
         "q_substring_dedup": q_substring_dedup,
         "q_quality_score": q_quality_score,
@@ -1817,11 +1888,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tpch_q3": q_tpch_q3,
         "q_weighted_sample": q_weighted_sample,
         "q_ann_topk_pq": q_ann_topk_pq,
-        "q_ann_pq_recall": q_ann_pq_recall,
+        "q_s2_cap_join": q_s2_cap_join,
         # -- round-2 unverified tail: multimodal + checkpoint (20-27)
         "q_image_features": q_image_features,
-        "q_audio_features": q_audio_features,
-        "q_image_resize": q_image_resize,
+        "q_gopher_rules": q_gopher_rules,
+        "q_budget_select": q_budget_select,
         "q_frame_sample": q_frame_sample,
         "q_image_reencode": q_image_reencode,
         "q_image_dedup": q_image_dedup,
@@ -1867,8 +1938,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_neighborhood_peaks": q_neighborhood_peaks,
         "q_orders_customer_join": q_orders_customer_join,
         "q_customer_nation_broadcast": q_customer_nation_broadcast,
-        "q_orders_customer_left": q_orders_customer_left,
-        "q_s2_cap_join": q_s2_cap_join,
+        "q_bpe_vocab": q_bpe_vocab,
+        "q_ann_pq_recall": q_ann_pq_recall,
+        "q_kmeans_clusters": q_kmeans_clusters,
+        "q_bloom_contamination": q_bloom_contamination,
+        "q_image_resize": q_image_resize,
+        "q_audio_features": q_audio_features,
         "q_lineitem_agg": q_lineitem_agg,
         "q_topk_orders": q_topk_orders,
         "q_hll_distinct": q_hll_distinct,
@@ -2097,6 +2172,10 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.text import normalize_text_sql
     from lasutility_ray.stages.pii import inject_pii_sql, pii_redact_sql
     from lasutility_ray.stages.text import FP_MOD
+    from lasutility_ray.stages.windowfn import partitioned_window_sql as _windowfn_sql
+    from lasutility_ray.stages.relational import rollup_agg_sql as _rollup_sql
+    from lasutility_ray.stages.gopher import gopher_quality_sql as _gopher_sql
+    from lasutility_ray.stages.selection import budget_select_sql as _budget_select_sql
 
     c0, c1, c2 = (int(v) for v in _SH_C)
     m64 = 1 << 64
@@ -2218,6 +2297,10 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (ORDER BY es_key, doc_id) AS rank "
             "FROM ws_k ORDER BY es_key, doc_id LIMIT 25"
         ),
+        "q_window_functions": _windowfn_sql(),
+        "q_rollup_agg": _rollup_sql(),
+        "q_gopher_rules": _gopher_sql(),
+        "q_budget_select": _budget_select_sql(),
         "q_tpch_q3": (
             "WITH ck AS (SELECT c_custkey FROM customer "
             "WHERE c_mktsegment = 'BUILDING'), "

@@ -221,3 +221,78 @@ def tpch_q3(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", 
         k=k,
     )
     return topk.drop_columns(["__one"])
+
+
+def rollup_agg(lineitem_ds):
+    """``GROUP BY ROLLUP(l_returnflag, l_linestatus)`` over lineitem:
+    the fine-grain (flag, status) aggregate plus the per-flag and
+    grand-total super-aggregates, NULL marking each rolled-up level
+    (ANSI ROLLUP semantics).
+
+    Shape: map-side partial combine (one row per batch x group), one
+    tiny groupby on a fused string key, then the super-aggregates are
+    derived by RE-AGGREGATING THE FINE TABLE — which is bounded by the
+    key-space cardinality (<= R*S rows, ~6 for TPC-H flags), never by
+    the corpus — so the rollup costs one corpus pass total. Sums run
+    on int64 (TPC-H quantity is a whole number stored as double), so
+    partial-merge order can't perturb the result vs the SQL mirror.
+
+    Returns a pyarrow Table (small by construction)."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(["l_returnflag", "l_linestatus", "l_quantity"]).to_pandas()
+        df["qty"] = df["l_quantity"].to_numpy().astype(np.int64)
+        agg = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(ps=("qty", "sum"), pc=("qty", "count"))
+            .reset_index()
+        )
+        agg["__k"] = agg["l_returnflag"] + "|" + agg["l_linestatus"]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("ps", "sum"), n_rows=("pc", "sum")
+        )
+        return out.reset_index()
+
+    fine = (
+        lineitem_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__k")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()  # <= R*S rows — key-space bounded, not corpus
+    )
+    lvl1 = (
+        fine.groupby("l_returnflag", sort=False)
+        .agg(sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum"))
+        .reset_index()
+    )
+    lvl1["l_linestatus"] = None
+    lvl0 = pd.DataFrame(
+        {
+            "l_returnflag": [None],
+            "l_linestatus": [None],
+            "sum_qty": [fine["sum_qty"].sum()],
+            "n_rows": [fine["n_rows"].sum()],
+        }
+    )
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
+            "l_linestatus": pa.array(out["l_linestatus"], pa.string()),
+            "sum_qty": pa.array(out["sum_qty"].to_numpy().astype(np.int64)),
+            "n_rows": pa.array(out["n_rows"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def rollup_agg_sql(source: str = "lineitem") -> str:
+    """DuckDB mirror of :func:`rollup_agg`."""
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+        f"COUNT(*) AS n_rows FROM {source} "
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    )

@@ -1,0 +1,114 @@
+"""Partitioned window functions over the events stream table.
+
+Ray Data has no SQL window functions; ``partitioned_window`` computes
+the classic per-key ordered quartet — ``row_number``, ``lag``,
+running ``SUM`` and the partition ``COUNT`` — with the engine's
+established coarse-bucket shuffle shape (see ``events.sessionize``):
+one shuffle on ``hash(user_id) % n_buckets`` co-locates every row of
+a user, then ONE vectorized numpy scan per bucket computes all four
+functions for every user in the bucket at once (segment-boundary
+arithmetic — no per-user python groups, no per-row loop).
+
+Cross-engine exactness: values are 2-decimal currency, so sums run in
+integer cents (``round(value*100)``, the ``events._partial``
+convention); ordering is (user_id, ts@microseconds, event_id) — ts
+keeps full parquet precision so the DuckDB mirror's ``ORDER BY ts,
+event_id`` agrees on ties.
+
+Scale: the shuffle carries one slim row per event (4 int64 columns);
+state per bucket is its rows only. Mirrors the semantics of SQL
+``OVER (PARTITION BY user_id ORDER BY ts, event_id)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def partitioned_window(events_ds):
+    """Per-user ordered window functions; one output row per event:
+
+    - ``row_num``: 1-based position within the user's ts-ordered rows
+    - ``prev_value_cents``: ``lag(cents)`` (null on each user's first)
+    - ``cum_value_cents``: running sum of cents up to and incl. row
+    - ``user_n_events``: COUNT(*) over the whole partition
+    """
+    from .cogroup import _bucket_of, default_n_buckets
+
+    n_buckets = default_n_buckets()
+
+    def slim(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": pa.array(uid),
+                "__us": pa.array(us),
+                "__cents": pa.array(cents),
+                "__b": pa.array(_bucket_of(uid, n_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "__us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        cents = g["__cents"].to_numpy()
+        n = len(g)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(new) - 1  # segment id per row
+        starts = np.flatnonzero(new)  # first row index of each segment
+        idx = np.arange(n, dtype=np.int64)
+        row_num = idx - starts[seg] + 1
+        csum = np.cumsum(cents)
+        base = np.where(starts > 0, csum[starts - 1], 0)
+        cum = csum - base[seg]
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = cents[:-1]
+        prev[0] = 0
+        counts = np.bincount(seg)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "row_num": row_num.astype(np.int64),
+                # nullable: lag() is NULL on each user's first row
+                "prev_value_cents": pd.arrays.IntegerArray(prev, mask=new.copy()),
+                "cum_value_cents": cum.astype(np.int64),
+                "user_n_events": counts[seg].astype(np.int64),
+            }
+        )
+
+    return (
+        events_ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def partitioned_window_sql(source: str = "events") -> str:
+    """DuckDB mirror of :func:`partitioned_window` (same cents, same
+    (ts, event_id) tie order)."""
+    return (
+        "WITH e AS (SELECT event_id, user_id, ts, "
+        f"CAST(round(value*100) AS BIGINT) AS cents FROM {source}) "
+        "SELECT event_id, user_id, "
+        "CAST(row_number() OVER w AS BIGINT) AS row_num, "
+        "lag(cents) OVER w AS prev_value_cents, "
+        "SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS cum_value_cents, "
+        "COUNT(*) OVER (PARTITION BY user_id) AS user_n_events "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
