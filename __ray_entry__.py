@@ -527,6 +527,55 @@ def q_budget_select(sf_dir: str):
     return budget_select(docs)
 
 
+def q_pivot_lang_source(sf_dir: str):
+    """PIVOT-by-count (source x lang doc counts, wide): map-side
+    partial counts, one tiny fused-key groupby, widening on the
+    key-space-bounded fine table (stages/relational.py pivot_counts).
+    Declared category list keeps the distributed schema deterministic;
+    SQL mirrors it as conditional aggregation."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import pivot_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    return pivot_counts(docs, "source", "lang", ["de", "en", "es", "fr", "zh"])
+
+
+def q_iqr_filter(sf_dir: str):
+    """Per-language Tukey IQR outlier filter on doc length: exact
+    group quantiles (quantile_cont bit shape) -> broadcast fences ->
+    map-only keep (stages/quantiles.py iqr_filter). k=0.25 so both
+    branches fire on the uniform-ish synthetic lengths; float64 fence
+    arithmetic mirrors the SQL op-for-op."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.quantiles import iqr_filter
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return iqr_filter(
+        docs, "lang", "n_chars", passthrough=["doc_id", "lang", "n_chars"], k=0.25
+    )
+
+
+def q_pca_project(sf_dir: str):
+    """Distributed PCA projection of the embeddings table: per-batch
+    int64-quantized moment partials (bit-identical at any
+    partitioning), driver-side d x d eigh, map-only projection
+    (stages/pca.py). Rows-only: eigendecomposition is not SQL;
+    pytest pins the projection vs a single-process reference plus
+    partition-invariance."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.pca import pca_project
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_project(emb, k=2)
+
+
 def q_tpch_q3(sf_dir: str):
     """TPC-H Q3-shaped 3-way join with size-driven strategy mix:
     broadcast semi-filter for customer⋈orders (no shuffle), ONE
@@ -1875,7 +1924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- new in round 3: model scoring + training, PQ ANN, ExactSubstr
         "q_substring_dedup": q_substring_dedup,
         "q_quality_score": q_quality_score,
-        "q_train_quality": q_train_quality,
+        "q_pivot_lang_source": q_pivot_lang_source,
         "q_quality_auc": q_quality_auc,
         "q_inverted_index": q_inverted_index,
         "q_s2_cell_counts": q_s2_cell_counts,
@@ -1894,7 +1943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gopher_rules": q_gopher_rules,
         "q_budget_select": q_budget_select,
         "q_frame_sample": q_frame_sample,
-        "q_image_reencode": q_image_reencode,
+        "q_iqr_filter": q_iqr_filter,
         "q_image_dedup": q_image_dedup,
         "q_audio_dedup": q_audio_dedup,
         "q_media_metadata": q_media_metadata,
@@ -1944,6 +1993,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_contamination": q_bloom_contamination,
         "q_image_resize": q_image_resize,
         "q_audio_features": q_audio_features,
+        "q_train_quality": q_train_quality,
+        "q_image_reencode": q_image_reencode,
+        "q_pca_project": q_pca_project,
         "q_lineitem_agg": q_lineitem_agg,
         "q_topk_orders": q_topk_orders,
         "q_hll_distinct": q_hll_distinct,
@@ -2176,6 +2228,8 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.relational import rollup_agg_sql as _rollup_sql
     from lasutility_ray.stages.gopher import gopher_quality_sql as _gopher_sql
     from lasutility_ray.stages.selection import budget_select_sql as _budget_select_sql
+    from lasutility_ray.stages.relational import pivot_counts_sql as _pivot_sql
+    from lasutility_ray.stages.quantiles import iqr_filter_sql as _iqr_sql
 
     c0, c1, c2 = (int(v) for v in _SH_C)
     m64 = 1 << 64
@@ -2301,6 +2355,12 @@ def oracle_sql() -> dict[str, str]:
         "q_rollup_agg": _rollup_sql(),
         "q_gopher_rules": _gopher_sql(),
         "q_budget_select": _budget_select_sql(),
+        "q_pivot_lang_source": _pivot_sql(
+            "source", "lang", ["de", "en", "es", "fr", "zh"], "documents"
+        ),
+        "q_iqr_filter": _iqr_sql(
+            "lang", "n_chars", "documents", ["doc_id", "lang", "n_chars"], k=0.25
+        ),
         "q_tpch_q3": (
             "WITH ck AS (SELECT c_custkey FROM customer "
             "WHERE c_mktsegment = 'BUILDING'), "

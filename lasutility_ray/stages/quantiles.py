@@ -271,3 +271,64 @@ def weighted_sample(ds, key_col: str, weight_col: str, k: int):
         k=k,
     )
     return out.drop_columns(["__one", "__neg"])
+
+
+def iqr_filter(
+    ds,
+    group_col: str,
+    value_col: str,
+    passthrough: list[str] | None = None,
+    k: float = 1.5,
+):
+    """Tukey IQR outlier filter per group: keep rows whose value lies
+    in ``[q1 - 1.5*IQR, q3 + 1.5*IQR]`` of their group.
+
+    Composition of :func:`group_quantiles` (exact, quantile_cont-
+    bit-shaped) with a broadcast fence lookup: the per-group fence
+    table is group-space bounded, shipped once via ``ray.put`` and
+    probed map-only — the corpus is scanned twice (quantiles + filter)
+    with no second shuffle. Fence arithmetic runs in float64 with the
+    same op order as the SQL mirror, so the keep set is value-exact
+    even at fence-equality boundaries."""
+    import ray as _ray
+
+    q = group_quantiles(ds, group_col, value_col, {"q1": 0.25, "q3": 0.75}).to_pandas()
+    iqr = q["q3"].to_numpy() - q["q1"].to_numpy()
+    lo = q["q1"].to_numpy() - k * iqr
+    hi = q["q3"].to_numpy() + k * iqr
+    fence_ref = _ray.put(
+        (
+            dict(zip(q[group_col].tolist(), lo.tolist())),
+            dict(zip(q[group_col].tolist(), hi.tolist())),
+        )
+    )
+    keep_cols = passthrough
+
+    def keep(t: pa.Table) -> pa.Table:
+        lo_d, hi_d = _ray.get(fence_ref)
+        keys = t.column(group_col).to_pandas()
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        lo_a = keys.map(lo_d).to_numpy(dtype=np.float64)
+        hi_a = keys.map(hi_d).to_numpy(dtype=np.float64)
+        mask = (v >= lo_a) & (v <= hi_a)
+        if keep_cols is not None:
+            t = t.select(keep_cols)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def iqr_filter_sql(
+    group_col: str, value_col: str, source: str, out_cols: list[str], k: float = 1.5
+) -> str:
+    """DuckDB mirror of :func:`iqr_filter` (same float64 fence ops)."""
+    cols = ", ".join(f"d.{c}" for c in out_cols)
+    return (
+        f"WITH q AS (SELECT {group_col}, "
+        f"quantile_cont(CAST({value_col} AS DOUBLE), 0.25) AS q1, "
+        f"quantile_cont(CAST({value_col} AS DOUBLE), 0.75) AS q3 "
+        f"FROM {source} GROUP BY {group_col}) "
+        f"SELECT {cols} FROM {source} d JOIN q USING ({group_col}) "
+        f"WHERE CAST(d.{value_col} AS DOUBLE) >= q.q1 - {k!r}*(q.q3 - q.q1) "
+        f"AND CAST(d.{value_col} AS DOUBLE) <= q.q3 + {k!r}*(q.q3 - q.q1)"
+    )

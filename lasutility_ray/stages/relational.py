@@ -296,3 +296,77 @@ def rollup_agg_sql(source: str = "lineitem") -> str:
         f"COUNT(*) AS n_rows FROM {source} "
         "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
     )
+
+
+def pivot_counts(ds, row_col: str, col_col: str, categories: list[str]):
+    """PIVOT-by-count: one output row per ``row_col`` value with a
+    ``n_<category>`` column per listed ``col_col`` category plus
+    ``n_other`` (categories must be declared up front — a distributed
+    pivot needs a deterministic schema; SQL mirrors it as conditional
+    aggregation).
+
+    Shape: map-side partial counts per (row, col) pair -> one tiny
+    fused-key groupby -> the widening happens on the key-space-bounded
+    fine table (|rows| x |cats| cells), never on the corpus."""
+    import pandas as pd
+
+    cats = list(categories)
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([row_col, col_col]).to_pandas()
+        agg = df.groupby([row_col, col_col], sort=False).size().rename("pc").reset_index()
+        agg["__k"] = agg[row_col] + "|" + agg[col_col]
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def combine(g: "pd.DataFrame") -> "pd.DataFrame":
+        return (
+            g.groupby([row_col, col_col], sort=False)
+            .agg(n=("pc", "sum"))
+            .reset_index()
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__k")
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()  # |rows| x |cats| cells — key-space bounded
+    )
+    rows = sorted(fine[row_col].unique())
+    out = {row_col: rows}
+    known = set(cats)
+    for c in cats:
+        sub = fine[fine[col_col] == c].set_index(row_col)["n"]
+        out[f"n_{c}"] = [int(sub.get(r, 0)) for r in rows]
+    other = (
+        fine[~fine[col_col].isin(known)].groupby(row_col)["n"].sum()
+        if len(fine)
+        else {}
+    )
+    out["n_other"] = [int(other.get(r, 0)) for r in rows]
+    return pa.table(
+        {
+            row_col: pa.array(out[row_col], pa.string()),
+            **{
+                k: pa.array(np.asarray(v, dtype=np.int64))
+                for k, v in out.items()
+                if k != row_col
+            },
+        }
+    )
+
+
+def pivot_counts_sql(
+    row_col: str, col_col: str, categories: list[str], source: str
+) -> str:
+    """DuckDB mirror of :func:`pivot_counts` (conditional aggregation)."""
+    cases = ", ".join(
+        f"CAST(SUM(CASE WHEN {col_col} = '{c}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{c}"
+        for c in categories
+    )
+    inlist = ", ".join(f"'{c}'" for c in categories)
+    return (
+        f"SELECT {row_col}, {cases}, "
+        f"CAST(SUM(CASE WHEN {col_col} NOT IN ({inlist}) THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_other FROM {source} GROUP BY {row_col}"
+    )

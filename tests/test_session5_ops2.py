@@ -1,0 +1,164 @@
+"""Session-5 second batch: pivot, IQR filter, distributed PCA
+(relational.pivot_counts, quantiles.iqr_filter, stages/pca.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_con(tables=("documents",)):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _sorted(df, cols=None):
+    cols = cols or sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+# ------------------------------------------------------------------ pivot
+
+
+def test_pivot_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con()
+    df = entry.queries()["q_pivot_lang_source"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_pivot_lang_source"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+
+
+def test_pivot_unknown_category_buckets_to_other(ray_session):
+    from lasutility_ray.stages.relational import pivot_counts
+
+    t = pa.table(
+        {
+            "source": pa.array(["a", "a", "b", "b", "b"]),
+            "lang": pa.array(["en", "xx", "en", "de", "yy"]),
+        }
+    )
+    out = (
+        pivot_counts(rd.from_arrow(t), "source", "lang", ["en", "de"])
+        .to_pandas()
+        .set_index("source")
+    )
+    assert out.loc["a", "n_en"] == 1 and out.loc["a", "n_other"] == 1
+    assert out.loc["b", "n_en"] == 1 and out.loc["b", "n_de"] == 1
+    assert out.loc["b", "n_other"] == 1
+    assert out.loc["a", "n_de"] == 0
+
+
+# ------------------------------------------------------------------ iqr
+
+
+def test_iqr_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con()
+    df = entry.queries()["q_iqr_filter"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_iqr_filter"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    # both branches must fire on the fixture at k=0.25
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(df) < n_docs
+
+
+def test_iqr_trims_planted_outliers(ray_session):
+    from lasutility_ray.stages.quantiles import iqr_filter
+
+    vals = [10, 11, 12, 13, 14, 15, 16, 17, 1000, -900]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(vals)), pa.int64()),
+            "lang": pa.array(["en"] * len(vals)),
+            "n_chars": pa.array(vals, pa.int64()),
+        }
+    )
+    out = iqr_filter(
+        rd.from_arrow(t), "lang", "n_chars", passthrough=["doc_id"]
+    ).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == list(range(8))  # outliers dropped
+
+
+# ------------------------------------------------------------------ pca
+
+
+def _ref_pca(x: np.ndarray, k: int = 2):
+    from lasutility_ray.stages.pca import Q
+
+    qx = np.rint(x * Q).astype(np.int64)
+    n = qx.shape[0]
+    mean_q = qx.sum(axis=0).astype(np.float64) / n
+    cov = (
+        (qx.T.astype(np.float64) @ qx.astype(np.float64)) / n
+        - np.outer(mean_q, mean_q)
+    ) / (Q * Q)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]
+    flips = np.sign(comps[np.argmax(np.abs(comps), axis=0), np.arange(k)])
+    flips[flips == 0] = 1.0
+    comps = comps * flips
+    return np.round((x - mean_q / Q) @ comps, 9)
+
+
+def test_pca_matches_single_process_reference(ray_session):
+    import pyarrow.parquet as pq
+
+    from lasutility_ray.stages.pca import _embed_matrix, pca_project
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    proj = pca_project(emb, k=2).to_pandas().sort_values("vec_id")
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ref = _ref_pca(_embed_matrix(t, "embedding"), k=2)
+    order = np.argsort(t["vec_id"].to_numpy())
+    assert np.allclose(proj[["pc1", "pc2"]].to_numpy(), ref[order], atol=1e-9)
+    # axiom: components ordered by explained variance
+    assert proj["pc1"].var() >= proj["pc2"].var()
+
+
+def test_pca_partition_invariant(ray_session):
+    """Integer moment partials make the fit bit-identical for any
+    partitioning of the same rows."""
+    from lasutility_ray.stages.pca import pca_project
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    a = pca_project(emb, k=2).to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = (
+        pca_project(emb.repartition(17), k=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pca_recovers_planted_axis(ray_session):
+    """Data generated along one dominant axis: pc1 must align with it
+    (|cosine| ~ 1) and carry almost all the variance."""
+    from lasutility_ray.stages.pca import fit_pca
+
+    rng = np.random.RandomState(3)
+    d, n = 16, 400
+    axis = rng.randn(d)
+    axis /= np.linalg.norm(axis)
+    x = np.outer(rng.randn(n) * 5.0, axis) + rng.randn(n, d) * 0.01
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(x.astype(np.float32)), pa.list_(pa.float32())),
+        }
+    )
+    mean, comps, var = fit_pca(rd.from_arrow(t), k=2)
+    assert abs(float(comps[:, 0] @ axis)) > 0.999
+    assert var[0] > 100 * var[1]
