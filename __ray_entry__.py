@@ -559,6 +559,21 @@ def q_iqr_filter(sf_dir: str):
     )
 
 
+def q_gopher_budget_curate(sf_dir: str):
+    """Composed curation: Gopher quality gate -> token-budget greedy
+    selection (pipelines/curation.py gopher_budget_curate). Both
+    stages are individually in-window value-exact; the COMPOSITION is
+    value-exact against one DuckDB query (sits past the driver's
+    50-slot window; verified locally at sf0.001 AND sf0.01 and pinned
+    in tests/test_session5_ops2.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.pipelines.curation import gopher_budget_curate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return gopher_budget_curate(docs)
+
+
 def q_pca_project(sf_dir: str):
     """Distributed PCA projection of the embeddings table: per-batch
     int64-quantized moment partials (bit-identical at any
@@ -1996,6 +2011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_train_quality": q_train_quality,
         "q_image_reencode": q_image_reencode,
         "q_pca_project": q_pca_project,
+        "q_gopher_budget_curate": q_gopher_budget_curate,
         "q_lineitem_agg": q_lineitem_agg,
         "q_topk_orders": q_topk_orders,
         "q_hll_distinct": q_hll_distinct,
@@ -2230,6 +2246,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.selection import budget_select_sql as _budget_select_sql
     from lasutility_ray.stages.relational import pivot_counts_sql as _pivot_sql
     from lasutility_ray.stages.quantiles import iqr_filter_sql as _iqr_sql
+    from lasutility_ray.pipelines.curation import gopher_budget_curate_sql as _gbc_sql
 
     c0, c1, c2 = (int(v) for v in _SH_C)
     m64 = 1 << 64
@@ -2361,6 +2378,7 @@ def oracle_sql() -> dict[str, str]:
         "q_iqr_filter": _iqr_sql(
             "lang", "n_chars", "documents", ["doc_id", "lang", "n_chars"], k=0.25
         ),
+        "q_gopher_budget_curate": _gbc_sql(),
         "q_tpch_q3": (
             "WITH ck AS (SELECT c_custkey FROM customer "
             "WHERE c_mktsegment = 'BUILDING'), "

@@ -162,3 +162,18 @@ def test_pca_recovers_planted_axis(ray_session):
     mean, comps, var = fit_pca(rd.from_arrow(t), k=2)
     assert abs(float(comps[:, 0] @ axis)) > 0.999
     assert var[0] > 100 * var[1]
+
+
+# --------------------------------------------------------- composition
+
+
+def test_gopher_budget_curate_matches_duckdb(ray_session):
+    """The composed curation (quality gate -> budget selection) is
+    value-exact against ONE SQL query, not just stage-by-stage."""
+    import __ray_entry__ as entry
+
+    con = _oracle_con()
+    df = entry.queries()["q_gopher_budget_curate"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_gopher_budget_curate"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    assert 0 < df["selected"].sum() < len(df)
