@@ -559,6 +559,51 @@ def q_iqr_filter(sf_dir: str):
     )
 
 
+def q_image_phash(sf_dir: str):
+    """NEAR-duplicate image pairs by DCT perceptual hash: every 10th
+    doc's payload is its predecessor's smooth blob image RE-ENCODED AS
+    LOSSY JPEG (quality 85) — different pixels, so the exact
+    pixel-hash dedup (q_image_dedup) CANNOT find it; the pHash band
+    shuffle does (measured margins on this family: planted <= 4 bits,
+    distinct >= 8 over 500 images; max_hamming=5). Rows-only; exact
+    planted-pair recovery pytest-pinned."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import attach_blob_images, image_phash_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    with_imgs = docs.map_batches(attach_blob_images, batch_format="pyarrow")
+
+    def inject_lossy_near_dups(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from lasutility_ray.geom.jpeg import encode_jpeg
+        from lasutility_ray.stages.multimodal import (
+            HEADER,
+            synth_blob_image_bytes,
+        )
+
+        ids = t.column("doc_id").to_numpy()
+        payloads = t.column("image").to_pylist()
+        out = []
+        for d, data in zip(ids, payloads):
+            if d % 10 == 9:
+                prev = synth_blob_image_bytes(np.array([d - 1]))[0]
+                img = np.frombuffer(prev, np.uint8, offset=HEADER.size).reshape(64, 64)
+                out.append(encode_jpeg(img, quality=85))
+            else:
+                out.append(data)
+        idx = t.schema.get_field_index("image")
+        return t.set_column(idx, "image", pa.array(out, pa.large_binary()))
+
+    return image_phash_pairs(
+        with_imgs.map_batches(inject_lossy_near_dups, batch_format="pyarrow"),
+        max_hamming=5,
+    )
+
+
 def q_gopher_budget_curate(sf_dir: str):
     """Composed curation: Gopher quality gate -> token-budget greedy
     selection (pipelines/curation.py gopher_budget_curate). Both
@@ -947,6 +992,36 @@ def q_orders_customer_left(sf_dir: str):
     return hash_join(
         cust, orders, on="c_custkey", right_on="o_custkey",
         num_partitions=8, join_type="left_outer",
+    )
+
+
+def q_orders_customer_full(sf_dir: str):
+    """FULL OUTER hash join with unmatched rows on BOTH sides (low-
+    nation customers x big orders): the null-preserving completion of
+    the join family. Value-exact vs SQL incl. both NULL wings."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import hash_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t.column("c_nationkey"), 13)).drop_columns(
+            ["c_nationkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("o_totalprice"), 200000.0)),
+        batch_format="pyarrow",
+    )
+    return hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey",
+        num_partitions=8, join_type="full_outer",
     )
 
 
@@ -2003,6 +2078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_customer_join": q_orders_customer_join,
         "q_customer_nation_broadcast": q_customer_nation_broadcast,
         "q_bpe_vocab": q_bpe_vocab,
+        "q_orders_customer_full": q_orders_customer_full,
         "q_ann_pq_recall": q_ann_pq_recall,
         "q_kmeans_clusters": q_kmeans_clusters,
         "q_bloom_contamination": q_bloom_contamination,
@@ -2012,6 +2088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_reencode": q_image_reencode,
         "q_pca_project": q_pca_project,
         "q_gopher_budget_curate": q_gopher_budget_curate,
+        "q_image_phash": q_image_phash,
         "q_lineitem_agg": q_lineitem_agg,
         "q_topk_orders": q_topk_orders,
         "q_hll_distinct": q_hll_distinct,
@@ -2354,6 +2431,16 @@ def oracle_sql() -> dict[str, str]:
         "q_orders_customer_left": (
             "SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice "
             "FROM customer c LEFT JOIN "
+            "(SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_totalprice > 200000.0) o ON c.c_custkey = o.o_custkey"
+        ),
+        "q_orders_customer_full": (
+            # Ray's full_outer coalesces the join key (USING-style):
+            # right-only rows carry the key in c_custkey, not NULL
+            "SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey, "
+            "c.c_name, o.o_orderkey, o.o_totalprice "
+            "FROM (SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 13) c "
+            "FULL OUTER JOIN "
             "(SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
             "WHERE o_totalprice > 200000.0) o ON c.c_custkey = o.o_custkey"
         ),

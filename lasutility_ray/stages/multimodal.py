@@ -965,3 +965,190 @@ def synth_media_bytes(doc_id: np.ndarray) -> list[bytes]:
 def attach_media(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
     media = synth_media_bytes(batch.column(doc_col).to_numpy())
     return batch.append_column("media", pa.array(media, pa.large_binary()))
+
+
+# --------------------------------------------------------------- pHash
+
+PHASH_N = 32  # DCT input side
+PHASH_K = 8  # low-frequency block side -> 64-bit hash
+
+
+class PHash:
+    """Actor-pool stage: DCT perceptual hash per image (the classic
+    pHash recipe): decode -> grey (channel mean) -> deterministic
+    32x32 resample -> orthonormal 2-D DCT-II -> the 8x8 low-frequency
+    block thresholded at the median of its 63 non-DC coefficients.
+    Bit i of the int64 hash = coefficient i (row-major over the 8x8
+    block) above the median. Robust to container changes and mild
+    lossy re-encoding (JPEG requantization flips few low-frequency
+    signs); pinned in tests.
+
+    The DCT basis matrix is built ONCE per actor in ``__init__``."""
+
+    def __init__(self, id_col: str = "doc_id", image_col: str = "image"):
+        n = PHASH_N
+        j = np.arange(n, dtype=np.float64)
+        k = j[:, None]
+        c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * j[None, :] + 1) * k / (2 * n))
+        c[0] = np.sqrt(1.0 / n)
+        self.basis = c
+        self.id_col, self.image_col = id_col, image_col
+
+    def _hash_one(self, data: bytes) -> int:
+        img = decode_image_nd(data).astype(np.float64)
+        if img.ndim == 3:
+            img = img.mean(axis=2)
+        h, w = img.shape
+        n = PHASH_N
+        ri = np.minimum((np.arange(n) * h) // n, h - 1)
+        ci = np.minimum((np.arange(n) * w) // n, w - 1)
+        small = img[np.ix_(ri, ci)]
+        d = self.basis @ small @ self.basis.T
+        block = d[:PHASH_K, :PHASH_K].ravel()
+        med = np.median(block[1:])  # DC excluded from the threshold
+        bits = (block > med).astype(np.uint64)
+        return int(np.bitwise_or.reduce(bits << np.arange(64, dtype=np.uint64)))
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hashes = [self._hash_one(d) for d in t.column(self.image_col).to_pylist()]
+        return pa.table(
+            {
+                self.id_col: t.column(self.id_col),
+                "phash": pa.array(
+                    np.array(hashes, dtype=np.uint64).astype(np.int64)
+                ),
+            }
+        )
+
+
+def image_phash(ds, id_col: str = "doc_id", image_col: str = "image",
+                concurrency=(1, 8), batch_size: int = 128):
+    """Per-image 64-bit perceptual hash (decode state per actor)."""
+    return ds.map_batches(
+        PHash,
+        fn_constructor_kwargs={"id_col": id_col, "image_col": image_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def image_phash_pairs(ds, id_col: str = "doc_id", image_col: str = "image",
+                      max_hamming: int = 3):
+    """NEAR-duplicate image pairs: pHash + the SimHash pigeonhole
+    band trick (any pair within Hamming<=3 of 64 bits shares one of
+    four exact 16-bit chunks), bucketed shuffle of (id, phash) slim
+    rows only — pixels never shuffle. Returns (a, b, hamming)."""
+    import pandas as pd
+
+    from .cogroup import default_n_buckets
+
+    hashed = image_phash(ds, id_col=id_col, image_col=image_col)
+    nb = default_n_buckets()
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        ph = t.column("phash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(ids)
+        rid = np.tile(ids, 4)
+        rchunk = np.repeat(np.arange(4, dtype=np.int64), n)
+        rkey = np.concatenate(
+            [((ph >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+             for c in range(4)]
+        )
+        rph = np.tile(ph.astype(np.int64), 4)
+        bucket = ((rchunk << np.int64(16)) | rkey) % nb
+        return pa.table(
+            {
+                "id": pa.array(rid.astype(np.int64)),
+                "chunk": pa.array(rchunk),
+                "key": pa.array(rkey),
+                "phash": pa.array(rph),
+                "bucket": pa.array(bucket.astype(np.int64)),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, sub in g.groupby(["chunk", "key"], sort=False):
+            sub = sub.drop_duplicates("id").sort_values("id")
+            if len(sub) < 2:
+                continue
+            ids = sub["id"].to_numpy()
+            ph = sub["phash"].to_numpy().astype(np.uint64)
+            ai, bi = np.triu_indices(len(ids), k=1)
+            x = ph[ai] ^ ph[bi]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            m = ham <= max_hamming
+            if m.any():
+                outs.append(
+                    pd.DataFrame({"a": ids[ai][m], "b": ids[bi][m],
+                                  "hamming": ham[m]})
+                )
+        if not outs:
+            return pd.DataFrame(
+                {c: pd.Series(dtype="int64") for c in ("a", "b", "hamming")}
+            )
+        return pd.concat(outs, ignore_index=True).drop_duplicates(["a", "b"])
+
+    pairs = (
+        hashed.map_batches(to_chunks, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+
+    # distinct pairs across band buckets (dedup.py _dedup_pairs shape,
+    # hamming kept — it is a function of the pair, so any survivor row
+    # carries the same value)
+    mix_a = np.uint64(0x9E3779B97F4A7C15)
+    mix_b = np.uint64(0xC2B2AE3D27D4EB4F)
+    nb2 = default_n_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = a * mix_a ^ b * mix_b
+        return t.append_column(
+            "__bucket",
+            pa.array(((h >> np.uint64(33)) % np.uint64(nb2)).astype(np.int64)),
+        )
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["a", "b"])[["a", "b", "hamming"]]
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(uniq, batch_format="pandas")
+    )
+
+
+def synth_blob_image_bytes(doc_id: np.ndarray, n: int = 64) -> list[bytes]:
+    """Deterministic SMOOTH fake image per doc (sum of 6 Gaussian
+    blobs, seeded by doc_id) — the natural-image-like payload the
+    pHash harness needs (pHash separation is meaningless on white
+    noise). 64x64 grey GRD1 blobs; measured pHash margins on this
+    family: JPEG-85 re-encode <= 4 bits, distinct images >= 8 bits
+    (500-image sweep), so max_hamming=5 recovers planted near-dups
+    exactly."""
+    out = []
+    x, y = np.meshgrid(np.arange(n), np.arange(n))
+    for d in np.asarray(doc_id, dtype=np.int64).tolist():
+        rng = np.random.default_rng(d)
+        img = np.zeros((n, n))
+        for _ in range(6):
+            cx, cy = rng.uniform(0, n, 2)
+            s = rng.uniform(4, 14)
+            a = rng.uniform(-120, 120)
+            img += a * np.exp(-((x - cx) ** 2 + (y - cy) ** 2) / (2 * s * s))
+        pix = np.clip(127 + img, 0, 255).astype(np.uint8)
+        out.append(HEADER.pack(MAGIC, n, n, 1) + pix.tobytes())
+    return out
+
+
+def attach_blob_images(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
+    imgs = synth_blob_image_bytes(batch.column(doc_col).to_numpy())
+    return batch.append_column("image", pa.array(imgs, pa.large_binary()))

@@ -177,3 +177,50 @@ def test_gopher_budget_curate_matches_duckdb(ray_session):
     ref = con.execute(entry.oracle_sql()["q_gopher_budget_curate"]).df()
     pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
     assert 0 < df["selected"].sum() < len(df)
+
+
+# --------------------------------------------------------------- phash
+
+
+def test_image_phash_recovers_planted_near_dups(ray_session):
+    """The q_image_phash harness plants lossy-JPEG near-dups (exact
+    pixel hashing cannot find them); the pHash band shuffle must
+    recover EXACTLY the planted pairs."""
+    import __ray_entry__ as entry
+    import pyarrow.parquet as pq
+
+    pairs = entry.queries()["q_image_phash"](SF).to_pandas()
+    ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_numpy()
+    idset = set(ids.tolist())
+    planted = {(d - 1, d) for d in idset if d % 10 == 9 and (d - 1) in idset}
+    got = {(int(a), int(b)) for a, b in zip(pairs["a"], pairs["b"])}
+    assert got == planted
+    assert (pairs["hamming"] <= 5).all()
+
+
+def test_phash_container_and_jpeg_invariance(ray_session):
+    """Same pixels in GRD1 vs PNG -> identical pHash (hamming 0);
+    lossy JPEG of the same image -> small hamming; distinct blob
+    images -> large hamming."""
+    import numpy as np
+
+    from lasutility_ray.geom.jpeg import encode_jpeg
+    from lasutility_ray.geom.png import encode_grey_png
+    from lasutility_ray.stages.multimodal import (
+        HEADER,
+        PHash,
+        synth_blob_image_bytes,
+    )
+
+    ph = PHash()
+    raw = synth_blob_image_bytes(np.array([42]))[0]
+    img = np.frombuffer(raw, np.uint8, offset=HEADER.size).reshape(64, 64)
+    h_raw = ph._hash_one(raw)
+    h_png = ph._hash_one(encode_grey_png(img, top_down=False))
+    h_jpg = ph._hash_one(encode_jpeg(img, quality=85))
+    other = ph._hash_one(synth_blob_image_bytes(np.array([7]))[0])
+    assert h_raw == h_png
+    assert bin(h_raw ^ h_jpg).count("1") <= 5
+    assert bin(h_raw ^ other).count("1") >= 8
