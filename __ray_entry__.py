@@ -559,6 +559,21 @@ def q_iqr_filter(sf_dir: str):
     )
 
 
+def q_audio_spectrogram(sf_dir: str):
+    """Per-clip log-mel spectrogram summary (Hann frames -> |rfft|^2
+    -> triangular mel bank -> log10; all numpy, stride-tricks frames)
+    in an actor pool with per-rate filterbank memoized in __init__
+    (stages/multimodal.py AudioSpectrogram). Rows-only; pinned vs the
+    direct numpy reference and WAV-vs-raw container invariance."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import attach_audio, audio_spectrogram_stage
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    clips = docs.map_batches(attach_audio, batch_format="pyarrow")
+    return audio_spectrogram_stage(clips)
+
+
 def q_image_phash(sf_dir: str):
     """NEAR-duplicate image pairs by DCT perceptual hash: every 10th
     doc's payload is its predecessor's smooth blob image RE-ENCODED AS
@@ -2089,6 +2104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pca_project": q_pca_project,
         "q_gopher_budget_curate": q_gopher_budget_curate,
         "q_image_phash": q_image_phash,
+        "q_audio_spectrogram": q_audio_spectrogram,
         "q_lineitem_agg": q_lineitem_agg,
         "q_topk_orders": q_topk_orders,
         "q_hll_distinct": q_hll_distinct,

@@ -1152,3 +1152,98 @@ def synth_blob_image_bytes(doc_id: np.ndarray, n: int = 64) -> list[bytes]:
 def attach_blob_images(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
     imgs = synth_blob_image_bytes(batch.column(doc_col).to_numpy())
     return batch.append_column("image", pa.array(imgs, pa.large_binary()))
+
+
+# --------------------------------------------------------- spectrogram
+
+SPEC_NFFT = 256
+SPEC_HOP = 128
+SPEC_NMELS = 16
+
+
+def _mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
+    """Triangular mel filterbank (HTK mel scale, numpy only): n_mels
+    rows x (n_fft//2 + 1) bins."""
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    pts = imel(np.linspace(mel(0.0), mel(sr / 2.0), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / sr).astype(np.int64)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, ctr, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, ctr):
+            if ctr > lo:
+                fb[m - 1, k] = (k - lo) / (ctr - lo)
+        for k in range(ctr, hi):
+            if hi > ctr:
+                fb[m - 1, k] = (hi - k) / (hi - ctr)
+    return fb
+
+
+def log_mel_spectrogram(
+    pcm: np.ndarray,
+    sr: int,
+    n_fft: int = SPEC_NFFT,
+    hop: int = SPEC_HOP,
+    n_mels: int = SPEC_NMELS,
+) -> np.ndarray:
+    """(n_frames, n_mels) log10 mel power spectrogram of an int16 mono
+    clip: Hann-windowed frames -> |rfft|^2 -> mel filterbank ->
+    log10(eps + .). All-numpy reference implementation; frames are
+    vectorized with stride tricks (no per-frame python loop)."""
+    x = pcm.astype(np.float64) / 32768.0
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    frames = np.lib.stride_tricks.as_strided(
+        x,
+        shape=(n_frames, n_fft),
+        strides=(x.strides[0] * hop, x.strides[0]),
+    )
+    win = 0.5 - 0.5 * np.cos(2 * np.pi * np.arange(n_fft) / n_fft)  # Hann
+    spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2
+    fb = _mel_filterbank(sr, n_fft, n_mels)
+    return np.log10(1e-10 + spec @ fb.T)
+
+
+class AudioSpectrogram:
+    """Actor-pool stage: per-clip log-mel spectrogram summary. The
+    mel filterbank is built ONCE per actor per sample rate and
+    memoized; output carries frame count plus per-mel-band time means
+    (a fixed-width embedding-ish row — full spectrograms would be a
+    (frames x mels) blob per clip; the summary keeps rows slim for
+    the 100 TB shuffle budget)."""
+
+    def __init__(self):
+        self._fb_cache: dict[int, np.ndarray] = {}
+
+    def _fb(self, sr: int) -> np.ndarray:
+        if sr not in self._fb_cache:
+            self._fb_cache[sr] = _mel_filterbank(sr, SPEC_NFFT, SPEC_NMELS)
+        return self._fb_cache[sr]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, mel_means = [], []
+        for data in batch.column("audio").to_pylist():
+            sr, pcm = decode_audio(data)
+            self._fb(sr)  # warm the per-rate filterbank
+            s = log_mel_spectrogram(pcm, sr)
+            n_frames.append(s.shape[0])
+            mel_means.append(np.round(s.mean(axis=0), 9))
+        return (
+            batch.drop_columns(["audio"])
+            .append_column("n_frames", pa.array(n_frames, pa.int64()))
+            .append_column(
+                "mel_means",
+                pa.array([m.tolist() for m in mel_means], pa.list_(pa.float64())),
+            )
+        )
+
+
+def audio_spectrogram_stage(ds, concurrency: int = 4, batch_size: int = 256):
+    return ds.map_batches(
+        AudioSpectrogram,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )

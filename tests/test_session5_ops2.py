@@ -224,3 +224,90 @@ def test_phash_container_and_jpeg_invariance(ray_session):
     assert h_raw == h_png
     assert bin(h_raw ^ h_jpg).count("1") <= 5
     assert bin(h_raw ^ other).count("1") >= 8
+
+
+# --------------------------------------------------------- spectrogram
+
+
+def test_audio_spectrogram_matches_numpy_reference(ray_session):
+    """The actor-pool stage must equal the direct numpy pipeline on
+    the same decoded PCM."""
+    import numpy as np
+
+    import __ray_entry__ as entry
+    from lasutility_ray.stages.multimodal import (
+        decode_audio,
+        log_mel_spectrogram,
+        synth_audio_bytes,
+    )
+
+    out = (
+        entry.queries()["q_audio_spectrogram"](SF)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    import pyarrow.parquet as pq
+
+    ids = np.sort(
+        pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])[
+            "doc_id"
+        ].to_numpy()
+    )
+    for i in (0, len(ids) // 2, len(ids) - 1):
+        data = synth_audio_bytes(np.array([ids[i]]))[0]
+        sr, pcm = decode_audio(data)
+        ref = log_mel_spectrogram(pcm, sr)
+        row = out.iloc[i]
+        assert row["n_frames"] == ref.shape[0]
+        assert np.allclose(
+            np.array(row["mel_means"]), np.round(ref.mean(axis=0), 9), atol=1e-9
+        )
+
+
+def test_spectrogram_container_invariance(ray_session):
+    """The same PCM through the raw fake header and through a real
+    RIFF/WAV container yields the identical spectrogram."""
+    import numpy as np
+
+    from lasutility_ray.stages.multimodal import (
+        decode_audio,
+        log_mel_spectrogram,
+        synth_audio_bytes,
+    )
+
+    raw = synth_audio_bytes(np.array([11]))[0]
+    sr, pcm = decode_audio(raw)
+    # hand-build a minimal PCM16 mono WAV around the same samples
+    import struct
+
+    body = pcm.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+    sr2, pcm2 = decode_audio(wav)
+    assert sr2 == sr and np.array_equal(pcm, pcm2)
+    assert np.array_equal(log_mel_spectrogram(pcm, sr), log_mel_spectrogram(pcm2, sr2))
+
+
+def test_mel_filterbank_axioms(ray_session):
+    """Filterbank rows are non-negative, each covers a contiguous
+    band, and band center frequencies increase."""
+    import numpy as np
+
+    from lasutility_ray.stages.multimodal import SPEC_NFFT, SPEC_NMELS, _mel_filterbank
+
+    fb = _mel_filterbank(8000, SPEC_NFFT, SPEC_NMELS)
+    assert fb.shape == (SPEC_NMELS, SPEC_NFFT // 2 + 1)
+    assert (fb >= 0).all() and fb.sum(axis=1).min() > 0
+    centers = [np.argmax(fb[m]) for m in range(SPEC_NMELS)]
+    assert all(c2 >= c1 for c1, c2 in zip(centers, centers[1:]))
