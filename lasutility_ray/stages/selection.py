@@ -59,17 +59,33 @@ def _slim(t: pa.Table) -> pa.Table:
     )
 
 
-def budget_select(docs_ds, budget: int | None = None):
+FAST_MAX_BOUNDARY = 2_000_000  # one-task fast-path row limit
+
+
+def budget_select(docs_ds, budget: int | None = None,
+                  fast_max: int = FAST_MAX_BOUNDARY):
     """Select docs by (score DESC, doc_id) until ``budget`` tokens
     (default: half the corpus's tokens). Returns one row per doc:
-    (doc_id, score, n_tok, selected 0/1)."""
-    from ray.data.aggregate import Sum
+    (doc_id, score, n_tok, selected 0/1).
+
+    Size-adaptive (the dedup-family pattern): the boundary score's
+    row count is known from the histogram, so below ``fast_max`` rows
+    the boundary prefix runs as ONE task (sort + cumsum on a single
+    repartitioned block — 3 int64 columns, a few MB) instead of the
+    five-stage two-level distributed prefix sum; both paths are
+    pinned identical in tests."""
+    from ray.data.aggregate import Count, Sum
 
     slim = docs_ds.map_batches(_slim, batch_format="pyarrow").materialize()
 
-    hist = slim.groupby("score").aggregate(Sum("n_tok", alias_name="tok")).to_pandas()
+    hist = (
+        slim.groupby("score")
+        .aggregate(Sum("n_tok", alias_name="tok"), Count(alias_name="cnt"))
+        .to_pandas()
+    )
     hist = hist.sort_values("score", ascending=False)
     tots = hist["tok"].to_numpy().astype(np.int64)
+    cnts = hist["cnt"].to_numpy().astype(np.int64)
     scores = hist["score"].to_numpy().astype(np.int64)
     bases = np.zeros(len(hist), dtype=np.int64)
     bases[1:] = np.cumsum(tots)[:-1]
@@ -94,6 +110,31 @@ def budget_select(docs_ds, budget: int | None = None):
     plain = slim.map_batches(flag_plain, batch_format="pyarrow")
     if b_score is None:
         return plain
+
+    b_count = int(cnts[scores == b_score][0])
+    if b_count <= fast_max:
+        # one-task fast path: the boundary rows fit one worker easily
+        def flag_one(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["score"] == b_score].sort_values("doc_id", kind="stable")
+            cum = df["n_tok"].to_numpy().cumsum()
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "score": df["score"].to_numpy(),
+                    "n_tok": df["n_tok"].to_numpy(),
+                    "selected": (cum <= rem).astype(np.int64),
+                }
+            )
+
+        flagged_fast = (
+            slim.map_batches(
+                lambda t: t.filter(pc.equal(t.column("score"), b_score)),
+                batch_format="pyarrow",
+            )
+            .repartition(1)
+            .map_batches(flag_one, batch_format="pandas", batch_size=None)
+        )
+        return plain.union(flagged_fast)
 
     # --- boundary score: two-level exclusive prefix sum over doc_id
     # blocks, then in-block flagging against the remaining budget ---

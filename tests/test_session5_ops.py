@@ -238,3 +238,30 @@ def test_budget_select_multiblock_prefix(ray_session):
         pd.DataFrame({"doc_id": ids, "score": 1000, "n_tok": nw}), budget
     )
     pd.testing.assert_frame_equal(out, brute, check_dtype=False)
+
+
+def test_budget_select_fast_and_distributed_paths_identical(ray_session):
+    """The one-task boundary fast path and the forced two-level
+    distributed prefix sum produce identical selections."""
+    from lasutility_ray.stages.selection import budget_select
+
+    rng = np.random.RandomState(11)
+    n = 60
+    ids = rng.choice(np.arange(4 * 65536), size=n, replace=False).astype(int)
+    nw = rng.randint(1, 25, size=n)
+    docs = _docs_from_words(ids.tolist(), nw.tolist(), nw.tolist())
+    budget = int(nw.sum() // 3)
+    ds = rd.from_pandas(docs)
+    fast = (
+        budget_select(ds, budget=budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    dist = (
+        budget_select(ds, budget=budget, fast_max=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist)
