@@ -1040,6 +1040,38 @@ def q_orders_customer_full(sf_dir: str):
     )
 
 
+def q_cube_agg(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping
+    sets from the same one-corpus-pass fine table as q_rollup_agg
+    (stages/relational.py rollup_agg(grouping="cube"))."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import rollup_agg
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return rollup_agg(li, grouping="cube")
+
+
+def q_topk_orders_per_cust(sf_dir: str):
+    """Top-3 orders per customer by (totalprice DESC, orderkey):
+    per-batch partial top-k bounds the shuffle at k rows per
+    (batch, customer) before the per-group re-rank
+    (stages/relational.py topk_per_group — the O2 top-1-per-cell
+    shape generalized). Value-exact incl. the rank column."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import topk_per_group
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return topk_per_group(orders, "o_custkey", "o_totalprice", "o_orderkey", k=3)
+
+
 def q_customer_nation_broadcast(sf_dir: str):
     """Broadcast join (small side ray.put once, probed per batch; no
     shuffle) — the J2 dict-lookup pattern generalized."""
@@ -2105,6 +2137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gopher_budget_curate": q_gopher_budget_curate,
         "q_image_phash": q_image_phash,
         "q_audio_spectrogram": q_audio_spectrogram,
+        "q_topk_orders_per_cust": q_topk_orders_per_cust,
+        "q_cube_agg": q_cube_agg,
         "q_lineitem_agg": q_lineitem_agg,
         "q_topk_orders": q_topk_orders,
         "q_hll_distinct": q_hll_distinct,
@@ -2473,6 +2507,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_window_functions": _windowfn_sql(),
         "q_rollup_agg": _rollup_sql(),
+        "q_cube_agg": _rollup_sql(grouping="cube"),
         "q_gopher_rules": _gopher_sql(),
         "q_budget_select": _budget_select_sql(),
         "q_pivot_lang_source": _pivot_sql(
@@ -2482,6 +2517,13 @@ def oracle_sql() -> dict[str, str]:
             "lang", "n_chars", "documents", ["doc_id", "lang", "n_chars"], k=0.25
         ),
         "q_gopher_budget_curate": _gbc_sql(),
+        "q_topk_orders_per_cust": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, rank FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "CAST(row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank "
+            "FROM orders) WHERE rank <= 3"
+        ),
         "q_tpch_q3": (
             "WITH ck AS (SELECT c_custkey FROM customer "
             "WHERE c_mktsegment = 'BUILDING'), "

@@ -223,11 +223,12 @@ def tpch_q3(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", 
     return topk.drop_columns(["__one"])
 
 
-def rollup_agg(lineitem_ds):
+def rollup_agg(lineitem_ds, grouping: str = "rollup"):
     """``GROUP BY ROLLUP(l_returnflag, l_linestatus)`` over lineitem:
     the fine-grain (flag, status) aggregate plus the per-flag and
     grand-total super-aggregates, NULL marking each rolled-up level
-    (ANSI ROLLUP semantics).
+    (ANSI ROLLUP semantics). ``grouping="cube"`` adds the
+    status-only level (ANSI CUBE — all four grouping sets).
 
     Shape: map-side partial combine (one row per batch x group), one
     tiny groupby on a fused string key, then the super-aggregates are
@@ -277,7 +278,18 @@ def rollup_agg(lineitem_ds):
             "n_rows": [fine["n_rows"].sum()],
         }
     )
-    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    levels = [fine, lvl1, lvl0]
+    if grouping == "cube":
+        lvl1b = (
+            fine.groupby("l_linestatus", sort=False)
+            .agg(sum_qty=("sum_qty", "sum"), n_rows=("n_rows", "sum"))
+            .reset_index()
+        )
+        lvl1b["l_returnflag"] = None
+        levels.append(lvl1b)
+    elif grouping != "rollup":
+        raise ValueError(f"grouping must be 'rollup' or 'cube' (got {grouping!r})")
+    out = pd.concat(levels, ignore_index=True)
     return pa.table(
         {
             "l_returnflag": pa.array(out["l_returnflag"], pa.string()),
@@ -288,13 +300,13 @@ def rollup_agg(lineitem_ds):
     )
 
 
-def rollup_agg_sql(source: str = "lineitem") -> str:
+def rollup_agg_sql(source: str = "lineitem", grouping: str = "rollup") -> str:
     """DuckDB mirror of :func:`rollup_agg`."""
     return (
         "SELECT l_returnflag, l_linestatus, "
         "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
         f"COUNT(*) AS n_rows FROM {source} "
-        "GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        f"GROUP BY {grouping.upper()}(l_returnflag, l_linestatus)"
     )
 
 

@@ -265,3 +265,30 @@ def test_budget_select_fast_and_distributed_paths_identical(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_topk_per_group_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{SF}/orders.parquet')"
+    )
+    df = entry.queries()["q_topk_orders_per_cust"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_topk_orders_per_cust"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+
+
+def test_cube_agg_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(("lineitem",))
+    df = entry.queries()["q_cube_agg"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_cube_agg"]).df()
+    a = _sorted(df.fillna({"l_returnflag": "~", "l_linestatus": "~"}))
+    b = _sorted(ref.fillna({"l_returnflag": "~", "l_linestatus": "~"}))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # cube = rollup + the status-only level
+    roll = entry.queries()["q_rollup_agg"](SF).to_pandas()
+    assert len(df) == len(roll) + df["l_returnflag"].isna().sum() - 1
