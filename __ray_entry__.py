@@ -2049,7 +2049,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # whose machinery stays window-covered by q_bpe_tokens /
         # q_ann_topk_pq and whose rows-only checks are pytest-pinned.
         "q_orders_customer_left": q_orders_customer_left,
-        "q_bpe_tokens": q_bpe_tokens,
         # new session-5 value-exact ops take window slots from four
         # rows-only queries (q_kmeans_clusters, q_bloom_contamination,
         # q_image_resize, q_audio_features — each family keeps another
@@ -2075,18 +2074,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sample": q_weighted_sample,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_s2_cap_join": q_s2_cap_join,
-        # -- round-2 unverified tail: multimodal + checkpoint (20-27)
-        "q_image_features": q_image_features,
+        # -- round-2 unverified tail: multimodal + checkpoint
         "q_gopher_rules": q_gopher_rules,
         "q_budget_select": q_budget_select,
-        "q_frame_sample": q_frame_sample,
         "q_iqr_filter": q_iqr_filter,
         "q_image_dedup": q_image_dedup,
-        "q_audio_dedup": q_audio_dedup,
         "q_media_metadata": q_media_metadata,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_checkpoint_manifest": q_checkpoint_manifest,
-        # -- implementations changed in round 3: must stay verified (28-39)
+        # -- session-5/6 value-exact additions (driver-unseen)
+        "q_orders_customer_full": q_orders_customer_full,
+        "q_gopher_budget_curate": q_gopher_budget_curate,
+        "q_topk_orders_per_cust": q_topk_orders_per_cust,
+        "q_cube_agg": q_cube_agg,
+        # -- implementations changed in round 3: must stay verified
         "q_dedup_survivors": q_dedup_survivors,
         "q_embed_nn_pairs": q_embed_nn_pairs,
         "q_embed_lsh_pairs": q_embed_lsh_pairs,
@@ -2111,6 +2112,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_raster_lookup_rect": q_raster_lookup_rect,
         "q_knn_spatial": q_knn_spatial,
         "q_idw_interpolate": q_idw_interpolate,
+        # -- rows-only queries rotated out of the 50-window in session 6
+        #    to admit the four value-exact additions above; every code
+        #    path stays pytest-pinned (codec round trips, brute-force
+        #    BPE reference) and q_image_dedup keeps the multimodal
+        #    decode surface inside the window
+        "q_image_features": q_image_features,
+        "q_frame_sample": q_frame_sample,
+        "q_audio_dedup": q_audio_dedup,
+        "q_bpe_tokens": q_bpe_tokens,
         # -- past the 50-window: unchanged since round 2, all green in
         #    CORRECTNESS_r02.json (rows+schema+hash or rows-only by nature)
         "q_tile_counts_3km": q_tile_counts_3km,
@@ -2125,7 +2135,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_orders_customer_join": q_orders_customer_join,
         "q_customer_nation_broadcast": q_customer_nation_broadcast,
         "q_bpe_vocab": q_bpe_vocab,
-        "q_orders_customer_full": q_orders_customer_full,
         "q_ann_pq_recall": q_ann_pq_recall,
         "q_kmeans_clusters": q_kmeans_clusters,
         "q_bloom_contamination": q_bloom_contamination,
@@ -2134,11 +2143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_train_quality": q_train_quality,
         "q_image_reencode": q_image_reencode,
         "q_pca_project": q_pca_project,
-        "q_gopher_budget_curate": q_gopher_budget_curate,
         "q_image_phash": q_image_phash,
         "q_audio_spectrogram": q_audio_spectrogram,
-        "q_topk_orders_per_cust": q_topk_orders_per_cust,
-        "q_cube_agg": q_cube_agg,
         "q_lineitem_agg": q_lineitem_agg,
         "q_topk_orders": q_topk_orders,
         "q_hll_distinct": q_hll_distinct,
