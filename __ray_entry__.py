@@ -481,6 +481,53 @@ def q_window_functions(sf_dir: str):
     return partitioned_window(events)
 
 
+def q_ranking_window(sf_dir: str):
+    """The ranking window functions — DENSE_RANK (over duplicated
+    cents, where it diverges from row_number), ANSI NTILE(4) and
+    PERCENT_RANK — same one-shuffle vectorized-segment-scan shape as
+    q_window_functions (stages/windowfn.py ranking_window)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.windowfn import ranking_window
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return ranking_window(events)
+
+
+def q_merge_intervals(sf_dir: str):
+    """Interval coalesce (islands-and-gaps): every event opens a
+    deterministic-duration interval and each user's overlapping
+    intervals merge into (start_us, end_us, n_merged) rows — one
+    coarse-bucket shuffle + per-bucket vectorized cummax scan
+    (stages/temporal.py merge_intervals); integer microseconds keep
+    it value-exact vs the SQL window-function mirror."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.temporal import merge_intervals
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return merge_intervals(events)
+
+
+def q_mode_per_user(sf_dir: str):
+    """Per-group mode (most frequent event_type per user, ties to the
+    smallest value): map-side partial counts collapse each batch to
+    the distinct-pair space before ONE coarse-bucket shuffle
+    (stages/relational.py mode_per_group)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import mode_per_group
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return mode_per_group(events, "user_id", "event_type")
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2112,6 +2159,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_raster_lookup_rect": q_raster_lookup_rect,
         "q_knn_spatial": q_knn_spatial,
         "q_idw_interpolate": q_idw_interpolate,
+        # -- session-6 additions (value-exact; past the 50-window this
+        #    round, rotate in next)
+        "q_ranking_window": q_ranking_window,
+        "q_merge_intervals": q_merge_intervals,
+        "q_mode_per_user": q_mode_per_user,
         # -- rows-only queries rotated out of the 50-window in session 6
         #    to admit the four value-exact additions above; every code
         #    path stays pytest-pinned (codec round trips, brute-force
@@ -2373,7 +2425,10 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.text import normalize_text_sql
     from lasutility_ray.stages.pii import inject_pii_sql, pii_redact_sql
     from lasutility_ray.stages.text import FP_MOD
+    from lasutility_ray.stages.relational import mode_per_group_sql as _mode_sql
+    from lasutility_ray.stages.temporal import merge_intervals_sql as _mi_sql
     from lasutility_ray.stages.windowfn import partitioned_window_sql as _windowfn_sql
+    from lasutility_ray.stages.windowfn import ranking_window_sql as _rank_sql
     from lasutility_ray.stages.relational import rollup_agg_sql as _rollup_sql
     from lasutility_ray.stages.gopher import gopher_quality_sql as _gopher_sql
     from lasutility_ray.stages.selection import budget_select_sql as _budget_select_sql
@@ -2512,6 +2567,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM ws_k ORDER BY es_key, doc_id LIMIT 25"
         ),
         "q_window_functions": _windowfn_sql(),
+        "q_ranking_window": _rank_sql(),
+        "q_merge_intervals": _mi_sql(),
+        "q_mode_per_user": _mode_sql("user_id", "event_type", "events"),
         "q_rollup_agg": _rollup_sql(),
         "q_cube_agg": _rollup_sql(grouping="cube"),
         "q_gopher_rules": _gopher_sql(),

@@ -382,3 +382,75 @@ def pivot_counts_sql(
         f"CAST(SUM(CASE WHEN {col_col} NOT IN ({inlist}) THEN 1 ELSE 0 END) "
         f"AS BIGINT) AS n_other FROM {source} GROUP BY {row_col}"
     )
+
+
+def mode_per_group(ds, key_col: str, value_col: str):
+    """Per-group mode (most frequent value; ties broken by the
+    SMALLEST value, so the answer is deterministic and SQL-mirrored).
+
+    Shape: map-side partial counts collapse each batch to one row per
+    (key, value) pair BEFORE the shuffle — the wire carries the
+    distinct-pair space, never the corpus — then one coarse-bucket
+    shuffle on hash(key) and a vectorized per-bucket scan (sum the
+    partials, sort (key, -count, value), keep each key's first row).
+    The same partial/final split as the engine's aggregate family
+    (SURVEY.md §2.5); no per-key python groups.
+    """
+    import pandas as pd
+
+    from .cogroup import _str_bucket_of, default_n_buckets
+
+    n_buckets = default_n_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = (
+            df.groupby([key_col, value_col], sort=False, observed=True)
+            .size()
+            .reset_index(name="__c")
+        )
+        c["__b"] = _str_bucket_of(
+            pa.array(c[key_col].astype(str)), n_buckets
+        ) if c[key_col].dtype == object else (
+            c[key_col].to_numpy(np.int64) % np.int64(n_buckets)
+        )
+        return c
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        full = (
+            g.groupby([key_col, value_col], sort=False, observed=True)["__c"]
+            .sum()
+            .reset_index()
+        )
+        full = full.sort_values(
+            [key_col, "__c", value_col],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        first = full.drop_duplicates(subset=[key_col], keep="first")
+        return pd.DataFrame(
+            {
+                key_col: first[key_col].to_numpy(),
+                f"mode_{value_col}": first[value_col].to_numpy(),
+                "mode_count": first["__c"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def mode_per_group_sql(key_col: str, value_col: str, source: str) -> str:
+    """DuckDB mirror of :func:`mode_per_group` (count DESC, value ASC
+    tie order)."""
+    return (
+        f"SELECT {key_col}, {value_col} AS mode_{value_col}, "
+        "CAST(c AS BIGINT) AS mode_count FROM ("
+        f"SELECT {key_col}, {value_col}, count(*) AS c, "
+        f"row_number() OVER (PARTITION BY {key_col} "
+        f"ORDER BY count(*) DESC, {value_col}) AS rn "
+        f"FROM {source} GROUP BY {key_col}, {value_col}) WHERE rn = 1"
+    )

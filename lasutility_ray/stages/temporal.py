@@ -242,3 +242,95 @@ def range_join(
 
     return _cogroup(left_ds, right_ds, on, left_ts, right_ts, attach,
                     n_buckets, type_overrides, merge_bucket)
+
+
+def merge_intervals(events_ds, dur_mod: int = 300, dur_base: int = 30):
+    """Per-key union of overlapping time intervals (interval algebra's
+    coalesce/"islands" operator): each event opens an interval
+    ``[ts, ts + dur)`` with a deterministic duration
+    ``(event_id % dur_mod + dur_base) seconds`` (the synthetic
+    stand-in for a session/visit length, mirrored 1:1 in SQL), and
+    all intervals of a user that overlap or touch are merged into one
+    row ``(user_id, start_us, end_us, n_merged)``.
+
+    Shape: ONE coarse-bucket shuffle on hash(user_id) co-locates each
+    user's slim (start, end) rows, then a single vectorized per-bucket
+    scan does every user at once — sort (user, start, end), running
+    ``cummax(end)`` per user, an island breaks where
+    ``start > cummax(previous ends)`` (touching intervals merge,
+    half-open semantics). Integer epoch-microseconds throughout.
+    """
+    from .cogroup import _bucket_of, default_n_buckets
+
+    n_buckets = default_n_buckets()
+    dur_mod = int(dur_mod)
+    dur_base = int(dur_base)
+
+    def slim(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = _ts_to_us(t.column("ts"))
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = s + (eid % dur_mod + dur_base) * 1_000_000
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "__s": pa.array(s),
+                "__e": pa.array(e),
+                "__b": pa.array(_bucket_of(uid, n_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "__s", "__e"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        s = g["__s"].to_numpy()
+        e = g["__e"].to_numpy()
+        cm = g.groupby("user_id", sort=False)["__e"].cummax().to_numpy()
+        n = len(g)
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        brk = new_user.copy()
+        brk[1:] |= s[1:] > cm[:-1]
+        starts = np.flatnonzero(brk)
+        out_uid = uid[starts]
+        out_s = s[starts]
+        out_e = np.maximum.reduceat(e, starts)
+        out_n = np.diff(np.append(starts, n))
+        return pd.DataFrame(
+            {
+                "user_id": out_uid,
+                "start_us": out_s,
+                "end_us": out_e,
+                "n_merged": out_n.astype(np.int64),
+            }
+        )
+
+    return (
+        events_ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def merge_intervals_sql(
+    source: str = "events", dur_mod: int = 300, dur_base: int = 30
+) -> str:
+    """DuckDB mirror of :func:`merge_intervals` (same islands-and-gaps
+    window construction, same integer microseconds)."""
+    return (
+        f"WITH mi AS (SELECT user_id, epoch_us(ts) AS s, "
+        f"epoch_us(ts) + (event_id % {dur_mod} + {dur_base}) * 1000000 AS e "
+        f"FROM {source}), "
+        "mo AS (SELECT user_id, s, e, max(e) OVER ("
+        "PARTITION BY user_id ORDER BY s, e "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM mi), "
+        "mf AS (SELECT user_id, s, e, "
+        "CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM mo), "
+        "mg AS (SELECT user_id, s, e, SUM(brk) OVER ("
+        "PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) "
+        "AS isl FROM mf) "
+        "SELECT user_id, min(s) AS start_us, max(e) AS end_us, "
+        "CAST(count(*) AS BIGINT) AS n_merged "
+        "FROM mg GROUP BY user_id, isl"
+    )

@@ -98,6 +98,120 @@ def partitioned_window(events_ds):
     )
 
 
+def ranking_window(events_ds, n_tiles: int = 4):
+    """The ranking half of the SQL window-function surface, same
+    one-shuffle coarse-bucket shape as :func:`partitioned_window`:
+
+    - ``dense_rank_cents``: ``DENSE_RANK() OVER (PARTITION BY user_id
+      ORDER BY cents)`` — cents duplicate heavily, so dense rank
+      actually diverges from row_number (the interesting case);
+    - ``ntile``: ``NTILE(n_tiles)`` over the (ts, event_id) order,
+      ANSI semantics (first ``n %% k`` tiles get the extra row);
+    - ``pct_rank``: ``PERCENT_RANK()`` over the same order — the
+      ordering key is unique so this is (row_num-1)/(n-1), computed
+      as the SAME int64/int64 IEEE division in both engines (0.0 for
+      single-row partitions, per the standard).
+
+    Scale: identical wire shape to ``partitioned_window`` (4 slim
+    int64 columns through one hash(user) shuffle; every function for
+    every user in a bucket computed by one vectorized scan).
+    """
+    from .cogroup import _bucket_of, default_n_buckets
+
+    n_buckets = default_n_buckets()
+
+    def slim(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": pa.array(uid),
+                "__us": pa.array(us),
+                "__cents": pa.array(cents),
+                "__b": pa.array(_bucket_of(uid, n_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "__us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        cents = g["__cents"].to_numpy()
+        n = len(g)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        idx = np.arange(n, dtype=np.int64)
+        pos = idx - starts[seg]  # 0-based row number within partition
+        counts = np.bincount(seg).astype(np.int64)
+        cnt = counts[seg]
+        # dense_rank by cents: re-sort (user, cents), count distinct
+        # prefixes per segment, scatter back to the ts order
+        order = np.lexsort((cents, uid))
+        uc, cc = uid[order], cents[order]
+        newv = np.empty(n, dtype=bool)
+        newv[0] = True
+        newv[1:] = (uc[1:] != uc[:-1]) | (cc[1:] != cc[:-1])
+        news = np.empty(n, dtype=bool)
+        news[0] = True
+        news[1:] = uc[1:] != uc[:-1]
+        dv = np.cumsum(newv)
+        base = dv[news] - 1  # distinct count before each segment
+        seg2 = np.cumsum(news) - 1
+        dr_sorted = dv - base[seg2]
+        dense = np.empty(n, dtype=np.int64)
+        dense[order] = dr_sorted
+        # NTILE(k): first (n % k) tiles hold ceil(n/k) rows
+        size, rem = cnt // n_tiles, cnt % n_tiles
+        big = rem * (size + 1)
+        in_big = pos < big
+        ntile = np.where(
+            in_big,
+            pos // np.maximum(size + 1, 1),
+            rem + (pos - big) // np.maximum(size, 1),
+        ) + 1
+        pct = np.where(cnt > 1, pos / np.maximum(cnt - 1, 1), 0.0)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "dense_rank_cents": dense,
+                "ntile": ntile.astype(np.int64),
+                "pct_rank": pct.astype(np.float64),
+            }
+        )
+
+    return (
+        events_ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def ranking_window_sql(source: str = "events", n_tiles: int = 4) -> str:
+    """DuckDB mirror of :func:`ranking_window`."""
+    return (
+        "WITH e AS (SELECT event_id, user_id, ts, "
+        f"CAST(round(value*100) AS BIGINT) AS cents FROM {source}) "
+        "SELECT event_id, user_id, "
+        "CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY cents) "
+        "AS BIGINT) AS dense_rank_cents, "
+        f"CAST(ntile({n_tiles}) OVER w AS BIGINT) AS ntile, "
+        "percent_rank() OVER w AS pct_rank "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+
+
 def partitioned_window_sql(source: str = "events") -> str:
     """DuckDB mirror of :func:`partitioned_window` (same cents, same
     (ts, event_id) tie order)."""
