@@ -528,6 +528,53 @@ def q_mode_per_user(sf_dir: str):
     return mode_per_group(events, "user_id", "event_type")
 
 
+def q_skyline_orders(sf_dir: str):
+    """2-D skyline (Pareto front) of orders — max price, min date.
+    The operator is associative (every global skyline point survives
+    its block's local skyline), so the plan is per-block vectorized
+    partial skylines + ONE tiny merge task over the concatenated
+    partials; shuffle volume ~ blocks x skyline size, never the
+    corpus (stages/skyline.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.skyline import skyline_orders
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderdate"]
+    )
+    return skyline_orders(orders)
+
+
+def q_ed1_hosts(sf_dir: str):
+    """Edit-distance-1 string self-join (typosquat detection) over the
+    corpus host vocabulary via SymSpell deletion-neighborhood
+    signatures: word -> len+1 signatures -> ONE signature-hash
+    shuffle -> in-bucket candidates -> vectorized exact verify. The
+    oracle is the prune-free quadratic levenshtein join — equality
+    proves the signature scheme is lossless (stages/editdist.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.editdist import ed1_join, host_vocab
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ed1_join(host_vocab(docs))
+
+
+def q_envelope_join(sf_dir: str):
+    """Rectangle-intersection spatial self-join (PBSM): each doc's
+    deterministic integer rect replicates to the grid cells it
+    covers, ONE cell shuffle co-locates partners, an in-cell
+    sort-sweep emits pairs, and the reference-point rule kills
+    duplicate reports without a dedup pass. Oracle = prune-free
+    quadratic predicate join (stages/envelope.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.envelope import envelope_self_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return envelope_self_join(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2164,6 +2211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ranking_window": q_ranking_window,
         "q_merge_intervals": q_merge_intervals,
         "q_mode_per_user": q_mode_per_user,
+        "q_skyline_orders": q_skyline_orders,
+        "q_ed1_hosts": q_ed1_hosts,
+        "q_envelope_join": q_envelope_join,
         # -- rows-only queries rotated out of the 50-window in session 6
         #    to admit the four value-exact additions above; every code
         #    path stays pytest-pinned (codec round trips, brute-force
@@ -2429,6 +2479,9 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.temporal import merge_intervals_sql as _mi_sql
     from lasutility_ray.stages.windowfn import partitioned_window_sql as _windowfn_sql
     from lasutility_ray.stages.windowfn import ranking_window_sql as _rank_sql
+    from lasutility_ray.stages.skyline import skyline_orders_sql as _skyline_sql
+    from lasutility_ray.stages.editdist import host_ed1_sql as _ed1_sql
+    from lasutility_ray.stages.envelope import envelope_join_sql as _envelope_sql
     from lasutility_ray.stages.relational import rollup_agg_sql as _rollup_sql
     from lasutility_ray.stages.gopher import gopher_quality_sql as _gopher_sql
     from lasutility_ray.stages.selection import budget_select_sql as _budget_select_sql
@@ -2570,6 +2623,9 @@ def oracle_sql() -> dict[str, str]:
         "q_ranking_window": _rank_sql(),
         "q_merge_intervals": _mi_sql(),
         "q_mode_per_user": _mode_sql("user_id", "event_type", "events"),
+        "q_skyline_orders": _skyline_sql(),
+        "q_ed1_hosts": _ed1_sql(),
+        "q_envelope_join": _envelope_sql(),
         "q_rollup_agg": _rollup_sql(),
         "q_cube_agg": _rollup_sql(grouping="cube"),
         "q_gopher_rules": _gopher_sql(),

@@ -135,3 +135,151 @@ def test_mode_tie_breaks_to_smallest_value(ray_session):
     out = mode_per_group(rd.from_pandas(df), "user_id", "event_type").to_pandas()
     assert out["mode_event_type"].tolist() == ["a"]
     assert out["mode_count"].tolist() == [2]
+
+
+def test_skyline_orders_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=("orders",))
+    df = entry.queries()["q_skyline_orders"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_skyline_orders"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    assert len(df) >= 2  # a real front, not one point
+
+
+def test_skyline_partition_invariance(ray_session):
+    """skyline(T) == skyline(union of per-block skylines) at ANY
+    partitioning: repartitioned input gives the identical front."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.skyline import skyline_orders
+
+    ds = rd.read_parquet(
+        f"{SF_S}/orders.parquet", columns=["o_totalprice", "o_orderdate"]
+    )
+    a = _sorted(skyline_orders(ds).to_pandas())
+    b = _sorted(skyline_orders(ds.repartition(13)).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_skyline_dominance_holds(ray_session):
+    """No returned point dominates another; every input point is
+    dominated-or-equal by some skyline point (brute-force audit)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lasutility_ray.stages.skyline import skyline_orders
+
+    t = pq.read_table(
+        f"{SF_S}/orders.parquet", columns=["o_totalprice", "o_orderdate"]
+    )
+    p = np.round(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+    d = (
+        t.column("o_orderdate")
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .astype(np.int64)
+    )
+    sk = skyline_orders(
+        rd.read_parquet(
+            f"{SF_S}/orders.parquet", columns=["o_totalprice", "o_orderdate"]
+        )
+    ).to_pandas()
+    sp = sk["price_cents"].to_numpy()
+    sd = sk["date_us"].to_numpy()
+    for i in range(len(sp)):  # pairwise non-dominance within the front
+        dom = (sp >= sp[i]) & (sd <= sd[i]) & ((sp > sp[i]) | (sd < sd[i]))
+        assert not dom.any()
+    # every input point is dominated by (or equal to) a front point
+    for i in range(0, len(p), max(1, len(p) // 200)):
+        assert ((sp >= p[i]) & (sd <= d[i])).any()
+
+
+def test_ed1_hosts_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=("documents",))
+    df = entry.queries()["q_ed1_hosts"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_ed1_hosts"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    assert len(df) > 0
+
+
+def test_ed1_verify_kernel_exact():
+    """The vectorized verifier == python Levenshtein on adversarial
+    pairs: substitution, deletion at head/middle/tail, transposition
+    (distance 2 — must REJECT), prefix pairs, equal strings."""
+    from lasutility_ray.stages.editdist import _ed1_verify
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        dp = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, dp[0] = dp[0], i
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (a[i - 1] != b[j - 1])
+                )
+                prev = cur
+        return dp[n]
+
+    # NOTE: identical strings are OUT of the kernel's contract —
+    # ed1_join filters wa != wb before verifying (the vocabulary is
+    # distinct), so they are deliberately absent here.
+    pairs = [
+        ("site1", "site2"), ("site1", "site12"), ("site1", "ite1"),
+        ("abcd", "abdc"), ("ab", "ba"),
+        ("a", "ab"), ("abc", "a"), ("xabc", "abc"), ("abc", "abx"),
+        ("site123", "site213"), ("s", "t"), ("aaaa", "aaa"),
+        ("aaab", "aaba"), ("host", "hosts"), ("hello", "hallo"),
+    ]
+    wa = pd.Series([a for a, _ in pairs])
+    wb = pd.Series([b for _, b in pairs])
+    got = _ed1_verify(wa, wb)
+    want = np.array([lev(a, b) <= 1 for a, b in pairs])
+    assert (got == want).all(), list(zip(pairs, got, want))
+
+
+def test_envelope_join_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=("documents",))
+    df = entry.queries()["q_envelope_join"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_envelope_join"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    assert len(df) > 0
+
+
+def test_envelope_cross_cell_pairs_once(ray_session):
+    """Rects spanning multiple grid cells are reported exactly once
+    (the PBSM reference-point rule), including a pair whose overlap
+    region itself straddles a cell boundary."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.envelope import GRID_M, doc_rects, envelope_self_join
+
+    # find two doc ids whose rects overlap AND whose cell windows differ
+    ids = np.arange(0, 4000, dtype=np.int64)
+    x0, y0, x1, y1 = doc_rects(ids)
+    hits = []
+    for i in range(len(ids)):
+        ok = (
+            (x0 <= x1[i]) & (x0[i] <= x1) & (y0 <= y1[i]) & (y0[i] <= y1)
+        )
+        ok[i] = False
+        for j in np.flatnonzero(ok):
+            if j > i and (x0[i] // GRID_M != x0[j] // GRID_M
+                          or y0[i] // GRID_M != y0[j] // GRID_M):
+                hits.append((i, j))
+    assert hits, "fixture must contain cross-cell overlaps"
+    sub = sorted({i for ij in hits for i in ij})
+    out = envelope_self_join(
+        rd.from_pandas(pd.DataFrame({"doc_id": np.array(sub, np.int64)}))
+    ).to_pandas()
+    # each emitted pair exactly once
+    assert not out.duplicated(["a", "b"]).any()
+    got = set(zip(out["a"], out["b"]))
+    want = {(int(ids[i]), int(ids[j])) for i, j in hits
+            if ids[i] in sub and ids[j] in sub}
+    assert want <= got
