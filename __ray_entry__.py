@@ -575,6 +575,22 @@ def q_envelope_join(sf_dir: str):
     return envelope_self_join(docs)
 
 
+def q_triangle_counts(sf_dir: str):
+    """Per-host triangle counts over the undirected host graph — the
+    Suri-Vassilvitskii degree-ordered node-iterator: distinct edges,
+    degree lookup-joins, low->high orientation, rank-ordered wedge
+    emission per source, and ONE coarse-bucket shuffle that matches
+    wedges to their closing edges and collapses to per-host partial
+    counts in-bucket (stages/graph.py triangle_counts). Value-exact
+    vs the DuckDB triple self-join with the same orientation."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.graph import triangle_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return triangle_counts(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2214,6 +2230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skyline_orders": q_skyline_orders,
         "q_ed1_hosts": q_ed1_hosts,
         "q_envelope_join": q_envelope_join,
+        "q_triangle_counts": q_triangle_counts,
         # -- rows-only queries rotated out of the 50-window in session 6
         #    to admit the four value-exact additions above; every code
         #    path stays pytest-pinned (codec round trips, brute-force
@@ -2482,6 +2499,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.skyline import skyline_orders_sql as _skyline_sql
     from lasutility_ray.stages.editdist import host_ed1_sql as _ed1_sql
     from lasutility_ray.stages.envelope import envelope_join_sql as _envelope_sql
+    from lasutility_ray.stages.graph import triangle_counts_sql as _tri_sql
     from lasutility_ray.stages.relational import rollup_agg_sql as _rollup_sql
     from lasutility_ray.stages.gopher import gopher_quality_sql as _gopher_sql
     from lasutility_ray.stages.selection import budget_select_sql as _budget_select_sql
@@ -2626,6 +2644,7 @@ def oracle_sql() -> dict[str, str]:
         "q_skyline_orders": _skyline_sql(),
         "q_ed1_hosts": _ed1_sql(),
         "q_envelope_join": _envelope_sql(),
+        "q_triangle_counts": _tri_sql(),
         "q_rollup_agg": _rollup_sql(),
         "q_cube_agg": _rollup_sql(grouping="cube"),
         "q_gopher_rules": _gopher_sql(),

@@ -243,3 +243,217 @@ def pagerank_sql(n_iters: int = N_ITERS, src: str = "documents") -> str:
         "WITH " + ", ".join(ctes) + " "
         f"SELECT host_id, CAST(r AS BIGINT) AS rank_e9 FROM pr_r{n_iters}"
     )
+
+
+def undirected_host_edges(docs_ds):
+    """documents -> DISTINCT undirected host edges (u < v), slim."""
+    from ray.data.aggregate import Count
+
+    def und(t: pa.Table) -> pa.Table:
+        src, d1, d2 = edge_targets(t.column("doc_id").to_numpy())
+        s = np.concatenate([src, src])
+        d = np.concatenate([d1, d2])
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(s, d), pa.int64()),
+                "v": pa.array(np.maximum(s, d), pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.select_columns(["doc_id"])
+        .map_batches(und, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["u", "v"])
+    )
+
+
+def triangle_counts(docs_ds):
+    """Per-host triangle counts over the undirected host graph — the
+    Suri–Vassilvitskii degree-ordered node-iterator, end to end in
+    Dataset ops (no driver structure beyond scalars):
+
+    1. DISTINCT undirected edges (one groupby; slim: bounded by the
+       distinct host-pair space, never the corpus);
+    2. degrees via one groupby over the exploded ends;
+    3. orient every edge low-rank -> high-rank, rank = (degree, id),
+       degrees attached by two bucketed ``lookup_join``s (broadcast
+       would cap the vertex set; the join keeps it unbounded);
+    4. wedges: groupby(source) emits each out-neighbor pair in rank
+       order — the degree orientation caps out-degree at O(sqrt(m)),
+       so wedge volume is the classic sum-of-C(outdeg,2) bound;
+    5. ONE coarse-bucket shuffle co-locates wedges with the oriented
+       edges that would close them ((v, w) key); matched wedges
+       collapse IN-BUCKET to per-host partial counts (each triangle
+       credits its three hosts) before the final tiny groupby-sum.
+
+    Every step is integer arithmetic; the DuckDB mirror reproduces
+    the same orientation and triple join, so per-host counts are
+    value-exact.
+    """
+    from ray.data.aggregate import Sum
+
+    from .cogroup import _bucket_of, default_n_buckets, lookup_join
+
+    n_buckets = default_n_buckets()
+
+    edges = undirected_host_edges(docs_ds).materialize()  # reused 3x
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t.column("u").combine_chunks(), t.column("v").combine_chunks()]
+                )
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    deg = (
+        edges.map_batches(ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .materialize()  # slim keyed right side: pin before joining
+    )
+
+    e1 = lookup_join(edges, deg, "u", "node", {"deg": "deg_u"})
+    e2 = lookup_join(e1, deg, "v", "node", {"deg": "deg_v"})
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        du = t.column("deg_u").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = t.column("deg_v").to_numpy(zero_copy_only=False).astype(np.int64)
+        fwd = (du < dv) | ((du == dv) & (u < v))  # rank(u) < rank(v)
+        s = np.where(fwd, u, v)
+        d = np.where(fwd, v, u)
+        dd = np.where(fwd, dv, du)  # rank key of the head, for wedge order
+        return pa.table(
+            {
+                "s": pa.array(s, pa.int64()),
+                "t": pa.array(d, pa.int64()),
+                "dt": pa.array(dd, pa.int64()),
+            }
+        )
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s", "dt", "t"], kind="stable")
+        s = g["s"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        new = np.empty(len(g), dtype=bool)
+        if len(g):
+            new[0] = True
+            new[1:] = s[1:] != s[:-1]
+        from .dedup import _pair_indices
+
+        ai, bi = _pair_indices(new)
+        if not len(ai):
+            return pd.DataFrame(
+                {
+                    "k1": pd.Series([], dtype=np.int64),
+                    "k2": pd.Series([], dtype=np.int64),
+                    "apex": pd.Series([], dtype=np.int64),
+                    "kind": pd.Series([], dtype=np.int64),
+                }
+            )
+        # pair (ai, bi) within a source group, rank(t[ai]) < rank(t[bi])
+        return pd.DataFrame(
+            {"k1": t[ai], "k2": t[bi], "apex": s[ai],
+             "kind": np.zeros(len(ai), np.int64)}
+        )
+
+    wedge_ds = oriented.groupby("s").map_groups(wedges, batch_format="pandas")
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "k1": t.column("s"),
+                "k2": t.column("t"),
+                "apex": pa.array(
+                    np.full(t.num_rows, -1, np.int64), pa.int64()
+                ),
+                "kind": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    both = wedge_ds.union(oriented.map_batches(edge_rows, batch_format="pyarrow"))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        k1 = t.column("k1").to_numpy(zero_copy_only=False).astype(np.int64)
+        k2 = t.column("k2").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = k1 * np.int64(0x9E3779B9) + k2
+        return t.append_column("__b", pa.array(_bucket_of(key, n_buckets)))
+
+    def close_and_count(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["kind"].to_numpy() == 1
+        ek = set(
+            zip(
+                g["k1"].to_numpy(np.int64)[is_edge].tolist(),
+                g["k2"].to_numpy(np.int64)[is_edge].tolist(),
+            )
+        )
+        w = g[~is_edge]
+        if not len(w) or not ek:
+            return pd.DataFrame(
+                {"host": pd.Series([], dtype=np.int64),
+                 "c": pd.Series([], dtype=np.int64)}
+            )
+        idx = pd.MultiIndex.from_arrays(
+            [w["k1"].to_numpy(np.int64), w["k2"].to_numpy(np.int64)]
+        )
+        hit = idx.isin(ek)
+        tri = w[hit]
+        hosts = np.concatenate(
+            [
+                tri["apex"].to_numpy(np.int64),
+                tri["k1"].to_numpy(np.int64),
+                tri["k2"].to_numpy(np.int64),
+            ]
+        )
+        uh, cnt = np.unique(hosts, return_counts=True)
+        return pd.DataFrame({"host": uh, "c": cnt.astype(np.int64)})
+
+    return (
+        both.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(close_and_count, batch_format="pandas")
+        .groupby("host")
+        .aggregate(Sum("c", alias_name="n_triangles"))
+    )
+
+
+def triangle_counts_sql(src: str = "documents") -> str:
+    """DuckDB mirror of :func:`triangle_counts` — same edge
+    derivation, same (degree, id) orientation, triple self-join."""
+    h1 = f"((doc_id * {H1_MUL}) % {M32})"
+    return (
+        f"WITH tc_raw AS (SELECT doc_id % {N_HOST_SITES} AS src, "
+        f"{h1} % {N_HOST_SITES} AS d1, "
+        f"({h1} // {N_HOST_SITES}) % {N_HOST_SITES} AS d2 FROM {src}), "
+        "tc_e AS (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM ("
+        "SELECT src, d1 AS dst FROM tc_raw UNION ALL "
+        "SELECT src, d2 AS dst FROM tc_raw) WHERE src <> dst), "
+        "tc_d AS (SELECT node, count(*) AS deg FROM ("
+        "SELECT u AS node FROM tc_e UNION ALL SELECT v FROM tc_e) "
+        "GROUP BY node), "
+        "tc_o AS (SELECT CASE WHEN du.deg < dv.deg OR "
+        "(du.deg = dv.deg AND e.u < e.v) THEN e.u ELSE e.v END AS s, "
+        "CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v) "
+        "THEN e.v ELSE e.u END AS t "
+        "FROM tc_e e JOIN tc_d du ON du.node = e.u "
+        "JOIN tc_d dv ON dv.node = e.v), "
+        "tc_t AS (SELECT a.s AS x, a.t AS y, b.t AS z "
+        "FROM tc_o a JOIN tc_o b ON b.s = a.t "
+        "JOIN tc_o c ON c.s = a.s AND c.t = b.t), "
+        "tc_h AS (SELECT x AS host FROM tc_t UNION ALL "
+        "SELECT y FROM tc_t UNION ALL SELECT z FROM tc_t) "
+        "SELECT host, CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM tc_h GROUP BY host"
+    )

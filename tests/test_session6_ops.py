@@ -283,3 +283,32 @@ def test_envelope_cross_cell_pairs_once(ray_session):
     want = {(int(ids[i]), int(ids[j])) for i, j in hits
             if ids[i] in sub and ids[j] in sub}
     assert want <= got
+
+
+def test_triangle_counts_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=("documents",))
+    df = entry.queries()["q_triangle_counts"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_triangle_counts"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    # each triangle credits 3 hosts -> total divisible by 3
+    assert df["n_triangles"].sum() % 3 == 0 and len(df) > 0
+
+
+def test_triangle_counts_dense_graph(ray_session):
+    """Denser substrate (20k synthetic doc ids -> all 1000 hosts,
+    many triangles) so the wedge/close machinery is exercised well
+    past the sparse 500-doc fixture; also pins partition invariance."""
+    import duckdb
+    import ray.data as rd
+
+    from lasutility_ray.stages.graph import triangle_counts, triangle_counts_sql
+
+    docs = pd.DataFrame({"doc_id": np.arange(20000, dtype=np.int64)})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    ref = con.execute(triangle_counts_sql()).df()
+    assert ref["n_triangles"].sum() // 3 > 100  # genuinely dense
+    out = triangle_counts(rd.from_pandas(docs).repartition(7)).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(out), _sorted(ref), check_dtype=False)
