@@ -591,6 +591,37 @@ def q_triangle_counts(sf_dir: str):
     return triangle_counts(docs)
 
 
+def q_funnel_conversion(sf_dir: str):
+    """Ordered funnel (view -> click -> purchase, first-touch, strict
+    `ts >` chaining): slim filtered scan, ONE user-bucket shuffle,
+    stepwise vectorized groupby-min chain per bucket, per-stage
+    PARTIAL user counts summed by a tiny final groupby — the driver
+    never sees a per-user row (stages/funnel.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.funnel import funnel_stages
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_stages(events)
+
+
+def q_collocations(sf_dir: str):
+    """Top-25 PMI collocations (adjacent token pairs most above
+    independence), ranked by int64 floor LIFT so both engines agree
+    bit-for-bit: per-batch pair partials -> one bigram groupby ->
+    marginals as two tiny re-aggregations lookup-joined back ->
+    per-block partial top-k + one merge task
+    (stages/collocations.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.collocations import collocations
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return collocations(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2231,6 +2262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ed1_hosts": q_ed1_hosts,
         "q_envelope_join": q_envelope_join,
         "q_triangle_counts": q_triangle_counts,
+        "q_funnel_conversion": q_funnel_conversion,
+        "q_collocations": q_collocations,
         # -- rows-only queries rotated out of the 50-window in session 6
         #    to admit the four value-exact additions above; every code
         #    path stays pytest-pinned (codec round trips, brute-force
@@ -2500,6 +2533,8 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.editdist import host_ed1_sql as _ed1_sql
     from lasutility_ray.stages.envelope import envelope_join_sql as _envelope_sql
     from lasutility_ray.stages.graph import triangle_counts_sql as _tri_sql
+    from lasutility_ray.stages.funnel import funnel_sql as _funnel_sql
+    from lasutility_ray.stages.collocations import collocations_sql as _colloc_sql
     from lasutility_ray.stages.relational import rollup_agg_sql as _rollup_sql
     from lasutility_ray.stages.gopher import gopher_quality_sql as _gopher_sql
     from lasutility_ray.stages.selection import budget_select_sql as _budget_select_sql
@@ -2645,6 +2680,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ed1_hosts": _ed1_sql(),
         "q_envelope_join": _envelope_sql(),
         "q_triangle_counts": _tri_sql(),
+        "q_funnel_conversion": _funnel_sql(),
+        "q_collocations": _colloc_sql(),
         "q_rollup_agg": _rollup_sql(),
         "q_cube_agg": _rollup_sql(grouping="cube"),
         "q_gopher_rules": _gopher_sql(),
