@@ -622,6 +622,51 @@ def q_collocations(sf_dir: str):
     return collocations(docs)
 
 
+def q_polygon_areas(sf_dir: str):
+    """Per-feature geometry metrics: WKB parse + integer shoelace
+    doubled area (holes subtract), ring/vertex counts — a pure map
+    over the feature table. The oracle re-derives expected metrics
+    from the closed-form corpus parameters, proving the WKB round
+    trip AND the shoelace kernel (stages/geomops.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.corpus.polygons import build_feature_table
+    from lasutility_ray.stages.geomops import polygon_metrics
+
+    return polygon_metrics(rd.from_arrow(build_feature_table()))
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over each user's
+    chronological event stream — one user-bucket shuffle, vectorized
+    adjacent-pair scan, in-bucket partial counts
+    (stages/markov.py event_transitions); mirrors SQL lead()."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.markov import event_transitions
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return event_transitions(events)
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix (first-activity week x week
+    offset, distinct users) in floor-division epoch weeks — one
+    user-bucket shuffle, per-bucket distinct + min, partial counts
+    summed by a tiny final groupby (stages/markov.py)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.markov import cohort_retention
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(events)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2264,6 +2309,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangle_counts": q_triangle_counts,
         "q_funnel_conversion": q_funnel_conversion,
         "q_collocations": q_collocations,
+        "q_polygon_areas": q_polygon_areas,
+        "q_event_transitions": q_event_transitions,
+        "q_cohort_retention": q_cohort_retention,
         # -- rows-only queries rotated out of the 50-window in session 6
         #    to admit the four value-exact additions above; every code
         #    path stays pytest-pinned (codec round trips, brute-force
@@ -2535,6 +2583,9 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.graph import triangle_counts_sql as _tri_sql
     from lasutility_ray.stages.funnel import funnel_sql as _funnel_sql
     from lasutility_ray.stages.collocations import collocations_sql as _colloc_sql
+    from lasutility_ray.stages.geomops import polygon_metrics_sql as _polyarea_sql
+    from lasutility_ray.stages.markov import event_transitions_sql as _etrans_sql
+    from lasutility_ray.stages.markov import cohort_retention_sql as _cohort_sql
     from lasutility_ray.stages.relational import rollup_agg_sql as _rollup_sql
     from lasutility_ray.stages.gopher import gopher_quality_sql as _gopher_sql
     from lasutility_ray.stages.selection import budget_select_sql as _budget_select_sql
@@ -2682,6 +2733,9 @@ def oracle_sql() -> dict[str, str]:
         "q_triangle_counts": _tri_sql(),
         "q_funnel_conversion": _funnel_sql(),
         "q_collocations": _colloc_sql(),
+        "q_polygon_areas": _polyarea_sql(),
+        "q_event_transitions": _etrans_sql(),
+        "q_cohort_retention": _cohort_sql(),
         "q_rollup_agg": _rollup_sql(),
         "q_cube_agg": _rollup_sql(grouping="cube"),
         "q_gopher_rules": _gopher_sql(),

@@ -115,3 +115,80 @@ def test_collocations_hand_corpus(ray_session):
     # (x, z): c_ab=5, c_a(x..)=10, c_b(..z)=10 -> same lift
     row2 = out[(out.a == "x") & (out.b == "z")].iloc[0]
     assert row2["lift_e6"] == row["lift_e6"]
+
+
+def test_polygon_areas_match_construction_oracle(ray_session):
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()  # oracle is closed-form; no tables needed
+    df = entry.queries()["q_polygon_areas"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_polygon_areas"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    # holes genuinely subtract: every holed lake is smaller than its
+    # exterior square would be
+    holed = df[df.kind == "holed"]
+    assert (holed["n_rings"] == 2).all() and len(holed) == 20
+
+
+def test_shoelace_orientation_invariance():
+    """Shoelace |area| is orientation-independent; a concave ring
+    (L-shape) gets its true area, not its bbox."""
+    from lasutility_ray.stages.geomops import _ring_area2
+
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    assert _ring_area2(sq) == 200  # 2 * 100, CCW positive
+    assert _ring_area2(sq[::-1]) == -200  # CW negative
+    ell = np.array(
+        [[0, 0], [10, 0], [10, 5], [5, 5], [5, 10], [0, 10], [0, 0]], float
+    )
+    assert abs(_ring_area2(ell)) == 2 * 75
+
+
+def test_event_transitions_match_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con()
+    df = entry.queries()["q_event_transitions"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_event_transitions"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    # 5 event types -> a dense-ish 5x5 matrix; totals = events - users
+    n_ev = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    n_us = con.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert df["n"].sum() == n_ev - n_us
+
+
+def test_event_transitions_no_cross_user_pairs(ray_session):
+    """Consecutive rows from different users must not pair."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.markov import event_transitions
+
+    base = np.datetime64("2024-01-01", "us")
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [1, 2, 1, 2],
+            "ts": [base, base + 1, base + 2, base + 3],
+            "event_type": ["a", "x", "b", "y"],
+        }
+    )
+    out = event_transitions(rd.from_pandas(df)).to_pandas()
+    got = set(zip(out["from_type"], out["to_type"]))
+    assert got == {("a", "b"), ("x", "y")}
+
+
+def test_cohort_retention_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con()
+    df = entry.queries()["q_cohort_retention"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_cohort_retention"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    # offset-0 row of each cohort is its size; retention never exceeds it
+    size = df[df.week_offset == 0].set_index("cohort_week")["n_users"]
+    later = df[df.week_offset > 0]
+    assert (later["n_users"].to_numpy()
+            <= later["cohort_week"].map(size).to_numpy()).all()
+    assert (df["week_offset"] >= 0).all()
