@@ -358,13 +358,30 @@ def q_inverted_index(sf_dir: str):
     deduped in-batch, one coarse token-hash bucket shuffle, postings
     assembled via arrow ListArray offsets — no per-token python
     (stages/chunking.py inverted_index). Value-exact incl. posting
-    order vs the DuckDB list(ORDER BY) mirror."""
+    order vs the DuckDB mirror. Driver-compare hygiene: the arrow
+    ``list<int64>`` postings column is surfaced as a canonical
+    comma-joined string (vectorized ``pc.binary_join`` over the
+    vocab-bounded result) because a pandas sort+hash compare cannot
+    order list values; the SQL mirrors with ``array_to_string``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
 
     from lasutility_ray.stages.chunking import inverted_index
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    return inverted_index(docs, min_df=2)
+
+    def stringify(t: pa.Table) -> pa.Table:
+        postings = pc.binary_join(
+            pc.cast(t.column("postings"), pa.list_(pa.string())), ","
+        )
+        return t.set_column(
+            t.schema.get_field_index("postings"), "postings", postings
+        )
+
+    return inverted_index(docs, min_df=2).map_batches(
+        stringify, batch_format="pyarrow"
+    )
 
 
 def q_s2_cell_counts(sf_dir: str):
@@ -2776,7 +2793,7 @@ def oracle_sql() -> dict[str, str]:
             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token "
             "FROM documents) "
             "SELECT token, CAST(count(*) AS BIGINT) AS df, "
-            "list(doc_id ORDER BY doc_id) AS postings "
+            "array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings "
             "FROM pairs GROUP BY token HAVING count(*) >= 2"
         ),
         "q_token_stats": (
