@@ -684,6 +684,51 @@ def q_cohort_retention(sf_dir: str):
     return cohort_retention(events)
 
 
+def q_snap_roads(sf_dir: str):
+    """Tolerance-bounded nearest-road snap (map-matching lite): PBSM
+    grid co-group of points and SNAP_R-expanded segment envelopes,
+    in-cell vectorized (dist2, seg_id) min in exact integer mm^2
+    (stages/snap.py). The prune-free CROSS JOIN + QUALIFY oracle
+    doubles as the grid-pruning losslessness proof."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.snap import snap_to_roads
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return snap_to_roads(docs)
+
+
+def q_grid_clusters(sf_dir: str):
+    """Density-grid clustering (grid DBSCAN/STING): core cells by
+    count threshold, 8-neighbor connected components via the repo's
+    duplicate_components, points labeled with min-cell-id cluster
+    labels (stages/gridcluster.py). The oracle's WITH RECURSIVE
+    transitive closure proves the whole chain incl. the CC."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.gridcluster import grid_clusters
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return grid_clusters(docs)
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch attribution: purchases credited to the user's most
+    recent prior click/view/signup via a segmented vectorized
+    forward-fill in one user-bucket shuffle; per-channel conversion
+    count + integer-cent revenue (stages/attribution.py). Mirrors
+    SQL last_value(IGNORE NULLS) OVER (... 1 PRECEDING)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.attribution import last_touch_attribution
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+    return last_touch_attribution(events)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2329,6 +2374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_polygon_areas": q_polygon_areas,
         "q_event_transitions": q_event_transitions,
         "q_cohort_retention": q_cohort_retention,
+        "q_snap_roads": q_snap_roads,
+        "q_grid_clusters": q_grid_clusters,
+        "q_attribution": q_attribution,
         # -- rows-only queries rotated out of the 50-window in session 6
         #    to admit the four value-exact additions above; every code
         #    path stays pytest-pinned (codec round trips, brute-force
@@ -2603,6 +2651,9 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.geomops import polygon_metrics_sql as _polyarea_sql
     from lasutility_ray.stages.markov import event_transitions_sql as _etrans_sql
     from lasutility_ray.stages.markov import cohort_retention_sql as _cohort_sql
+    from lasutility_ray.stages.snap import snap_sql as _snap_sql
+    from lasutility_ray.stages.gridcluster import grid_clusters_sql as _gridclus_sql
+    from lasutility_ray.stages.attribution import attribution_sql as _attr_sql
     from lasutility_ray.stages.relational import rollup_agg_sql as _rollup_sql
     from lasutility_ray.stages.gopher import gopher_quality_sql as _gopher_sql
     from lasutility_ray.stages.selection import budget_select_sql as _budget_select_sql
@@ -2753,6 +2804,9 @@ def oracle_sql() -> dict[str, str]:
         "q_polygon_areas": _polyarea_sql(),
         "q_event_transitions": _etrans_sql(),
         "q_cohort_retention": _cohort_sql(),
+        "q_snap_roads": _snap_sql(),
+        "q_grid_clusters": _gridclus_sql(),
+        "q_attribution": _attr_sql(),
         "q_rollup_agg": _rollup_sql(),
         "q_cube_agg": _rollup_sql(grouping="cube"),
         "q_gopher_rules": _gopher_sql(),

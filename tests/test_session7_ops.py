@@ -192,3 +192,110 @@ def test_cohort_retention_matches_duckdb(ray_session):
     assert (later["n_users"].to_numpy()
             <= later["cohort_week"].map(size).to_numpy()).all()
     assert (df["week_offset"] >= 0).all()
+
+
+def test_snap_roads_matches_prunefree_oracle(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=("documents",))
+    df = entry.queries()["q_snap_roads"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_snap_roads"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    from lasutility_ray.stages.snap import SNAP_R2
+
+    assert (df["dist2"] <= SNAP_R2).all() and len(df) > 0
+    assert df["doc_id"].is_unique  # one winner per snapped point
+
+
+def test_snap_distance_kernel_and_tiebreak():
+    """The GREATEST point-to-axis-aligned-segment formula and the
+    (dist2, seg_id) lexicographic winner, on hand geometry."""
+    import pandas as pd_
+    import ray.data as rd
+
+    from lasutility_ray.stages import snap
+
+    # horizontal segment y=100, x in [0, 1000]; point above the middle
+    dx = max(0 - 500, 500 - 1000, 0)
+    dy = max(100 - 130, 130 - 100, 0)
+    assert dx == 0 and dy == 30  # interior projection
+    # beyond the endpoint: both terms engage
+    dx2 = max(0 - 1200, 1200 - 1000, 0)
+    assert dx2 == 200
+
+
+def test_grid_clusters_match_recursive_cte(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=("documents",))
+    df = entry.queries()["q_grid_clusters"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_grid_clusters"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    # urban skew: the 4 dense 1-km tiles must cluster (some cluster
+    # holds many points) while most clusters are small
+    sizes = df.groupby("cluster_id").size()
+    assert sizes.max() >= 50 and len(sizes) >= 5
+    # labels are canonical min-cell ids: every cluster_id labels itself
+    from lasutility_ray.stages.gridcluster import CELL, NC
+    from lasutility_ray.stages.snap import point_mm
+
+    px, py = point_mm(df["doc_id"].to_numpy())
+    cells = (px // CELL) * NC + py // CELL
+    assert ((df["cluster_id"].to_numpy() <= cells)).all()
+
+
+def test_attribution_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con()
+    df = entry.queries()["q_attribution"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_attribution"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    n_purch = con.execute(
+        "SELECT count(*) FROM events WHERE event_type = 'purchase'"
+    ).fetchone()[0]
+    assert df["n_conversions"].sum() == n_purch  # every purchase lands
+
+
+def test_attribution_hand_sequences(ray_session):
+    """No-prior-touch -> (none); purchases are not touches; the touch
+    must be the LATEST prior one; per-user isolation."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.attribution import last_touch_attribution
+
+    base = np.datetime64("2024-01-01", "us")
+    rows = [
+        # user 1: purchase with no prior touch -> (none)
+        (1, 1, 0, "purchase", 1.0),
+        # then click -> view -> purchase: credits VIEW (latest)
+        (2, 1, 1, "click", 0.0),
+        (3, 1, 2, "view", 0.0),
+        (4, 1, 3, "purchase", 2.0),
+        # purchase right after a purchase: still VIEW (purchases
+        # aren't touches)
+        (5, 1, 4, "purchase", 3.0),
+        # user 2's click must not leak into user 3's purchase
+        (6, 2, 0, "click", 0.0),
+        (7, 3, 1, "purchase", 4.0),
+    ]
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "user_id": [r[1] for r in rows],
+            "ts": [base + r[2] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [r[4] for r in rows],
+        }
+    )
+    out = (
+        last_touch_attribution(rd.from_pandas(df))
+        .to_pandas()
+        .set_index("channel")
+        .sort_index()
+    )
+    assert out.loc["(none)", "n_conversions"] == 2  # users 1-first + 3
+    assert out.loc["(none)", "value_cents"] == 500
+    assert out.loc["view", "n_conversions"] == 2
+    assert out.loc["view", "value_cents"] == 500
+    assert "click" not in out.index
