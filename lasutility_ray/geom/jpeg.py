@@ -14,18 +14,22 @@ accumulation — it exists to pin the SOF2 decoder with real
 multi-scan streams.
 
 The DCT runs as two 8x8 orthonormal-basis matmuls (numpy, float64);
-IDCT is the transpose pair, rounded and clamped. Huffman entropy
-coding walks per-block in python — fine for the actor-pool feature
-stages this feeds (hundreds of small images per batch); a 100 TB
-image pipeline would swap this kernel for a compiled codec while
-keeping every Ray-side contract identical.
+IDCT is the transpose pair, rounded and clamped. Baseline ENCODE
+entropy coding is fully vectorized (`_entropy_encode`: token arrays
+in scan order, one np.packbits bit pack, vectorized 0xFF stuffing;
+pinned bit-identical to the per-block reference coder it replaced by
+tests/test_jpeg_vectorized.py). Huffman DECODE and the progressive
+encoder still walk per-block in python — inherently sequential
+bitstreams; the actor pool parallelizes across images, and a 100 TB
+image pipeline would swap the decode kernel for a compiled codec
+while keeping every Ray-side contract identical.
 
-HONEST CAVEAT: the sandbox has no JPEG fixtures and no network, so
-conformance against external encoders is validated only by the
-spec-derived unit tests (zigzag, DCT orthonormality, Annex K table
-checksums) and lossy round trips decode(encode(x)) with bounded
-error. Streams using features outside these profiles (arithmetic
-coding, lossless, hierarchical, 12-bit) raise loudly.
+Conformance: spec-derived unit tests (zigzag, DCT orthonormality,
+Annex K table checksums), lossy round trips with bounded error, and
+foreign-encoder fixtures from CPython's own test media
+(tests/test_foreign_conformance.py) within lossy tolerance. Streams
+using features outside these profiles (arithmetic coding, lossless,
+hierarchical, 12-bit) raise loudly.
 """
 
 from __future__ import annotations
@@ -793,6 +797,129 @@ def _encode_block(bw, coef_zz, pred, ci, dc_enc, ac_enc):
         bw.put(c, ln)
 
 
+def _bitlen(a: np.ndarray) -> np.ndarray:
+    """Vectorized int bit_length for 0 <= a < 2^40 (quantized JPEG
+    coefficient range): exact because float64 log2 of an exact power
+    of two is exact and monotone between powers."""
+    return np.where(a == 0, 0, np.floor(np.log2(np.maximum(a, 1))).astype(np.int64) + 1)
+
+
+def _entropy_encode(zz: np.ndarray, comp: np.ndarray, enc_maps: dict) -> bytes:
+    """Vectorized baseline entropy coder: the SAME symbol stream
+    ``_encode_block`` emits per block (pinned bit-identical by
+    tests/test_jpeg_vectorized.py), built for ALL blocks at once —
+    token arrays in scan order, one ``np.packbits`` bit pack, and a
+    vectorized 0xFF byte stuffing. ``zz`` is (N, 64) int64 zigzag
+    coefficients in scan order; ``comp`` the per-block component
+    index (0 = luma tables)."""
+    n = len(zz)
+    luma = np.asarray(comp) == 0
+
+    def table(tclass: int, size: int):
+        codes = np.zeros(size, np.int64)
+        lens = np.zeros(size, np.int64)
+        for sym, (c, ln) in enc_maps[tclass].items():
+            codes[sym] = c
+            lens[sym] = ln
+        return codes, lens
+
+    dcc0, dcl0 = table(0x00, 17)
+    acc0, acl0 = table(0x10, 256)
+    if (~luma).any():
+        dcc1, dcl1 = table(0x01, 17)
+        acc1, acl1 = table(0x11, 256)
+    else:  # grey: chroma tables never indexed, keep shapes valid
+        dcc1, dcl1, acc1, acl1 = dcc0, dcl0, acc0, acl0
+
+    one = np.int64(1)
+    K = 64 * 4 + 8  # per-block token-key space
+
+    # ---- DC: per-component prediction chains in scan order
+    dc = zz[:, 0]
+    prev = np.zeros(n, np.int64)
+    for c in np.unique(comp):
+        m = np.asarray(comp) == c
+        d = dc[m]
+        p = np.empty(len(d), np.int64)
+        p[0] = 0
+        p[1:] = d[:-1]
+        prev[m] = p
+    diff = dc - prev
+    t = _bitlen(np.abs(diff))
+    mag = np.where(diff > 0, diff, diff + np.left_shift(one, t) - 1) & (
+        np.left_shift(one, t) - 1
+    )
+    hc = np.where(luma, dcc0[t], dcc1[t])
+    hl = np.where(luma, dcl0[t], dcl1[t])
+    blk = np.arange(n, dtype=np.int64)
+    keys = [blk * K]
+    vals = [np.left_shift(hc, t) | mag]
+    lens = [hl + t]
+
+    # ---- AC: flat (block, position) nonzero stream
+    acm = zz[:, 1:] != 0
+    bi, pj = np.nonzero(acm)  # row-major: sorted by block then pos
+    if len(bi):
+        pos = (pj + 1).astype(np.int64)
+        v = zz[bi, pos]
+        same = np.zeros(len(bi), bool)
+        same[1:] = bi[1:] == bi[:-1]
+        prevpos = np.where(same, np.concatenate(([0], pos[:-1])), 0)
+        run = pos - prevpos - 1
+        z = run // 16
+        rem = run % 16
+        at = _bitlen(np.abs(v))
+        sym = np.left_shift(rem, 4) | at
+        lu = luma[bi]
+        ahc = np.where(lu, acc0[sym], acc1[sym])
+        ahl = np.where(lu, acl0[sym], acl1[sym])
+        mcode = np.where(v > 0, v, v + np.left_shift(one, at) - 1) & (
+            np.left_shift(one, at) - 1
+        )
+        keys.append(bi * K + pos * 4 + 3)
+        vals.append(np.left_shift(ahc, at) | mcode)
+        lens.append(ahl + at)
+        # ZRL (0xF0) tokens: z copies immediately before their symbol
+        zn = int(z.sum())
+        if zn:
+            rep = np.repeat(np.arange(len(bi)), z)
+            j = np.arange(zn) - np.repeat(np.cumsum(z) - z, z)
+            keys.append(bi[rep] * K + pos[rep] * 4 + j)
+            vals.append(np.where(lu[rep], acc0[0xF0], acc1[0xF0]))
+            lens.append(np.where(lu[rep], acl0[0xF0], acl1[0xF0]))
+        lastpos = np.zeros(n, np.int64)
+        lastpos[bi] = pos  # row-major order: last assignment wins
+    else:
+        lastpos = np.zeros(n, np.int64)
+    # ---- EOB for blocks whose last nonzero sits before position 63
+    em = lastpos < 63
+    if em.any():
+        keys.append(blk[em] * K + 64 * 4)
+        vals.append(np.where(luma[em], acc0[0x00], acc1[0x00]))
+        lens.append(np.where(luma[em], acl0[0x00], acl1[0x00]))
+
+    key = np.concatenate(keys)
+    val = np.concatenate(vals)
+    ln = np.concatenate(lens)
+    order = np.argsort(key, kind="stable")
+    val, ln = val[order], ln[order]
+
+    # ---- bit pack (MSB first), flush-pad with 1s, stuff 0xFF
+    total = int(ln.sum())
+    starts = np.cumsum(ln) - ln
+    rep = np.repeat(np.arange(len(ln)), ln)
+    kbit = np.arange(total) - starts[rep]
+    bits = ((val[rep] >> (ln[rep] - 1 - kbit)) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.uint8)])
+    by = np.packbits(bits)
+    ff = np.nonzero(by == 0xFF)[0]
+    if len(ff):
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
+
+
 def _encode_420(img: np.ndarray, quality: int) -> bytes:
     """RGB 4:2:0: 16x16 MCUs — four Y blocks then one Cb and one Cr
     block of the 2x2-mean-downsampled chroma planes."""
@@ -839,25 +966,19 @@ def _encode_420(img: np.ndarray, quality: int) -> bytes:
     out += b"\xff\xda" + struct.pack(">HB", 12, 3)
     out += b"\x01\x00\x02\x11\x03\x11\x00\x3f\x00"
 
-    bw = _BitWriter()
-    pred = [0, 0, 0]
-
-    def emit(plane, y0, x0, q, ci):
-        block = plane[y0 : y0 + 8, x0 : x0 + 8]
-        zz = np.round(dct2(block) / q).astype(np.int64).reshape(-1)[ZIGZAG]
-        dc_enc = enc_maps[0x00 if ci == 0 else 0x01]
-        ac_enc = enc_maps[0x10 if ci == 0 else 0x11]
-        _encode_block(bw, zz, pred, ci, dc_enc, ac_enc)
-
-    for my in range(mh):
-        for mx in range(mw):
-            for by in range(2):
-                for bx in range(2):
-                    emit(yp, my * 16 + by * 8, mx * 16 + bx * 8, q_luma, 0)
-            emit(cbp, my * 8, mx * 8, q_chroma, 1)
-            emit(crp, my * 8, mx * 8, q_chroma, 2)
-    bw.flush()
-    out += bw.buf
+    # vectorized: DCT+quantize+zigzag per plane, MCU-interleave the
+    # block sequence (4 Y in 2x2 raster, Cb, Cr), one entropy pass
+    yzz = _zz_blocks(yp, q_luma, 2 * mh, 2 * mw)
+    cbzz = _zz_blocks(cbp, q_chroma, mh, mw)
+    crzz = _zz_blocks(crp, q_chroma, mh, mw)
+    ymcu = yzz.reshape(mh, 2, mw, 2, 64).transpose(0, 2, 1, 3, 4).reshape(
+        mh, mw, 4, 64
+    )
+    seq = np.concatenate(
+        [ymcu, cbzz[:, :, None, :], crzz[:, :, None, :]], axis=2
+    ).reshape(-1, 64)
+    compseq = np.tile(np.array([0, 0, 0, 0, 1, 2], np.int64), mh * mw)
+    out += _entropy_encode(seq, compseq, enc_maps)
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -913,8 +1034,6 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: str = "444") -> b
         out += struct.pack(">BB", i + 1, 0x00 if i == 0 else 0x11)
     out += b"\x00\x3f\x00"
 
-    bw = _BitWriter()
-    pred = [0] * nc
     bh = -(-h // 8)
     bwid = -(-w // 8)
     padded = []
@@ -943,14 +1062,12 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsample: str = "444") -> b
             .reshape(bh, bwid, 64)[:, :, ZIGZAG]
         )
         zz_planes.append(zz)
-    for by in range(bh):
-        for bx in range(bwid):
-            for ci in range(nc):
-                dc_enc = enc_maps[0x00 if ci == 0 else 0x01]
-                ac_enc = enc_maps[0x10 if ci == 0 else 0x11]
-                _encode_block(bw, zz_planes[ci][by, bx], pred, ci, dc_enc, ac_enc)
-    bw.flush()
-    out += bw.buf
+    # interleave (by, bx, ci) -> flat scan order, one entropy pass
+    seq = np.stack([zp.reshape(bh * bwid, 64) for zp in zz_planes], axis=1).reshape(
+        -1, 64
+    )
+    compseq = np.tile(np.arange(nc, dtype=np.int64), bh * bwid)
+    out += _entropy_encode(seq, compseq, enc_maps)
     out += b"\xff\xd9"
     return bytes(out)
 
