@@ -729,6 +729,59 @@ def q_attribution(sf_dir: str):
     return last_touch_attribution(events)
 
 
+def q_hex_counts(sf_dir: str):
+    """Integer-exact hexagonal binning (the H3 role on the projected
+    plane): two-offset-lattice nearest-center assignment in pure
+    int64, one groupby-count shuffle (stages/hexbin.py). The oracle
+    runs the SAME shifted round-half-up divisions and argmin."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.hexbin import hex_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hex_counts(docs)
+
+
+def q_session_paths(sf_dir: str):
+    """Top user-journey mining: first-8 event-type paths per user,
+    counted across users — one user-bucket shuffle, per-bucket
+    partial path counts (stages/markov.py session_paths); mirrors
+    SQL string_agg(ORDER BY rn)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.markov import session_paths
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return session_paths(events)
+
+
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of the quality and length rankings:
+    two partial top-100 lists (k rows per batch on the wire), integer
+    micro-unit 1e9//(60+rank) contributions, fused top-20
+    (stages/fusion.py). Value-exact vs the window-function mirror."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.fusion import rrf_fuse
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return rrf_fuse(docs)
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics: per-polygon n/sum/min/max of the exact
+    integer-centimeter z channel over contained points — PIP join
+    (broadcast polygon index) + ONE feature groupby
+    (stages/geomops.py zonal_stats)."""
+    from lasutility_ray.corpus.polygons import build_feature_table
+    from lasutility_ray.stages.geomops import zonal_stats
+
+    return zonal_stats(_points(sf_dir), build_feature_table())
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2377,6 +2430,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_snap_roads": q_snap_roads,
         "q_grid_clusters": q_grid_clusters,
         "q_attribution": q_attribution,
+        "q_hex_counts": q_hex_counts,
+        "q_session_paths": q_session_paths,
+        "q_rrf_fusion": q_rrf_fusion,
+        "q_zonal_stats": q_zonal_stats,
         # -- rows-only queries rotated out of the 50-window in session 6
         #    to admit the four value-exact additions above; every code
         #    path stays pytest-pinned (codec round trips, brute-force
@@ -2448,6 +2505,55 @@ def _tiled_sql() -> str:
     from lasutility_ray.corpus.geocode import tile_name_sql_ctes
 
     return tile_name_sql_ctes("pts")
+
+
+def _token_stats_sql() -> str:
+    """The q_token_stats arithmetic (also reused as the RRF fusion
+    metric source)."""
+    return (
+        "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
+        "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
+        "length(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars, "
+        "length(list_filter(regexp_extract_all(lower(text), '\\S+'), "
+        "x -> x IN ('the','and','of','to','a','in','is','it','you','that')"
+        ")) AS stop_hits_en, "
+        "length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) "
+        "AS n_bpe_tokens FROM documents) "
+        "SELECT *, CAST("
+        "(CASE WHEN n_chars > 0 THEN alpha_chars * 1000 // greatest(n_chars, 1) ELSE 0 END) + "
+        "(CASE WHEN n_tokens > 0 THEN stop_hits_en * 1000 // greatest(n_tokens, 1) ELSE 0 END) - "
+        "(CASE WHEN n_tokens < 10 THEN 500 ELSE 0 END) AS BIGINT) AS quality_millis "
+        "FROM s"
+    )
+
+
+def _polygon_pip_sql() -> str:
+    """The q_polygon_pip_join predicate (also the zonal-stats zone
+    assignment): axis-aligned rect features + holed lakes, even-odd
+    half-open membership."""
+    from lasutility_ray.corpus.polygons import rects_sql_cte
+
+    pts = _pts_cte()
+    return (
+        f"WITH {pts}, {rects_sql_cte('prects')}, "
+        "holed AS (SELECT k, "
+        "350000 + 1500 + (k * 104729) % (24000 - 3000) AS cx, "
+        "6700000 + 1500 + (k * 130363) % (24000 - 3000) AS cy, "
+        "200 + (k * 37) % 300 AS half, "
+        "(200 + (k * 37) % 300) // 3 AS hole_half "
+        "FROM (SELECT unnest(range(20)) AS k)) "
+        "SELECT p.doc_id, r.k AS feature_id, CAST(r.luokka AS INT) AS luokka "
+        "FROM pts p JOIN prects r ON p.x > r.min_x AND p.x <= r.max_x "
+        "AND p.y >= r.min_y AND p.y < r.max_y "
+        "UNION ALL "
+        "SELECT p.doc_id, 200 + h.k AS feature_id, "
+        "CAST([36200, 36211][CAST(h.k % 2 AS INT) + 1] AS INT) AS luokka "
+        "FROM pts p JOIN holed h "
+        "ON p.x > h.cx - h.half AND p.x <= h.cx + h.half "
+        "AND p.y >= h.cy - h.half AND p.y < h.cy + h.half "
+        "AND NOT (p.x > h.cx - h.hole_half AND p.x <= h.cx + h.hole_half "
+        "AND p.y >= h.cy - h.hole_half AND p.y < h.cy + h.hole_half)"
+    )
 
 
 def _clsmap_cte() -> str:
@@ -2654,6 +2760,10 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.snap import snap_sql as _snap_sql
     from lasutility_ray.stages.gridcluster import grid_clusters_sql as _gridclus_sql
     from lasutility_ray.stages.attribution import attribution_sql as _attr_sql
+    from lasutility_ray.stages.hexbin import hex_counts_sql as _hex_sql
+    from lasutility_ray.stages.markov import session_paths_sql as _spaths_sql
+    from lasutility_ray.stages.fusion import rrf_fuse_sql as _rrf_sql
+    from lasutility_ray.corpus.geocode import H1_MUL as _H1_MUL, M32 as _M32
     from lasutility_ray.stages.relational import rollup_agg_sql as _rollup_sql
     from lasutility_ray.stages.gopher import gopher_quality_sql as _gopher_sql
     from lasutility_ray.stages.selection import budget_select_sql as _budget_select_sql
@@ -2807,6 +2917,25 @@ def oracle_sql() -> dict[str, str]:
         "q_snap_roads": _snap_sql(),
         "q_grid_clusters": _gridclus_sql(),
         "q_attribution": _attr_sql(),
+        "q_hex_counts": _hex_sql(),
+        "q_session_paths": _spaths_sql(),
+        "q_rrf_fusion": _rrf_sql(
+            "rrf_s AS (SELECT doc_id, n_chars, quality_millis FROM ("
+            + _token_stats_sql()
+            + "))"
+        ),
+        "q_zonal_stats": (
+            f"WITH zs_pip AS ({_polygon_pip_sql()}) "
+            "SELECT CAST(feature_id AS BIGINT) AS feature_id, "
+            "CAST(count(*) AS BIGINT) AS n_points, "
+            f"CAST(sum((doc_id * {_H1_MUL}) % {_M32} % 100000) AS BIGINT) "
+            "AS sum_z_centi, "
+            f"CAST(min((doc_id * {_H1_MUL}) % {_M32} % 100000) AS BIGINT) "
+            "AS min_z_centi, "
+            f"CAST(max((doc_id * {_H1_MUL}) % {_M32} % 100000) AS BIGINT) "
+            "AS max_z_centi "
+            "FROM zs_pip GROUP BY feature_id"
+        ),
         "q_rollup_agg": _rollup_sql(),
         "q_cube_agg": _rollup_sql(grouping="cube"),
         "q_gopher_rules": _gopher_sql(),
@@ -2850,21 +2979,7 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings "
             "FROM pairs GROUP BY token HAVING count(*) >= 2"
         ),
-        "q_token_stats": (
-            "WITH s AS (SELECT doc_id, length(text) AS n_chars, "
-            "length(regexp_extract_all(text, '\\S+')) AS n_tokens, "
-            "length(regexp_extract_all(text, '[A-Za-z]')) AS alpha_chars, "
-            "length(list_filter(regexp_extract_all(lower(text), '\\S+'), "
-            "x -> x IN ('the','and','of','to','a','in','is','it','you','that')"
-            ")) AS stop_hits_en, "
-            "length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) "
-            "AS n_bpe_tokens FROM documents) "
-            "SELECT *, CAST("
-            "(CASE WHEN n_chars > 0 THEN alpha_chars * 1000 // greatest(n_chars, 1) ELSE 0 END) + "
-            "(CASE WHEN n_tokens > 0 THEN stop_hits_en * 1000 // greatest(n_tokens, 1) ELSE 0 END) - "
-            "(CASE WHEN n_tokens < 10 THEN 500 ELSE 0 END) AS BIGINT) AS quality_millis "
-            "FROM s"
-        ),
+        "q_token_stats": _token_stats_sql(),
         "q_exact_dedup": (
             "SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, "
             "count(*) AS n_copies FROM documents GROUP BY md5(text)"
@@ -2929,26 +3044,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT q_doc_id, neighbor_id, CAST(rank AS BIGINT) AS rank, d2 "
             "FROM ranked WHERE rank <= 3"
         ),
-        "q_polygon_pip_join": (
-            f"WITH {pts}, {rects_sql_cte('prects')}, "
-            "holed AS (SELECT k, "
-            "350000 + 1500 + (k * 104729) % (24000 - 3000) AS cx, "
-            "6700000 + 1500 + (k * 130363) % (24000 - 3000) AS cy, "
-            "200 + (k * 37) % 300 AS half, "
-            "(200 + (k * 37) % 300) // 3 AS hole_half "
-            "FROM (SELECT unnest(range(20)) AS k)) "
-            "SELECT p.doc_id, r.k AS feature_id, CAST(r.luokka AS INT) AS luokka "
-            "FROM pts p JOIN prects r ON p.x > r.min_x AND p.x <= r.max_x "
-            "AND p.y >= r.min_y AND p.y < r.max_y "
-            "UNION ALL "
-            "SELECT p.doc_id, 200 + h.k AS feature_id, "
-            "CAST([36200, 36211][CAST(h.k % 2 AS INT) + 1] AS INT) AS luokka "
-            "FROM pts p JOIN holed h "
-            "ON p.x > h.cx - h.half AND p.x <= h.cx + h.half "
-            "AND p.y >= h.cy - h.half AND p.y < h.cy + h.half "
-            "AND NOT (p.x > h.cx - h.hole_half AND p.x <= h.cx + h.hole_half "
-            "AND p.y >= h.cy - h.hole_half AND p.y < h.cy + h.hole_half)"
-        ),
+        "q_polygon_pip_join": _polygon_pip_sql(),
         "q_idw_interpolate": (
             f"WITH {pts}, "
             "qs AS (SELECT doc_id AS q_doc_id, x AS qx, y AS qy FROM pts "

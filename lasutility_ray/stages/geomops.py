@@ -69,6 +69,43 @@ def polygon_metrics(features_ds):
     return features_ds.map_batches(metrics, batch_format="pyarrow")
 
 
+def zonal_stats(points_ds, feature_table):
+    """Zonal statistics — per-polygon aggregates of the z channel
+    over the points each feature contains (the raster-zonal-stats GIS
+    primitive on the engine's point stream): PIP join with the
+    broadcast polygon index (`pip_join.polygon_pip_join`), z recovered
+    as exact integer CENTIMETERS from the geocoder hash (z =
+    (h1 % 100000) / 100, so z_centi = h1 % 100000), then ONE
+    feature_id groupby with n/sum/min/max integer aggregates."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..corpus.geocode import H1_MUL, M32
+    from .pip_join import polygon_pip_join
+
+    joined = polygon_pip_join(points_ds, feature_table)
+
+    def add_z(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        z_centi = (did * H1_MUL) % M32 % 100000
+        return pa.table(
+            {
+                "feature_id": t.column("feature_id").cast(pa.int64()),
+                "z_centi": pa.array(z_centi.astype(np.int64)),
+            }
+        )
+
+    return (
+        joined.map_batches(add_z, batch_format="pyarrow")
+        .groupby("feature_id")
+        .aggregate(
+            Count(alias_name="n_points"),
+            Sum("z_centi", alias_name="sum_z_centi"),
+            Min("z_centi", alias_name="min_z_centi"),
+            Max("z_centi", alias_name="max_z_centi"),
+        )
+    )
+
+
 def polygon_metrics_sql() -> str:
     """Closed-form expected metrics from the corpus parameters —
     proving the WKB + shoelace path against construction truth."""

@@ -141,6 +141,57 @@ def cohort_retention(events_ds):
     )
 
 
+def session_paths(events_ds, max_steps: int = 8):
+    """Top user-journey mining: each user's first ``max_steps`` event
+    types in (ts, event_id) order joined into a '>' path string,
+    counted across users — the "common paths" product-analytics view.
+    Same one-user-bucket-shuffle shape; the per-bucket join is a
+    C-level pandas groupby-agg over at most ``max_steps`` strings per
+    user, and buckets emit PARTIAL path counts."""
+    from ray.data.aggregate import Sum
+
+    from .cogroup import _bucket_of, default_n_buckets
+
+    n_buckets = default_n_buckets()
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "__us", "event_id"], kind="stable")
+        rn = g.groupby("user_id", sort=False).cumcount()
+        g = g[rn < max_steps]
+        paths = (
+            g.groupby("user_id", sort=False)["event_type"].agg(">".join)
+        )
+        out = paths.value_counts().rename_axis("path").reset_index(name="n_users")
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    return (
+        events_ds.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .map_batches(
+            lambda t: _slim(t, n_buckets, True, _bucket_of),
+            batch_format="pyarrow",
+        )
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+        .groupby("path")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+def session_paths_sql(source: str = "events", max_steps: int = 8) -> str:
+    """DuckDB mirror of :func:`session_paths`."""
+    return (
+        "WITH sp_r AS (SELECT user_id, event_type, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn "
+        f"FROM {source}), "
+        "sp_p AS (SELECT user_id, "
+        "string_agg(event_type, '>' ORDER BY rn) AS path "
+        f"FROM sp_r WHERE rn <= {max_steps} GROUP BY user_id) "
+        "SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM sp_p "
+        "GROUP BY path"
+    )
+
+
 def cohort_retention_sql(source: str = "events") -> str:
     """DuckDB mirror of :func:`cohort_retention` (same floor-division
     epoch weeks)."""

@@ -299,3 +299,80 @@ def test_attribution_hand_sequences(ray_session):
     assert out.loc["view", "n_conversions"] == 2
     assert out.loc["view", "value_cents"] == 500
     assert "click" not in out.index
+
+
+def test_hex_counts_match_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=("documents",))
+    df = entry.queries()["q_hex_counts"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_hex_counts"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    n_docs = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert df["n"].sum() == n_docs  # a partition: every point in one hex
+    assert set(df["lattice"].unique()) == {0, 1}  # both lattices used
+
+
+def test_hex_assign_is_nearest_center():
+    """Brute-force check: the assigned center is the true nearest of
+    the two-lattice union (with the tie->lattice-0 rule)."""
+    from lasutility_ray.stages.hexbin import H, S, _PX_SHIFT, _PY_SHIFT, hex_assign
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 24_000_000, 400)
+    py = rng.integers(0, 24_000_000, 400)
+    lat, i, j = hex_assign(px, py)
+    cx = np.where(lat == 1, 3 * S * i + 3 * S // 2, 3 * S * i)
+    cy = np.where(lat == 1, H * j + H // 2, H * j)
+    d_win = (px + _PX_SHIFT - cx) ** 2 + (py + _PY_SHIFT - cy) ** 2
+    # exhaustive center grid around each point
+    for k in rng.choice(400, 40, replace=False):
+        best = None
+        for la in (0, 1):
+            ox, oy = (3 * S // 2, H // 2) if la else (0, 0)
+            for ii in range(int(i[k]) - 2, int(i[k]) + 3):
+                for jj in range(int(j[k]) - 2, int(j[k]) + 3):
+                    d = (px[k] + _PX_SHIFT - (3 * S * ii + ox)) ** 2 + (
+                        py[k] + _PY_SHIFT - (H * jj + oy)
+                    ) ** 2
+                    if best is None or d < best:
+                        best = d
+        assert d_win[k] == best
+
+
+def test_session_paths_match_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con()
+    df = entry.queries()["q_session_paths"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_session_paths"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    n_users = con.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert df["n_users"].sum() == n_users
+    assert (df["path"].str.count(">") <= 7).all()  # max 8 steps
+
+
+def test_rrf_fusion_matches_window_oracle(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=("documents",))
+    df = entry.queries()["q_rrf_fusion"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_rrf_fusion"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    assert len(df) == 20
+    # a doc ranked #1 in both lists would score 2 * 1e9 // 61
+    assert df["rrf_e9"].max() <= 2 * (10**9 // 61)
+
+
+def test_zonal_stats_match_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=("documents",))
+    df = entry.queries()["q_zonal_stats"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_zonal_stats"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    assert (df["min_z_centi"] <= df["max_z_centi"]).all()
+    assert (
+        (df["n_points"] * df["min_z_centi"] <= df["sum_z_centi"])
+        & (df["sum_z_centi"] <= df["n_points"] * df["max_z_centi"])
+    ).all()
