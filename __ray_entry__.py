@@ -782,6 +782,66 @@ def q_zonal_stats(sf_dir: str):
     return zonal_stats(_points(sf_dir), build_feature_table())
 
 
+def q_exif_geotags(sf_dir: str):
+    """EXIF geotag mining: JPEG payloads carry APP1 Exif GPS segments
+    (from-scratch TIFF-IFD writer, geom/exif.py); an actor pool walks
+    markers + parses the IFDs + converts the DMS rationals back to
+    exact signed micro-degrees (stages/multimodal.py ExifGeotags).
+    The oracle re-derives the injected coordinates from the
+    closed-form corpus parameters — value-exact proves the whole
+    writer->splice->walk->parse->DMS chain."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.multimodal import (
+        attach_exif_images,
+        exif_geotags_stage,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    with_imgs = docs.map_batches(attach_exif_images, batch_format="pyarrow")
+    return exif_geotags_stage(with_imgs)
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """Bloom-filter semi-join: lineitem rows of the top-decile orders (totalprice > 450k) — an O(m)-bit broadcast bloom over the filtered order keys
+    prefilters lineitem BEFORE the shuffle, exact lookup_join verify
+    equalizes false positives away (stages/bloomjoin.py). Oracle =
+    the prune-free SQL semi-join, so equality proves the bloom path
+    lossless."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.bloomjoin import bloom_semi_join
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    hot = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+        )
+        .filter(expr="o_totalprice > 450000.0")
+        .select_columns(["o_orderkey"])
+    )
+    out = bloom_semi_join(line, hot, left_key="l_orderkey", right_key="o_orderkey")
+    return out.select_columns(["l_orderkey", "l_linenumber", "l_quantity"])
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM segmentation: per-user recency/frequency/monetary quartile
+    scores against the corpus's own exact quantile fences, rolled up
+    to segment counts (stages/rfm.py). Value-exact incl. the pinned
+    quantile_cont float shape."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.rfm import rfm_segments
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return rfm_segments(events)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2434,6 +2494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_session_paths": q_session_paths,
         "q_rrf_fusion": q_rrf_fusion,
         "q_zonal_stats": q_zonal_stats,
+        "q_exif_geotags": q_exif_geotags,
+        "q_bloom_semi_join": q_bloom_semi_join,
+        "q_rfm_segments": q_rfm_segments,
         # -- rows-only queries rotated out of the 50-window in session 6
         #    to admit the four value-exact additions above; every code
         #    path stays pytest-pinned (codec round trips, brute-force
@@ -2763,6 +2826,8 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.hexbin import hex_counts_sql as _hex_sql
     from lasutility_ray.stages.markov import session_paths_sql as _spaths_sql
     from lasutility_ray.stages.fusion import rrf_fuse_sql as _rrf_sql
+    from lasutility_ray.stages.multimodal import exif_geotags_sql as _exif_sql
+    from lasutility_ray.stages.rfm import rfm_sql as _rfm_sql
     from lasutility_ray.corpus.geocode import H1_MUL as _H1_MUL, M32 as _M32
     from lasutility_ray.stages.relational import rollup_agg_sql as _rollup_sql
     from lasutility_ray.stages.gopher import gopher_quality_sql as _gopher_sql
@@ -2918,6 +2983,13 @@ def oracle_sql() -> dict[str, str]:
         "q_grid_clusters": _gridclus_sql(),
         "q_attribution": _attr_sql(),
         "q_hex_counts": _hex_sql(),
+        "q_exif_geotags": _exif_sql(),
+        "q_bloom_semi_join": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "WHERE o_totalprice > 450000.0)"
+        ),
+        "q_rfm_segments": _rfm_sql(),
         "q_session_paths": _spaths_sql(),
         "q_rrf_fusion": _rrf_sql(
             "rrf_s AS (SELECT doc_id, n_chars, quality_millis FROM ("

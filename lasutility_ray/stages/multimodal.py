@@ -1247,3 +1247,104 @@ def audio_spectrogram_stage(ds, concurrency: int = 4, batch_size: int = 256):
         batch_size=batch_size,
         concurrency=(1, concurrency),
     )
+
+
+# ------------------------------------------------------- EXIF geotags
+
+LAT_MOD = 180_000_001
+LON_MOD = 360_000_001
+
+
+def exif_coords(doc_id: np.ndarray):
+    """Closed-form signed micro-degree geotags per doc (mirrored 1:1
+    in the q_exif_geotags SQL oracle)."""
+    from ..corpus.geocode import H1_MUL, H2_ADD, H2_MUL
+
+    doc_id = np.asarray(doc_id, dtype=np.int64)
+    lat_e6 = (doc_id * H1_MUL) % LAT_MOD - 90_000_000
+    lon_e6 = (doc_id * H2_MUL + H2_ADD) % LON_MOD - 180_000_000
+    orientation = doc_id % 8 + 1
+    return lat_e6, lon_e6, orientation
+
+
+_EXIF_BASE_JPEG = None
+
+
+def attach_exif_images(batch: pa.Table, doc_col: str = "doc_id") -> pa.Table:
+    """Per-doc JPEG payload carrying an APP1 Exif geotag: ONE base
+    image body encoded lazily per process, per-doc segments spliced in
+    (the EXIF bytes vary, the entropy data does not)."""
+    from ..geom.exif import build_exif, insert_exif_app1
+    from ..geom.jpeg import encode_jpeg
+
+    global _EXIF_BASE_JPEG
+    if _EXIF_BASE_JPEG is None:
+        ramp = np.linspace(0, 255, 16 * 16).reshape(16, 16).astype(np.uint8)
+        _EXIF_BASE_JPEG = encode_jpeg(ramp, quality=85)
+    did = batch.column(doc_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    lat, lon, ori = exif_coords(did)
+    payloads = [
+        insert_exif_app1(
+            _EXIF_BASE_JPEG, build_exif(int(a), int(o), orientation=int(r))
+        )
+        for a, o, r in zip(lat, lon, ori)
+    ]
+    return batch.append_column("image", pa.array(payloads, pa.large_binary()))
+
+
+class ExifGeotags:
+    """Actor-pool stage: mine geotags out of JPEG APP1 Exif segments
+    (per-payload marker walk by nature; the pool parallelizes across
+    images). Emits signed micro-degrees + orientation."""
+
+    def __init__(self):
+        from ..geom.exif import extract_exif_from_jpeg
+
+        self._extract = extract_exif_from_jpeg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = np.zeros(len(did), np.int64)
+        lon = np.zeros(len(did), np.int64)
+        ori = np.zeros(len(did), np.int64)
+        ok = np.zeros(len(did), bool)
+        for i, payload in enumerate(batch.column("image").to_pylist()):
+            meta = self._extract(payload)
+            if meta and meta["lat_e6"] is not None:
+                ok[i] = True
+                lat[i] = meta["lat_e6"]
+                lon[i] = meta["lon_e6"]
+                ori[i] = meta["orientation"] or 0
+        return pa.table(
+            {
+                "doc_id": pa.array(did[ok]),
+                "lat_e6": pa.array(lat[ok]),
+                "lon_e6": pa.array(lon[ok]),
+                "orientation": pa.array(ori[ok]),
+            }
+        )
+
+
+def exif_geotags_stage(ds, concurrency: int = 4, batch_size: int = 256):
+    return ds.map_batches(
+        ExifGeotags,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+    )
+
+
+def exif_geotags_sql(source: str = "documents") -> str:
+    """Oracle: re-derive the injected geotags from the closed-form
+    parameters — equality proves writer + marker walk + IFD parse +
+    rational DMS round trip end to end."""
+    from ..corpus.geocode import H1_MUL, H2_ADD, H2_MUL
+
+    return (
+        f"SELECT doc_id, "
+        f"CAST((doc_id * {H1_MUL}) % {LAT_MOD} - 90000000 AS BIGINT) AS lat_e6, "
+        f"CAST((doc_id * {H2_MUL} + {H2_ADD}) % {LON_MOD} - 180000000 AS BIGINT) "
+        "AS lon_e6, "
+        "CAST(doc_id % 8 + 1 AS BIGINT) AS orientation "
+        f"FROM {source}"
+    )

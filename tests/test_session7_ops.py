@@ -376,3 +376,84 @@ def test_zonal_stats_match_duckdb(ray_session):
         (df["n_points"] * df["min_z_centi"] <= df["sum_z_centi"])
         & (df["sum_z_centi"] <= df["n_points"] * df["max_z_centi"])
     ).all()
+
+
+def test_exif_geotags_match_construction_oracle(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=("documents",))
+    df = entry.queries()["q_exif_geotags"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_exif_geotags"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    # all four hemisphere combinations appear across the corpus
+    assert (df["lat_e6"] < 0).any() and (df["lat_e6"] > 0).any()
+    assert (df["lon_e6"] < 0).any() and (df["lon_e6"] > 0).any()
+
+
+def test_exif_parser_handles_big_endian_and_foreign_dms():
+    """MM byte order and the conventional (deg, min, sec*100/100)
+    encoding other writers use."""
+    import struct
+
+    from lasutility_ray.geom.exif import parse_exif
+
+    def entry(tag, typ, count, value):
+        return struct.pack(">HHI", tag, typ, count) + value
+
+    # GPS IFD only reachable via IFD0 pointer; lat 12 deg 30 min
+    # 15.25 sec N -> e6 = 12508472 (floor)
+    ifd0_off = 8
+    gps_off = ifd0_off + 2 + 1 * 12 + 4
+    lat_off = gps_off + 2 + 2 * 12 + 4
+    tiff = bytearray(b"MM\x00*" + struct.pack(">I", ifd0_off))
+    tiff += struct.pack(">H", 1)
+    tiff += entry(0x8825, 4, 1, struct.pack(">I", gps_off))
+    tiff += struct.pack(">I", 0)
+    tiff += struct.pack(">H", 2)
+    tiff += entry(0x0001, 2, 2, b"N\x00\x00\x00")
+    tiff += entry(0x0002, 5, 3, struct.pack(">I", lat_off))
+    tiff += struct.pack(">I", 0)
+    for num, den in ((12, 1), (30, 1), (1525, 100)):
+        tiff += struct.pack(">II", num, den)
+    out = parse_exif(b"Exif\x00\x00" + bytes(tiff))
+    expect = (12 * 3600 * 100 + 30 * 60 * 100 + 1525) * 1_000_000 // 360000
+    assert out["lat_e6"] == expect == 12504236
+
+
+def test_bloom_semi_join_exact_even_with_tiny_filter(ray_session):
+    """m small enough to guarantee false positives: the exact verify
+    must still equalize to the plain semi-join."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.bloomjoin import bloom_semi_join
+
+    left = rd.from_pandas(
+        pd.DataFrame({"k": np.arange(2000, dtype=np.int64), "v": np.arange(2000)})
+    )
+    right = rd.from_pandas(
+        pd.DataFrame({"k": np.arange(0, 2000, 7, dtype=np.int64)})
+    )
+    out = bloom_semi_join(left, right, "k", "k", m=256, k=2).to_pandas()
+    assert sorted(out["k"]) == list(range(0, 2000, 7))
+
+
+def test_bloom_semi_join_matches_oracle(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=("orders", "lineitem"))
+    df = entry.queries()["q_bloom_semi_join"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_bloom_semi_join"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    assert 0 < len(df) < 60000  # genuinely selective
+
+
+def test_rfm_segments_match_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con()
+    df = entry.queries()["q_rfm_segments"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_rfm_segments"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    n_users = con.execute("SELECT count(DISTINCT user_id) FROM events").fetchone()[0]
+    assert df["n_users"].sum() == n_users
+    assert df["segment"].str.fullmatch(r"R[1-4]F[1-4]M[1-4]").all()
