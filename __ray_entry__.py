@@ -459,7 +459,11 @@ def q_weighted_sample(sf_dir: str):
     deterministic Lehmer uniform per doc, es_key = -ln(u)/w with
     w = char length, k smallest via per-batch partial top-k — no
     global sort, no RNG state (stages/quantiles.py weighted_sample).
-    Selected set AND keys value-exact vs the SQL mirror."""
+    Selected set and ranks value-exact vs the SQL mirror. The raw
+    float es_key stays OFF the driver surface: numpy and duckdb libm
+    ``ln`` differ by 1 ulp on some inputs (observed at sf0.01 row 2),
+    which is harmless to the ORDER (key gaps ~1e-5 >> 1 ulp) but
+    would fail a bitwise hash compare."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -479,6 +483,8 @@ def q_weighted_sample(sf_dir: str):
 
     return weighted_sample(
         docs.map_batches(slim, batch_format="pyarrow"), "doc_id", "w", k=25
+    ).map_batches(
+        lambda t: t.select(["doc_id", "w", "rank"]), batch_format="pyarrow"
     )
 
 
@@ -840,6 +846,67 @@ def q_rfm_segments(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
     )
     return rfm_segments(events)
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance (<=4) over the undirected host
+    graph from the host_id%97==0 seed set — frontier-iterative
+    semi/anti lookup_joins, O(frontier-incident edges) shuffle per
+    round (stages/graph.py bfs_hops). Value-exact vs the
+    unrolled-CTE SQL mirror."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.graph import bfs_hops
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return bfs_hops(docs)
+
+
+def q_frame_window(sf_dir: str):
+    """Frame-bounded window aggregates — ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW per user in (ts, event_id) order: moving SUM/MIN/MAX
+    over integer cents + frame COUNT (stages/windowfn.py
+    frame_window). One coarse-bucket shuffle, vectorized shifted-copy
+    reduce. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.windowfn import frame_window
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return frame_window(events)
+
+
+def q_user_entropy(sf_dir: str):
+    """Per-user Shannon entropy of the event-type distribution in
+    integer millinats (stages/entropy.py) — map-side (user, type)
+    partials, one shuffle bounded by users x type vocabulary.
+    Value-exact (floor-per-term integer sums, lm.py precedent)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.entropy import user_entropy
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return user_entropy(events)
+
+
+def q_vocab_overlap(sf_dir: str):
+    """Exact vocabulary Jaccard between every pair of document
+    sources (stages/vocab.py) — batch-distinct (source, token) pairs,
+    one token-bucket shuffle, in-bucket pair enumeration; jaccard_e6
+    via integer floor division. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.vocab import vocab_overlap
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    )
+    return vocab_overlap(docs)
 
 
 def q_rollup_agg(sf_dir: str):
@@ -2497,6 +2564,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_exif_geotags": q_exif_geotags,
         "q_bloom_semi_join": q_bloom_semi_join,
         "q_rfm_segments": q_rfm_segments,
+        # -- session-8 additions (value-exact; past the 50-window,
+        #    rotate in next round)
+        "q_bfs_hops": q_bfs_hops,
+        "q_frame_window": q_frame_window,
+        "q_user_entropy": q_user_entropy,
+        "q_vocab_overlap": q_vocab_overlap,
         # -- rows-only queries rotated out of the 50-window in session 6
         #    to admit the four value-exact additions above; every code
         #    path stays pytest-pinned (codec round trips, brute-force
@@ -2814,7 +2887,11 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.skyline import skyline_orders_sql as _skyline_sql
     from lasutility_ray.stages.editdist import host_ed1_sql as _ed1_sql
     from lasutility_ray.stages.envelope import envelope_join_sql as _envelope_sql
+    from lasutility_ray.stages.entropy import user_entropy_sql as _user_entropy_sql
+    from lasutility_ray.stages.graph import bfs_hops_sql as _bfs_sql
     from lasutility_ray.stages.graph import triangle_counts_sql as _tri_sql
+    from lasutility_ray.stages.vocab import vocab_overlap_sql as _vocab_overlap_sql
+    from lasutility_ray.stages.windowfn import frame_window_sql as _frame_window_sql
     from lasutility_ray.stages.funnel import funnel_sql as _funnel_sql
     from lasutility_ray.stages.collocations import collocations_sql as _colloc_sql
     from lasutility_ray.stages.geomops import polygon_metrics_sql as _polyarea_sql
@@ -2962,7 +3039,10 @@ def oracle_sql() -> dict[str, str]:
             "% 2147483647 * 48271 % 2147483647 AS st FROM ws_w), "
             "ws_k AS (SELECT doc_id, w, "
             "-ln((st + 1) / 2147483647.0) / w AS es_key FROM ws_s) "
-            "SELECT doc_id, w, es_key, "
+            # es_key itself stays off the compare surface: libm ln
+            # differs from numpy by 1 ulp on some inputs (order-safe,
+            # hash-unsafe)
+            "SELECT doc_id, w, "
             "row_number() OVER (ORDER BY es_key, doc_id) AS rank "
             "FROM ws_k ORDER BY es_key, doc_id LIMIT 25"
         ),
@@ -2990,6 +3070,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_totalprice > 450000.0)"
         ),
         "q_rfm_segments": _rfm_sql(),
+        "q_bfs_hops": _bfs_sql(),
+        "q_frame_window": _frame_window_sql(),
+        "q_user_entropy": _user_entropy_sql(),
+        "q_vocab_overlap": _vocab_overlap_sql(),
         "q_session_paths": _spaths_sql(),
         "q_rrf_fusion": _rrf_sql(
             "rrf_s AS (SELECT doc_id, n_chars, quality_millis FROM ("

@@ -457,3 +457,166 @@ def triangle_counts_sql(src: str = "documents") -> str:
         "SELECT host, CAST(count(*) AS BIGINT) AS n_triangles "
         "FROM tc_h GROUP BY host"
     )
+
+
+# ------------------------------------------------------------- BFS
+
+SEED_MOD = 97  # hosts with host_id % SEED_MOD == 0 seed the BFS
+MAX_HOPS = 4
+
+
+def _bfs_local(edges: pd.DataFrame, max_hops: int) -> pd.DataFrame:
+    """Single-task reference BFS (frontier masks over edge arrays);
+    bit-identical to the distributed path by construction."""
+    u = edges["u"].to_numpy(np.int64)
+    v = edges["v"].to_numpy(np.int64)
+    s = np.concatenate([u, v])
+    t = np.concatenate([v, u])
+    hosts = np.unique(s)
+    dist = {int(h): 0 for h in hosts[hosts % SEED_MOD == 0]}
+    frontier = set(dist)
+    for hop in range(1, max_hops + 1):
+        if not frontier:
+            break
+        mask = np.isin(s, np.fromiter(frontier, np.int64, len(frontier)))
+        nxt = {int(x) for x in np.unique(t[mask])} - dist.keys()
+        for h in nxt:
+            dist[h] = hop
+        frontier = nxt
+    items = sorted(dist.items())
+    return pd.DataFrame(
+        {
+            "host_id": pd.Series([k for k, _ in items], dtype=np.int64),
+            "hops": pd.Series([d for _, d in items], dtype=np.int64),
+        }
+    )
+
+
+def bfs_hops(docs_ds, max_hops: int = MAX_HOPS, force_distributed: bool = False):
+    """Multi-source BFS over the undirected host graph: hop distance
+    (<= ``max_hops``) from the deterministic seed set
+    ``host_id % 97 == 0`` to every reachable host.
+
+    The canonical *frontier-iterative* distributed pattern: each round
+    is a semi ``lookup_join`` (adjacency x frontier) -> distinct ->
+    anti ``lookup_join`` against the settled set -- shuffle volume is
+    O(edges incident to the frontier), never the whole graph, and the
+    only scalar reaching the driver per round is the new-frontier
+    count (loop exit). Distances are integers, so the result is
+    partitioning-independent and value-exact vs the unrolled-CTE SQL
+    mirror (:func:`bfs_hops_sql`). Local fast path below
+    ``FAST_PATH_MAX_EDGES`` edges; ``force_distributed`` pins both
+    paths identical in tests.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .cogroup import lookup_join
+
+    edges = undirected_host_edges(docs_ds).materialize()
+    if not force_distributed and edges.count() <= FAST_PATH_MAX_EDGES:
+        return rd.from_pandas(_bfs_local(edges.to_pandas(), max_hops))
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        return pa.table(
+            {"s": pa.concat_arrays([u, v]), "t": pa.concat_arrays([v, u])}
+        )
+
+    adj = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        h = t.column("host_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = h[h % SEED_MOD == 0]
+        return pa.table(
+            {
+                "host_id": pa.array(h, pa.int64()),
+                "hops": pa.array(np.zeros(len(h), np.int64), pa.int64()),
+            }
+        )
+
+    hosts = (
+        adj.select_columns(["s"])
+        .rename_columns({"s": "host_id"})
+        .groupby("host_id")
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["host_id"])
+    )
+    dist = hosts.map_batches(seed_rows, batch_format="pyarrow").materialize()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        touched = lookup_join(
+            adj, frontier.select_columns(["host_id"]), "s", "host_id", {}, how="semi"
+        )
+        # NOTE: semi lookup_join emits pandas blocks; Dataset.rename_columns
+        # assumes arrow blocks — project through map_batches instead.
+        nbrs = (
+            touched.map_batches(
+                lambda t: pa.table({"host_id": t.column("t")}),
+                batch_format="pyarrow",
+            )
+            .groupby("host_id")
+            .aggregate(Count(alias_name="__n"))
+            .select_columns(["host_id"])
+        )
+        new = lookup_join(
+            nbrs, dist.select_columns(["host_id"]), "host_id", "host_id", {}, how="anti"
+        ).materialize()
+        if new.count() == 0:
+            break
+        frontier = new.map_batches(
+            lambda t, h=hop: pa.table(
+                {
+                    "host_id": t.column("host_id"),
+                    "hops": pa.array(np.full(t.num_rows, h, np.int64), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        dist = dist.union(frontier).materialize()
+    return dist
+
+
+def bfs_hops_sql(max_hops: int = MAX_HOPS, src: str = "documents") -> str:
+    """DuckDB mirror of :func:`bfs_hops` — same edge derivation, the
+    BFS rounds unrolled as chained CTEs (frontier_i = distinct
+    neighbors of frontier_{i-1} minus everything settled)."""
+    h1 = f"((doc_id * {H1_MUL}) % {M32})"
+    ctes = [
+        (
+            f"bf_raw AS (SELECT doc_id % {N_HOST_SITES} AS src, "
+            f"{h1} % {N_HOST_SITES} AS d1, "
+            f"({h1} // {N_HOST_SITES}) % {N_HOST_SITES} AS d2 FROM {src})"
+        ),
+        (
+            "bf_e0 AS (SELECT DISTINCT least(src, dst) AS u, "
+            "greatest(src, dst) AS v FROM ("
+            "SELECT src, d1 AS dst FROM bf_raw UNION ALL "
+            "SELECT src, d2 AS dst FROM bf_raw) WHERE src <> dst)"
+        ),
+        (
+            "bf_adj AS MATERIALIZED (SELECT u AS s, v AS t FROM bf_e0 "
+            "UNION ALL SELECT v, u FROM bf_e0)"
+        ),
+        (
+            f"bf_u0 AS (SELECT DISTINCT s AS host_id, 0 AS hops FROM bf_adj "
+            f"WHERE s % {SEED_MOD} = 0)"
+        ),
+    ]
+    prev_f, prev_u = "bf_u0", "bf_u0"
+    for i in range(1, max_hops + 1):
+        ctes.append(
+            f"bf_f{i} AS MATERIALIZED (SELECT DISTINCT t AS host_id, {i} AS hops "
+            f"FROM bf_adj WHERE s IN (SELECT host_id FROM {prev_f}) "
+            f"AND t NOT IN (SELECT host_id FROM {prev_u}))"
+        )
+        ctes.append(
+            f"bf_u{i} AS MATERIALIZED (SELECT host_id, hops FROM {prev_u} "
+            f"UNION ALL SELECT host_id, hops FROM bf_f{i})"
+        )
+        prev_f, prev_u = f"bf_f{i}", f"bf_u{i}"
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT host_id, CAST(hops AS BIGINT) AS hops FROM {prev_u}"
+    )

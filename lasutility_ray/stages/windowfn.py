@@ -75,17 +75,19 @@ def partitioned_window(events_ds):
         csum = np.cumsum(cents)
         base = np.where(starts > 0, csum[starts - 1], 0)
         cum = csum - base[seg]
-        prev = np.empty(n, dtype=np.int64)
-        prev[1:] = cents[:-1]
-        prev[0] = 0
+        # lag() is NULL on each user's first row; surface as float64
+        # NaN — exactly what duckdb's .df() yields for a nullable
+        # BIGINT — so the driver sees identical dtype + values.
+        prev = np.empty(n, dtype=np.float64)
+        prev[1:] = cents[:-1].astype(np.float64)
+        prev[new] = np.nan
         counts = np.bincount(seg)
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
                 "user_id": uid,
                 "row_num": row_num.astype(np.int64),
-                # nullable: lag() is NULL on each user's first row
-                "prev_value_cents": pd.arrays.IntegerArray(prev, mask=new.copy()),
+                "prev_value_cents": prev,
                 "cum_value_cents": cum.astype(np.int64),
                 "user_n_events": counts[seg].astype(np.int64),
             }
@@ -220,9 +222,108 @@ def partitioned_window_sql(source: str = "events") -> str:
         f"CAST(round(value*100) AS BIGINT) AS cents FROM {source}) "
         "SELECT event_id, user_id, "
         "CAST(row_number() OVER w AS BIGINT) AS row_num, "
-        "lag(cents) OVER w AS prev_value_cents, "
-        "SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS UNBOUNDED PRECEDING) AS cum_value_cents, "
+        "CAST(lag(cents) OVER w AS DOUBLE) AS prev_value_cents, "
+        "CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_cents, "
         "COUNT(*) OVER (PARTITION BY user_id) AS user_n_events "
         "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    )
+
+
+def frame_window(events_ds, preceding: int = 2):
+    """Frame-bounded window aggregates — SQL ``ROWS BETWEEN
+    <preceding> PRECEDING AND CURRENT ROW`` — per user in (ts,
+    event_id) order, same one-shuffle coarse-bucket shape as
+    :func:`partitioned_window`:
+
+    - ``frame_sum_cents``: moving SUM over the frame
+    - ``frame_min_cents`` / ``frame_max_cents``: moving MIN/MAX
+    - ``frame_n``: COUNT(*) in the frame (< preceding+1 near the
+      partition start)
+
+    All integer cents, so value-exact vs the SQL mirror. The moving
+    min/max are computed as an elementwise reduce over the
+    ``preceding+1`` shifted copies (k is a small constant; no per-row
+    loop), with partition starts masked by row position.
+    """
+    from .cogroup import _bucket_of, default_n_buckets
+
+    n_buckets = default_n_buckets()
+    k = int(preceding)
+
+    def slim(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        cents = np.round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": pa.array(uid),
+                "__us": pa.array(us),
+                "__cents": pa.array(cents),
+                "__b": pa.array(_bucket_of(uid, n_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "__us", "event_id"], kind="stable")
+        uid = g["user_id"].to_numpy()
+        cents = g["__cents"].to_numpy()
+        n = len(g)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        idx = np.arange(n, dtype=np.int64)
+        pos = idx - starts[seg]  # 0-based position within partition
+        in_frame = np.minimum(pos, k)  # rows before current inside frame
+        csum = np.cumsum(cents)
+        ws = idx - in_frame  # frame start index
+        base = np.where(ws > 0, csum[ws - 1], 0)
+        fsum = csum - base
+        fmin = cents.copy()
+        fmax = cents.copy()
+        for j in range(1, k + 1):
+            ok = pos >= j
+            src = np.where(ok, idx - j, idx)  # self where shift invalid
+            fmin = np.minimum(fmin, np.where(ok, cents[src], fmin))
+            fmax = np.maximum(fmax, np.where(ok, cents[src], fmax))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": uid,
+                "frame_sum_cents": fsum.astype(np.int64),
+                "frame_min_cents": fmin.astype(np.int64),
+                "frame_max_cents": fmax.astype(np.int64),
+                "frame_n": (in_frame + 1).astype(np.int64),
+            }
+        )
+
+    return (
+        events_ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def frame_window_sql(source: str = "events", preceding: int = 2) -> str:
+    """DuckDB mirror of :func:`frame_window`."""
+    return (
+        "WITH e AS (SELECT event_id, user_id, ts, "
+        f"CAST(round(value*100) AS BIGINT) AS cents FROM {source}) "
+        "SELECT event_id, user_id, "
+        "CAST(SUM(cents) OVER w AS BIGINT) AS frame_sum_cents, "
+        "MIN(cents) OVER w AS frame_min_cents, "
+        "MAX(cents) OVER w AS frame_max_cents, "
+        "CAST(COUNT(*) OVER w AS BIGINT) AS frame_n "
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+        f"ROWS BETWEEN {int(preceding)} PRECEDING AND CURRENT ROW)"
     )
