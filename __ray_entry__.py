@@ -909,6 +909,34 @@ def q_vocab_overlap(sf_dir: str):
     return vocab_overlap(docs)
 
 
+def q_user_trend(sf_dir: str):
+    """Grouped OLS regression per user (spend-vs-day trend) via exact
+    integer moments: slope as an exact int64 rational
+    (num = n·Σxy−ΣxΣy, den = n·Σx²−(Σx)²) plus slope/intercept/corr
+    floats derived by identical single expressions in both engines
+    (stages/regression.py). Map-side partials, one moment shuffle.
+    Value-exact incl. degenerate groups (NULL/NaN)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.regression import user_trend
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return user_trend(events)
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5-shaped 6-table star join (region→nation→customer→
+    orders→lineitem→supplier) with pure-integer revenue
+    (stages/relational.py tpch_q5): two bucketed lookup_joins for the
+    corpus-sized edges, broadcast supplier map, ≤25-key final
+    groupby. Value-exact."""
+    from lasutility_ray.stages.relational import tpch_q5
+
+    return tpch_q5(sf_dir)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2570,6 +2598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
+        "q_user_trend": q_user_trend,
+        "q_tpch_q5": q_tpch_q5,
         # -- rows-only queries rotated out of the 50-window in session 6
         #    to admit the four value-exact additions above; every code
         #    path stays pytest-pinned (codec round trips, brute-force
@@ -2888,6 +2918,8 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.editdist import host_ed1_sql as _ed1_sql
     from lasutility_ray.stages.envelope import envelope_join_sql as _envelope_sql
     from lasutility_ray.stages.entropy import user_entropy_sql as _user_entropy_sql
+    from lasutility_ray.stages.regression import user_trend_sql as _user_trend_sql
+    from lasutility_ray.stages.relational import tpch_q5_sql as _tpch_q5_sql
     from lasutility_ray.stages.graph import bfs_hops_sql as _bfs_sql
     from lasutility_ray.stages.graph import triangle_counts_sql as _tri_sql
     from lasutility_ray.stages.vocab import vocab_overlap_sql as _vocab_overlap_sql
@@ -3074,6 +3106,8 @@ def oracle_sql() -> dict[str, str]:
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),
+        "q_user_trend": _user_trend_sql(),
+        "q_tpch_q5": _tpch_q5_sql(),
         "q_session_paths": _spaths_sql(),
         "q_rrf_fusion": _rrf_sql(
             "rrf_s AS (SELECT doc_id, n_chars, quality_millis FROM ("

@@ -454,3 +454,148 @@ def mode_per_group_sql(key_col: str, value_col: str, source: str) -> str:
         f"ORDER BY count(*) DESC, {value_col}) AS rn "
         f"FROM {source} GROUP BY {key_col}, {value_col}) WHERE rn = 1"
     )
+
+
+def tpch_q5(sf_dir: str, region: str = "ASIA"):
+    """TPC-H Q5-shaped 6-table join — per-nation revenue where the
+    customer and the line item's supplier share a nation inside one
+    region. The canonical star-join plan, Ray-Data-first:
+
+    1. region -> nation: two tiny driver reads fix the qualifying
+       nation set (bounded by 25 nations; never a shuffle).
+    2. customer's qualifying (c_custkey -> c_nationkey) map joins
+       orders via ONE bucketed ``lookup_join`` (at warehouse scale
+       customer is too big to broadcast; the slim 2-int64-column map
+       is exactly what the join ships).
+    3. lineitem joins the order->nation table via a second
+       ``lookup_join`` on l_orderkey, carrying (l_suppkey, rev_e4,
+       c_nationkey) — the only corpus-sized exchange.
+    4. supplier IS broadcast (ray.put once, read per batch): the
+       s_suppkey -> s_nationkey array is tiny by TPC-H construction;
+       the c_nationkey == s_nationkey equality filters map-only.
+    5. one final groupby over <= 25 nation keys.
+
+    Revenue is pure-integer exact: ``rev_e4 = round(p*100) *
+    (100 - round(d*100))`` — both factors are exact integers (TPC-H
+    price/discount are 2-decimal), so sums are order-independent and
+    the SQL mirror (:func:`tpch_q5_sql`) matches bitwise.
+    """
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .cogroup import lookup_join
+
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    rkeys = reg.filter(pc.equal(reg.column("r_name"), region)).column("r_regionkey")
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    nat = nat.filter(pc.is_valid(pc.index_in(nat.column("n_regionkey"), value_set=rkeys)))
+    nation_names = {
+        int(k): v
+        for k, v in zip(
+            nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist()
+        )
+    }
+    nset = nat.column("n_nationkey").combine_chunks()
+
+    def cust_slim(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(pc.index_in(t.column("c_nationkey"), value_set=nset)))
+        return t.select(["c_custkey", "c_nationkey"])
+
+    cust = (
+        rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        .map_batches(cust_slim, batch_format="pyarrow")
+        .materialize()  # slim keyed right side: pin before the join
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    order_nation = lookup_join(
+        orders, cust, "o_custkey", "c_custkey", {"c_nationkey": "c_nationkey"}
+    ).map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"]), batch_format="pyarrow"
+    ).materialize()
+
+    sup = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).combine_chunks()
+    sup_ref = ray.put(sup)
+
+    def line_rev(t: pa.Table) -> pa.Table:
+        p = np.round(t.column("l_extendedprice").to_numpy() * 100.0).astype(np.int64)
+        d = np.round(t.column("l_discount").to_numpy() * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "rev_e4": pa.array(p * (100 - d), pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(line_rev, batch_format="pyarrow")
+
+    li_n = lookup_join(
+        li, order_nation, "l_orderkey", "o_orderkey", {"c_nationkey": "c_nationkey"}
+    )
+
+    def supplier_match(t: pa.Table, ref=sup_ref) -> pa.Table:
+        s = ray.get(ref)
+        skey = s.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = s.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        lut = np.full(int(skey.max()) + 2, -1, dtype=np.int64)
+        lut[skey] = snat
+        lsk = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        s_nat = np.where(lsk < len(lut), lut[np.minimum(lsk, len(lut) - 1)], -1)
+        keep = s_nat == cn
+        return pa.table(
+            {
+                "nationkey": pa.array(cn[keep], pa.int64()),
+                "rev_e4": pa.array(
+                    t.column("rev_e4").to_numpy(zero_copy_only=False)[keep],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_nation = (
+        li_n.map_batches(supplier_match, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(Sum("rev_e4", alias_name="revenue_e4"))
+    )
+
+    def name_map(t: pa.Table, names=nation_names) -> pa.Table:
+        nk = t.column("nationkey").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([names[k] for k in nk], pa.string()),
+                "revenue_e4": t.column("revenue_e4"),
+            }
+        )
+
+    return per_nation.map_batches(name_map, batch_format="pyarrow")
+
+
+def tpch_q5_sql(region: str = "ASIA") -> str:
+    """DuckDB mirror of :func:`tpch_q5` (same integer rev_e4)."""
+    return (
+        "SELECT n.n_name, CAST(sum("
+        "CAST(round(l.l_extendedprice*100) AS BIGINT) * "
+        "(100 - CAST(round(l.l_discount*100) AS BIGINT))"
+        ") AS BIGINT) AS revenue_e4 "
+        "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+        "AND c.c_nationkey = s.s_nationkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        f"WHERE r.r_name = '{region}' "
+        "GROUP BY n.n_name"
+    )

@@ -198,3 +198,91 @@ def test_vocab_overlap_extremes(ray_session):
     assert out.loc[("a", "c"), "n_inter"] == 0
     assert out.loc[("a", "c"), "jaccard_e6"] == 0
     assert out.loc[("b", "c"), "n_union"] == 6
+
+
+# --------------------------------------------------------------- user trend
+
+
+def test_user_trend_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con()
+    df = entry.queries()["q_user_trend"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_user_trend"]).df()
+    a, b = _sorted(df), _sorted(ref)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert [str(t) for t in a.dtypes] == [str(t) for t in b.dtypes]
+    # slopes genuinely vary (regression is doing work)
+    assert df["slope"].nunique() > 10
+
+
+def test_user_trend_degenerate_groups(ray_session):
+    """All-same-day user -> NaN slope/intercept/corr with slope_den 0;
+    constant-value user -> NaN corr but exact zero slope_num; and the
+    closed form reproduces a hand-built exact line."""
+    from lasutility_ray.stages.regression import user_trend
+
+    day = 86_400_000_000
+    ts = pa.array(
+        np.array(
+            # user 1: same day; user 2: y = 200 + 100*x cents at x=0,1,2
+            # user 3: constant y across two days
+            [5 * day, 5 * day, 5 * day, 0, day, 2 * day, 0, day],
+            dtype="int64",
+        ),
+        pa.timestamp("us"),
+    )
+    ev = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1, 1, 1, 2, 2, 2, 3, 3], pa.int64()),
+                "ts": ts,
+                "value": pa.array([1.0, 2.0, 3.0, 2.0, 3.0, 4.0, 7.0, 7.0]),
+            }
+        )
+    )
+    out = user_trend(ev).to_pandas().set_index("user_id").sort_index()
+    assert out.loc[1, "slope_den"] == 0 and np.isnan(out.loc[1, "slope"])
+    assert np.isnan(out.loc[1, "intercept"]) and np.isnan(out.loc[1, "corr"])
+    assert out.loc[2, "slope"] == 100.0 and out.loc[2, "intercept"] == 200.0
+    assert out.loc[2, "corr"] == 1.0
+    assert out.loc[3, "slope_num"] == 0 and out.loc[3, "slope"] == 0.0
+    assert np.isnan(out.loc[3, "corr"])
+
+
+def test_user_trend_partition_invariant(ray_session):
+    """Integer moments are associative: any repartitioning yields
+    bit-identical rationals AND floats."""
+    from lasutility_ray.stages.regression import user_trend
+
+    ev = rd.read_parquet(f"{SF}/events.parquet").limit(20000)
+    a = user_trend(ev).to_pandas()
+    b = user_trend(ev.repartition(13)).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(a), _sorted(b))
+
+
+# ------------------------------------------------------------------- TPC-H Q5
+
+
+def test_tpch_q5_matches_duckdb(ray_session):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(
+        tables=("region", "nation", "customer", "orders", "lineitem", "supplier")
+    )
+    df = entry.queries()["q_tpch_q5"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_tpch_q5"]).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
+    assert len(df) == 5  # every ASIA nation has revenue at sf0.01
+
+
+def test_tpch_q5_other_region(ray_session):
+    """Region parameter flows through both engines (EUROPE)."""
+    from lasutility_ray.stages.relational import tpch_q5, tpch_q5_sql
+
+    con = _oracle_con(
+        tables=("region", "nation", "customer", "orders", "lineitem", "supplier")
+    )
+    df = tpch_q5(SF, region="EUROPE").to_pandas()
+    ref = con.execute(tpch_q5_sql(region="EUROPE")).df()
+    pd.testing.assert_frame_equal(_sorted(df), _sorted(ref), check_dtype=False)
