@@ -937,6 +937,22 @@ def q_tpch_q5(sf_dir: str):
     return tpch_q5(sf_dir)
 
 
+def q_sssp_hosts(sf_dir: str):
+    """Multi-source WEIGHTED shortest paths (Bellman-Ford, ≤6 edges)
+    over the directed host graph from the host_id%97==0 seed set,
+    integer edge cost 1+(7s+13t)%9 (stages/graph.py sssp_hosts).
+    Frontier-only relaxation: per round one bucketed lookup_join over
+    edges leaving improved hosts → Min groupby → strict-improvement
+    filter; O(frontier-incident edges) shuffle per round, one scalar
+    to the driver. Value-exact vs the unrolled-CTE SQL mirror."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.graph import sssp_hosts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return sssp_hosts(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2595,6 +2611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- session-8 additions (value-exact; past the 50-window,
         #    rotate in next round)
         "q_bfs_hops": q_bfs_hops,
+        "q_sssp_hosts": q_sssp_hosts,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -2921,6 +2938,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.regression import user_trend_sql as _user_trend_sql
     from lasutility_ray.stages.relational import tpch_q5_sql as _tpch_q5_sql
     from lasutility_ray.stages.graph import bfs_hops_sql as _bfs_sql
+    from lasutility_ray.stages.graph import sssp_hosts_sql as _sssp_sql
     from lasutility_ray.stages.graph import triangle_counts_sql as _tri_sql
     from lasutility_ray.stages.vocab import vocab_overlap_sql as _vocab_overlap_sql
     from lasutility_ray.stages.windowfn import frame_window_sql as _frame_window_sql
@@ -3103,6 +3121,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_rfm_segments": _rfm_sql(),
         "q_bfs_hops": _bfs_sql(),
+        "q_sssp_hosts": _sssp_sql(),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),

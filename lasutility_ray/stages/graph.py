@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..corpus.geocode import H1_MUL, M32, hashes
 
@@ -619,4 +620,214 @@ def bfs_hops_sql(max_hops: int = MAX_HOPS, src: str = "documents") -> str:
     return (
         "WITH " + ", ".join(ctes) + " "
         f"SELECT host_id, CAST(hops AS BIGINT) AS hops FROM {prev_u}"
+    )
+
+
+# ------------------------------------------------- weighted SSSP
+
+SSSP_ROUNDS = 6  # result = exact min-cost path using <= 6 edges
+
+
+def _sssp_cost_batch(t: pa.Table) -> pa.Table:
+    """Deterministic per-pair edge cost 1 + (7s + 13t) % 9 — a pure
+    function of the endpoints so the SQL mirror is one expression."""
+    s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "s": pa.array(s, pa.int64()),
+            "t": pa.array(d, pa.int64()),
+            "c": pa.array(1 + (7 * s + 13 * d) % 9, pa.int64()),
+        }
+    )
+
+
+def _sssp_local(edges: pd.DataFrame, rounds: int) -> pd.DataFrame:
+    """Single-task reference Bellman-Ford (full relaxation per round,
+    provably equal to the distributed frontier variant round-for-round)."""
+    s = edges["src"].to_numpy(np.int64)
+    t = edges["dst"].to_numpy(np.int64)
+    c = 1 + (7 * s + 13 * t) % 9
+    nodes = np.unique(np.concatenate([s, t]))
+    n = int(nodes.max()) + 1
+    INF = np.int64(2**62)
+    d = np.full(n, INF, dtype=np.int64)
+    seeds = nodes[nodes % SEED_MOD == 0]
+    d[seeds] = 0
+    for _ in range(rounds):
+        nd = d.copy()
+        ok = d[s] < INF
+        np.minimum.at(nd, t[ok], d[s[ok]] + c[ok])
+        d = nd
+    keep = nodes[d[nodes] < INF]
+    return pd.DataFrame(
+        {
+            "host_id": pd.Series(keep, dtype=np.int64),
+            "dist": pd.Series(d[keep], dtype=np.int64),
+        }
+    )
+
+
+def sssp_hosts(docs_ds, rounds: int = SSSP_ROUNDS, force_distributed: bool = False):
+    """Multi-source WEIGHTED shortest paths over the directed host
+    graph: exact min cost over paths of <= ``rounds`` edges from the
+    seed set ``host_id % 97 == 0`` (bfs_hops' seeds), edge cost
+    1 + (7s + 13t) % 9.
+
+    The weighted sibling of :func:`bfs_hops` — delta-stepping-style
+    Bellman-Ford where each round relaxes ONLY edges leaving hosts
+    whose distance improved last round (identical results to full
+    relaxation by the standard induction: an unimproved source's
+    relaxations were already applied). THE ROUND-TAG TRICK keeps the
+    whole round at ONE join + ONE groupby: the settled table stores
+    ``v = d*64 + r`` (r = round that set d; d <= 9*rounds so v is
+    tiny). ``union(settled, candidates-tagged-current-round)`` ->
+    ``Min(v)`` picks the smaller distance and breaks distance TIES
+    toward the OLDER round — so "improved this round" is a pure
+    ``v % 64 == round`` filter, no anti/strict-improvement joins.
+    Shuffle volume is O(edges out of the frontier); the driver sees
+    one scalar per round (frontier count, loop exit). Integer costs
+    make every step order-independent -> value-exact vs the
+    unrolled-CTE mirror (:func:`sssp_hosts_sql`). Local fast path
+    below ``FAST_PATH_MAX_EDGES``; ``force_distributed`` pins both
+    paths identical in tests.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .cogroup import lookup_join
+
+    assert rounds < 63, "round tag packs into v = d*64 + r"
+    edges = host_edges(docs_ds).materialize()
+    if not force_distributed and edges.count() <= FAST_PATH_MAX_EDGES:
+        return rd.from_pandas(_sssp_local(edges.to_pandas(), rounds))
+
+    # BLOCK-TYPE HAZARD (pinned by test_sssp_forced_distributed): join
+    # outputs are pandas blocks and EMPTY blocks bypass map_batches
+    # untransformed, so a union of join-derived and seed lineages
+    # feeds MIXED block types into groupby's boundary sampler
+    # (AssertionError in sample_boundaries). The loop therefore keeps
+    # every lineage pandas-uniform: all map_batches use
+    # batch_format="pandas".
+    adj = edges.map_batches(_sssp_cost_batch, batch_format="pyarrow").materialize()
+    # block-count hygiene: each round's lookup_join emits one block per
+    # bucket and the dist union compounds them — at default bucket
+    # width a toy graph pays 100+-block sort shuffles per round (~17 s
+    # for 30 rows, measured). Size buckets to the adjacency instead;
+    # big graphs still get the full default width.
+    from .cogroup import default_n_buckets
+
+    n_buckets = max(4, min(default_n_buckets(), adj.count() // 200_000 + 1))
+
+    def seed_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.unique(
+            np.concatenate(
+                [df["s"].to_numpy(np.int64), df["t"].to_numpy(np.int64)]
+            )
+        )
+        h = h[h % SEED_MOD == 0]
+        return pd.DataFrame(
+            {
+                "host_id": pd.Series(h, dtype=np.int64),
+                "v": pd.Series(np.zeros(len(h), np.int64), dtype=np.int64),
+            }
+        )
+
+    # per-batch seed emission duplicates a host across blocks; dedupe
+    # once up front — lookup_join's right side requires unique keys.
+    dist = (
+        adj.map_batches(seed_rows, batch_format="pandas")
+        .groupby("host_id")
+        .aggregate(Min("v", alias_name="v"))
+        .materialize()
+    )
+    frontier = dist
+    for rnd in range(1, rounds + 1):
+        cand = lookup_join(
+            adj, frontier, "s", "host_id", {"v": "v"}, n_buckets=n_buckets
+        ).map_batches(
+            lambda df, r=rnd: pd.DataFrame(
+                {
+                    "host_id": df["t"].astype(np.int64),
+                    "v": (
+                        (
+                            df["v"].to_numpy(np.int64) // 64
+                            + df["c"].to_numpy(np.int64)
+                        )
+                        * 64
+                        + r
+                    ),
+                }
+            ),
+            batch_format="pandas",
+        )
+        # BLOCK-GROWTH HAZARD: groupby emits one block per input block
+        # and the union adds the join's blocks every round — without a
+        # coalesce the block count doubles per round and the sort
+        # shuffle goes exponential (measured 1.0 s -> 30.5 s by round
+        # 5 on a 1k-edge toy graph). repartition() is a cheap
+        # metadata-level coalesce, not an extra all-to-all.
+        dist = (
+            dist.union(cand)
+            .groupby("host_id")
+            .aggregate(Min("v", alias_name="v"))
+            .repartition(n_buckets)
+            .materialize()
+        )
+        frontier = dist.map_batches(
+            lambda df, r=rnd: df.loc[df["v"] % 64 == r, ["host_id", "v"]],
+            batch_format="pandas",
+        ).materialize()
+        if frontier.count() == 0:
+            break
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "host_id": df["host_id"].astype(np.int64),
+                "dist": df["v"].to_numpy(np.int64) // 64,
+            }
+        )
+
+    return dist.map_batches(finish, batch_format="pandas")
+
+
+def sssp_hosts_sql(rounds: int = SSSP_ROUNDS, src: str = "documents") -> str:
+    """DuckDB mirror of :func:`sssp_hosts` — same edge derivation and
+    cost, the Bellman-Ford rounds unrolled as chained CTEs (full
+    relaxation per round == the frontier variant)."""
+    h1 = f"((doc_id * {H1_MUL}) % {M32})"
+    ctes = [
+        (
+            f"ss_raw AS (SELECT doc_id % {N_HOST_SITES} AS src, "
+            f"{h1} % {N_HOST_SITES} AS d1, "
+            f"({h1} // {N_HOST_SITES}) % {N_HOST_SITES} AS d2 FROM {src})"
+        ),
+        (
+            "ss_adj AS MATERIALIZED (SELECT DISTINCT src AS s, dst AS t, "
+            "1 + (7*src + 13*dst) % 9 AS c FROM ("
+            "SELECT src, d1 AS dst FROM ss_raw UNION ALL "
+            "SELECT src, d2 AS dst FROM ss_raw) WHERE src <> dst)"
+        ),
+        (
+            f"ss_d0 AS (SELECT DISTINCT node AS host_id, CAST(0 AS BIGINT) AS d "
+            f"FROM (SELECT s AS node FROM ss_adj UNION ALL SELECT t FROM ss_adj) "
+            f"WHERE node % {SEED_MOD} = 0)"
+        ),
+    ]
+    prev = "ss_d0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"ss_c{i} AS (SELECT a.t AS host_id, min(p.d + a.c) AS d "
+            f"FROM ss_adj a JOIN {prev} p ON p.host_id = a.s GROUP BY a.t)"
+        )
+        ctes.append(
+            f"ss_d{i} AS MATERIALIZED (SELECT host_id, min(d) AS d FROM ("
+            f"SELECT * FROM {prev} UNION ALL SELECT * FROM ss_c{i}) "
+            f"GROUP BY host_id)"
+        )
+        prev = f"ss_d{i}"
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        f"SELECT host_id, CAST(d AS BIGINT) AS dist FROM {prev}"
     )
