@@ -941,16 +941,81 @@ def q_sssp_hosts(sf_dir: str):
     """Multi-source WEIGHTED shortest paths (Bellman-Ford, ≤6 edges)
     over the directed host graph from the host_id%97==0 seed set,
     integer edge cost 1+(7s+13t)%9 (stages/graph.py sssp_hosts).
-    Frontier-only relaxation: per round one bucketed lookup_join over
-    edges leaving improved hosts → Min groupby → strict-improvement
-    filter; O(frontier-incident edges) shuffle per round, one scalar
-    to the driver. Value-exact vs the unrolled-CTE SQL mirror."""
+    Frontier-only relaxation at ONE join + ONE groupby per round via
+    the round-tag Min encoding (v = d*64 + r; distance ties break to
+    the older round, so the frontier is a pure filter);
+    O(frontier-incident edges) shuffle per round, one scalar to the
+    driver. Value-exact vs the unrolled-CTE SQL mirror."""
     import ray.data as rd
 
     from lasutility_ray.stages.graph import sssp_hosts
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return sssp_hosts(docs)
+
+
+def q_scd2_intervals(sf_dir: str):
+    """SCD Type-2 validity intervals — per user, consecutive runs of
+    the same event_type collapse to versioned (valid_from, valid_to)
+    rows (stages/scd.py scd2_intervals). One coarse-bucket shuffle of
+    slim int64 rows, one vectorized run scan per bucket. Value-exact
+    incl. the NaN open-interval surface."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.scd import scd2_intervals
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return scd2_intervals(events)
+
+
+def q_longest_streaks(sf_dir: str):
+    """Gaps-and-islands: longest consecutive-day activity streak per
+    user with (longest, earliest-start) tie rule (stages/streaks.py).
+    Batch-distinct (user, day) rows through one coarse-bucket
+    shuffle, vectorized island scan per bucket. Value-exact vs the
+    day-minus-row_number SQL mirror."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.streaks import longest_streaks
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return longest_streaks(events)
+
+
+def q_basket_rules(sf_dir: str):
+    """Market-basket association rules over (user, day) baskets of
+    distinct event_types: support / confidence / lift in floor-div
+    micro units (stages/basket.py basket_rules). One slim distinct
+    pass + per-basket vectorized pair expansion; pair/item tallies
+    are vocab-bounded. Value-exact (HUGEINT lift in the mirror)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.basket import basket_rules
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return basket_rules(events)
+
+
+def q_key_skew_profile(sf_dir: str):
+    """Key-distribution skew profiler over the events user_id key —
+    n_keys, max, top-10 share, exact nearest-rank count quantiles and
+    the integer Gini coefficient in one row (stages/skewprof.py). The
+    pre-shuffle diagnostic that decides whether a key needs
+    stages/salting.py. Map-side partial counts, key-space-bounded
+    final. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.skewprof import user_skew_profile
+
+    events = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return user_skew_profile(events)
 
 
 def q_rollup_agg(sf_dir: str):
@@ -2612,6 +2677,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    rotate in next round)
         "q_bfs_hops": q_bfs_hops,
         "q_sssp_hosts": q_sssp_hosts,
+        "q_scd2_intervals": q_scd2_intervals,
+        "q_longest_streaks": q_longest_streaks,
+        "q_basket_rules": q_basket_rules,
+        "q_key_skew_profile": q_key_skew_profile,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -2939,6 +3008,12 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.relational import tpch_q5_sql as _tpch_q5_sql
     from lasutility_ray.stages.graph import bfs_hops_sql as _bfs_sql
     from lasutility_ray.stages.graph import sssp_hosts_sql as _sssp_sql
+    from lasutility_ray.stages.scd import scd2_sql as _scd2_sql
+    from lasutility_ray.stages.streaks import longest_streaks_sql as _streaks_sql
+    from lasutility_ray.stages.basket import basket_rules_sql as _basket_sql
+    from lasutility_ray.stages.skewprof import (
+        user_skew_profile_sql as _skewprof_sql,
+    )
     from lasutility_ray.stages.graph import triangle_counts_sql as _tri_sql
     from lasutility_ray.stages.vocab import vocab_overlap_sql as _vocab_overlap_sql
     from lasutility_ray.stages.windowfn import frame_window_sql as _frame_window_sql
@@ -3122,6 +3197,10 @@ def oracle_sql() -> dict[str, str]:
         "q_rfm_segments": _rfm_sql(),
         "q_bfs_hops": _bfs_sql(),
         "q_sssp_hosts": _sssp_sql(),
+        "q_scd2_intervals": _scd2_sql(),
+        "q_longest_streaks": _streaks_sql(),
+        "q_basket_rules": _basket_sql(),
+        "q_key_skew_profile": _skewprof_sql(),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),

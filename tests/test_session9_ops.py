@@ -1,0 +1,211 @@
+"""Session-9 operators: SCD Type-2 validity intervals, longest
+consecutive-day streaks (gaps-and-islands), market-basket association
+rules, and the key-skew profiler — value-exact vs DuckDB, with kernel
+edge pins (open-interval NaN, streak tie rule, brute-force pair
+expansion, uniform-vs-hot-key Gini, integer nearest-rank)."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.01"
+
+
+def _oracle_con(tables=("events",), sf=SF):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return con
+
+
+def _sorted(df, cols=None):
+    cols = cols or sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def _match(name, tables=("events",)):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=tables)
+    df = entry.queries()[name](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()[name]).df()
+    a, b = _sorted(df), _sorted(ref)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert [str(t) for t in a.dtypes] == [str(t) for t in b.dtypes]
+    return df
+
+
+# ------------------------------------------------------------------ SCD2
+
+
+def test_scd2_matches_duckdb(ray_session):
+    df = _match("q_scd2_intervals")
+    # real data exercises multi-version users and open intervals
+    assert df["version"].max() >= 3
+    assert df["valid_to_us"].isna().sum() == df["user_id"].nunique()
+
+
+def test_scd2_hand_case(ray_session):
+    from lasutility_ray.stages.scd import scd2_intervals
+
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "user_id": [7, 7, 7, 7, 9, 9],
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03",
+                 "2024-01-04", "2024-01-01", "2024-01-05"]
+            ),
+            "event_type": ["a", "a", "b", "a", "x", "x"],
+        }
+    )
+    out = (
+        scd2_intervals(rd.from_pandas(ev))
+        .to_pandas()
+        .sort_values(["user_id", "version"])
+        .reset_index(drop=True)
+    )
+    assert list(out["event_type"]) == ["a", "b", "a", "x"]
+    assert list(out["version"]) == [1, 2, 3, 1]
+    assert list(out["n_events"]) == [2, 1, 1, 2]
+    # each run's valid_to == next run's valid_from; final runs open
+    assert out.loc[0, "valid_to_us"] == out.loc[1, "valid_from_us"]
+    assert out.loc[1, "valid_to_us"] == out.loc[2, "valid_from_us"]
+    assert np.isnan(out.loc[2, "valid_to_us"])
+    assert np.isnan(out.loc[3, "valid_to_us"])
+
+
+# ---------------------------------------------------------------- streaks
+
+
+def test_streaks_match_duckdb(ray_session):
+    df = _match("q_longest_streaks")
+    assert (df["max_streak_days"] >= 1).all()
+    assert (df["n_active_days"] >= df["max_streak_days"]).all()
+
+
+def test_streaks_tie_prefers_earliest(ray_session):
+    from lasutility_ray.stages.streaks import longest_streaks
+
+    # user 5: days 10-11 and 20-21 (tie, earliest wins); one dup day
+    ev = pd.DataFrame(
+        {
+            "user_id": [5, 5, 5, 5, 5],
+            "ts": pd.to_datetime(
+                [10, 10, 11, 20, 21], unit="D", origin="unix"
+            ),
+        }
+    )
+    out = longest_streaks(rd.from_pandas(ev)).to_pandas()
+    assert len(out) == 1
+    assert out.loc[0, "max_streak_days"] == 2
+    assert out.loc[0, "streak_start_day"] == 10
+    assert out.loc[0, "n_active_days"] == 4
+
+
+# ----------------------------------------------------------------- basket
+
+
+def test_basket_rules_match_duckdb(ray_session):
+    df = _match("q_basket_rules")
+    assert len(df) >= 3
+    # lift sanity: pair support never exceeds either item support
+    assert (df["pair_n"] <= df[["a_n", "b_n"]].min(axis=1)).all()
+
+
+def test_basket_rules_brute_force(ray_session):
+    from lasutility_ray.stages.basket import basket_rules
+
+    rng = np.random.default_rng(3)
+    n = 400
+    ev = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 12, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 5, n) * 86_400_000_000, unit="us"
+            ),
+            "event_type": rng.choice(list("abcd"), n),
+        }
+    )
+    out = (
+        basket_rules(rd.from_pandas(ev))
+        .to_pandas()
+        .set_index(["item_a", "item_b"])
+    )
+    # brute force over python sets
+    baskets = {}
+    for r in ev.itertuples():
+        baskets.setdefault(
+            (r.user_id, r.ts.value // 86_400_000_000), set()
+        ).add(r.event_type)
+    total = len(baskets)
+    supp, pair = {}, {}
+    for items in baskets.values():
+        for it in items:
+            supp[it] = supp.get(it, 0) + 1
+        for a, b in itertools.combinations(sorted(items), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    assert len(out) == len(pair)
+    for (a, b), pn in pair.items():
+        row = out.loc[(a, b)]
+        assert row["pair_n"] == pn
+        assert row["a_n"] == supp[a] and row["b_n"] == supp[b]
+        assert row["conf_ab_micro"] == (1_000_000 * pn) // supp[a]
+        assert row["lift_micro"] == (1_000_000 * pn * total) // (
+            supp[a] * supp[b]
+        )
+
+
+# --------------------------------------------------------------- skewprof
+
+
+def test_skew_profile_matches_duckdb(ray_session):
+    df = _match("q_key_skew_profile")
+    assert df.loc[0, "n_keys"] >= 2
+    # the synthetic user distribution is genuinely non-uniform
+    assert df.loc[0, "gini_micro"] > 0
+
+
+def test_skew_profile_uniform_vs_hot(ray_session):
+    from lasutility_ray.stages.skewprof import _stats_from_counts
+
+    uni = _stats_from_counts(np.full(100, 7, np.int64))
+    assert uni.loc[0, "gini_micro"] == 0
+    assert uni.loc[0, "top10_share_micro"] == 100_000  # 10/100 keys
+    assert uni.loc[0, "p50_count"] == 7 and uni.loc[0, "p99_count"] == 7
+    hot = np.full(100, 1, np.int64)
+    hot[0] = 9901  # one key holds 99% of rows
+    h = _stats_from_counts(hot)
+    assert h.loc[0, "max_count"] == 9901
+    assert h.loc[0, "top10_share_micro"] == 991_000
+    assert h.loc[0, "gini_micro"] > 900_000
+
+
+def test_skew_profile_nearest_rank_integer_exact(ray_session):
+    """n=10 exposes the IEEE ceil(0.9*10)=10 hazard: the integer rank
+    must be 9 (ceil(90*10/100)) in both engines."""
+    import duckdb
+
+    from lasutility_ray.stages.skewprof import _stats_from_counts
+
+    cnt = np.arange(1, 11, dtype=np.int64)  # counts 1..10
+    ours = _stats_from_counts(cnt)
+    assert ours.loc[0, "p90_count"] == 9
+    con = duckdb.connect()
+    # user x % 10 over 0..54 -> per-key counts 6,6,6,6,6,5,5,5,5,5
+    con.execute(
+        "CREATE TABLE events AS SELECT CAST(x % 10 AS BIGINT) AS user_id "
+        "FROM (SELECT unnest(range(55)) AS x)"
+    )
+    from lasutility_ray.stages.skewprof import user_skew_profile_sql
+
+    ref = con.execute(user_skew_profile_sql()).df()
+    assert ref.loc[0, "p90_count"] == 6  # integer rank 9 of sorted
+    assert ref.loc[0, "p50_count"] == 5
