@@ -1018,6 +1018,62 @@ def q_key_skew_profile(sf_dir: str):
     return user_skew_profile(events)
 
 
+def q_resample_locf(sf_dir: str):
+    """Hourly time-series resampling with last-observation-carried-
+    forward gap fill per user (stages/resample.py): one coarse-bucket
+    shuffle of slim event rows, grid expansion + one searchsorted per
+    bucket AFTER the shuffle. Value-exact vs generate_series + ASOF
+    JOIN."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.resample import resample_locf
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return resample_locf(events)
+
+
+def q_geohash_counts(sf_dir: str):
+    """Geohash cell counts at 4 chars over the geocoded corpus
+    (stages/geohash_tiles.py, codec in geom/geohash.py): canonical
+    interleaved base-32 subdivision of the projected envelope, exact
+    int64 — pure map + one groupby-count. Value-exact vs the
+    bit-generated SQL expression."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.geohash_tiles import geohash_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return geohash_counts(docs)
+
+
+def q_geohash_rollup(sf_dir: str):
+    """Parent-cell rollup via the geohash prefix property — substr +
+    re-aggregate over the cell-bounded fine table, no second corpus
+    pass (stages/geohash_tiles.py geohash_prefix_rollup). Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.geohash_tiles import geohash_prefix_rollup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return geohash_prefix_rollup(docs)
+
+
+def q_convex_hull(sf_dir: str):
+    """Distributed exact convex hull of the geocoded corpus
+    (stages/hull.py): per-batch local monotone chain (keep-collinear)
+    -> only hull candidates cross the wire -> final chain in one
+    task; directed CCW integer-mm edges. Value-exact vs the
+    definitional all-pairs strictly-left SQL characterization."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.hull import convex_hull_edges
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return convex_hull_edges(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2681,6 +2737,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_longest_streaks": q_longest_streaks,
         "q_basket_rules": q_basket_rules,
         "q_key_skew_profile": q_key_skew_profile,
+        "q_resample_locf": q_resample_locf,
+        "q_geohash_counts": q_geohash_counts,
+        "q_geohash_rollup": q_geohash_rollup,
+        "q_convex_hull": q_convex_hull,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3014,6 +3074,12 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.skewprof import (
         user_skew_profile_sql as _skewprof_sql,
     )
+    from lasutility_ray.stages.resample import resample_locf_sql as _locf_sql
+    from lasutility_ray.stages.hull import convex_hull_edges_sql as _hull_sql
+    from lasutility_ray.stages.geohash_tiles import (
+        geohash_counts_sql as _gh_counts_sql,
+        geohash_prefix_rollup_sql as _gh_rollup_sql,
+    )
     from lasutility_ray.stages.graph import triangle_counts_sql as _tri_sql
     from lasutility_ray.stages.vocab import vocab_overlap_sql as _vocab_overlap_sql
     from lasutility_ray.stages.windowfn import frame_window_sql as _frame_window_sql
@@ -3201,6 +3267,10 @@ def oracle_sql() -> dict[str, str]:
         "q_longest_streaks": _streaks_sql(),
         "q_basket_rules": _basket_sql(),
         "q_key_skew_profile": _skewprof_sql(),
+        "q_resample_locf": _locf_sql(),
+        "q_geohash_counts": _gh_counts_sql(),
+        "q_geohash_rollup": _gh_rollup_sql(),
+        "q_convex_hull": _hull_sql(),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),

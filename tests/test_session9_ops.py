@@ -209,3 +209,105 @@ def test_skew_profile_nearest_rank_integer_exact(ray_session):
     ref = con.execute(user_skew_profile_sql()).df()
     assert ref.loc[0, "p90_count"] == 6  # integer rank 9 of sorted
     assert ref.loc[0, "p50_count"] == 5
+
+
+# --------------------------------------------------------------- resample
+
+
+def test_resample_locf_matches_duckdb(ray_session):
+    df = _match("q_resample_locf")
+    # grids are dense: per user, hours are contiguous
+    g = df.sort_values(["user_id", "hr"]).groupby("user_id")["hr"]
+    assert ((g.max() - g.min() + 1) == g.count()).all()
+
+
+def test_resample_locf_hand_case(ray_session):
+    from lasutility_ray.stages.resample import resample_locf
+
+    H = 3_600_000_000
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [5, 5, 5, 5],
+            # two events in hour 0 (latest wins), gap, then hour 3
+            "ts": pd.to_datetime([100, 3000, 3 * H, 3 * H + 7], unit="us"),
+            "value": [1.00, 2.00, 9.00, 4.00],
+        }
+    )
+    out = (
+        resample_locf(rd.from_pandas(ev))
+        .to_pandas()
+        .sort_values("hr")
+        .reset_index(drop=True)
+    )
+    assert list(out["hr"]) == [0, 1, 2, 3]
+    # hour 0 winner = latest in hour (200 cents); carried through the
+    # gap; hour 3 winner = latest (400 cents)
+    assert list(out["cents_locf"]) == [200, 200, 200, 400]
+
+
+# ---------------------------------------------------------------- geohash
+
+
+def test_geohash_counts_match_duckdb(ray_session):
+    df = _match("q_geohash_counts", tables=("documents",))
+    assert df["n_docs"].sum() == 500
+    assert set(df["geohash"].str.len()) == {4}
+    _match("q_geohash_rollup", tables=("documents",))
+
+
+def test_geohash_codec_roundtrip(ray_session):
+    from lasutility_ray.geom.geohash import decode_bounds, encode
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 24_000_000, 500)
+    y = rng.integers(0, 24_000_000, 500)
+    for p in (1, 3, 4, 7):
+        codes = encode(x, y, p)
+        for i in range(0, 500, 50):
+            x0, y0, x1, y1 = decode_bounds(codes[i])
+            assert x0 <= x[i] < x1 and y0 <= y[i] < y1
+    # prefix property: the 2-char prefix IS the 2-char cell
+    c4 = encode(x, y, 4)
+    c2 = encode(x, y, 2)
+    assert all(a[:2] == b for a, b in zip(c4, c2))
+
+
+# ------------------------------------------------------------------- hull
+
+
+def test_convex_hull_matches_duckdb(ray_session):
+    df = _match("q_convex_hull", tables=("documents",))
+    assert len(df) >= 3
+    # edges close into one cycle: each vertex appears once as source
+    # and once as target
+    src = set(zip(df["ax"], df["ay"]))
+    dst = set(zip(df["bx"], df["by"]))
+    assert src == dst and len(src) == len(df)
+
+
+def test_convex_hull_contains_all_points(ray_session):
+    from lasutility_ray.stages.hull import _chain
+
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        px = rng.integers(0, 1000, 60)
+        py = rng.integers(0, 1000, 60)
+        v = _chain(px, py)
+        n = len(v)
+        for i in range(n):
+            ax, ay = v[i]
+            bx, by = v[(i + 1) % n]
+            cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            assert (cross >= 0).all()  # CCW: everything left or on
+
+
+def test_convex_hull_keeps_collinear_boundary_vertex(ray_session):
+    from lasutility_ray.stages.hull import _chain
+
+    # square plus a midpoint on the bottom edge: keep-collinear chain
+    # retains it (matching the SQL strictly-left edge rule)
+    px = np.array([0, 5, 10, 10, 0, 4])
+    py = np.array([0, 0, 0, 10, 10, 6])
+    v = [tuple(r) for r in _chain(px, py)]
+    assert (5, 0) in v and (4, 6) not in v
