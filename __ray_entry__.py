@@ -1074,6 +1074,54 @@ def q_convex_hull(sf_dir: str):
     return convex_hull_edges(docs)
 
 
+def q_vocab_growth(sf_dir: str):
+    """Vocabulary growth curve (Heaps-law saturation diagnostic):
+    per 64-doc corpus prefix bucket, first-appearing token count and
+    cumulative vocabulary (stages/vocabgrowth.py). Map-side distinct
+    partials -> vocab-bounded Min groupby -> tiny bucket table; the
+    cumsum runs in one task. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.vocabgrowth import vocab_growth
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return vocab_growth(docs)
+
+
+def q_pit_version_join(sf_dir: str):
+    """Point-in-time validity join — each event looks up its user's
+    SCD2 version valid ONE HOUR BEFORE the event (stages/pitjoin.py):
+    the feature-store time-travel primitive; runs rebuilt in the same
+    user bucket as the events (one shuffle, no second exchange), one
+    searchsorted per bucket, NaN before the first version. Value-exact
+    vs the scd2 CTE chain + ASOF LEFT JOIN."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.pitjoin import pit_version_join
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return pit_version_join(events)
+
+
+def q_tile_viewsheds(sf_dir: str):
+    """Per-tile DEM viewshed (stages/viewshed.py): 20 m per-cell max
+    DEM per 1 km tile, observer on the highest cell, exact integer R3
+    line-of-sight with all rays Bresenham-stepping simultaneously —
+    one summary row per occupied tile. Rows-only (no SQL for
+    line-of-sight); kernel pinned by hand-DEM tests."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.viewshed import tile_viewsheds
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return tile_viewsheds(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2741,6 +2789,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_geohash_counts": q_geohash_counts,
         "q_geohash_rollup": q_geohash_rollup,
         "q_convex_hull": q_convex_hull,
+        "q_vocab_growth": q_vocab_growth,
+        "q_pit_version_join": q_pit_version_join,
+        "q_tile_viewsheds": q_tile_viewsheds,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3076,6 +3127,8 @@ def oracle_sql() -> dict[str, str]:
     )
     from lasutility_ray.stages.resample import resample_locf_sql as _locf_sql
     from lasutility_ray.stages.hull import convex_hull_edges_sql as _hull_sql
+    from lasutility_ray.stages.vocabgrowth import vocab_growth_sql as _vg_sql
+    from lasutility_ray.stages.pitjoin import pit_version_join_sql as _pit_sql
     from lasutility_ray.stages.geohash_tiles import (
         geohash_counts_sql as _gh_counts_sql,
         geohash_prefix_rollup_sql as _gh_rollup_sql,
@@ -3271,6 +3324,8 @@ def oracle_sql() -> dict[str, str]:
         "q_geohash_counts": _gh_counts_sql(),
         "q_geohash_rollup": _gh_rollup_sql(),
         "q_convex_hull": _hull_sql(),
+        "q_vocab_growth": _vg_sql(),
+        "q_pit_version_join": _pit_sql(),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),

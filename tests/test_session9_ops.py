@@ -311,3 +311,111 @@ def test_convex_hull_keeps_collinear_boundary_vertex(ray_session):
     py = np.array([0, 0, 0, 10, 10, 6])
     v = [tuple(r) for r in _chain(px, py)]
     assert (5, 0) in v and (4, 6) not in v
+
+
+# ----------------------------------------------------------- vocab growth
+
+
+def test_vocab_growth_matches_duckdb(ray_session):
+    df = _match("q_vocab_growth", tables=("documents",))
+    df = df.sort_values("bucket").reset_index(drop=True)
+    # a real Heaps curve: several buckets, cumulative is the cumsum
+    assert len(df) >= 3
+    assert (df["cum_vocab"] == df["n_new_tokens"].cumsum()).all()
+    # novelty decays overall: the last bucket adds less than the first
+    assert df["n_new_tokens"].iloc[-1] < df["n_new_tokens"].iloc[0]
+
+
+def test_vocab_growth_first_appearance_rule(ray_session):
+    from lasutility_ray.stages.vocabgrowth import vocab_growth
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 64, 128],
+            # doc 64 repeats doc 0's only shingle; doc 128 adds one new
+            "text": ["a b c", "a b c", "a b c d"],
+        }
+    )
+    out = (
+        vocab_growth(rd.from_pandas(docs))
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    # 'a b c' first at doc 0 (bucket 0); 'b c d' first at doc 128 (bucket 2)
+    assert list(out["bucket"]) == [0, 2]
+    assert list(out["n_new_tokens"]) == [1, 1]
+    assert list(out["cum_vocab"]) == [1, 2]
+
+
+# ------------------------------------------------------------ PIT join
+
+
+def test_pit_join_matches_duckdb(ray_session):
+    df = _match("q_pit_version_join")
+    # both wings exercised: some lookups precede the first version
+    assert df["version_asof"].isna().sum() >= 1
+    assert df["version_asof"].notna().sum() >= 1
+
+
+def test_pit_join_hand_case(ray_session):
+    from lasutility_ray.stages.pitjoin import pit_version_join
+
+    H = 3_600_000_000
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [5, 5, 5, 5],
+            "ts": pd.to_datetime([0, H, 2 * H, 3 * H + 1], unit="us"),
+            "event_type": ["a", "b", "b", "a"],
+        }
+    )
+    out = (
+        pit_version_join(rd.from_pandas(ev))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # event 1 (t=0): t-1h < first version -> NaN
+    assert np.isnan(out.loc[0, "version_asof"])
+    # event 2 (t=1h): instant = 0 == version-1 start -> version 1 ('a')
+    assert out.loc[1, "version_asof"] == 1.0 and out.loc[1, "type_asof"] == "a"
+    # event 3 (t=2h): instant = 1h == version-2 start -> version 2 ('b')
+    assert out.loc[2, "version_asof"] == 2.0 and out.loc[2, "type_asof"] == "b"
+    # event 4 (t=3h+1us): instant just past 2h -> still version 2
+    assert out.loc[3, "version_asof"] == 2.0 and out.loc[3, "type_asof"] == "b"
+
+
+# ---------------------------------------------------------------- viewshed
+
+
+def test_viewshed_flat_dem_all_visible(ray_session):
+    from lasutility_ray.stages.viewshed import visible_mask
+
+    z = np.zeros((20, 20), dtype=np.int64)
+    assert visible_mask(z, 10, 10).all()
+
+
+def test_viewshed_wall_casts_exact_shadow(ray_session):
+    from lasutility_ray.stages.viewshed import visible_mask
+
+    z = np.zeros((21, 21), dtype=np.int64)
+    z[10, 12] = 10_000  # a 100 m wall two cells east of the observer
+    vis = visible_mask(z, 10, 10, obs_cm=200)
+    assert vis[10, 12]  # the wall face itself is visible
+    # straight-east cells behind the wall: tangent of the wall at
+    # k=2 is (10000-200)/2 = 4900/1; ground cells at k>2 have
+    # negative tangent -> occluded
+    assert not vis[10, 13] and not vis[10, 20]
+    # unrelated directions stay visible
+    assert vis[10, 8] and vis[0, 10] and vis[20, 10]
+
+
+def test_viewshed_tile_summaries(ray_session):
+    import __ray_entry__ as entry
+
+    df = entry.queries()["q_tile_viewsheds"](SF).to_pandas()
+    assert len(df) >= 100  # most 1-km tiles are occupied at sf0.01
+    assert (df["n_visible"] <= 2500).all()
+    assert (df["n_occupied_visible"] >= 1).all()  # observer cell visible
+    assert (df["n_occupied_visible"] <= df["n_occupied"]).all()
