@@ -1122,6 +1122,50 @@ def q_tile_viewsheds(sf_dir: str):
     return tile_viewsheds(docs)
 
 
+def q_calibration_bins(sf_dir: str):
+    """Classifier reliability table: the published quality model's
+    integer margin bucketed into fixed-width bins with observed
+    positive rates (stages/calibration.py). Pure map + bounded
+    groupby; both engines shift dividends positive before // (DuckDB
+    truncates, numpy floors). Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.calibration import calibration_bins
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return calibration_bins(docs)
+
+
+def q_quantile_normalize(sf_dir: str):
+    """Cross-source quantile normalization of n_chars — each value
+    maps to the global value at the equivalent within-source
+    cumulative rank (stages/qnorm.py): one bounded (source, value)
+    groupby builds the mapping, a broadcast pure map applies it; no
+    rank shuffle. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.qnorm import quantile_normalize
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return quantile_normalize(docs)
+
+
+def q_dem_slope(sf_dir: str):
+    """DEM slope raster core: per occupied 500 m cell, max |dz| to
+    occupied rook neighbors over the per-cell max-height DEM
+    (stages/demslope.py). Cell-space-bounded groupby then one dense-
+    grid task; the SQL mirror self-joins the same cell table on the
+    four offsets. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.demslope import dem_slope
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return dem_slope(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2792,6 +2836,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vocab_growth": q_vocab_growth,
         "q_pit_version_join": q_pit_version_join,
         "q_tile_viewsheds": q_tile_viewsheds,
+        "q_calibration_bins": q_calibration_bins,
+        "q_quantile_normalize": q_quantile_normalize,
+        "q_dem_slope": q_dem_slope,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3129,6 +3176,9 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.hull import convex_hull_edges_sql as _hull_sql
     from lasutility_ray.stages.vocabgrowth import vocab_growth_sql as _vg_sql
     from lasutility_ray.stages.pitjoin import pit_version_join_sql as _pit_sql
+    from lasutility_ray.stages.calibration import calibration_bins_sql as _cal_sql
+    from lasutility_ray.stages.qnorm import quantile_normalize_sql as _qn_sql
+    from lasutility_ray.stages.demslope import dem_slope_sql as _slope_sql
     from lasutility_ray.stages.geohash_tiles import (
         geohash_counts_sql as _gh_counts_sql,
         geohash_prefix_rollup_sql as _gh_rollup_sql,
@@ -3326,6 +3376,9 @@ def oracle_sql() -> dict[str, str]:
         "q_convex_hull": _hull_sql(),
         "q_vocab_growth": _vg_sql(),
         "q_pit_version_join": _pit_sql(),
+        "q_calibration_bins": _cal_sql(),
+        "q_quantile_normalize": _qn_sql(),
+        "q_dem_slope": _slope_sql(),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),

@@ -419,3 +419,101 @@ def test_viewshed_tile_summaries(ray_session):
     assert (df["n_visible"] <= 2500).all()
     assert (df["n_occupied_visible"] >= 1).all()  # observer cell visible
     assert (df["n_occupied_visible"] <= df["n_occupied"]).all()
+
+
+# ------------------------------------------------------------ calibration
+
+
+def test_calibration_bins_match_duckdb(ray_session):
+    df = _match("q_calibration_bins", tables=("documents",))
+    assert len(df) >= 5
+    assert df["n"].sum() == 500
+    # negative-margin bins exist (the // truncation-vs-floor hazard
+    # is actually exercised)
+    assert (df["bin_id"] < 0).any()
+    # calibration is directionally sane: the hottest bin is more
+    # positive than the coldest
+    top = df.loc[df["bin_id"].idxmax(), "pos_rate_micro"]
+    bot = df.loc[df["bin_id"].idxmin(), "pos_rate_micro"]
+    assert top > bot
+
+
+# ---------------------------------------------------------------- qnorm
+
+
+def test_quantile_normalize_matches_duckdb(ray_session):
+    df = _match("q_quantile_normalize", tables=("documents",))
+    assert len(df) == 500
+    assert (df["n_chars_qnorm"] > 0).all()
+
+
+def test_quantile_normalize_identity_on_single_source(ray_session):
+    """With one source the mapping is the identity: every value maps
+    to itself (rank r of n maps to global rank ceil(r*n/n) = r)."""
+    from lasutility_ray.stages.qnorm import quantile_normalize
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(10),
+            "source": ["only"] * 10,
+            "n_chars": [5, 5, 7, 9, 9, 9, 12, 20, 20, 31],
+        }
+    )
+    out = quantile_normalize(rd.from_pandas(docs)).to_pandas()
+    assert (out["n_chars_qnorm"] == out["n_chars"]).all()
+
+
+def test_quantile_normalize_maps_shifted_source_onto_global(ray_session):
+    """A source whose values sit at the bottom of the global range is
+    pulled up toward the global distribution."""
+    from lasutility_ray.stages.qnorm import quantile_normalize
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(8),
+            "source": ["lo"] * 4 + ["hi"] * 4,
+            "n_chars": [1, 2, 3, 4, 101, 102, 103, 104],
+        }
+    )
+    out = (
+        quantile_normalize(rd.from_pandas(docs))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # lo's rank-4/4 (value 4) -> global rank ceil(4*8/4)=8 -> 104
+    assert out.loc[3, "n_chars_qnorm"] == 104
+    # lo's rank-1/4 (value 1) -> global rank ceil(1*8/4)=2 -> 2
+    assert out.loc[0, "n_chars_qnorm"] == 2
+
+
+# ------------------------------------------------------------- DEM slope
+
+
+def test_dem_slope_matches_duckdb(ray_session):
+    df = _match("q_dem_slope", tables=("documents",))
+    assert len(df) >= 50
+    assert (df["max_dz_cm"] >= 0).all()
+    assert (df["max_dz_cm"] < 100000).all()
+
+
+def test_dem_slope_kernel_hand_case(ray_session):
+    from lasutility_ray.stages.demslope import slope_frame
+
+    df = pd.DataFrame(
+        {
+            # (0,0)=100 and (0,1)=400 are rook neighbors; (5,5) and
+            # (7,7) are isolated; (5,6)=50 neighbors (5,5)=77
+            "ci": np.array([0, 0, 5, 5, 7], np.int64),
+            "cj": np.array([0, 1, 5, 6, 7], np.int64),
+            "z_cm": np.array([100, 400, 77, 50, 9], np.int64),
+        }
+    )
+    out = slope_frame(df).set_index(["ci", "cj"])
+    assert out.loc[(0, 0), "max_dz_cm"] == 300
+    assert out.loc[(0, 1), "max_dz_cm"] == 300
+    assert out.loc[(5, 5), "max_dz_cm"] == 27
+    assert out.loc[(5, 6), "max_dz_cm"] == 27
+    # the isolated cell is dropped, diagonals don't count
+    assert (7, 7) not in out.index
+    assert len(out) == 4
