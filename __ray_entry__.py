@@ -1166,6 +1166,66 @@ def q_dem_slope(sf_dir: str):
     return dem_slope(docs)
 
 
+def q_mad_outliers(sf_dir: str):
+    """Robust per-source length-outlier flags: nearest-rank median +
+    MAD from ONE bounded (source, value) count table, |x-med| > 3*MAD
+    as an integer comparison, fences broadcast into a pure map
+    (stages/robust.py). Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.robust import mad_outliers
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return mad_outliers(docs)
+
+
+def q_kcore_hosts(sf_dir: str):
+    """k-core peeling (k=3, 12 synchronous rounds) over the dense
+    4-target host graph (stages/kcore.py): per round one exploded-ends
+    degree groupby + two semi lookup_joins, O(surviving edges) shuffle,
+    stability early-exit. Value-exact vs the unrolled-CTE peel."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.kcore import kcore_hosts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return kcore_hosts(docs)
+
+
+def q_flow_accumulation(sf_dir: str):
+    """D8 flow accumulation on the 500 m DEM cell grid
+    (stages/flowaccum.py): steepest strictly-lower neighbor with a
+    fixed tie order, upstream contributing-cell counts pushed in
+    descending-z order inside one cell-space-bounded task; the SQL
+    mirror walks the same flow graph with a recursive CTE.
+    Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.flowaccum import flow_accumulation
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return flow_accumulation(docs)
+
+
+def q_resample_linear(sf_dir: str):
+    """Hourly LINEAR-interpolation resampling per user
+    (stages/resample.py resample_linear): same slim bucket shuffle as
+    LOCF, bracketing observations via two searchsorted passes, exact
+    shifted integer division both engines. Value-exact vs the
+    double-ASOF SQL mirror."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.resample import resample_linear
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return resample_linear(events)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2839,6 +2899,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_calibration_bins": q_calibration_bins,
         "q_quantile_normalize": q_quantile_normalize,
         "q_dem_slope": q_dem_slope,
+        "q_mad_outliers": q_mad_outliers,
+        "q_kcore_hosts": q_kcore_hosts,
+        "q_flow_accumulation": q_flow_accumulation,
+        "q_resample_linear": q_resample_linear,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3179,6 +3243,12 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.calibration import calibration_bins_sql as _cal_sql
     from lasutility_ray.stages.qnorm import quantile_normalize_sql as _qn_sql
     from lasutility_ray.stages.demslope import dem_slope_sql as _slope_sql
+    from lasutility_ray.stages.robust import mad_outliers_sql as _mad_sql
+    from lasutility_ray.stages.kcore import kcore_sql as _kcore_sql
+    from lasutility_ray.stages.flowaccum import (
+        flow_accumulation_sql as _flowacc_sql,
+    )
+    from lasutility_ray.stages.resample import resample_linear_sql as _lin_sql
     from lasutility_ray.stages.geohash_tiles import (
         geohash_counts_sql as _gh_counts_sql,
         geohash_prefix_rollup_sql as _gh_rollup_sql,
@@ -3379,6 +3449,10 @@ def oracle_sql() -> dict[str, str]:
         "q_calibration_bins": _cal_sql(),
         "q_quantile_normalize": _qn_sql(),
         "q_dem_slope": _slope_sql(),
+        "q_mad_outliers": _mad_sql(),
+        "q_kcore_hosts": _kcore_sql(),
+        "q_flow_accumulation": _flowacc_sql(),
+        "q_resample_linear": _lin_sql(),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),
