@@ -1226,6 +1226,48 @@ def q_resample_linear(sf_dir: str):
     return resample_linear(events)
 
 
+def q_hits_hosts(sf_dir: str):
+    """HITS hubs & authorities over the directed host graph
+    (stages/hits.py): max-normalized int64 fixed-point half-rounds —
+    one bucketed lookup_join + one groupby-sum each, two scalars per
+    round to the driver. Value-exact vs the unrolled-CTE mirror."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.hits import hits_hosts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return hits_hosts(docs)
+
+
+def q_cusum_changepoints(sf_dir: str):
+    """Per-user one-sided CUSUM drift scores via the running-min
+    identity (stages/changepoint.py): one user-bucket shuffle +
+    vectorized segment scan, per-user floor-mean target computed
+    in-bucket. Value-exact incl. the flag."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.changepoint import cusum_changepoints
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return cusum_changepoints(events)
+
+
+def q_skipgram_counts(sf_dir: str):
+    """Skip-gram co-occurrence counts at token distance 1..2
+    (stages/collocations.py skipgram_counts): per-batch distinct-pair
+    partials then ONE bounded groupby; never crosses document
+    boundaries. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.collocations import skipgram_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return skipgram_counts(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2903,6 +2945,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kcore_hosts": q_kcore_hosts,
         "q_flow_accumulation": q_flow_accumulation,
         "q_resample_linear": q_resample_linear,
+        "q_hits_hosts": q_hits_hosts,
+        "q_cusum_changepoints": q_cusum_changepoints,
+        "q_skipgram_counts": q_skipgram_counts,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3249,6 +3294,9 @@ def oracle_sql() -> dict[str, str]:
         flow_accumulation_sql as _flowacc_sql,
     )
     from lasutility_ray.stages.resample import resample_linear_sql as _lin_sql
+    from lasutility_ray.stages.hits import hits_sql as _hits_sql
+    from lasutility_ray.stages.changepoint import cusum_sql as _cusum_sql
+    from lasutility_ray.stages.collocations import skipgram_sql as _skipgram_sql
     from lasutility_ray.stages.geohash_tiles import (
         geohash_counts_sql as _gh_counts_sql,
         geohash_prefix_rollup_sql as _gh_rollup_sql,
@@ -3453,6 +3501,9 @@ def oracle_sql() -> dict[str, str]:
         "q_kcore_hosts": _kcore_sql(),
         "q_flow_accumulation": _flowacc_sql(),
         "q_resample_linear": _lin_sql(),
+        "q_hits_hosts": _hits_sql(),
+        "q_cusum_changepoints": _cusum_sql(),
+        "q_skipgram_counts": _skipgram_sql(),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),

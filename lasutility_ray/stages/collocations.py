@@ -151,6 +151,111 @@ def collocations(docs_ds, k: int = 25, min_count: int = 5):
     )
 
 
+def _skipgram_partial(t: pa.Table, pat, max_dist: int) -> pa.Table:
+    """Per-batch (a, b, dist) partial counts for token pairs at
+    distance 1..max_dist, never crossing a document boundary."""
+    toks = t.column("text").to_pandas().str.lower().str.findall(pat)
+    lens = toks.map(len).to_numpy(dtype=np.int64)
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+            "c": pa.array([], pa.int64()),
+        }
+    )
+    if lens.sum() == 0:
+        return empty
+    flat = np.array([w for ws in toks for w in ws], dtype=object)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    frames = []
+    for d in range(1, max_dist + 1):
+        if len(flat) <= d:
+            break
+        ok = doc_idx[:-d] == doc_idx[d:]
+        left = np.flatnonzero(ok)
+        if not len(left):
+            continue
+        frames.append(
+            pd.DataFrame(
+                {
+                    "a": flat[left],
+                    "b": flat[left + d],
+                    "dist": np.full(len(left), d, np.int64),
+                }
+            )
+        )
+    if not frames:
+        return empty
+    df = (
+        pd.concat(frames, ignore_index=True)
+        .groupby(["a", "b", "dist"], sort=False)
+        .size()
+        .reset_index(name="c")
+    )
+    return pa.table(
+        {
+            "a": pa.array(df["a"], pa.string()),
+            "b": pa.array(df["b"], pa.string()),
+            "dist": pa.array(df["dist"].to_numpy(np.int64), pa.int64()),
+            "c": pa.array(df["c"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
+def skipgram_counts(docs_ds, max_dist: int = 2, min_count: int = 10):
+    """documents -> (a, b, dist, c): corpus counts of ordered token
+    pairs at distance 1..``max_dist`` (skip-gram window context — the
+    word2vec-style co-occurrence table), kept where c >= ``min_count``.
+
+    Shape: per-batch partials collapse each batch to its distinct
+    (pair, dist) space before ONE groupby shuffle; output is bounded
+    by the distinct-bigram space x max_dist, never the corpus.
+    """
+    import re as _re
+
+    from ray.data.aggregate import Sum
+
+    pat = _re.compile(TOKEN_RE)
+    counts = (
+        docs_ds.select_columns(["text"])
+        .map_batches(
+            lambda t: _skipgram_partial(t, pat, max_dist), batch_format="pyarrow"
+        )
+        .groupby(["a", "b", "dist"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("c"), min_count))
+
+    return counts.map_batches(keep, batch_format="pyarrow")
+
+
+def skipgram_sql(
+    max_dist: int = 2, min_count: int = 10, source: str = "documents"
+) -> str:
+    """DuckDB mirror of :func:`skipgram_counts` — one list_zip per
+    distance, unioned."""
+    arms = []
+    for d in range(1, max_dist + 1):
+        arms.append(
+            "SELECT unnest(list_zip(ts[1:length(ts)-" + str(d) + "], "
+            f"ts[{1 + d}:length(ts)])) AS p, {d} AS dist "
+            f"FROM sg_tl WHERE length(ts) >= {d + 1}"
+        )
+    return (
+        "WITH sg_tl AS (SELECT regexp_extract_all(lower(text), "
+        f"'{TOKEN_RE}') AS ts FROM {source}), "
+        "sg_p AS (" + " UNION ALL ".join(arms) + ") "
+        "SELECT p[1] AS a, p[2] AS b, CAST(dist AS BIGINT) AS dist, "
+        "CAST(count(*) AS BIGINT) AS c FROM sg_p GROUP BY 1, 2, 3 "
+        f"HAVING count(*) >= {min_count}"
+    )
+
+
 def collocations_sql(
     k: int = 25, min_count: int = 5, source: str = "documents"
 ) -> str:

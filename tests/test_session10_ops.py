@@ -257,3 +257,134 @@ def test_resample_linear_floor_on_falling_slope(ray_session):
     )
     # exact: 10, 10 + floor(-3*1/3) = 9, 10 + floor(-3*2/3) = 8, 7
     assert out["cents_lin"].tolist() == [10, 9, 8, 7]
+
+
+# ------------------------------------------------------------------ HITS
+
+
+def test_hits_matches_duckdb(ray_session):
+    df = _match("q_hits_hosts")
+    # max normalization: exactly one host at SCALE on each axis side
+    assert df["hub_e9"].max() == 1_000_000_000
+    assert df["auth_e9"].max() == 1_000_000_000
+    assert df["hub_e9"].min() >= 0 and df["auth_e9"].min() >= 0
+
+
+def test_hits_forced_distributed_identical(ray_session):
+    from lasutility_ray.stages.hits import hits_hosts
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    fast = _sorted(hits_hosts(docs).to_pandas())
+    dist = _sorted(hits_hosts(docs, force_distributed=True).to_pandas())
+    pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
+
+
+def test_hits_hand_graph():
+    from lasutility_ray.stages.hits import _hits_local
+
+    # star: 0 -> {1, 2, 3}. Host 0 is the only hub; 1..3 equal
+    # authorities; the hub's authority and the leaves' hub scores are 0
+    e = pd.DataFrame(
+        {"src": [0, 0, 0], "dst": [1, 2, 3], "w": [1, 1, 1]}
+    )
+    out = _hits_local(e, n_iters=4).set_index("host_id")
+    assert out.loc[0, "hub_e9"] == 1_000_000_000
+    assert out.loc[0, "auth_e9"] == 0
+    assert (out.loc[[1, 2, 3], "auth_e9"] == 1_000_000_000).all()
+    assert (out.loc[[1, 2, 3], "hub_e9"] == 0).all()
+
+
+# ----------------------------------------------------------------- CUSUM
+
+
+def test_cusum_matches_duckdb(ray_session):
+    df = _match("q_cusum_changepoints", tables=("events",))
+    assert df["flagged"].any() and (~df["flagged"]).any()
+    # flag rate calibrated to roughly the upper decile, not the bulk
+    assert 0.02 < df["flagged"].mean() < 0.3
+
+
+def test_cusum_running_min_identity(ray_session):
+    from lasutility_ray.stages.changepoint import cusum_changepoints
+
+    # hand case: values 5, 1, 9, 9 cents -> target = floor(24/4) = 6;
+    # x = -1, -5, 3, 3; RS = -1, -6, -3, 0; runmin = -1, -6, -6, -6;
+    # S = max(0,...) recurrence: 0, 0, 3, 6
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "user_id": np.array([1, 1, 1, 1], dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 01:00",
+                 "2024-01-01 02:00", "2024-01-01 03:00"]
+            ).astype("datetime64[us]"),
+            "value": [0.05, 0.01, 0.09, 0.09],
+        }
+    )
+    out = (
+        cusum_changepoints(rd.from_pandas(ev))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert out["cusum_cents"].tolist() == [0, 0, 3, 6]
+
+
+def test_cusum_segment_isolation(ray_session):
+    from lasutility_ray.stages.changepoint import cusum_changepoints
+
+    # two users in one bucket: the second user's running min must not
+    # see the first user's deeply negative RS
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "user_id": np.array([1, 1, 2, 2], dtype=np.int64),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 01:00",
+                 "2024-01-01 00:00", "2024-01-01 01:00"]
+            ).astype("datetime64[us]"),
+            # user 1: huge drop then spike; user 2: flat
+            "value": [0.00, 1.00, 0.50, 0.50],
+        }
+    )
+    out = (
+        cusum_changepoints(rd.from_pandas(ev))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # user 1: target 50, x = -50, +50; RS = -50, 0; S = 0, 50
+    assert out.loc[0, "cusum_cents"] == 0 and out.loc[1, "cusum_cents"] == 50
+    # user 2: x = 0, 0 -> S = 0, 0 (would be 50 if min leaked)
+    assert out.loc[2, "cusum_cents"] == 0 and out.loc[3, "cusum_cents"] == 0
+
+
+# -------------------------------------------------------------- skipgram
+
+
+def test_skipgram_matches_duckdb(ray_session):
+    df = _match("q_skipgram_counts")
+    assert set(df["dist"].unique()) == {1, 2}
+
+
+def test_skipgram_boundaries(ray_session):
+    from lasutility_ray.stages.collocations import skipgram_counts
+
+    docs = pd.DataFrame(
+        {"text": ["alpha beta gamma", "gamma alpha", "beta"]}
+    )
+    out = (
+        skipgram_counts(rd.from_pandas(docs), max_dist=2, min_count=1)
+        .to_pandas()
+        .sort_values(["dist", "a", "b"])
+        .reset_index(drop=True)
+    )
+    got = set(map(tuple, out[["a", "b", "dist"]].itertuples(index=False)))
+    # doc 1: (alpha,beta,1) (beta,gamma,1) (alpha,gamma,2); doc 2:
+    # (gamma,alpha,1); doc 3: nothing. NO cross-doc (gamma,gamma,*)
+    assert got == {
+        ("alpha", "beta", 1),
+        ("beta", "gamma", 1),
+        ("gamma", "alpha", 1),
+        ("alpha", "gamma", 2),
+    }
