@@ -1268,6 +1268,33 @@ def q_skipgram_counts(sf_dir: str):
     return skipgram_counts(docs)
 
 
+def q_containment_pairs(sf_dir: str):
+    """EXACT asymmetric shingle-containment join (quote/boilerplate
+    inclusion — the pairs Jaccard misses): rarest-first prefix probe
+    vs full index, exact integer-millionth verify
+    (stages/dedup.py containment_pairs). The prune-free SQL mirror
+    proves the prefix filter lossless. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.dedup import containment_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return containment_pairs(docs)
+
+
+def q_anchor_tokens(sf_dir: str):
+    """Top-3 first-token anchors per link-target host — the link-graph
+    x text composition (stages/anchors.py): bounded (host, token)
+    partial counts, one groupby, in-group deterministic top-k.
+    Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.anchors import anchor_token_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return anchor_token_topk(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2948,6 +2975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hits_hosts": q_hits_hosts,
         "q_cusum_changepoints": q_cusum_changepoints,
         "q_skipgram_counts": q_skipgram_counts,
+        "q_containment_pairs": q_containment_pairs,
+        "q_anchor_tokens": q_anchor_tokens,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3243,6 +3272,42 @@ WHERE COALESCE(i.i, 0) / (nx.n + ny.n - COALESCE(i.i, 0))
 """
 
 
+def _containment_sql() -> str:
+    """Containment-join SQL mirror: the SAME word-hash 3-shingle sets
+    as ``_minhash_sql`` but PRUNE-FREE — every ordered doc pair sharing
+    any shingle, filtered on exact integer-millionth containment. Its
+    equality with the Ray path proves the rarest-first prefix filter
+    lossless (the snap/s2_cap_join oracle pattern). Same >= 3 words
+    assumption as the minhash mirror."""
+    from lasutility_ray.stages.dedup import _SH_C, CONTAIN_E6
+
+    m64 = 1 << 64
+    whs = _word_hash_sql(extra=", pos")
+    c = [int(x) for x in _SH_C]
+    return f"""
+WITH words AS (SELECT doc_id,
+   unnest(regexp_extract_all(text,'\\S+')) AS word,
+   unnest(generate_series(1, len(regexp_extract_all(text,'\\S+')))) AS pos
+   FROM documents),
+{whs},
+ct_sh0 AS (SELECT doc_id, pos, wh,
+        lead(wh,1) OVER w AS wh1, lead(wh,2) OVER w AS wh2
+        FROM wh WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ct_shd AS (SELECT DISTINCT doc_id,
+       (((wh::HUGEINT * {c[0]} + wh1::HUGEINT * {c[1]} + wh2::HUGEINT * {c[2]})
+         % {m64}::HUGEINT) // {1 << 32}::HUGEINT)::UBIGINT AS s
+       FROM ct_sh0 WHERE wh2 IS NOT NULL),
+ct_ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ct_shd GROUP BY doc_id),
+ct_i AS (SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS i
+   FROM ct_shd x JOIN ct_shd y ON y.s = x.s AND x.doc_id <> y.doc_id
+   GROUP BY 1, 2)
+SELECT i.a, i.b, ns.n AS n_a, i.i AS inter,
+       CAST((i.i * 1000000) // ns.n AS BIGINT) AS cont_e6
+FROM ct_i i JOIN ct_ns ns ON ns.doc_id = i.a
+WHERE (i.i * 1000000) // ns.n >= {CONTAIN_E6}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from lasutility_ray.corpus.pages import EPOCH_MS, HTML_PREFIX, HTML_SUFFIX, url_sql
     from lasutility_ray.corpus.polygons import rects_sql_cte
@@ -3297,6 +3362,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.hits import hits_sql as _hits_sql
     from lasutility_ray.stages.changepoint import cusum_sql as _cusum_sql
     from lasutility_ray.stages.collocations import skipgram_sql as _skipgram_sql
+    from lasutility_ray.stages.anchors import anchor_token_sql as _anchor_sql
     from lasutility_ray.stages.geohash_tiles import (
         geohash_counts_sql as _gh_counts_sql,
         geohash_prefix_rollup_sql as _gh_rollup_sql,
@@ -3504,6 +3570,8 @@ def oracle_sql() -> dict[str, str]:
         "q_hits_hosts": _hits_sql(),
         "q_cusum_changepoints": _cusum_sql(),
         "q_skipgram_counts": _skipgram_sql(),
+        "q_containment_pairs": _containment_sql(),
+        "q_anchor_tokens": _anchor_sql(),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),

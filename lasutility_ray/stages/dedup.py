@@ -699,6 +699,225 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     return _verify_pairs_jaccard(cands, ds, id_col, text_col, threshold)
 
 
+# ------------------------------------------------- containment join
+
+CONTAIN_E6 = 800_000  # containment threshold 0.8 in exact millionths
+
+
+def containment_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                      threshold_e6: int = CONTAIN_E6,
+                      freq_sample_docs: int = 2000):
+    """EXACT asymmetric containment join over word-3-shingle sets:
+    ordered pairs (a, b) with ``C(a -> b) = |S_a ∩ S_b| / |S_a| >=
+    threshold`` — the quote/boilerplate-inclusion detector Jaccard
+    misses (a tiny doc embedded in a huge one has J ~ |a|/|b| but
+    containment ~ 1).
+
+    Prefix-filter correctness (one-sided AllPairs): if C(a->b) >= t
+    then b holds >= ceil(t*n_a) of a's shingles, so at least one of
+    a's ``n_a - ceil(t*n_a) + 1`` rarest shingles (shared rarest-first
+    total order, as in :func:`ngram_jaccard_pairs`) appears in b.
+    Probe rows therefore emit only a's prefix, but the INDEX side must
+    carry every shingle of every doc (containment puts no bound on the
+    container) — per-shingle candidate cost is (#probe prefixes with
+    s) x (#docs with s), and the rarest-first order keeps probe
+    prefixes off the hot template shingles. No length filter applies
+    (any size ratio qualifies). Candidates verify with the exact
+    intersection count in integer millionths; the prune-free SQL
+    mirror doubles as the prefix filter's losslessness proof.
+    """
+    sample_texts = (
+        ds.limit(freq_sample_docs).select_columns([text_col]).to_pandas()[text_col]
+    )
+    all_sh = (
+        np.concatenate([np.unique(_shingle_hashes(t)) for t in sample_texts])
+        if len(sample_texts)
+        else np.empty(0, np.uint64)
+    )
+    f_sh, f_df = np.unique(all_sh, return_counts=True)
+    keep_f = f_df >= 2
+    freq_ref = ray.put((f_sh[keep_f], f_df[keep_f]))
+
+    from .cogroup import default_n_buckets
+
+    nb = default_n_buckets()
+    t_frac = threshold_e6 / 1_000_000.0
+
+    def role_rows(batch: pa.Table) -> pa.Table:
+        """Probe prefixes (role 0) UNION full index rows (role 1)."""
+        f_sh_b, f_df_b = ray.get(freq_ref)
+        ids = batch.column(id_col).to_numpy()
+        texts = batch.column(text_col).to_pylist()
+        out_sh: list = []
+        out_id: list = []
+        out_role: list = []
+        for i, t in enumerate(texts):
+            sh = np.unique(_shingle_hashes(t))
+            n_sh_i = len(sh)
+            if not n_sh_i:
+                continue
+            if len(f_sh_b):
+                pos = np.minimum(np.searchsorted(f_sh_b, sh), len(f_sh_b) - 1)
+                df = np.where(f_sh_b[pos] == sh, f_df_b[pos], 0)
+            else:
+                df = np.zeros(n_sh_i, dtype=np.int64)
+            order = np.lexsort((sh, df))
+            p = n_sh_i - int(np.ceil(t_frac * n_sh_i - 1e-9)) + 1
+            pref = sh[order[:p]]
+            out_sh.append(pref)
+            out_id.append(np.full(len(pref), ids[i], dtype=np.int64))
+            out_role.append(np.zeros(len(pref), dtype=np.int64))
+            out_sh.append(sh)
+            out_id.append(np.full(n_sh_i, ids[i], dtype=np.int64))
+            out_role.append(np.ones(n_sh_i, dtype=np.int64))
+        sh_flat = np.concatenate(out_sh) if out_sh else np.empty(0, np.uint64)
+        id_flat = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        role_flat = (
+            np.concatenate(out_role) if out_role else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "shingle": pa.array(sh_flat.astype(np.int64), pa.int64()),
+                "id": pa.array(id_flat, pa.int64()),
+                "role": pa.array(role_flat, pa.int64()),
+                "bucket": pa.array((sh_flat % np.uint64(nb)).astype(np.int64)),
+            }
+        )
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates(["shingle", "id", "role"])
+        probe = sub[sub["role"] == 0]
+        index = sub[sub["role"] == 1]
+        if not len(probe) or not len(index):
+            return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+        m = probe.merge(index, on="shingle", suffixes=("_a", "_b"))
+        m = m[m["id_a"] != m["id_b"]]
+        return m[["id_a", "id_b"]].rename(
+            columns={"id_a": "a", "id_b": "b"}
+        ).drop_duplicates()
+
+    cands = _dedup_pairs(
+        ds.map_batches(role_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+    )
+    return _verify_pairs_containment(cands, ds, id_col, text_col, threshold_e6)
+
+
+def _verify_pairs_containment(cands, ds, id_col: str, text_col: str,
+                              threshold_e6: int,
+                              small_limit: int = VERIFY_SMALL_LIMIT):
+    """Exact containment verification of ordered candidate (a, b)
+    pairs — same two-path shape as :func:`_verify_pairs_jaccard`
+    (one-task small path / co-grouped joins above ``small_limit``);
+    output (a, b, n_a, inter, cont_e6) in exact integer millionths."""
+    import ray as _ray
+    import ray.data as _rd
+
+    from .cogroup import lookup_join
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "inter": pa.array([], pa.int64()),
+            "cont_e6": pa.array([], pa.int64()),
+        }
+    )
+    cands = cands.materialize()
+    as_table = _block_as_table
+    n_cands = cands.count()
+    if n_cands == 0:
+        return _rd.from_arrow(empty)
+
+    def _finish(a, b, na, inter):
+        cont = (inter * 1_000_000) // na
+        keep = cont >= threshold_e6
+        return pa.table(
+            {
+                "a": pa.array(a[keep], pa.int64()),
+                "b": pa.array(b[keep], pa.int64()),
+                "n_a": pa.array(na[keep], pa.int64()),
+                "inter": pa.array(inter[keep], pa.int64()),
+                "cont_e6": pa.array(cont[keep], pa.int64()),
+            }
+        )
+
+    if n_cands <= small_limit:
+        cand_refs = cands.to_arrow_refs()
+
+        @_ray.remote
+        def id_set(refs):
+            ts = [as_table(t) for t in _ray.get(list(refs))]
+            ts = [t for t in ts if t.num_rows]
+            t = pa.concat_tables(ts)
+            return np.unique(
+                np.concatenate(
+                    [t.column("a").to_numpy(), t.column("b").to_numpy()]
+                ).astype(np.int64)
+            )
+
+        need_ref = id_set.remote(cand_refs)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            wanted = _ray.get(need_ref)
+            ids = batch.column(id_col).to_numpy()
+            return batch.filter(pa.array(np.isin(ids, wanted)))
+
+        sig_refs = (
+            _shingle_set_rows(
+                ds.map_batches(pick, batch_format="pyarrow"), id_col, text_col
+            )
+        ).to_arrow_refs()
+
+        @_ray.remote
+        def verify_task(c_refs, s_refs):
+            ct = pa.concat_tables(
+                [t for t in map(as_table, _ray.get(list(c_refs))) if t.num_rows]
+            )
+            st_list = [t for t in map(as_table, _ray.get(list(s_refs))) if t.num_rows]
+            if not st_list:
+                return empty
+            st = pa.concat_tables(st_list)
+            lookup = dict(zip(st.column("id").to_pylist(), st.column("sh").to_pylist()))
+            a = ct.column("a").to_numpy()
+            b = ct.column("b").to_numpy()
+            na = np.empty(len(a), dtype=np.int64)
+            inter = np.empty(len(a), dtype=np.int64)
+            for i in range(len(a)):
+                u = np.frombuffer(lookup[a[i]], dtype=np.uint64)
+                v = np.frombuffer(lookup[b[i]], dtype=np.uint64)
+                na[i] = len(u)
+                inter[i] = len(np.intersect1d(u, v, assume_unique=True))
+            return _finish(a, b, na, inter)
+
+        return _rd.from_arrow(_ray.get(verify_task.remote(cand_refs, sig_refs)))
+
+    sig = _shingle_set_rows(ds, id_col, text_col).materialize()
+    j1 = lookup_join(cands, sig, "a", "id", {"sh": "sh_a"}, n_salt=8)
+    j2 = lookup_join(
+        j1, sig, "b", "id", {"sh": "sh_b"}, type_overrides={"sh_a": pa.binary()},
+        n_salt=8,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy()
+        b = batch.column("b").to_numpy()
+        sa = batch.column("sh_a").to_pylist()
+        sb = batch.column("sh_b").to_pylist()
+        na = np.empty(len(a), dtype=np.int64)
+        inter = np.empty(len(a), dtype=np.int64)
+        for i in range(len(a)):
+            u = np.frombuffer(sa[i], dtype=np.uint64)
+            v = np.frombuffer(sb[i], dtype=np.uint64)
+            na[i] = len(u)
+            inter[i] = len(np.intersect1d(u, v, assume_unique=True))
+        return _finish(a, b, na, inter)
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
 # ------------------------------------- duplicate-group resolution
 
 

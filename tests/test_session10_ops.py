@@ -388,3 +388,102 @@ def test_skipgram_boundaries(ray_session):
         ("gamma", "alpha", 1),
         ("alpha", "gamma", 2),
     }
+
+
+# ----------------------------------------------------------- containment
+
+
+def test_containment_matches_duckdb(ray_session):
+    df = _match("q_containment_pairs")
+    assert len(df) > 0
+    # integer-millionth containment within bounds; asymmetric pairs
+    assert (df["cont_e6"] >= 800_000).all() and (df["cont_e6"] <= 1_000_000).all()
+    assert (df["inter"] <= df["n_a"]).all()
+
+
+def test_containment_finds_asymmetric_pair(ray_session):
+    from lasutility_ray.stages.dedup import containment_pairs
+
+    # small doc fully quoted inside a much larger one: Jaccard is tiny
+    # (|a|/|b|), containment(a -> b) = 1.0 — the defining case
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "text": [small, filler + " " + small + " " + filler, "unrelated text entirely here now"],
+        }
+    )
+    out = containment_pairs(rd.from_pandas(docs)).to_pandas()
+    rows = set(map(tuple, out[["a", "b"]].itertuples(index=False)))
+    assert (1, 2) in rows
+    full = out[(out.a == 1) & (out.b == 2)].iloc[0]
+    assert full["cont_e6"] == 1_000_000  # every shingle contained
+    assert (3, 2) not in rows and (2, 1) not in rows
+
+
+def test_containment_forced_distributed_verify(ray_session):
+    from lasutility_ray.stages.dedup import (
+        _dedup_pairs,
+        _verify_pairs_containment,
+        containment_pairs,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    fast = _sorted(containment_pairs(docs).to_pandas())
+
+    # force the co-grouped fallback by dropping the small limit
+    import lasutility_ray.stages.dedup as dd
+
+    def forced(ds):
+        # re-run candidate generation, then verify with small_limit=0
+        import __ray_entry__ as entry  # noqa: F401  (import parity)
+
+        cands_holder = {}
+        orig = dd._verify_pairs_containment
+
+        def capture(cands, ds2, id_col, text_col, thr, small_limit=dd.VERIFY_SMALL_LIMIT):
+            return orig(cands, ds2, id_col, text_col, thr, small_limit=0)
+
+        dd._verify_pairs_containment = capture
+        try:
+            return dd.containment_pairs(ds)
+        finally:
+            dd._verify_pairs_containment = orig
+
+    dist = _sorted(forced(docs).to_pandas())
+    pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
+
+
+# --------------------------------------------------------------- anchors
+
+
+def test_anchors_match_duckdb(ray_session):
+    df = _match("q_anchor_tokens")
+    # top-3 per host, deterministic order
+    assert df.groupby("host_id").size().max() <= 3
+    assert len(df) > 100
+
+
+def test_anchors_hand_case(ray_session):
+    from lasutility_ray.stages.anchors import anchor_token_topk
+    from lasutility_ray.stages.graph import edge_targets
+
+    # doc_ids chosen so targets are known via edge_targets; text first
+    # token carries the anchor (leading whitespace + case exercised)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([10, 11], dtype=np.int64),
+            "text": ["  Hello world tail", "Zeta follows here"],
+        }
+    )
+    out = anchor_token_topk(rd.from_pandas(docs), k=3).to_pandas()
+    src, d1, d2 = edge_targets(np.array([10, 11], dtype=np.int64))
+    expect_hosts = set()
+    for i, did in enumerate((10, 11)):
+        for h in (int(d1[i]), int(d2[i])):
+            if h != int(src[i]):
+                expect_hosts.add(h)
+    assert set(out["host_id"]) == expect_hosts
+    toks = set(out["token"])
+    assert "hello" in toks and "zeta" in toks
