@@ -1295,6 +1295,32 @@ def q_anchor_tokens(sf_dir: str):
     return anchor_token_topk(docs)
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficients per host: 2*triangles/(deg*(deg-1))
+    in integer millionths, composing the pinned Suri-Vassilvitskii
+    triangle counts with the degree table via one bucketed lookup_join
+    (stages/graphstats.py). Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.graphstats import clustering_coefficients
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return clustering_coefficients(docs)
+
+
+def q_morans_i(sf_dir: str):
+    """Moran's I spatial autocorrelation over the 500 m DEM cell grid
+    (stages/morans.py): exact centered integers n*x - S, rook-pair
+    numerator, HUGEINT/python-int shifted division — detects the urban
+    max-height cluster (I ~ 0.36 at sf0.01). Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.morans import morans_i
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return morans_i(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -2977,6 +3003,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skipgram_counts": q_skipgram_counts,
         "q_containment_pairs": q_containment_pairs,
         "q_anchor_tokens": q_anchor_tokens,
+        "q_clustering_coeff": q_clustering_coeff,
+        "q_morans_i": q_morans_i,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3363,6 +3391,8 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.changepoint import cusum_sql as _cusum_sql
     from lasutility_ray.stages.collocations import skipgram_sql as _skipgram_sql
     from lasutility_ray.stages.anchors import anchor_token_sql as _anchor_sql
+    from lasutility_ray.stages.graphstats import clustering_sql as _clus_sql
+    from lasutility_ray.stages.morans import morans_sql as _morans_sql
     from lasutility_ray.stages.geohash_tiles import (
         geohash_counts_sql as _gh_counts_sql,
         geohash_prefix_rollup_sql as _gh_rollup_sql,
@@ -3572,6 +3602,8 @@ def oracle_sql() -> dict[str, str]:
         "q_skipgram_counts": _skipgram_sql(),
         "q_containment_pairs": _containment_sql(),
         "q_anchor_tokens": _anchor_sql(),
+        "q_clustering_coeff": _clus_sql(),
+        "q_morans_i": _morans_sql(),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),

@@ -1,0 +1,140 @@
+"""Second-order graph statistics composed from pinned primitives:
+
+- **local clustering coefficient** per host: how close a host's
+  neighborhood is to a clique — ``2 * triangles / (deg * (deg - 1))``
+  in exact integer millionths, composing stages/graph.py's
+  ``triangle_counts`` (Suri–Vassilvitskii) with the degree table; the
+  spam-ring discriminator (link farms have near-clique neighborhoods).
+
+Shape: both inputs are host-space-bounded tables (distinct hosts,
+never the corpus); attaching triangles to degrees is one bucketed
+``lookup_join``; hosts with deg < 2 are excluded (coefficient
+undefined). Integer millionths keep both engines bit-equal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..corpus.geocode import H1_MUL, M32
+from .graph import N_HOST_SITES, triangle_counts, undirected_host_edges
+
+SCALE = 1_000_000
+
+
+def clustering_coefficients(docs_ds):
+    """documents -> (host_id, deg, n_triangles, coeff_e6) for hosts
+    with deg >= 2; triangle-less hosts carry 0."""
+    from ray.data.aggregate import Count
+
+    from .cogroup import lookup_join
+
+    edges = undirected_host_edges(docs_ds).materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t.column("u").combine_chunks(), t.column("v").combine_chunks()]
+                )
+            }
+        )
+
+    deg = (
+        edges.map_batches(ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .materialize()
+    )
+    tri = triangle_counts(docs_ds).materialize()
+
+    # union zero triangle rows for every node, one groupby-max — the
+    # outer-join-free way to give triangle-less hosts an explicit 0
+    from ray.data.aggregate import Max
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t.column("node"),
+                "n_triangles": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    # BLOCK-TYPE HAZARD (repo rule): triangle_counts ends in a pandas
+    # map_groups lineage while deg is arrow — normalize both to arrow
+    # before the union or the groupby boundary sampler asserts.
+    def as_arrow(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": t.column("host").cast(pa.int64()),
+                "n_triangles": t.column("n_triangles").cast(pa.int64()),
+            }
+        )
+
+    tri_full = (
+        tri.map_batches(as_arrow, batch_format="pyarrow")
+        .union(deg.map_batches(zero_rows, batch_format="pyarrow"))
+        .groupby("host")
+        .aggregate(Max("n_triangles", alias_name="n_triangles"))
+        .materialize()
+    )
+    joined = lookup_join(
+        tri_full, deg, "host", "node", {"deg": "deg"}
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tr = t.column("n_triangles").to_numpy(zero_copy_only=False).astype(np.int64)
+        dg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = dg >= 2
+        tr, dg = tr[keep], dg[keep]
+        host = t.column("host").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        coeff = (2 * tr * SCALE) // (dg * (dg - 1))
+        return pa.table(
+            {
+                "host_id": pa.array(host, pa.int64()),
+                "deg": pa.array(dg, pa.int64()),
+                "n_triangles": pa.array(tr, pa.int64()),
+                "coeff_e6": pa.array(coeff, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow")
+
+
+def clustering_sql(src: str = "documents") -> str:
+    """DuckDB mirror of :func:`clustering_coefficients` — the triangle
+    triple-join + degree table, same integer millionths."""
+    h1 = f"((doc_id * {H1_MUL}) % {M32})"
+    return (
+        f"WITH cc_raw AS (SELECT doc_id % {N_HOST_SITES} AS src, "
+        f"{h1} % {N_HOST_SITES} AS d1, "
+        f"({h1} // {N_HOST_SITES}) % {N_HOST_SITES} AS d2 FROM {src}), "
+        "cc_e AS (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM ("
+        "SELECT src, d1 AS dst FROM cc_raw UNION ALL "
+        "SELECT src, d2 AS dst FROM cc_raw) WHERE src <> dst), "
+        "cc_d AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM ("
+        "SELECT u AS node FROM cc_e UNION ALL SELECT v FROM cc_e) "
+        "GROUP BY node), "
+        "cc_o AS (SELECT CASE WHEN du.deg < dv.deg OR "
+        "(du.deg = dv.deg AND e.u < e.v) THEN e.u ELSE e.v END AS s, "
+        "CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v) "
+        "THEN e.v ELSE e.u END AS t "
+        "FROM cc_e e JOIN cc_d du ON du.node = e.u "
+        "JOIN cc_d dv ON dv.node = e.v), "
+        "cc_t AS (SELECT a.s AS x, a.t AS y, b.t AS z "
+        "FROM cc_o a JOIN cc_o b ON b.s = a.t "
+        "JOIN cc_o c ON c.s = a.s AND c.t = b.t), "
+        "cc_h AS (SELECT x AS host FROM cc_t UNION ALL "
+        "SELECT y FROM cc_t UNION ALL SELECT z FROM cc_t), "
+        "cc_n AS (SELECT host, CAST(count(*) AS BIGINT) AS n_triangles "
+        "FROM cc_h GROUP BY host) "
+        "SELECT d.node AS host_id, d.deg, "
+        "CAST(coalesce(n.n_triangles, 0) AS BIGINT) AS n_triangles, "
+        f"CAST((2 * coalesce(n.n_triangles, 0) * {SCALE}) "
+        "// (d.deg * (d.deg - 1)) AS BIGINT) AS coeff_e6 "
+        "FROM cc_d d LEFT JOIN cc_n n ON n.host = d.node "
+        "WHERE d.deg >= 2"
+    )
