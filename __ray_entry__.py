@@ -1321,6 +1321,20 @@ def q_morans_i(sf_dir: str):
     return morans_i(docs)
 
 
+def q_sliding_distinct(sf_dir: str):
+    """Exact trailing-24h distinct active users per hour via interval
+    expansion (stages/slidingdistinct.py): distinct (user,hr) bounded
+    table -> 24-fold window cover -> distinct (user,win) -> count.
+    COUNT(DISTINCT) over overlapping windows without sketches; the
+    wire carries <=24x the deduped activity table. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.slidingdistinct import sliding_distinct_users
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sliding_distinct_users(ev)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3005,6 +3019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anchor_tokens": q_anchor_tokens,
         "q_clustering_coeff": q_clustering_coeff,
         "q_morans_i": q_morans_i,
+        "q_sliding_distinct": q_sliding_distinct,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3393,6 +3408,9 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.anchors import anchor_token_sql as _anchor_sql
     from lasutility_ray.stages.graphstats import clustering_sql as _clus_sql
     from lasutility_ray.stages.morans import morans_sql as _morans_sql
+    from lasutility_ray.stages.slidingdistinct import (
+        sliding_distinct_sql as _sliding_sql,
+    )
     from lasutility_ray.stages.geohash_tiles import (
         geohash_counts_sql as _gh_counts_sql,
         geohash_prefix_rollup_sql as _gh_rollup_sql,
@@ -3604,6 +3622,7 @@ def oracle_sql() -> dict[str, str]:
         "q_anchor_tokens": _anchor_sql(),
         "q_clustering_coeff": _clus_sql(),
         "q_morans_i": _morans_sql(),
+        "q_sliding_distinct": _sliding_sql(),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),

@@ -1,0 +1,97 @@
+"""Exact DISTINCT-user counts over trailing sliding windows — the
+"24-hour active users per hour" metric, the classic case where plain
+window aggregates fail (COUNT(DISTINCT) doesn't compose across
+overlapping windows) and sketches (HLL) are the usual approximation.
+
+Exact distributed formulation by INTERVAL EXPANSION: a user is active
+in the trailing-24 h window ending at hour ``h`` iff the user has an
+event in some hour ``h' in [h-23, h]``; equivalently every active
+(user, hour) pair COVERS the 24 output hours [h', h'+23]. So:
+
+    distinct (user, hr)  ->  expand each to 24 (user, win) rows
+    -> distinct (user, win) -> groupby(win) count
+
+Every step is exact and associative; output hours are clamped to the
+corpus's [min_hr, max_hr] (no phantom windows after the last event).
+
+Shape at 100 TB: the (user, hr) distinct table is bounded by active
+users x hours (per-batch ``drop_duplicates`` partials collapse before
+the shuffle); expansion happens AFTER that dedup, so the wire carries
+<= 24x the bounded table, never the raw events. The final count is a
+tiny per-hour groupby. SQL mirrors with a range(24) cross join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+US_PER_HOUR = 3_600_000_000
+WINDOW_HOURS = 24
+
+
+def sliding_distinct_users(events_ds, window_hours: int = WINDOW_HOURS):
+    """events -> (hr, n_users): users active in the trailing
+    ``window_hours`` ending at each corpus hour."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def slim(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hr = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // US_PER_HOUR
+        )
+        df = pd.DataFrame({"user_id": uid, "hr": hr}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # bounded distinct (user, hr) table via Count aggregate (the
+    # engine's distinct idiom), plus the corpus hour bounds
+    act = (
+        events_ds.map_batches(slim, batch_format="pyarrow")
+        .groupby(["user_id", "hr"])
+        .aggregate(Count(alias_name="__n"))
+        .materialize()
+    )
+    hmin = int(act.min("hr"))
+    hmax = int(act.max("hr"))
+
+    def expand(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hr = t.column("hr").to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.arange(window_hours, dtype=np.int64)
+        win = (hr[:, None] + offs[None, :]).ravel()
+        u = np.repeat(uid, window_hours)
+        keep = win <= hmax  # clamp to the corpus window
+        df = pd.DataFrame({"user_id": u[keep], "win": win[keep]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        act.map_batches(expand, batch_format="pyarrow")
+        .groupby(["user_id", "win"])
+        .aggregate(Count(alias_name="__m"))
+        .map_batches(
+            lambda t: pa.table({"hr": t.column("win")}), batch_format="pyarrow"
+        )
+        .groupby("hr")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+def sliding_distinct_sql(
+    window_hours: int = WINDOW_HOURS, source: str = "events"
+) -> str:
+    """DuckDB mirror of :func:`sliding_distinct_users`."""
+    return (
+        "WITH sd_a AS (SELECT DISTINCT user_id, "
+        f"CAST(epoch_us(ts) // {US_PER_HOUR} AS BIGINT) AS hr FROM {source}), "
+        "sd_mx AS (SELECT MAX(hr) AS hmax FROM sd_a), "
+        "sd_w AS (SELECT DISTINCT user_id, hr + o AS win "
+        f"FROM sd_a, unnest(range({window_hours})) t(o), sd_mx "
+        "WHERE hr + o <= sd_mx.hmax) "
+        "SELECT win AS hr, CAST(count(*) AS BIGINT) AS n_users "
+        "FROM sd_w GROUP BY win"
+    )

@@ -1,0 +1,93 @@
+"""Session-11 operators: exact sliding-window distinct users via
+interval expansion — value-exact vs DuckDB plus a hand-built pin of
+the window cover/clamp semantics."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+SF = "/root/testdata/sf0.01"
+
+
+def _oracle_con(tables=("documents",), sf=SF):
+    duckdb = pytest.importorskip("duckdb")
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    return con
+
+
+def _sorted(df, cols=None):
+    cols = cols or sorted(df.columns)
+    return df[cols].sort_values(cols).reset_index(drop=True)
+
+
+def _match(name, tables=("documents",)):
+    import __ray_entry__ as entry
+
+    con = _oracle_con(tables=tables)
+    df = entry.queries()[name](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()[name]).df()
+    a, b = _sorted(df), _sorted(ref)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert [str(t) for t in a.dtypes] == [str(t) for t in b.dtypes]
+    return df
+
+
+# ------------------------------------------------- sliding distinct
+
+
+def test_sliding_distinct_matches_duckdb(ray_session):
+    df = _match("q_sliding_distinct", tables=("events",))
+    assert len(df) > 24  # corpus spans more than one window
+    # trailing windows accumulate: some hour must see more users than
+    # any single hour contributes (otherwise the window does nothing)
+    assert df["n_users"].max() > 0
+
+
+def test_sliding_distinct_hand_window(ray_session):
+    from lasutility_ray.stages.slidingdistinct import sliding_distinct_users
+
+    # user 1 active at hours 0 and 30; user 2 at hour 29 only.
+    # 24h trailing windows (clamped to max hour 30):
+    #   hours 0..23  -> {u1}            = 1
+    #   hours 24..28 -> {}              (no rows emitted)
+    #   hour  29     -> {u2}            = 1
+    #   hour  30     -> {u1, u2}        = 2
+    hr = np.array([0, 30, 29], dtype=np.int64)
+    ev = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 2], dtype=np.int64),
+            "ts": pd.to_datetime(hr * 3600, unit="s"),
+        }
+    )
+    out = (
+        sliding_distinct_users(rd.from_pandas(ev))
+        .to_pandas()
+        .sort_values("hr")
+        .reset_index(drop=True)
+    )
+    got = dict(zip(out["hr"].astype(int), out["n_users"].astype(int)))
+    expect = {h: 1 for h in range(24)}
+    expect[29] = 1
+    expect[30] = 2
+    assert got == expect
+
+
+def test_sliding_distinct_dedups_within_hour(ray_session):
+    from lasutility_ray.stages.slidingdistinct import sliding_distinct_users
+
+    # same user, 3 events inside one hour -> still 1 distinct user
+    ev = pd.DataFrame(
+        {
+            "user_id": np.array([7, 7, 7], dtype=np.int64),
+            "ts": pd.to_datetime([10, 600, 3599], unit="s"),
+        }
+    )
+    out = sliding_distinct_users(rd.from_pandas(ev)).to_pandas()
+    assert (out["n_users"] == 1).all()
+    assert len(out) == 1  # clamped to the single corpus hour
