@@ -1321,6 +1321,17 @@ def q_morans_i(sf_dir: str):
     return morans_i(docs)
 
 
+def q_similar_hosts(sf_dir: str):
+    """Similar-host search (stages/hostsim.py): exact host-pair
+    Jaccard >= 0.8 over per-host UNIONed word-3-shingle sets — mirror
+    / syndication detection at domain granularity. Prefix-filtered
+    candidates + packed-vocab verification; the prune-free oracle
+    proves the filters lossless. Value-exact."""
+    from lasutility_ray.stages.hostsim import similar_hosts
+
+    return similar_hosts(_pages(sf_dir))
+
+
 def q_sliding_distinct(sf_dir: str):
     """Exact trailing-24h distinct active users per hour via interval
     expansion (stages/slidingdistinct.py): distinct (user,hr) bounded
@@ -3020,6 +3031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_clustering_coeff": q_clustering_coeff,
         "q_morans_i": q_morans_i,
         "q_sliding_distinct": q_sliding_distinct,
+        "q_similar_hosts": q_similar_hosts,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3351,6 +3363,44 @@ WHERE (i.i * 1000000) // ns.n >= {CONTAIN_E6}
 """
 
 
+def _hostsim_sql() -> str:
+    """Similar-host SQL mirror: DISTINCT (host, shingle) via the SAME
+    word-hash + rolling-3-shingle pipeline as ``_minhash_sql``, then
+    PRUNE-FREE exact Jaccard over every host pair sharing any shingle
+    — equality with the Ray path proves hostsim's prefix + length
+    filters lossless. Host mirrors the corpus url constructor
+    (site{doc_id % 1000}.example); same >= 3 words assumption."""
+    from lasutility_ray.stages.dedup import _SH_C
+    from lasutility_ray.stages.hostsim import THRESHOLD_E6
+
+    m64 = 1 << 64
+    whs = _word_hash_sql(extra=", pos")
+    c = [int(x) for x in _SH_C]
+    return f"""
+WITH words AS (SELECT doc_id,
+   unnest(regexp_extract_all(text,'\\S+')) AS word,
+   unnest(generate_series(1, len(regexp_extract_all(text,'\\S+')))) AS pos
+   FROM documents),
+{whs},
+hs_sh0 AS (SELECT doc_id, pos, wh,
+        lead(wh,1) OVER w AS wh1, lead(wh,2) OVER w AS wh2
+        FROM wh WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+hs_hv AS (SELECT DISTINCT
+       ('site' || CAST(doc_id % 1000 AS VARCHAR) || '.example') AS host,
+       (((wh::HUGEINT * {c[0]} + wh1::HUGEINT * {c[1]} + wh2::HUGEINT * {c[2]})
+         % {m64}::HUGEINT) // {1 << 32}::HUGEINT)::UBIGINT AS s
+       FROM hs_sh0 WHERE wh2 IS NOT NULL),
+hs_ns AS (SELECT host, CAST(count(*) AS BIGINT) AS n FROM hs_hv GROUP BY host),
+hs_i AS (SELECT x.host AS ha, y.host AS hb, CAST(count(*) AS BIGINT) AS i
+   FROM hs_hv x JOIN hs_hv y ON y.s = x.s AND x.host < y.host
+   GROUP BY 1, 2)
+SELECT i.ha AS host_a, i.hb AS host_b,
+       CAST((i.i * 1000000) // (na.n + nb.n - i.i) AS BIGINT) AS jaccard_e6
+FROM hs_i i JOIN hs_ns na ON na.host = i.ha JOIN hs_ns nb ON nb.host = i.hb
+WHERE i.i * 1000000 >= {THRESHOLD_E6} * (na.n + nb.n - i.i)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from lasutility_ray.corpus.pages import EPOCH_MS, HTML_PREFIX, HTML_SUFFIX, url_sql
     from lasutility_ray.corpus.polygons import rects_sql_cte
@@ -3623,6 +3673,7 @@ def oracle_sql() -> dict[str, str]:
         "q_clustering_coeff": _clus_sql(),
         "q_morans_i": _morans_sql(),
         "q_sliding_distinct": _sliding_sql(),
+        "q_similar_hosts": _hostsim_sql(),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),

@@ -91,3 +91,54 @@ def test_sliding_distinct_dedups_within_hour(ray_session):
     out = sliding_distinct_users(rd.from_pandas(ev)).to_pandas()
     assert (out["n_users"] == 1).all()
     assert len(out) == 1  # clamped to the single corpus hour
+
+
+# --------------------------------------------------- similar hosts
+
+
+def test_similar_hosts_matches_duckdb(ray_session):
+    df = _match("q_similar_hosts")
+    assert len(df) > 0  # planted near-dup pairs surface at host level
+    assert (df["jaccard_e6"] >= 800_000).all()
+    assert (df["host_a"] < df["host_b"]).all()
+
+
+def test_similar_hosts_unions_pages_per_host(ray_session):
+    from lasutility_ray.stages.hostsim import similar_hosts
+
+    # host A publishes two pages whose CONCATENATED shingle sets equal
+    # host B's single page -> pair only exists if vocab is the UNION
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    pages = pd.DataFrame(
+        {
+            "url": [
+                "https://a.example/1",
+                "https://a.example/2",
+                "https://b.example/1",
+            ],
+            "text": [base, base + " lambda mu nu xi", base + " lambda mu nu xi"],
+        }
+    )
+    out = similar_hosts(
+        rd.from_pandas(pages), threshold_e6=900_000
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["host_a"] == "a.example"
+    assert out.iloc[0]["host_b"] == "b.example"
+    assert out.iloc[0]["jaccard_e6"] == 1_000_000
+
+
+def test_similar_hosts_threshold_excludes(ray_session):
+    from lasutility_ray.stages.hostsim import similar_hosts
+
+    pages = pd.DataFrame(
+        {
+            "url": ["https://a.example/1", "https://b.example/1"],
+            "text": [
+                "one two three four five six seven eight nine ten",
+                "one two three four five ALPHA BETA GAMMA DELTA EPSILON",
+            ],
+        }
+    )
+    out = similar_hosts(rd.from_pandas(pages), threshold_e6=800_000).to_pandas()
+    assert len(out) == 0  # J ~ 3/13 well below 0.8
