@@ -1332,6 +1332,20 @@ def q_similar_hosts(sf_dir: str):
     return similar_hosts(_pages(sf_dir))
 
 
+def q_watersheds(sf_dir: str):
+    """Watershed basin labels over the 500 m DEM grid
+    (stages/watershed.py): pointer-doubled D8 drainage fixed point +
+    basin sizes; one-task on the bounded cell space, with a pinned
+    distributed log-round doubling path for unbounded grids.
+    Value-exact (recursive-CTE walk mirror)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.watershed import watershed_labels
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return watershed_labels(docs)
+
+
 def q_sliding_distinct(sf_dir: str):
     """Exact trailing-24h distinct active users per hour via interval
     expansion (stages/slidingdistinct.py): distinct (user,hr) bounded
@@ -3032,6 +3046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_morans_i": q_morans_i,
         "q_sliding_distinct": q_sliding_distinct,
         "q_similar_hosts": q_similar_hosts,
+        "q_watersheds": q_watersheds,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3461,6 +3476,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.slidingdistinct import (
         sliding_distinct_sql as _sliding_sql,
     )
+    from lasutility_ray.stages.watershed import watershed_sql as _watershed_sql
     from lasutility_ray.stages.geohash_tiles import (
         geohash_counts_sql as _gh_counts_sql,
         geohash_prefix_rollup_sql as _gh_rollup_sql,
@@ -3674,6 +3690,7 @@ def oracle_sql() -> dict[str, str]:
         "q_morans_i": _morans_sql(),
         "q_sliding_distinct": _sliding_sql(),
         "q_similar_hosts": _hostsim_sql(),
+        "q_watersheds": _watershed_sql(),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),

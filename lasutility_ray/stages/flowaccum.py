@@ -123,9 +123,10 @@ def accum_frame(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def flow_accumulation_sql(source: str = "documents") -> str:
-    """DuckDB mirror of :func:`flow_accumulation` — same cell table,
-    row_number flow choice, recursive-CTE drainage walk."""
+def d8_walk_cte(source: str = "documents") -> str:
+    """Shared D8 CTE prefix (cells fa_c, flow edges fa_f, recursive
+    drainage walk fa_w) used by both the flow-accumulation and
+    watershed mirrors."""
     from ..corpus.geocode import H1_MUL, H2_ADD, H2_MUL, M32
     from .snap import W
 
@@ -155,6 +156,13 @@ def flow_accumulation_sql(source: str = "documents") -> str:
         "UNION ALL "
         "SELECT w.sci, w.scj, f.tci, f.tcj FROM fa_w w "
         "JOIN fa_f f ON f.ci = w.ci AND f.cj = w.cj) "
+    )
+
+
+def flow_accumulation_sql(source: str = "documents") -> str:
+    """DuckDB mirror of :func:`flow_accumulation` — same cell table,
+    row_number flow choice, recursive-CTE drainage walk."""
+    return d8_walk_cte(source) + (
         "SELECT c.ci, c.cj, c.z AS z_cm, CAST(count(*) AS BIGINT) AS acc "
         "FROM fa_w w JOIN fa_c c ON c.ci = w.ci AND c.cj = w.cj "
         "GROUP BY 1, 2, 3"

@@ -142,3 +142,55 @@ def test_similar_hosts_threshold_excludes(ray_session):
     )
     out = similar_hosts(rd.from_pandas(pages), threshold_e6=800_000).to_pandas()
     assert len(out) == 0  # J ~ 3/13 well below 0.8
+
+
+# ------------------------------------------------------- watersheds
+
+
+def test_watersheds_match_duckdb(ray_session):
+    df = _match("q_watersheds")
+    assert len(df) > 0
+    # pits label themselves and a basin's size equals its member count
+    pits = df[(df["ci"] == df["bci"]) & (df["cj"] == df["bcj"])]
+    assert len(pits) == df.groupby(["bci", "bcj"]).ngroups
+    sizes = df.groupby(["bci", "bcj"]).size()
+    for (bci, bcj), n in sizes.items():
+        assert (
+            df[(df["bci"] == bci) & (df["bcj"] == bcj)]["basin_n"] == n
+        ).all()
+
+
+def test_watersheds_distributed_equals_fast_path(ray_session):
+    from lasutility_ray.stages.watershed import watershed_labels
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    fast = (
+        watershed_labels(docs)
+        .to_pandas()
+        .sort_values(["ci", "cj"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        watershed_labels(docs, distributed=True)
+        .to_pandas()
+        .sort_values(["ci", "cj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
+
+
+def test_watershed_pointer_doubling_chain():
+    from lasutility_ray.stages.watershed import _label_frame
+
+    # strictly descending staircase: every cell drains to the last
+    zs = [90_000, 80_000, 70_000, 60_000, 50_000]
+    df = pd.DataFrame(
+        {
+            "ci": np.arange(5, dtype=np.int64),
+            "cj": np.zeros(5, dtype=np.int64),
+            "z_cm": np.array(zs, dtype=np.int64),
+        }
+    )
+    out = _label_frame(df)
+    assert (out["bci"] == 4).all() and (out["bcj"] == 0).all()
+    assert (out["basin_n"] == 5).all()
