@@ -1346,6 +1346,47 @@ def q_watersheds(sf_dir: str):
     return watershed_labels(docs)
 
 
+def q_interval_overlap(sf_dir: str):
+    """Unkeyed interval-overlap join (stages/overlapjoin.py): event-
+    derived incident (A) and maintenance (B) windows, every closed
+    intersection with its overlap length. Time-bucket replication with
+    the owner-bucket (max-start) rule — one emission per pair, no
+    dedup pass; the quadratic SQL mirror proves it lossless."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lasutility_ray.stages.overlapjoin import interval_overlap_join
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def side(mod: int, dur_mod: int, dur_base: int, idc: str):
+        def f(t: pa.Table) -> pa.Table:
+            eid = t.column("event_id").to_numpy()
+            us = (
+                t.column("ts")
+                .to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            keep = eid % mod == 0
+            eid, us = eid[keep], us[keep]
+            dur = (eid % dur_mod + dur_base) * 1_000_000
+            return pa.table(
+                {
+                    idc: pa.array(eid, pa.int64()),
+                    "s": pa.array(us, pa.int64()),
+                    "e": pa.array(us + dur, pa.int64()),
+                }
+            )
+
+        return f
+
+    a = ev.map_batches(side(7, 900, 60, "a_id"), batch_format="pyarrow")
+    b = ev.map_batches(side(11, 600, 30, "b_id"), batch_format="pyarrow")
+    return interval_overlap_join(a, b)
+
+
 def q_sliding_distinct(sf_dir: str):
     """Exact trailing-24h distinct active users per hour via interval
     expansion (stages/slidingdistinct.py): distinct (user,hr) bounded
@@ -3047,6 +3088,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sliding_distinct": q_sliding_distinct,
         "q_similar_hosts": q_similar_hosts,
         "q_watersheds": q_watersheds,
+        "q_interval_overlap": q_interval_overlap,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3691,6 +3733,17 @@ def oracle_sql() -> dict[str, str]:
         "q_sliding_distinct": _sliding_sql(),
         "q_similar_hosts": _hostsim_sql(),
         "q_watersheds": _watershed_sql(),
+        "q_interval_overlap": (
+            "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "
+            "FROM events WHERE event_id % 7 = 0), "
+            "io_b AS (SELECT event_id AS b_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + (event_id % 600 + 30) * 1000000 AS e "
+            "FROM events WHERE event_id % 11 = 0) "
+            "SELECT a_id, b_id, "
+            "least(io_a.e, io_b.e) - greatest(io_a.s, io_b.s) AS overlap_us "
+            "FROM io_a JOIN io_b ON io_a.s <= io_b.e AND io_b.s <= io_a.e"
+        ),
         "q_frame_window": _frame_window_sql(),
         "q_user_entropy": _user_entropy_sql(),
         "q_vocab_overlap": _vocab_overlap_sql(),

@@ -194,3 +194,54 @@ def test_watershed_pointer_doubling_chain():
     out = _label_frame(df)
     assert (out["bci"] == 4).all() and (out["bcj"] == 0).all()
     assert (out["basin_n"] == 5).all()
+
+
+# -------------------------------------------------- interval overlap
+
+
+def test_interval_overlap_matches_duckdb(ray_session):
+    df = _match("q_interval_overlap", tables=("events",))
+    assert len(df) > 0
+    assert (df["overlap_us"] >= 0).all()
+    # pairs are unique (owner-bucket rule emits each exactly once)
+    assert not df.duplicated(["a_id", "b_id"]).any()
+
+
+def test_interval_overlap_cross_bucket_pair(ray_session):
+    from lasutility_ray.stages.overlapjoin import interval_overlap_join
+
+    W = 1000  # tiny bucket so the pair spans many buckets
+    a = pd.DataFrame(
+        {"a_id": np.array([1], np.int64), "s": np.array([100], np.int64),
+         "e": np.array([5200], np.int64)}
+    )
+    b = pd.DataFrame(
+        {"b_id": np.array([2, 3], np.int64),
+         "s": np.array([4900, 9000], np.int64),
+         "e": np.array([7000, 9100], np.int64)}
+    )
+    out = interval_overlap_join(
+        rd.from_pandas(a), rd.from_pandas(b), bucket_us=W
+    ).to_pandas()
+    # (1,2) overlap [4900,5200] emitted once; (1,3) disjoint
+    assert len(out) == 1
+    assert out.iloc[0]["a_id"] == 1 and out.iloc[0]["b_id"] == 2
+    assert out.iloc[0]["overlap_us"] == 300
+
+
+def test_interval_overlap_touching_endpoints(ray_session):
+    from lasutility_ray.stages.overlapjoin import interval_overlap_join
+
+    # closed intervals: touching endpoints DO overlap with length 0
+    a = pd.DataFrame(
+        {"a_id": np.array([1], np.int64), "s": np.array([0], np.int64),
+         "e": np.array([1000], np.int64)}
+    )
+    b = pd.DataFrame(
+        {"b_id": np.array([2], np.int64), "s": np.array([1000], np.int64),
+         "e": np.array([2000], np.int64)}
+    )
+    out = interval_overlap_join(
+        rd.from_pandas(a), rd.from_pandas(b), bucket_us=500
+    ).to_pandas()
+    assert len(out) == 1 and out.iloc[0]["overlap_us"] == 0
