@@ -1387,6 +1387,25 @@ def q_interval_overlap(sf_dir: str):
     return interval_overlap_join(a, b)
 
 
+def q_audio_neardup(sf_dir: str):
+    """Audio NEAR-dup pairs by spectral-peak constellation fingerprints
+    (stages/audiofp.py, the Shazam landmark scheme): every 10th doc's
+    clip is its predecessor's PCM time-shifted one hop and rescaled
+    0.9x — invisible to exact/canonical-PCM dedup, recovered exactly by
+    the offset-vote (measured margins: planted >= 154 aligned votes,
+    distinct <= 3). Rows-only (FFT); planted recovery pytest-pinned."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.audiofp import (
+        attach_audio_neardups,
+        audio_neardup_pairs,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    clips = docs.map_batches(attach_audio_neardups, batch_format="pyarrow")
+    return audio_neardup_pairs(clips)
+
+
 def q_sliding_distinct(sf_dir: str):
     """Exact trailing-24h distinct active users per hour via interval
     expansion (stages/slidingdistinct.py): distinct (user,hr) bounded
@@ -3089,6 +3108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_similar_hosts": q_similar_hosts,
         "q_watersheds": q_watersheds,
         "q_interval_overlap": q_interval_overlap,
+        "q_audio_neardup": q_audio_neardup,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,

@@ -245,3 +245,48 @@ def test_interval_overlap_touching_endpoints(ray_session):
         rd.from_pandas(a), rd.from_pandas(b), bucket_us=500
     ).to_pandas()
     assert len(out) == 1 and out.iloc[0]["overlap_us"] == 0
+
+
+# ----------------------------------------------------- audio neardup
+
+
+def test_audio_neardup_recovers_planted_exactly(ray_session):
+    import __ray_entry__ as entry
+
+    df = entry.queries()["q_audio_neardup"](SF).to_pandas()
+    # exactly the planted (d-1, d) pairs for d % 10 == 9, d-1 >= 0
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_numpy()
+    idset = set(ids.tolist())
+    expect = {(d - 1, d) for d in idset if d % 10 == 9 and (d - 1) in idset}
+    got = set(zip(df["a"].astype(int), df["b"].astype(int)))
+    assert got == expect
+    assert (df["n_aligned"] >= 100).all()  # measured planted floor 154
+
+
+def test_audio_fp_shift_and_scale_invariance():
+    from lasutility_ray.stages.audiofp import clip_fingerprints
+
+    rng = np.random.default_rng(123)
+    pcm = rng.integers(-(1 << 15), 1 << 15, 2048, dtype=np.int16)
+    h1, t1 = clip_fingerprints(pcm)
+    shifted = np.concatenate(
+        [np.zeros(256, np.int16), (pcm * 0.8).astype(np.int16)]
+    )
+    h2, t2 = clip_fingerprints(shifted)
+    common, i1, i2 = np.intersect1d(h1, h2, return_indices=True)
+    assert len(common) >= 0.5 * len(h1)
+    # the shared landmarks vote for ONE offset (2 hops)
+    offs = t2[i2] - t1[i1]
+    vals, cnts = np.unique(offs, return_counts=True)
+    assert vals[np.argmax(cnts)] == 2
+
+
+def test_audio_fp_silence_emits_nothing():
+    from lasutility_ray.stages.audiofp import clip_fingerprints
+
+    h, t = clip_fingerprints(np.zeros(2048, np.int16))
+    assert len(h) == 0
