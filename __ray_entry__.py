@@ -1406,6 +1406,20 @@ def q_audio_neardup(sf_dir: str):
     return audio_neardup_pairs(clips)
 
 
+def q_region_labels(sf_dir: str):
+    """Raster region labeling (stages/regions.py): rook-connected
+    components of the occupied 500 m cells, min-cell labels + region
+    sizes; halo-free adjacency via one semi lookup_join, components
+    via the pinned duplicate_components CC. Value-exact
+    (reachability-closure mirror)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.regions import region_labels
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return region_labels(docs)
+
+
 def q_sliding_distinct(sf_dir: str):
     """Exact trailing-24h distinct active users per hour via interval
     expansion (stages/slidingdistinct.py): distinct (user,hr) bounded
@@ -1418,6 +1432,20 @@ def q_sliding_distinct(sf_dir: str):
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return sliding_distinct_users(ev)
+
+
+def q_sliding_median(sf_dir: str):
+    """Exact trailing-24h median of event values per hour
+    (stages/slidingdistinct.py sliding_window_median): interval
+    expansion + per-window co-located median — the non-composable
+    sliding aggregate medians can't pre-merge. Value-exact
+    (bit-equal interpolated median both engines)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.slidingdistinct import sliding_window_median
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    return sliding_window_median(ev)
 
 
 def q_rollup_agg(sf_dir: str):
@@ -3109,6 +3137,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_watersheds": q_watersheds,
         "q_interval_overlap": q_interval_overlap,
         "q_audio_neardup": q_audio_neardup,
+        "q_region_labels": q_region_labels,
+        "q_sliding_median": q_sliding_median,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3537,8 +3567,10 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.morans import morans_sql as _morans_sql
     from lasutility_ray.stages.slidingdistinct import (
         sliding_distinct_sql as _sliding_sql,
+        sliding_median_sql as _sliding_med_sql,
     )
     from lasutility_ray.stages.watershed import watershed_sql as _watershed_sql
+    from lasutility_ray.stages.regions import region_labels_sql as _regions_sql
     from lasutility_ray.stages.geohash_tiles import (
         geohash_counts_sql as _gh_counts_sql,
         geohash_prefix_rollup_sql as _gh_rollup_sql,
@@ -3753,6 +3785,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sliding_distinct": _sliding_sql(),
         "q_similar_hosts": _hostsim_sql(),
         "q_watersheds": _watershed_sql(),
+        "q_region_labels": _regions_sql(),
+        "q_sliding_median": _sliding_med_sql(),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

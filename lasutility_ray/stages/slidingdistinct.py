@@ -95,3 +95,87 @@ def sliding_distinct_sql(
         "SELECT win AS hr, CAST(count(*) AS BIGINT) AS n_users "
         "FROM sd_w GROUP BY win"
     )
+
+
+def sliding_window_median(events_ds, window_hours: int = WINDOW_HOURS):
+    """Exact trailing-``window_hours`` MEDIAN of event values per hour
+    — the second classic non-composable sliding aggregate (medians
+    don't merge across overlapping windows any more than distincts
+    do). Same interval-expansion formulation: each (hr, value) event
+    covers the ``window_hours`` windows [hr, hr+W-1] (clamped), and
+    each window's values land in ONE coarse bucket (bucket = f(win)),
+    so the per-window median is computed with every value co-located
+    — the group_quantiles exactness contract. The wire carries W x
+    the event rows (values can't pre-aggregate under an exact median;
+    the mergeable-histogram quantile path is the documented
+    approximation when W x is too dear)."""
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    from .cogroup import default_n_buckets
+
+    def slim(t: pa.Table) -> pa.Table:
+        hr = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // US_PER_HOUR
+        )
+        return pa.table(
+            {
+                "hr": pa.array(hr, pa.int64()),
+                "value": t.column("value").cast(pa.float64()),
+            }
+        )
+
+    slim_ds = events_ds.map_batches(slim, batch_format="pyarrow").materialize()
+    hmax = int(slim_ds.max("hr"))
+    nb = default_n_buckets()
+
+    def expand(t: pa.Table) -> pa.Table:
+        hr = t.column("hr").to_numpy()
+        v = t.column("value").to_numpy()
+        offs = np.arange(window_hours, dtype=np.int64)
+        win = (hr[:, None] + offs[None, :]).ravel()
+        vv = np.repeat(v, window_hours)
+        keep = win <= hmax
+        win, vv = win[keep], vv[keep]
+        return pa.table(
+            {
+                "win": pa.array(win, pa.int64()),
+                "value": pa.array(vv, pa.float64()),
+                "__bucket": pa.array(win % nb, pa.int64()),
+            }
+        )
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("win", sort=False)["value"]
+            .median()
+            .reset_index(name="med_value")
+        )
+        return out.rename(columns={"win": "hr"})
+
+    return (
+        slim_ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(med, batch_format="pandas")
+    )
+
+
+def sliding_median_sql(
+    window_hours: int = WINDOW_HOURS, source: str = "events"
+) -> str:
+    """DuckDB mirror of :func:`sliding_window_median`."""
+    return (
+        "WITH sm_a AS (SELECT "
+        f"CAST(epoch_us(ts) // {US_PER_HOUR} AS BIGINT) AS hr, value "
+        f"FROM {source}), "
+        "sm_mx AS (SELECT MAX(hr) AS hmax FROM sm_a), "
+        "sm_w AS (SELECT hr + o AS win, value "
+        f"FROM sm_a, unnest(range({window_hours})) t(o), sm_mx "
+        "WHERE hr + o <= sm_mx.hmax) "
+        "SELECT win AS hr, median(value) AS med_value "
+        "FROM sm_w GROUP BY win"
+    )
