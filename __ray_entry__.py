@@ -1448,6 +1448,28 @@ def q_sliding_median(sf_dir: str):
     return sliding_window_median(ev)
 
 
+_PRUNE_LO_HR = 473_472  # 2024-01-06 00:00 UTC in epoch hours
+_PRUNE_HI_HR = _PRUNE_LO_HR + 119  # 5 days
+
+
+def q_zonemap_prune(sf_dir: str):
+    """Clustered-layout range query (state/clustered.py): events are
+    written ONCE as day-partitioned hive Parquet, then a 5-day hourly
+    activity query reads ONLY the touched day directories (partition
+    pruning — unrelated files are never opened). Oracle = the same
+    predicate over the unclustered source; equality proves the layout
+    + pruned read lossless. Value-exact."""
+    import tempfile
+
+    import ray.data as rd
+
+    from lasutility_ray.state.clustered import hourly_activity_pruned
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    path = tempfile.mkdtemp(prefix="clustered_events_")
+    return hourly_activity_pruned(ev, _PRUNE_LO_HR, _PRUNE_HI_HR, path)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3139,6 +3161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_audio_neardup": q_audio_neardup,
         "q_region_labels": q_region_labels,
         "q_sliding_median": q_sliding_median,
+        "q_zonemap_prune": q_zonemap_prune,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3571,6 +3594,10 @@ def oracle_sql() -> dict[str, str]:
     )
     from lasutility_ray.stages.watershed import watershed_sql as _watershed_sql
     from lasutility_ray.stages.regions import region_labels_sql as _regions_sql
+    from lasutility_ray.state.clustered import hourly_activity_sql as _hourly_sql
+
+    def _zonemap_sql() -> str:
+        return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
     from lasutility_ray.stages.geohash_tiles import (
         geohash_counts_sql as _gh_counts_sql,
         geohash_prefix_rollup_sql as _gh_rollup_sql,
@@ -3787,6 +3814,7 @@ def oracle_sql() -> dict[str, str]:
         "q_watersheds": _watershed_sql(),
         "q_region_labels": _regions_sql(),
         "q_sliding_median": _sliding_med_sql(),
+        "q_zonemap_prune": _zonemap_sql(),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

@@ -361,3 +361,34 @@ def test_sliding_median_hand_window(ray_session):
     )
     assert out["hr"].tolist() == [0, 1, 2]
     assert out["med_value"].tolist() == [10.0, 15.0, 25.0]
+
+
+# ------------------------------------------------------ zonemap prune
+
+
+def test_zonemap_prune_matches_duckdb(ray_session):
+    df = _match("q_zonemap_prune", tables=("events",))
+    assert len(df) == 120  # every hour of the 5-day range is active
+
+
+def test_clustered_read_prunes_partitions(ray_session, tmp_path):
+    import os
+
+    from lasutility_ray.state.clustered import (
+        read_hr_range,
+        write_clustered_events,
+    )
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "user_id"])
+    path = str(tmp_path / "clustered")
+    write_clustered_events(ev, path)
+    days = sorted(d for d in os.listdir(path) if d.startswith("day="))
+    assert len(days) >= 30  # the fixture spans a month
+    # a one-day range touches exactly one partition directory and
+    # returns exactly that day's hours
+    lo = 473_352 + 48  # day 3 of the month
+    out = read_hr_range(path, lo, lo + 23).to_pandas()
+    assert set(out["hr"] // 24) == {lo // 24}
+    # empty range outside the corpus yields an empty typed result
+    empty = read_hr_range(path, 1, 2).to_pandas()
+    assert len(empty) == 0
