@@ -1470,6 +1470,36 @@ def q_zonemap_prune(sf_dir: str):
     return hourly_activity_pruned(ev, _PRUNE_LO_HR, _PRUNE_HI_HR, path)
 
 
+def q_late_events(sf_dir: str):
+    """Streaming watermark bookkeeping (stages/watermark.py): events
+    replayed in deterministic hash-permutation arrival order; late =
+    event time trails the running-max watermark by > 28 days. Prefix
+    max via bounded per-block maxima (<= 1024 driver rows at ANY
+    corpus size) + one vectorized in-block scan. Value-exact (window
+    mirror incl. tie order)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.watermark import late_events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    return late_events(ev)
+
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_profile_table(sf_dir: str):
+    """Dataset profiling (stages/profile.py): per-column rows/nulls/
+    EXACT distinct/min/max in one pass + one slim distinct exchange —
+    the pre-flight data-quality scan. Value-exact (UNION ALL mirror)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.profile import profile_table
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=_PROFILE_COLS)
+    return profile_table(docs, _PROFILE_COLS)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3162,6 +3192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_region_labels": q_region_labels,
         "q_sliding_median": q_sliding_median,
         "q_zonemap_prune": q_zonemap_prune,
+        "q_late_events": q_late_events,
+        "q_profile_table": q_profile_table,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3595,6 +3627,8 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.watershed import watershed_sql as _watershed_sql
     from lasutility_ray.stages.regions import region_labels_sql as _regions_sql
     from lasutility_ray.state.clustered import hourly_activity_sql as _hourly_sql
+    from lasutility_ray.stages.watermark import late_events_sql as _late_sql
+    from lasutility_ray.stages.profile import profile_sql as _profile_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -3815,6 +3849,8 @@ def oracle_sql() -> dict[str, str]:
         "q_region_labels": _regions_sql(),
         "q_sliding_median": _sliding_med_sql(),
         "q_zonemap_prune": _zonemap_sql(),
+        "q_late_events": _late_sql(),
+        "q_profile_table": _profile_sql(_PROFILE_COLS),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

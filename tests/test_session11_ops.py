@@ -392,3 +392,86 @@ def test_clustered_read_prunes_partitions(ray_session, tmp_path):
     # empty range outside the corpus yields an empty typed result
     empty = read_hr_range(path, 1, 2).to_pandas()
     assert len(empty) == 0
+
+
+# ------------------------------------------------------- late events
+
+
+def test_late_events_match_duckdb(ray_session):
+    df = _match("q_late_events", tables=("events",))
+    assert 0 < len(df) < 10000  # ~7% of the fixture is late at 28 days
+
+
+def test_late_events_first_arrival_never_late(ray_session):
+    from lasutility_ray.stages.watermark import ARR_MOD, ARR_MUL, late_events
+
+    # two events: the one arriving FIRST can never be late, the one
+    # arriving second is late iff its time trails by > lateness
+    ev = pd.DataFrame(
+        {
+            "event_id": np.array([3, 4], np.int64),
+            "ts": pd.to_datetime([100 * 86400, 0], unit="s"),
+        }
+    )
+    arr3, arr4 = (3 * ARR_MUL) % ARR_MOD, (4 * ARR_MUL) % ARR_MOD
+    out = late_events(
+        rd.from_pandas(ev), lateness_us=86400 * 1_000_000
+    ).to_pandas()
+    if arr3 < arr4:
+        # event 4 (ts=0) arrives after event 3 (ts=100d): 100d late
+        assert out["event_id"].tolist() == [4]
+        assert out["lag_us"].tolist() == [100 * 86400 * 1_000_000]
+    else:
+        assert len(out) == 0  # late-ts event arrived first
+
+
+def test_late_events_blocks_partition_invariant(ray_session):
+    from lasutility_ray.stages.watermark import late_events
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "ts"])
+    a = (
+        late_events(ev)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        late_events(ev.repartition(17))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ------------------------------------------------------ table profile
+
+
+def test_profile_table_matches_duckdb(ray_session):
+    df = _match("q_profile_table")
+    assert len(df) == 5
+    d = df.set_index("col")
+    assert d.loc["doc_id", "n_distinct"] == d.loc["doc_id", "n_rows"]  # key
+    assert (df["n_null"] == 0).all()
+
+
+def test_profile_table_nulls_and_constants(ray_session):
+    from lasutility_ray.stages.profile import profile_table
+
+    t = pd.DataFrame(
+        {
+            "k": np.array([1, 2, 3, 4], np.int64),
+            "s": ["x", None, "x", "y"],
+            "const": ["c", "c", "c", "c"],
+        }
+    )
+    out = (
+        profile_table(rd.from_pandas(t), ["k", "s", "const"])
+        .to_pandas()
+        .set_index("col")
+    )
+    assert out.loc["s", "n_null"] == 1
+    assert out.loc["s", "n_distinct"] == 2
+    assert out.loc["s", "min_v"] == "x" and out.loc["s", "max_v"] == "y"
+    assert out.loc["const", "n_distinct"] == 1
+    assert out.loc["k", "min_v"] == "1" and out.loc["k", "max_v"] == "4"
