@@ -33,8 +33,15 @@ WINDOW_HOURS = 24
 
 def sliding_distinct_users(events_ds, window_hours: int = WINDOW_HOURS):
     """events -> (hr, n_users): users active in the trailing
-    ``window_hours`` ending at each corpus hour."""
-    from ray.data.aggregate import Count, Max, Min
+    ``window_hours`` ending at each corpus hour. Distincts run through
+    the coarse-bucket drop_duplicates shape (Ray 2.49's multi-key
+    aggregate carries ~10 s fixed overhead per call — the
+    ``_dedup_pairs`` lesson; two of them made the first cut of this
+    op 10x slower than the shuffles justify)."""
+    from .cogroup import default_n_buckets
+
+    nb = default_n_buckets()
+    MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def slim(t: pa.Table) -> pa.Table:
         uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -48,15 +55,32 @@ def sliding_distinct_users(events_ds, window_hours: int = WINDOW_HOURS):
         df = pd.DataFrame({"user_id": uid, "hr": hr}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    # bounded distinct (user, hr) table via Count aggregate (the
-    # engine's distinct idiom), plus the corpus hour bounds
+    def tag(key_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            u = t.column("user_id").to_numpy().astype(np.uint64)
+            k = t.column(key_col).to_numpy().astype(np.uint64)
+            h = (u * MIX) ^ k
+            return t.append_column(
+                "__bucket",
+                pa.array(((h >> np.uint64(33)) % np.uint64(nb)).astype(np.int64)),
+            )
+
+        return f
+
+    def uniq(cols):
+        def f(g: pd.DataFrame) -> pd.DataFrame:
+            return g.drop_duplicates(cols)[cols]
+
+        return f
+
+    # bounded distinct (user, hr) table + the corpus hour bound
     act = (
         events_ds.map_batches(slim, batch_format="pyarrow")
-        .groupby(["user_id", "hr"])
-        .aggregate(Count(alias_name="__n"))
+        .map_batches(tag("hr"), batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(uniq(["user_id", "hr"]), batch_format="pandas")
         .materialize()
     )
-    hmin = int(act.min("hr"))
     hmax = int(act.max("hr"))
 
     def expand(t: pa.Table) -> pa.Table:
@@ -69,15 +93,26 @@ def sliding_distinct_users(events_ds, window_hours: int = WINDOW_HOURS):
         df = pd.DataFrame({"user_id": u[keep], "win": win[keep]}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
+    def count_wins(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g.drop_duplicates(["user_id", "win"])
+        out = sub.groupby("win", sort=False).size().reset_index(name="n_users")
+        return out.rename(columns={"win": "hr"})
+
+    # bucket by win ONLY: the second distinct and the per-window count
+    # then share one shuffle (each window fully inside one bucket)
+    def tag_win(t: pa.Table) -> pa.Table:
+        w = t.column("win").to_numpy().astype(np.uint64)
+        h = w * MIX
+        return t.append_column(
+            "__bucket",
+            pa.array(((h >> np.uint64(33)) % np.uint64(nb)).astype(np.int64)),
+        )
+
     return (
         act.map_batches(expand, batch_format="pyarrow")
-        .groupby(["user_id", "win"])
-        .aggregate(Count(alias_name="__m"))
-        .map_batches(
-            lambda t: pa.table({"hr": t.column("win")}), batch_format="pyarrow"
-        )
-        .groupby("hr")
-        .aggregate(Count(alias_name="n_users"))
+        .map_batches(tag_win, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(count_wins, batch_format="pandas")
     )
 
 
