@@ -19,7 +19,11 @@ import pandas as pd
 import pyarrow as pa
 
 from ..corpus.geocode import H1_MUL, M32
-from .graph import N_HOST_SITES, triangle_counts, undirected_host_edges
+from .graph import (
+    N_HOST_SITES,
+    triangle_counts_from_edges,
+    undirected_host_edges,
+)
 
 SCALE = 1_000_000
 
@@ -48,7 +52,9 @@ def clustering_coefficients(docs_ds):
         .aggregate(Count(alias_name="deg"))
         .materialize()
     )
-    tri = triangle_counts(docs_ds).materialize()
+    # reuse the materialized edge table — calling triangle_counts on
+    # the docs would rebuild + re-distinct the edges a second time
+    tri = triangle_counts_from_edges(edges).materialize()
 
     # union zero triangle rows for every node, one groupby-max — the
     # outer-join-free way to give triangle-less hosts an explicit 0

@@ -475,3 +475,30 @@ def test_profile_table_nulls_and_constants(ray_session):
     assert out.loc["s", "min_v"] == "x" and out.loc["s", "max_v"] == "y"
     assert out.loc["const", "n_distinct"] == 1
     assert out.loc["k", "min_v"] == "1" and out.loc["k", "max_v"] == "4"
+
+
+# ---------------------------------------------- triangle fast path
+
+
+def test_triangle_local_path_equals_distributed(ray_session):
+    from lasutility_ray.stages.graph import (
+        triangle_counts_from_edges,
+        undirected_host_edges,
+    )
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    edges = undirected_host_edges(docs).materialize()
+    fast = (
+        triangle_counts_from_edges(edges)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    dist = (
+        triangle_counts_from_edges(edges, local_edge_limit=0)  # force
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
+    assert fast["n_triangles"].sum() > 0
