@@ -1500,6 +1500,22 @@ def q_profile_table(sf_dir: str):
     return profile_table(docs, _PROFILE_COLS)
 
 
+def q_mutual_nn(sf_dir: str):
+    """Reciprocal best-match embedding pairs (stages/similarity.py
+    mutual_nn): a and b are each other's single nearest neighbor —
+    the bitext/alignment filter. Rounded-argmax + id tiebreak keeps
+    the selection ulp-stable across engines; exact all-kNN baseline
+    (the oracle anchor for the IVF/LSH scale paths). Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.similarity import mutual_nn
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return mutual_nn(emb)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3194,6 +3210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_zonemap_prune": q_zonemap_prune,
         "q_late_events": q_late_events,
         "q_profile_table": q_profile_table,
+        "q_mutual_nn": q_mutual_nn,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3629,6 +3646,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.state.clustered import hourly_activity_sql as _hourly_sql
     from lasutility_ray.stages.watermark import late_events_sql as _late_sql
     from lasutility_ray.stages.profile import profile_sql as _profile_sql
+    from lasutility_ray.stages.similarity import mutual_nn_sql as _mutual_nn_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -3851,6 +3869,7 @@ def oracle_sql() -> dict[str, str]:
         "q_zonemap_prune": _zonemap_sql(),
         "q_late_events": _late_sql(),
         "q_profile_table": _profile_sql(_PROFILE_COLS),
+        "q_mutual_nn": _mutual_nn_sql(),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

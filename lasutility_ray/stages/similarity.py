@@ -632,3 +632,85 @@ def ann_topk_pq(
         .map_groups(_merge_topk(k), batch_format="pandas")
         .sort(["query_id", "rank"])
     )
+
+
+def mutual_nn(ds, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Reciprocal best-match pairs: (a, b, cosine) where a and b are
+    EACH OTHER's single nearest neighbor (a < b) — the standard
+    alignment/bitext-mining filter (a match is kept only when both
+    sides agree, which kills hubness asymmetries).
+
+    Exactness contract: the argmax runs over cosines ROUNDED to 6 dp
+    with ties to the smaller id — comparisons then depend only on the
+    rounded values both engines already agree on (the
+    embedding_nn_pairs convention), never on last-ulp summation
+    order. Like that baseline this is the EXACT all-kNN formulation
+    (small-side matrix broadcast once, one float64 matmul per batch,
+    no shuffle; the driver holds one (n,d) matrix) — the oracle
+    anchor for the IVF/LSH scale paths, same framing as
+    embedding_nn_pairs vs embedding_lsh_pairs."""
+    import ray
+
+    from .cogroup import lookup_join
+
+    full = ds.to_pandas().sort_values(id_col)  # id order = tie order
+    ids_all = full[id_col].to_numpy()
+    mat = _normalize(np.stack(full[vec_col].to_numpy()).astype(np.float64))
+    ref = ray.put((ids_all, mat))
+
+    def best(batch: pa.Table) -> pa.Table:
+        ids_a, m = ray.get(ref)
+        ids = batch.column(id_col).to_numpy()
+        vecs = _normalize(
+            np.stack(batch.column(vec_col).to_numpy()).astype(np.float64)
+        )
+        sims = np.round(vecs @ m.T, 6)
+        # mask self-similarity by id (batch rows are a subset of m)
+        self_pos = np.searchsorted(ids_a, ids)
+        sims[np.arange(len(ids)), self_pos] = -2.0
+        nn = np.argmax(sims, axis=1)  # first max = smallest id tie
+        return pa.table(
+            {
+                "src": pa.array(ids, pa.int64()),
+                "dst": pa.array(ids_a[nn], pa.int64()),
+                "cosine": pa.array(sims[np.arange(len(ids)), nn], pa.float64()),
+            }
+        )
+
+    best_ds = ds.map_batches(best, batch_format="pyarrow").materialize()
+    back = lookup_join(
+        best_ds, best_ds, "dst", "src", {"dst": "back"}
+    )
+
+    def mutual(t: pa.Table) -> pa.Table:
+        src = t.column("src").to_numpy()
+        dst = t.column("dst").to_numpy()
+        bk = t.column("back").to_numpy()
+        keep = (bk == src) & (src < dst)
+        return pa.table(
+            {
+                "a": pa.array(src[keep], pa.int64()),
+                "b": pa.array(dst[keep], pa.int64()),
+                "cosine": t.column("cosine").filter(pa.array(keep)),
+            }
+        )
+
+    return back.map_batches(mutual, batch_format="pyarrow")
+
+
+def mutual_nn_sql(source: str = "embeddings") -> str:
+    """DuckDB mirror of :func:`mutual_nn` — same rounded-argmax with
+    id tiebreak, same reciprocity filter."""
+    cos = (
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 6)"
+    )
+    return (
+        f"WITH mn_n AS (SELECT a.vec_id AS src, b.vec_id AS dst, {cos} AS c, "
+        f"row_number() OVER (PARTITION BY a.vec_id ORDER BY {cos} DESC, "
+        "b.vec_id) AS rn "
+        f"FROM {source} a JOIN {source} b ON a.vec_id <> b.vec_id), "
+        "mn_b AS (SELECT src, dst, c FROM mn_n WHERE rn = 1) "
+        "SELECT x.src AS a, x.dst AS b, x.c AS cosine FROM mn_b x "
+        "JOIN mn_b y ON y.src = x.dst AND y.dst = x.src AND x.src < x.dst"
+    )

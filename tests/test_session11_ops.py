@@ -502,3 +502,32 @@ def test_triangle_local_path_equals_distributed(ray_session):
     )
     pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
     assert fast["n_triangles"].sum() > 0
+
+
+# -------------------------------------------------------- mutual NN
+
+
+def test_mutual_nn_matches_duckdb(ray_session):
+    df = _match("q_mutual_nn", tables=("embeddings",))
+    assert len(df) > 0  # planted near-dup clusters pair up
+    assert (df["a"] < df["b"]).all()
+    assert not df.duplicated(["a"]).any()  # best-match is a matching
+
+
+def test_mutual_nn_hand_case(ray_session):
+    from lasutility_ray.stages.similarity import mutual_nn
+
+    # 0 and 1 nearly parallel; 2 points at 1 but 1's best is 0 ->
+    # only (0, 1) is mutual
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.array([0, 1, 2], np.int64),
+            "embedding": [
+                [1.0, 0.0, 0.0],
+                [0.999, 0.04, 0.0],
+                [0.90, 0.43, 0.0],
+            ],
+        }
+    )
+    out = mutual_nn(rd.from_pandas(emb)).to_pandas()
+    assert out[["a", "b"]].values.tolist() == [[0, 1]]
