@@ -1516,6 +1516,35 @@ def q_mutual_nn(sf_dir: str):
     return mutual_nn(emb)
 
 
+_PHRASE = "table hash"
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact quoted-phrase search (stages/chunking.py phrase_search):
+    docs containing the consecutive token run, with hit counts —
+    map-only flat-token scan with doc-change guards (the positional
+    index's inner loop). Value-exact (words + lead-chain mirror)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.chunking import phrase_search
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return phrase_search(docs, _PHRASE)
+
+
+def q_two_hop(sf_dir: str):
+    """Per-host 2-hop reach (stages/graphstats.py two_hop_sizes):
+    friends-of-friends via one many-to-many lookup_join of the edge
+    table against itself, coarse-bucket distinct, single-key count.
+    Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.graphstats import two_hop_sizes
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return two_hop_sizes(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3211,6 +3240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_late_events": q_late_events,
         "q_profile_table": q_profile_table,
         "q_mutual_nn": q_mutual_nn,
+        "q_phrase_search": q_phrase_search,
+        "q_two_hop": q_two_hop,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3647,6 +3678,8 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.watermark import late_events_sql as _late_sql
     from lasutility_ray.stages.profile import profile_sql as _profile_sql
     from lasutility_ray.stages.similarity import mutual_nn_sql as _mutual_nn_sql
+    from lasutility_ray.stages.chunking import phrase_search_sql as _phrase_sql
+    from lasutility_ray.stages.graphstats import two_hop_sql as _two_hop_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -3870,6 +3903,8 @@ def oracle_sql() -> dict[str, str]:
         "q_late_events": _late_sql(),
         "q_profile_table": _profile_sql(_PROFILE_COLS),
         "q_mutual_nn": _mutual_nn_sql(),
+        "q_phrase_search": _phrase_sql(_PHRASE),
+        "q_two_hop": _two_hop_sql(),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

@@ -329,3 +329,78 @@ def inverted_index(
         .groupby("__bucket")
         .map_groups(build, batch_format="pandas")
     )
+
+
+def phrase_search(docs_ds, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Exact phrase search: (doc_id, n_hits) for every document
+    containing the whitespace-tokenized ``phrase`` as a CONSECUTIVE
+    token run — the positional-index primitive behind quoted-query
+    retrieval, here as the shuffle-free scan formulation (map-only:
+    at 100 TB a standing positional inverted index answers this from
+    postings, but the one-off scan IS the index build's inner loop).
+    Vectorized across the batch: one flat token array with doc-change
+    guards, k-1 shifted equality ANDs, one bincount."""
+    import numpy as np
+    import pyarrow as pa
+
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    k = len(terms)
+
+    def scan(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        texts = t.column(text_col).to_pylist()
+        words: list = []
+        owner: list = []
+        for i, tx in enumerate(texts):
+            ws = tx.split()
+            words.extend(ws)
+            owner.extend([i] * len(ws))
+        w = np.array(words, dtype=object)
+        o = np.array(owner, dtype=np.int64)
+        n = len(w)
+        if n < k:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "n_hits": pa.array([], pa.int64())}
+            )
+        m = np.ones(n - k + 1, dtype=bool)
+        for j, term in enumerate(terms):
+            m &= w[j : n - k + 1 + j] == term
+        m &= o[: n - k + 1] == o[k - 1 :]  # run stays inside one doc
+        cnt = np.bincount(o[: n - k + 1][m], minlength=len(ids))
+        nz = cnt > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[nz], pa.int64()),
+                "n_hits": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(scan, batch_format="pyarrow")
+
+
+def phrase_search_sql(phrase: str, source: str = "documents") -> str:
+    """DuckDB mirror of :func:`phrase_search` (words + lead chain)."""
+    terms = phrase.split()
+    k = len(terms)
+    leads = ", ".join(
+        f"lead(w, {j}) OVER (PARTITION BY doc_id ORDER BY p) AS w{j}"
+        for j in range(1, k)
+    )
+    conds = " AND ".join(
+        [f"w = '{terms[0]}'"]
+        + [f"w{j} = '{terms[j]}'" for j in range(1, k)]
+    )
+    sel = f"SELECT doc_id, w{', ' + leads if leads else ''} FROM ("
+    return (
+        "WITH ps_w AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text,'\\S+')) AS w, "
+        "unnest(generate_series(1, len(regexp_extract_all(text,'\\S+')))) AS p "
+        f"FROM {source}), "
+        f"ps_l AS ({sel}SELECT * FROM ps_w) t) "
+        f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM ps_l "
+        f"WHERE {conds} GROUP BY doc_id"
+    )

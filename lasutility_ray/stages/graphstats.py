@@ -144,3 +144,101 @@ def clustering_sql(src: str = "documents") -> str:
         "FROM cc_d d LEFT JOIN cc_n n ON n.host = d.node "
         "WHERE d.deg >= 2"
     )
+
+
+def two_hop_sizes(docs_ds):
+    """Per-host 2-hop neighborhood size: |{nodes reachable in <= 2
+    undirected hops}| excluding the host itself — the local reach
+    metric behind influence estimates and supernode detection.
+
+    Shape: symmetric edges materialize once (bounded by the distinct
+    host-pair space); friends-of-friends is ONE many-to-many
+    ``lookup_join`` of the edge table against itself (fan-out =
+    neighbor degree, bounded by the degree cap of real host graphs —
+    salt supernodes per stages/salting.py if not); the union of 1-hop
+    and 2-hop rows collapses through a coarse-bucket distinct before
+    one single-key count. No multi-key aggregate anywhere."""
+    from .cogroup import default_n_buckets, lookup_join
+    from .graph import undirected_host_edges
+
+    nb = default_n_buckets()
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([u, v]), pa.int64()),
+                "dst": pa.array(np.concatenate([v, u]), pa.int64()),
+            }
+        )
+
+    edges = (
+        undirected_host_edges(docs_ds)
+        .map_batches(sym, batch_format="pyarrow")
+        .materialize()
+    )
+    hop2 = lookup_join(
+        edges, edges, "dst", "src", {"dst": "dst2"}, multi=True
+    )
+
+    def second(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column("src"), "dst": t.column("dst2")})
+
+    both = edges.union(hop2.map_batches(second, batch_format="pyarrow"))
+
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy().astype(np.uint64)
+        d = t.column("dst").to_numpy().astype(np.uint64)
+        h = s * mix ^ d
+        return t.append_column(
+            "__bucket",
+            pa.array(((h >> np.uint64(33)) % np.uint64(nb)).astype(np.int64)),
+        )
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g[g["src"] != g["dst"]].drop_duplicates(["src", "dst"])
+        return (
+            sub.groupby("src", sort=False).size().reset_index(name="part")
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        both.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(count_part, batch_format="pandas")
+        .groupby("src")
+        .aggregate(Sum("part", alias_name="n_reach2"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "host_id": t.column("src"),
+                    "n_reach2": t.column("n_reach2").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def two_hop_sql(src: str = "documents") -> str:
+    """DuckDB mirror of :func:`two_hop_sizes`."""
+    h1 = f"((doc_id * {H1_MUL}) % {M32})"
+    return (
+        f"WITH th_raw AS (SELECT doc_id % {N_HOST_SITES} AS src, "
+        f"{h1} % {N_HOST_SITES} AS d1, "
+        f"({h1} // {N_HOST_SITES}) % {N_HOST_SITES} AS d2 FROM {src}), "
+        "th_e AS (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM ("
+        "SELECT src, d1 AS dst FROM th_raw UNION ALL "
+        "SELECT src, d2 AS dst FROM th_raw) WHERE src <> dst), "
+        "th_s AS (SELECT u AS src, v AS dst FROM th_e "
+        "UNION ALL SELECT v, u FROM th_e), "
+        "th_r AS (SELECT src, dst FROM th_s UNION "
+        "SELECT a.src, b.dst FROM th_s a JOIN th_s b ON b.src = a.dst) "
+        "SELECT src AS host_id, CAST(count(*) AS BIGINT) AS n_reach2 "
+        "FROM th_r WHERE src <> dst GROUP BY src"
+    )

@@ -531,3 +531,67 @@ def test_mutual_nn_hand_case(ray_session):
     )
     out = mutual_nn(rd.from_pandas(emb)).to_pandas()
     assert out[["a", "b"]].values.tolist() == [[0, 1]]
+
+
+# ------------------------------------------------------ phrase search
+
+
+def test_phrase_search_matches_duckdb(ray_session):
+    df = _match("q_phrase_search")
+    assert len(df) > 0
+    assert (df["n_hits"] >= 1).all()
+
+
+def test_phrase_search_boundaries(ray_session):
+    from lasutility_ray.stages.chunking import phrase_search
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3, 4], np.int64),
+            "text": [
+                "alpha beta tail",        # at start
+                "head alpha beta",        # at end
+                "alpha beta alpha beta",  # twice, non-overlapping
+                "alpha gamma beta",       # NOT consecutive
+            ],
+        }
+    )
+    out = (
+        phrase_search(rd.from_pandas(docs), "alpha beta")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_hits"].tolist() == [1, 1, 2]
+
+
+def test_phrase_search_never_crosses_docs(ray_session):
+    from lasutility_ray.stages.chunking import phrase_search
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2], np.int64),
+            "text": ["ends with alpha", "beta starts here"],
+        }
+    )
+    out = phrase_search(rd.from_pandas(docs), "alpha beta").to_pandas()
+    assert len(out) == 0
+
+
+# ---------------------------------------------------------- two hop
+
+
+def test_two_hop_matches_duckdb(ray_session):
+    df = _match("q_two_hop")
+    assert len(df) > 0
+    # 2-hop reach is at least the 1-hop degree for every host
+    from lasutility_ray.stages.graph import undirected_host_edges
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    e = undirected_host_edges(docs).to_pandas()
+    deg = (
+        pd.concat([e["u"], e["v"]]).value_counts().rename("deg").rename_axis("host_id")
+    )
+    j = df.set_index("host_id").join(deg)
+    assert (j["n_reach2"] >= j["deg"]).all()
