@@ -1545,6 +1545,30 @@ def q_two_hop(sf_dir: str):
     return two_hop_sizes(docs)
 
 
+def q_dem_pyramid(sf_dir: str):
+    """Raster overview pyramid (stages/demslope.py dem_pyramid):
+    three 2x max-pool levels with occupied-cell counts, fused
+    single-key groupbys end to end. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.demslope import dem_pyramid
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return dem_pyramid(docs)
+
+
+def q_hourly_anomalies(sf_dir: str):
+    """Seasonal hour-of-day anomaly flags over hourly event counts
+    (stages/hourlyanom.py): integer cross-multiplied 2-sigma test, no
+    float mean/std ever forms. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.hourlyanom import hourly_anomalies
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return hourly_anomalies(ev)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3242,6 +3266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mutual_nn": q_mutual_nn,
         "q_phrase_search": q_phrase_search,
         "q_two_hop": q_two_hop,
+        "q_dem_pyramid": q_dem_pyramid,
+        "q_hourly_anomalies": q_hourly_anomalies,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3680,6 +3706,8 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.similarity import mutual_nn_sql as _mutual_nn_sql
     from lasutility_ray.stages.chunking import phrase_search_sql as _phrase_sql
     from lasutility_ray.stages.graphstats import two_hop_sql as _two_hop_sql
+    from lasutility_ray.stages.demslope import dem_pyramid_sql as _pyr_sql
+    from lasutility_ray.stages.hourlyanom import hourly_anomalies_sql as _ha_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -3905,6 +3933,8 @@ def oracle_sql() -> dict[str, str]:
         "q_mutual_nn": _mutual_nn_sql(),
         "q_phrase_search": _phrase_sql(_PHRASE),
         "q_two_hop": _two_hop_sql(),
+        "q_dem_pyramid": _pyr_sql(),
+        "q_hourly_anomalies": _ha_sql(),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

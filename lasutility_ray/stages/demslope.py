@@ -117,3 +117,98 @@ def dem_slope_sql(source: str = "documents") -> str:
         "(abs(a.ci - b.ci) + abs(a.cj - b.cj)) = 1 "
         "GROUP BY a.ci, a.cj, a.z"
     )
+
+
+def dem_pyramid(docs_ds, n_levels: int = 3):
+    """Raster overview pyramid: the 500 m cell grid max-pooled into
+    ``n_levels`` coarser levels (level L cell = 2^L x 2^L base cells)
+    with per-overview occupied-cell counts — the standard GIS
+    overview/tile-pyramid build (zoom-out rendering, quick-look
+    statistics), here over the same cell table as the slope/flow ops.
+
+    ONE corpus pass and ONE single-key shuffle: each base cell emits
+    one row per ancestor with the FUSED key level<<40 | ci<<20 | cj
+    (the multi-key-aggregate ~10 s overhead lesson applied from the
+    start), then a single groupby carries Max(z) and Count together.
+    SQL mirror: UNION ALL over levels with integer-division parents."""
+    from ray.data.aggregate import Count, Max
+
+    from .snap import point_mm
+
+    def cells(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        px, py = point_mm(d)
+        h1 = (d * 2654435761) % 4294967296
+        return pa.table(
+            {
+                # level-0 fused key for a SINGLE-key base aggregate too
+                "bkey": pa.array(
+                    ((px // CELL_MM) << 20) | (py // CELL_MM), pa.int64()
+                ),
+                "z_cm": pa.array(h1 % 100_000, pa.int64()),
+            }
+        )
+
+    base = (
+        docs_ds.map_batches(cells, batch_format="pyarrow")
+        .groupby("bkey")
+        .aggregate(Max("z_cm", alias_name="z_cm"))
+    )
+
+    def fan(t: pa.Table) -> pa.Table:
+        bk = t.column("bkey").to_numpy()
+        ci = bk >> 20
+        cj = bk & 0xFFFFF
+        z = t.column("z_cm").to_numpy()
+        keys = []
+        zs = []
+        for lvl in range(1, n_levels + 1):
+            keys.append(
+                (np.int64(lvl) << 40) | ((ci >> lvl) << 20) | (cj >> lvl)
+            )
+            zs.append(z)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate(keys), pa.int64()),
+                "z_cm": pa.array(np.concatenate(zs), pa.int64()),
+            }
+        )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        k = t.column("key").to_numpy()
+        return pa.table(
+            {
+                "level": pa.array(k >> 40, pa.int64()),
+                "ci": pa.array((k >> 20) & 0xFFFFF, pa.int64()),
+                "cj": pa.array(k & 0xFFFFF, pa.int64()),
+                "z_max": t.column("z_cm").cast(pa.int64()),
+                "n_cells": t.column("n_cells").cast(pa.int64()),
+            }
+        )
+
+    return (
+        base.map_batches(fan, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Max("z_cm", alias_name="z_cm"), Count(alias_name="n_cells")
+        )
+        .map_batches(unpack, batch_format="pyarrow")
+    )
+
+
+def dem_pyramid_sql(n_levels: int = 3, source: str = "documents") -> str:
+    """DuckDB mirror of :func:`dem_pyramid` (shared D8 cell CTE; only
+    fa_c is referenced)."""
+    from .flowaccum import d8_walk_cte
+
+    arms = " UNION ALL ".join(
+        f"SELECT CAST({lvl} AS BIGINT) AS level, ci // {1 << lvl} AS pci, "
+        f"cj // {1 << lvl} AS pcj, z FROM fa_c"
+        for lvl in range(1, n_levels + 1)
+    )
+    return d8_walk_cte(source) + (
+        f", pyr AS ({arms}) "
+        "SELECT level, pci AS ci, pcj AS cj, CAST(MAX(z) AS BIGINT) AS z_max, "
+        "CAST(count(*) AS BIGINT) AS n_cells "
+        "FROM pyr GROUP BY level, pci, pcj"
+    )

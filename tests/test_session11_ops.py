@@ -595,3 +595,61 @@ def test_two_hop_matches_duckdb(ray_session):
     )
     j = df.set_index("host_id").join(deg)
     assert (j["n_reach2"] >= j["deg"]).all()
+
+
+# ------------------------------------------------------- DEM pyramid
+
+
+def test_dem_pyramid_matches_duckdb(ray_session):
+    df = _match("q_dem_pyramid")
+    assert set(df["level"]) == {1, 2, 3}
+    # each coarser level has fewer-or-equal cells and its counts sum
+    # to the occupied base-cell total
+    n1 = df[df["level"] == 1]["n_cells"].sum()
+    n2 = df[df["level"] == 2]["n_cells"].sum()
+    n3 = df[df["level"] == 3]["n_cells"].sum()
+    assert n1 == n2 == n3  # every base cell lands once in each level
+    assert (
+        len(df[df["level"] == 1])
+        >= len(df[df["level"] == 2])
+        >= len(df[df["level"] == 3])
+    )
+
+
+def test_dem_pyramid_parent_max_dominates(ray_session):
+    df = _match("q_dem_pyramid")
+    l1 = df[df["level"] == 1].set_index(["ci", "cj"])["z_max"]
+    l2 = df[df["level"] == 2].set_index(["ci", "cj"])["z_max"]
+    for (ci, cj), z in l1.items():
+        assert l2.loc[(ci // 2, cj // 2)] >= z
+
+
+# -------------------------------------------------- hourly anomalies
+
+
+def test_hourly_anomalies_match_duckdb(ray_session):
+    df = _match("q_hourly_anomalies", tables=("events",))
+    assert len(df) > 24
+    assert df["is_anomaly"].dtype == bool or set(
+        df["is_anomaly"].unique()
+    ) <= {True, False}
+
+
+def test_hourly_anomalies_integer_test_hand_case(ray_session):
+    from lasutility_ray.stages.hourlyanom import hourly_anomalies
+
+    # hour-of-day 0 across 4 days: counts 10, 10, 10, 50 -> the 50 is
+    # an anomaly ((n*c-S)^2 = (4*50-80)^2 = 14400 > 4*(4*Q-S^2) =
+    # 4*(4*2800-6400) = 19200? no -> compute: Q=300+2500=2800,
+    # rhs = 4*(11200-6400) = 19200, lhs(50) = 120^2 = 14400 -> NOT
+    # anomalous at k=2 (one wild day inflates the std); at k=1 it is.
+    ev_hours = [0, 24, 48, 72]
+    rows = []
+    for h, n in zip(ev_hours, (10, 10, 10, 50)):
+        rows.extend([h * 3600] * n)
+    ev = pd.DataFrame({"ts": pd.to_datetime(rows, unit="s")})
+    out2 = hourly_anomalies(rd.from_pandas(ev), k=2).to_pandas()
+    assert not out2["is_anomaly"].any()
+    out1 = hourly_anomalies(rd.from_pandas(ev), k=1).to_pandas()
+    assert out1.set_index("hr")["is_anomaly"][72]
+    assert not out1.set_index("hr")["is_anomaly"][0]
