@@ -1569,6 +1569,15 @@ def q_hourly_anomalies(sf_dir: str):
     return hourly_anomalies(ev)
 
 
+def q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 pricing summary (stages/relational.py tpch_q1):
+    per-line integer-cent quantization then map-side partials and one
+    fused-single-key groupby. Value-exact."""
+    from lasutility_ray.stages.relational import tpch_q1
+
+    return tpch_q1(sf_dir)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3268,6 +3277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_two_hop": q_two_hop,
         "q_dem_pyramid": q_dem_pyramid,
         "q_hourly_anomalies": q_hourly_anomalies,
+        "q_tpch_q1": q_tpch_q1,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3708,6 +3718,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.graphstats import two_hop_sql as _two_hop_sql
     from lasutility_ray.stages.demslope import dem_pyramid_sql as _pyr_sql
     from lasutility_ray.stages.hourlyanom import hourly_anomalies_sql as _ha_sql
+    from lasutility_ray.stages.relational import tpch_q1_sql as _q1_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -3935,6 +3946,7 @@ def oracle_sql() -> dict[str, str]:
         "q_two_hop": _two_hop_sql(),
         "q_dem_pyramid": _pyr_sql(),
         "q_hourly_anomalies": _ha_sql(),
+        "q_tpch_q1": _q1_sql(),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

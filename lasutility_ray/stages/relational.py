@@ -599,3 +599,109 @@ def tpch_q5_sql(region: str = "ASIA") -> str:
         f"WHERE r.r_name = '{region}' "
         "GROUP BY n.n_name"
     )
+
+
+def tpch_q1(sf_dir: str, cutoff: str = "1998-09-02"):
+    """TPC-H Q1 pricing summary (the canonical scan-heavy benchmark
+    query): per (l_returnflag, l_linestatus) — sum_qty,
+    sum_base_price, sum_disc_price, sum_charge (all integer cents,
+    each line quantized BEFORE summing per the tpch_q3 convention so
+    both engines add identical integers), and count_order. The float
+    avg_* columns of the official spec are derivable ratios and
+    intentionally omitted from the exact surface.
+
+    Shape: pure map-side partials (per-batch pandas groupby over the
+    4-ish (flag, status) pairs) -> ONE single-key groupby on the
+    fused string key — the shuffle carries O(batches x key-space)
+    rows, never the corpus."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cutoff_us = np.datetime64(cutoff, "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(
+            t.column("l_shipdate"), pa.scalar(cutoff_us.item(), pa.timestamp("us"))
+        )
+        t = t.filter(keep)
+        q = t.column("l_quantity").to_numpy()
+        p = t.column("l_extendedprice").to_numpy()
+        d = t.column("l_discount").to_numpy()
+        x = t.column("l_tax").to_numpy()
+        df = pd.DataFrame(
+            {
+                "key": pd.Series(
+                    t.column("l_returnflag").to_pandas()
+                ).str.cat(t.column("l_linestatus").to_pandas(), sep="|"),
+                "qty": np.floor(q * 100.0 + 0.5).astype(np.int64),
+                "base": np.floor(p * 100.0 + 0.5).astype(np.int64),
+                "disc": np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64),
+                "charge": np.floor(
+                    p * (1.0 - d) * (1.0 + x) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby("key", sort=False).agg(
+            sum_qty_c=("qty", "sum"),
+            sum_base_c=("base", "sum"),
+            sum_disc_c=("disc", "sum"),
+            sum_charge_c=("charge", "sum"),
+            count_order=("qty", "size"),
+        )
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    def unfuse(t: pa.Table) -> pa.Table:
+        keys = t.column("key").to_pylist()
+        rf = [k.split("|")[0] for k in keys]
+        ls = [k.split("|")[1] for k in keys]
+        return pa.table(
+            {
+                "l_returnflag": pa.array(rf, pa.string()),
+                "l_linestatus": pa.array(ls, pa.string()),
+                "sum_qty_c": t.column("sum_qty_c").cast(pa.int64()),
+                "sum_base_c": t.column("sum_base_c").cast(pa.int64()),
+                "sum_disc_c": t.column("sum_disc_c").cast(pa.int64()),
+                "sum_charge_c": t.column("sum_charge_c").cast(pa.int64()),
+                "count_order": t.column("count_order").cast(pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+        ],
+    )
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Sum("sum_qty_c", alias_name="sum_qty_c"),
+            Sum("sum_base_c", alias_name="sum_base_c"),
+            Sum("sum_disc_c", alias_name="sum_disc_c"),
+            Sum("sum_charge_c", alias_name="sum_charge_c"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .map_batches(unfuse, batch_format="pyarrow")
+    )
+
+
+def tpch_q1_sql(cutoff: str = "1998-09-02") -> str:
+    """DuckDB mirror of :func:`tpch_q1`."""
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_qty_c, "
+        "CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+        "AS sum_base_c, "
+        "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+        "AS BIGINT)) AS BIGINT) AS sum_disc_c, "
+        "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * "
+        "(1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_c, "
+        "CAST(count(*) AS BIGINT) AS count_order "
+        "FROM lineitem "
+        f"WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    )

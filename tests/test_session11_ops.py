@@ -653,3 +653,14 @@ def test_hourly_anomalies_integer_test_hand_case(ray_session):
     out1 = hourly_anomalies(rd.from_pandas(ev), k=1).to_pandas()
     assert out1.set_index("hr")["is_anomaly"][72]
     assert not out1.set_index("hr")["is_anomaly"][0]
+
+
+# --------------------------------------------------------- TPC-H Q1
+
+
+def test_tpch_q1_matches_duckdb(ray_session):
+    df = _match("q_tpch_q1", tables=("lineitem",))
+    assert len(df) >= 3  # flag x status combinations present
+    assert (df["sum_disc_c"] <= df["sum_base_c"]).all()
+    assert (df["sum_charge_c"] >= df["sum_disc_c"]).all()
+    assert df["count_order"].sum() < 60000  # the date filter bites
