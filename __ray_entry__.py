@@ -1578,6 +1578,25 @@ def q_tpch_q1(sf_dir: str):
     return tpch_q1(sf_dir)
 
 
+_UNPIVOT_IDS = ["l_orderkey", "l_linenumber"]
+_UNPIVOT_VALS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_unpivot(sf_dir: str):
+    """UNPIVOT/melt of lineitem's four numeric measures to long
+    format (stages/relational.py unpivot) — the declared-schema
+    inverse of q_pivot_lang_source; pure map, zero shuffle.
+    Value-exact (UNION ALL mirror)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import unpivot
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=_UNPIVOT_IDS + _UNPIVOT_VALS
+    )
+    return unpivot(li, _UNPIVOT_IDS, _UNPIVOT_VALS)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3278,6 +3297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dem_pyramid": q_dem_pyramid,
         "q_hourly_anomalies": q_hourly_anomalies,
         "q_tpch_q1": q_tpch_q1,
+        "q_unpivot": q_unpivot,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3719,6 +3739,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.demslope import dem_pyramid_sql as _pyr_sql
     from lasutility_ray.stages.hourlyanom import hourly_anomalies_sql as _ha_sql
     from lasutility_ray.stages.relational import tpch_q1_sql as _q1_sql
+    from lasutility_ray.stages.relational import unpivot_sql as _unpivot_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -3947,6 +3968,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dem_pyramid": _pyr_sql(),
         "q_hourly_anomalies": _ha_sql(),
         "q_tpch_q1": _q1_sql(),
+        "q_unpivot": _unpivot_sql(_UNPIVOT_IDS, _UNPIVOT_VALS, "lineitem"),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

@@ -705,3 +705,47 @@ def tpch_q1_sql(cutoff: str = "1998-09-02") -> str:
         f"WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00' "
         "GROUP BY l_returnflag, l_linestatus"
     )
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str],
+            var_name: str = "variable", value_name: str = "value"):
+    """UNPIVOT/melt — the inverse of :func:`pivot_counts`: each input
+    row becomes ``len(value_cols)`` long-format rows (id columns
+    carried, variable name + value). Pure map, zero shuffle; the
+    declared column list gives the deterministic schema the same way
+    the pivot's declared categories do. Values surface as float64
+    (the one type every numeric source column widens into losslessly
+    for int32/int64<=2^53/float inputs — documented cap)."""
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = len(value_cols)
+        cols = {}
+        for c in id_cols:
+            cols[c] = pa.concat_arrays(
+                [t.column(c).combine_chunks()] * k
+            )
+        names = []
+        vals = []
+        for c in value_cols:
+            names.extend([c] * n)
+            vals.append(
+                t.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            )
+        cols[var_name] = pa.array(names, pa.string())
+        cols[value_name] = pa.array(np.concatenate(vals), pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def unpivot_sql(id_cols: list[str], value_cols: list[str], source: str,
+                var_name: str = "variable", value_name: str = "value") -> str:
+    """DuckDB mirror of :func:`unpivot` (UNION ALL arms)."""
+    ids = ", ".join(id_cols)
+    arms = " UNION ALL ".join(
+        f"SELECT {ids}, '{c}' AS {var_name}, "
+        f"CAST({c} AS DOUBLE) AS {value_name} FROM {source}"
+        for c in value_cols
+    )
+    return arms

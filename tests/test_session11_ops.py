@@ -664,3 +664,14 @@ def test_tpch_q1_matches_duckdb(ray_session):
     assert (df["sum_disc_c"] <= df["sum_base_c"]).all()
     assert (df["sum_charge_c"] >= df["sum_disc_c"]).all()
     assert df["count_order"].sum() < 60000  # the date filter bites
+
+
+# ----------------------------------------------------------- unpivot
+
+
+def test_unpivot_matches_duckdb(ray_session):
+    df = _match("q_unpivot", tables=("lineitem",))
+    assert len(df) == 60000 * 4
+    assert set(df["variable"]) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    }
