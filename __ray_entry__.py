@@ -1597,6 +1597,20 @@ def q_unpivot(sf_dir: str):
     return unpivot(li, _UNPIVOT_IDS, _UNPIVOT_VALS)
 
 
+def q_mst_forest(sf_dir: str):
+    """Minimum spanning forest of the hash-weighted host graph
+    (stages/graphstats.py mst_forest): one-task Kruskal below 2M
+    edges, log-round distributed Borůvka contraction above (forced
+    path pinned bit-identical — unique weights make the MSF unique).
+    Rows-only (no tractable SQL mirror); invariants pytest-pinned."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.graphstats import mst_forest
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return mst_forest(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3298,6 +3312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hourly_anomalies": q_hourly_anomalies,
         "q_tpch_q1": q_tpch_q1,
         "q_unpivot": q_unpivot,
+        "q_mst_forest": q_mst_forest,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,

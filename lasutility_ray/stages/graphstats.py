@@ -242,3 +242,269 @@ def two_hop_sql(src: str = "documents") -> str:
         "SELECT src AS host_id, CAST(count(*) AS BIGINT) AS n_reach2 "
         "FROM th_r WHERE src <> dst GROUP BY src"
     )
+
+
+# ------------------------------------------------------ spanning forest
+
+MST_LOCAL_EDGE_LIMIT = 2_000_000
+_W_MIX = np.uint64(0x9E3779B97F4A7C15)
+_W_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _edge_weights(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Deterministic positive int64 weight per undirected edge (u<v):
+    a mixed hash — effectively unique, and the (w, u, v) total order
+    below makes the MSF unique even under hash collisions."""
+    h = (
+        u.astype(np.uint64) * _W_MIX ^ v.astype(np.uint64) * _W_MIX2
+    ) >> np.uint64(2)
+    return (h % np.uint64(1 << 40)).astype(np.int64) + 1
+
+
+def _kruskal_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """One-task MSF kernel: union-find Kruskal over (w, u, v) order."""
+    u = df["u"].to_numpy(np.int64)
+    v = df["v"].to_numpy(np.int64)
+    w = _edge_weights(u, v)
+    order = np.lexsort((v, u, w))
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    iu, iv = inv[: len(u)], inv[len(u):]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    keep = []
+    for i in order.tolist():
+        ru, rv = find(int(iu[i])), find(int(iv[i]))
+        if ru != rv:
+            parent[ru] = rv
+            keep.append(i)
+    k = np.array(keep, dtype=np.int64)
+    return pd.DataFrame(
+        {"u": u[k], "v": v[k], "w": w[k]}
+    ).sort_values(["u", "v"]).reset_index(drop=True)
+
+
+def mst_forest(docs_ds, distributed: bool = False,
+               local_edge_limit: int = MST_LOCAL_EDGE_LIMIT):
+    """Minimum spanning forest of the weighted host graph ->
+    (u, v, w) chosen edges. Size-adaptive: one-task Kruskal by
+    default; ``distributed=True`` forces the log-round BORŮVKA
+    contraction — per round every component picks its minimum
+    outgoing edge (a per-comp argmin groupby), the chosen comp-graph
+    contracts through the pinned CC kernel, and node labels update by
+    one ``lookup_join``; components at least halve per round. Unique
+    weights (the (w, u, v) total order) make the forest unique, so
+    the two paths are pinned bit-identical. Rows-only surface (MSF
+    has no tractable SQL mirror); invariants + forced-path equality
+    in pytest."""
+    import ray.data as rd
+
+    from .graph import undirected_host_edges
+
+    edges = undirected_host_edges(docs_ds).materialize()
+    if not distributed and edges.count() <= local_edge_limit:
+        return edges.repartition(1).map_batches(
+            _kruskal_frame, batch_format="pandas", batch_size=None
+        )
+    return _mst_boruvka(edges)
+
+
+def _mst_boruvka(edges):
+    """Distributed Borůvka rounds over Datasets."""
+    import ray.data as rd
+
+    from .cogroup import default_n_buckets, lookup_join
+    from .dedup import duplicate_components
+
+    nb = default_n_buckets()
+
+    def weighted(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "w": pa.array(_edge_weights(u, v), pa.int64()),
+            }
+        )
+
+    ew = edges.map_batches(weighted, batch_format="pyarrow").materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t.column("u").combine_chunks(), t.column("v").combine_chunks()]
+                )
+            }
+        )
+
+    def uniq_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["node"])[["node"]].copy()
+        out["comp"] = out["node"]
+        return out
+
+    def tag_node(t: pa.Table) -> pa.Table:
+        n = t.column("node").to_numpy().astype(np.uint64)
+        return t.append_column(
+            "__bucket",
+            pa.array((((n * _W_MIX) >> np.uint64(33)) % np.uint64(nb)).astype(np.int64)),
+        )
+
+    labels = (
+        ew.map_batches(ends, batch_format="pyarrow")
+        .map_batches(tag_node, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(uniq_nodes, batch_format="pandas")
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node").cast(pa.int64()),
+                 "comp": t.column("comp").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    chosen_parts: list = []
+    for _ in range(64):  # components at least halve per round
+        lab_u = lookup_join(ew, labels, "u", "node", {"comp": "cu"})
+        lab_uv = lookup_join(lab_u, labels, "v", "node", {"comp": "cv"})
+
+        def inter(t: pa.Table) -> pa.Table:
+            keep = t.column("cu").to_numpy() != t.column("cv").to_numpy()
+            return t.filter(pa.array(keep))
+
+        live = lab_uv.map_batches(inter, batch_format="pyarrow").materialize()
+        if live.count() == 0:
+            break
+
+        def comp_rows(t: pa.Table) -> pa.Table:
+            # each live edge contends for BOTH endpoint components
+            cols = ["u", "v", "w"]
+            base = {c: t.column(c).to_numpy() for c in cols}
+            out = {
+                c: pa.array(np.concatenate([base[c], base[c]]), pa.int64())
+                for c in cols
+            }
+            out["comp"] = pa.array(
+                np.concatenate(
+                    [t.column("cu").to_numpy(), t.column("cv").to_numpy()]
+                ),
+                pa.int64(),
+            )
+            return pa.table(out)
+
+        def min_edge(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["comp", "w", "u", "v"], kind="mergesort")
+            first = g.drop_duplicates("comp", keep="first")
+            return first[["comp", "u", "v", "w"]]
+
+        def tag_comp(t: pa.Table) -> pa.Table:
+            c = t.column("comp").to_numpy().astype(np.uint64)
+            return t.append_column(
+                "__bucket",
+                pa.array(
+                    (((c * _W_MIX) >> np.uint64(33)) % np.uint64(nb)).astype(np.int64)
+                ),
+            )
+
+        # per-comp argmin: comp rows bucket by comp (all rows of a comp
+        # share a bucket), in-bucket sort + first
+        picked = (
+            live.map_batches(comp_rows, batch_format="pyarrow")
+            .map_batches(tag_comp, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(min_edge, batch_format="pandas")
+            .materialize()
+        )
+
+        def edge_only(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame(
+                {
+                    "u": t.column("u").to_numpy(),
+                    "v": t.column("v").to_numpy(),
+                    "w": t.column("w").to_numpy(),
+                }
+            ).drop_duplicates(["u", "v"])
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        new_edges = picked.map_batches(edge_only, batch_format="pyarrow").materialize()
+        chosen_parts.append(new_edges)
+
+        # contract: CC of the chosen comp-graph, then relabel nodes
+        def comp_pairs(t: pa.Table) -> pa.Table:
+            return pa.table({"a": t.column("u"), "b": t.column("v")})
+
+        # chosen edges connect NODES; express as comp pairs via labels
+        pe = lookup_join(
+            new_edges, labels, "u", "node", {"comp": "ca"}
+        )
+        pe = lookup_join(pe, labels, "v", "node", {"comp": "cb"})
+        cmap = duplicate_components(
+            pe.map_batches(
+                lambda t: pa.table({"a": t.column("ca"), "b": t.column("cb")}),
+                batch_format="pyarrow",
+            )
+        ).materialize()
+        relab = lookup_join(
+            labels, cmap, "comp", "node", {"component": "newc"}, how="inner"
+        )
+
+        def apply_new(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": t.column("node"), "comp": t.column("newc").cast(pa.int64())}
+            )
+
+        # comps untouched this round keep their label (anti side)
+        untouched = lookup_join(labels, cmap, "comp", "node", {}, how="anti")
+        labels = (
+            relab.map_batches(apply_new, batch_format="pyarrow")
+            .union(
+                untouched.map_batches(
+                    lambda t: pa.table(
+                        {"node": t.column("node"), "comp": t.column("comp")}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            .repartition(max(nb // 8, 1))
+            .materialize()
+        )
+
+    if not chosen_parts:
+        return rd.from_arrow(
+            pa.table(
+                {"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64()),
+                 "w": pa.array([], pa.int64())}
+            )
+        )
+    out = chosen_parts[0]
+    for part in chosen_parts[1:]:
+        out = out.union(part)
+
+    def final_uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["u", "v"])[["u", "v", "w"]]
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy().astype(np.uint64)
+        v = t.column("v").to_numpy().astype(np.uint64)
+        h = u * _W_MIX ^ v * _W_MIX2
+        return t.append_column(
+            "__bucket",
+            pa.array(((h >> np.uint64(33)) % np.uint64(nb)).astype(np.int64)),
+        )
+
+    return (
+        out.map_batches(tag_edge, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(final_uniq, batch_format="pandas")
+    )

@@ -675,3 +675,56 @@ def test_unpivot_matches_duckdb(ray_session):
     assert set(df["variable"]) == {
         "l_quantity", "l_extendedprice", "l_discount", "l_tax"
     }
+
+
+# -------------------------------------------------- spanning forest
+
+
+def test_mst_forest_invariants(ray_session):
+    import __ray_entry__ as entry
+    from lasutility_ray.stages.graph import undirected_host_edges
+
+    df = entry.queries()["q_mst_forest"](SF).to_pandas()
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    e = undirected_host_edges(docs).to_pandas()
+    nodes = set(e["u"]) | set(e["v"])
+    # forest: |E_msf| = |V| - #components; acyclic via union-find
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(df["u"], df["v"]):
+        ru, rv = find(u), find(v)
+        assert ru != rv, "MSF contains a cycle"
+        parent[ru] = rv
+    n_comp = len({find(n) for n in nodes})
+    assert len(df) == len(nodes) - n_comp
+    # spanning: adding any non-MSF edge closes a cycle within a comp
+    chosen = set(zip(df["u"], df["v"]))
+    for u, v in zip(e["u"], e["v"]):
+        if (u, v) not in chosen:
+            assert find(u) == find(v)
+
+
+def test_mst_boruvka_equals_kruskal(ray_session):
+    from lasutility_ray.stages.graphstats import mst_forest
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    fast = (
+        mst_forest(docs)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        mst_forest(docs, distributed=True)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
+    assert len(fast) > 0
