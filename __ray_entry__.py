@@ -1611,6 +1611,21 @@ def q_mst_forest(sf_dir: str):
     return mst_forest(docs)
 
 
+def q_props_stats(sf_dir: str):
+    """Semi-structured JSON payload analytics (stages/events.py
+    props_stats): vectorized field extraction from the props column +
+    per-type sum/min/max/exact-distinct stats; the (type, k) distinct
+    space bounds the only extra exchange. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.events import props_stats
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    return props_stats(ev)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3313,6 +3328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tpch_q1": q_tpch_q1,
         "q_unpivot": q_unpivot,
         "q_mst_forest": q_mst_forest,
+        "q_props_stats": q_props_stats,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3755,6 +3771,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.hourlyanom import hourly_anomalies_sql as _ha_sql
     from lasutility_ray.stages.relational import tpch_q1_sql as _q1_sql
     from lasutility_ray.stages.relational import unpivot_sql as _unpivot_sql
+    from lasutility_ray.stages.events import props_stats_sql as _props_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -3984,6 +4001,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hourly_anomalies": _ha_sql(),
         "q_tpch_q1": _q1_sql(),
         "q_unpivot": _unpivot_sql(_UNPIVOT_IDS, _UNPIVOT_VALS, "lineitem"),
+        "q_props_stats": _props_sql(),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

@@ -184,3 +184,109 @@ def sessionize(events_ds, gap_ms: int = 1_800_000):
         .groupby("__b")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def props_stats(events_ds):
+    """Semi-structured payload analytics: extract the integer ``k``
+    field from the JSON ``props`` column (vectorized
+    ``pc.extract_regex`` — the single-known-field fast path; an
+    arbitrary-path JSON stage belongs in an actor pool with a real
+    parser) and reduce per event_type: sum, min, max and EXACT
+    distinct-k count. The (type, k) distinct space is bounded by the
+    payload domain, so the distinct pass is a slim coarse-bucket
+    exchange, never the event stream."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .cogroup import default_n_buckets
+
+    nb = default_n_buckets()
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), r"(?P<k>\d+)")
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": t.column("event_type"), "k": k})
+
+    slim = events_ds.map_batches(extract, batch_format="pyarrow").materialize()
+
+    stats = (
+        slim.groupby("event_type")
+        .aggregate(
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+            Count(alias_name="n_events"),
+        )
+        .materialize()
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy().astype(np.uint64)
+        et = np.asarray(
+            t.column("event_type").to_numpy(zero_copy_only=False), dtype=object
+        )
+        h = pd.util.hash_array(et) ^ (k * mix)
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(nb)).astype(np.int64))
+        )
+
+    def uniq_count(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.drop_duplicates(["event_type", "k"])
+            .groupby("event_type", sort=False)
+            .size()
+            .reset_index(name="part")
+        )
+
+    from .cogroup import lookup_join
+
+    nd = (
+        slim.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(uniq_count, batch_format="pandas")
+        .groupby("event_type")
+        .sum("part")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "n_distinct_k": t.column("sum(part)").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    out = lookup_join(
+        stats, nd, "event_type", "event_type",
+        {"n_distinct_k": "n_distinct_k"},
+        type_overrides={"event_type": pa.string()},
+    )
+
+    def order(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_events": t.column("n_events").cast(pa.int64()),
+                "sum_k": t.column("sum_k").cast(pa.int64()),
+                "min_k": t.column("min_k").cast(pa.int64()),
+                "max_k": t.column("max_k").cast(pa.int64()),
+                "n_distinct_k": t.column("n_distinct_k").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(order, batch_format="pyarrow")
+
+
+def props_stats_sql(source: str = "events") -> str:
+    """DuckDB mirror of :func:`props_stats` (same regex extraction)."""
+    k = "CAST(regexp_extract(props, '[0-9]+') AS BIGINT)"
+    return (
+        f"SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
+        f"CAST(sum({k}) AS BIGINT) AS sum_k, "
+        f"CAST(min({k}) AS BIGINT) AS min_k, "
+        f"CAST(max({k}) AS BIGINT) AS max_k, "
+        f"CAST(count(DISTINCT {k}) AS BIGINT) AS n_distinct_k "
+        f"FROM {source} GROUP BY event_type"
+    )

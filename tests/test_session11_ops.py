@@ -728,3 +728,13 @@ def test_mst_boruvka_equals_kruskal(ray_session):
     )
     pd.testing.assert_frame_equal(fast, dist, check_dtype=False)
     assert len(fast) > 0
+
+
+# -------------------------------------------------------- props stats
+
+
+def test_props_stats_match_duckdb(ray_session):
+    df = _match("q_props_stats", tables=("events",))
+    assert len(df) >= 2
+    assert (df["min_k"] <= df["max_k"]).all()
+    assert (df["n_distinct_k"] <= df["n_events"]).all()
