@@ -1626,6 +1626,16 @@ def q_props_stats(sf_dir: str):
     return props_stats(ev)
 
 
+def q_trending_hosts(sf_dir: str):
+    """Decay-weighted trending hosts (stages/webcorpus.py
+    trending_hosts): exact power-of-two age decay (scores scaled by
+    2^30, bit-shift weights — no float exp), one slim host-bucket
+    shuffle. Value-exact."""
+    from lasutility_ray.stages.webcorpus import trending_hosts
+
+    return trending_hosts(_pages(sf_dir))
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3329,6 +3339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_unpivot": q_unpivot,
         "q_mst_forest": q_mst_forest,
         "q_props_stats": q_props_stats,
+        "q_trending_hosts": q_trending_hosts,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3772,6 +3783,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.relational import tpch_q1_sql as _q1_sql
     from lasutility_ray.stages.relational import unpivot_sql as _unpivot_sql
     from lasutility_ray.stages.events import props_stats_sql as _props_sql
+    from lasutility_ray.stages.webcorpus import trending_hosts_sql as _trend_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -4002,6 +4014,7 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q1": _q1_sql(),
         "q_unpivot": _unpivot_sql(_UNPIVOT_IDS, _UNPIVOT_VALS, "lineitem"),
         "q_props_stats": _props_sql(),
+        "q_trending_hosts": _trend_sql(),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

@@ -734,3 +734,92 @@ SELECT s.doc_id,
 FROM toks s LEFT JOIN kept k ON k.doc_id = s.doc_id
 GROUP BY s.doc_id
 """
+
+
+TREND_HORIZON_DAYS = 30
+
+
+def trending_hosts(pages_ds, horizon: int = TREND_HORIZON_DAYS):
+    """Decay-weighted host activity ("what's trending"): each page
+    contributes ``2^-(age_days)`` of a unit to its host, ages beyond
+    ``horizon`` contribute zero. EXACT in integers: scores are scaled
+    by 2^horizon so a page of age a adds ``1 << (horizon - a)`` —
+    bit-shift decay both engines reproduce losslessly (no float exp).
+
+    Shape: per-batch (host, day) count partials; the global max day
+    is one scalar aggregate; scoring folds into the same coarse
+    host-bucket pass that finalizes the counts — one slim shuffle
+    bounded by hosts x horizon."""
+    from ray.data.aggregate import Max
+
+    def slim(t: pa.Table) -> pa.Table:
+        t = add_host(t)
+        day = (
+            t.column("warc_ts")
+            .cast(pa.timestamp("ms"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000
+        )
+        df = (
+            pd.DataFrame(
+                {"host": t.column("host").to_pandas(), "day": day}
+            )
+            .groupby(["host", "day"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    slim_ds = pages_ds.map_batches(slim, batch_format="pyarrow").materialize()
+    max_day = int(slim_ds.max("day"))
+
+    from .cogroup import default_n_buckets
+
+    nb = default_n_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(t.column("host").to_numpy(zero_copy_only=False), dtype=object)
+        )
+        return t.append_column(
+            "__bucket", pa.array((h % np.uint64(nb)).astype(np.int64))
+        )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (
+            g.groupby(["host", "day"], sort=False)["cnt"].sum().reset_index()
+        )
+        age = max_day - cnt["day"].to_numpy(np.int64)
+        w = np.where(
+            age <= horizon, np.int64(1) << np.maximum(horizon - age, 0), 0
+        )
+        cnt["part"] = cnt["cnt"].to_numpy(np.int64) * w
+        out = cnt.groupby("host", sort=False)["part"].sum().reset_index()
+        return out.rename(columns={"part": "score_scaled"})
+
+    return (
+        slim_ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(score, batch_format="pandas")
+    )
+
+
+def trending_hosts_sql(horizon: int = TREND_HORIZON_DAYS) -> str:
+    """DuckDB mirror of :func:`trending_hosts` (same bit-shift
+    decay; pages reconstructed from documents per the corpus
+    contract)."""
+    from ..corpus.pages import url_sql, warc_ts_sql
+
+    return (
+        f"WITH th_p AS (SELECT {url_sql()} AS url, "
+        f"epoch_ms({warc_ts_sql()}) // 86400000 AS day FROM documents), "
+        "th_c AS (SELECT split_part(split_part(url,'://',2),'/',1) AS host, "
+        "day, CAST(count(*) AS BIGINT) AS cnt FROM th_p GROUP BY 1, 2), "
+        "th_m AS (SELECT max(day) AS md FROM th_c) "
+        "SELECT host, CAST(sum(CASE WHEN md - day <= "
+        f"{horizon} THEN cnt * (CAST(1 AS BIGINT) << "
+        f"CAST({horizon} - (md - day) AS INTEGER)) ELSE 0 END) AS BIGINT) "
+        "AS score_scaled "
+        "FROM th_c, th_m GROUP BY host"
+    )

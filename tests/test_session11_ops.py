@@ -738,3 +738,14 @@ def test_props_stats_match_duckdb(ray_session):
     assert len(df) >= 2
     assert (df["min_k"] <= df["max_k"]).all()
     assert (df["n_distinct_k"] <= df["n_events"]).all()
+
+
+# ----------------------------------------------------- trending hosts
+
+
+def test_trending_hosts_match_duckdb(ray_session):
+    df = _match("q_trending_hosts")
+    assert len(df) > 0
+    assert (df["score_scaled"] >= 0).all()
+    # freshest pages carry weight 2^30; anything nonzero is >= 1
+    assert df["score_scaled"].max() >= (1 << 30)
