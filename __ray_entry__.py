@@ -1636,6 +1636,19 @@ def q_trending_hosts(sf_dir: str):
     return trending_hosts(_pages(sf_dir))
 
 
+def q_interarrival(sf_dir: str):
+    """Per-user interarrival profile (stages/events.py
+    interarrival_medians): gap counts + discrete integer median gap,
+    users co-located by one coarse bucket shuffle. Value-exact
+    (lag-window + quantile_disc mirror)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.events import interarrival_medians
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return interarrival_medians(ev)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3340,6 +3353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mst_forest": q_mst_forest,
         "q_props_stats": q_props_stats,
         "q_trending_hosts": q_trending_hosts,
+        "q_interarrival": q_interarrival,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3784,6 +3798,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.relational import unpivot_sql as _unpivot_sql
     from lasutility_ray.stages.events import props_stats_sql as _props_sql
     from lasutility_ray.stages.webcorpus import trending_hosts_sql as _trend_sql
+    from lasutility_ray.stages.events import interarrival_sql as _ia_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -4015,6 +4030,7 @@ def oracle_sql() -> dict[str, str]:
         "q_unpivot": _unpivot_sql(_UNPIVOT_IDS, _UNPIVOT_VALS, "lineitem"),
         "q_props_stats": _props_sql(),
         "q_trending_hosts": _trend_sql(),
+        "q_interarrival": _ia_sql(),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

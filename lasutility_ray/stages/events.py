@@ -290,3 +290,88 @@ def props_stats_sql(source: str = "events") -> str:
         f"CAST(count(DISTINCT {k}) AS BIGINT) AS n_distinct_k "
         f"FROM {source} GROUP BY event_type"
     )
+
+
+def interarrival_medians(events_ds):
+    """Per-user interarrival statistics: gap count and the DISCRETE
+    median gap (microseconds) between consecutive events in time
+    order — the burstiness profile behind bot detection and session
+    tuning. Median convention = quantile_disc: the ceil(n/2)-th
+    smallest gap, so everything stays integer.
+
+    Shape: slim (user, ts_us) rows bucket by user hash (every user's
+    events co-located in ONE group — the group_quantiles exactness
+    contract), one vectorized sort + diff + nearest-rank per bucket."""
+    from .cogroup import default_n_buckets
+
+    nb = default_n_buckets()
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def slim(t: pa.Table) -> pa.Table:
+        us = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "us": pa.array(us, pa.int64()),
+                "__bucket": pa.array(
+                    (((uid.astype(np.uint64) * mix) >> np.uint64(33))
+                     % np.uint64(nb)).astype(np.int64)
+                ),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        same = np.empty(len(g), dtype=bool)
+        if len(g):
+            same[0] = False
+            same[1:] = uid[1:] == uid[:-1]
+        gaps = us[1:] - us[:-1]
+        gu = uid[1:][same[1:]]
+        gv = gaps[same[1:]]
+        if len(gu) == 0:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "n_gaps": pd.Series([], dtype=np.int64),
+                 "median_gap_us": pd.Series([], dtype=np.int64)}
+            )
+        order = np.lexsort((gv, gu))
+        gu, gv = gu[order], gv[order]
+        uniq, starts = np.unique(gu, return_index=True)
+        ends = np.append(starts[1:], len(gu))
+        n = ends - starts
+        med_idx = starts + (n + 1) // 2 - 1  # ceil(n/2)-th, 0-based
+        return pd.DataFrame(
+            {
+                "user_id": uniq,
+                "n_gaps": n.astype(np.int64),
+                "median_gap_us": gv[med_idx],
+            }
+        )
+
+    return (
+        events_ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def interarrival_sql(source: str = "events") -> str:
+    """DuckDB mirror of :func:`interarrival_medians`."""
+    return (
+        "WITH ia_g AS (SELECT user_id, "
+        "epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap "
+        f"FROM {source}) "
+        "SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps, "
+        "CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_us "
+        "FROM ia_g WHERE gap IS NOT NULL GROUP BY user_id"
+    )

@@ -749,3 +749,34 @@ def test_trending_hosts_match_duckdb(ray_session):
     assert (df["score_scaled"] >= 0).all()
     # freshest pages carry weight 2^30; anything nonzero is >= 1
     assert df["score_scaled"].max() >= (1 << 30)
+
+
+# ------------------------------------------------------- interarrival
+
+
+def test_interarrival_matches_duckdb(ray_session):
+    df = _match("q_interarrival", tables=("events",))
+    assert len(df) > 0
+    assert (df["median_gap_us"] >= 0).all()
+
+
+def test_interarrival_discrete_median_convention(ray_session):
+    from lasutility_ray.stages.events import interarrival_medians
+
+    # user 1: events at 0, 10, 40, 100 s -> gaps {10, 30, 60} s,
+    # discrete median = 30 s (ceil(3/2) = 2nd smallest)
+    # user 2: events at 0, 5 s -> single gap 5 s
+    ev = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 1, 2, 2], np.int64),
+            "ts": pd.to_datetime([0, 10, 40, 100, 0, 5], unit="s"),
+        }
+    )
+    out = (
+        interarrival_medians(rd.from_pandas(ev))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert out.loc[1, "n_gaps"] == 3
+    assert out.loc[1, "median_gap_us"] == 30_000_000
+    assert out.loc[2, "median_gap_us"] == 5_000_000
