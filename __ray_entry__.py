@@ -2123,6 +2123,16 @@ def q_neighborhood_peaks(sf_dir: str):
     return neighborhood_peaks_ds(_points(sf_dir), lo=3, hi=5, radius=2)
 
 
+def q_cell_density(sf_dir: str):
+    """Box-sum point-density heatmap per occupied 10 m cell
+    (stages/neighborhood.py cell_density_ds): the peaks query's halo
+    exchange with a COUNT combiner — exact across tile borders.
+    Value-exact (windowed self-join sum mirror)."""
+    from lasutility_ray.stages.neighborhood import cell_density_ds
+
+    return cell_density_ds(_points(sf_dir), radius=2)
+
+
 def q_salted_tile_summary(sf_dir: str):
     """Skew-salted per-tile aggregation (hot tiles split + merged);
     must equal the plain per-tile summary (oracle-checked)."""
@@ -3354,6 +3364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_props_stats": q_props_stats,
         "q_trending_hosts": q_trending_hosts,
         "q_interarrival": q_interarrival,
+        "q_cell_density": q_cell_density,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4208,6 +4219,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM cls b WHERE b.gr BETWEEN a.gr - 2 AND a.gr + 2 "
             "AND b.gc BETWEEN a.gc - 2 AND a.gc + 2 "
             "AND NOT (b.gr = a.gr AND b.gc = a.gc) AND b.best >= a.best)"
+        ),
+        "q_cell_density": (
+            f"WITH {pts}, "
+            "cd_c AS (SELECT CAST(floor(y / 10.0) AS BIGINT) AS gr, "
+            "CAST(floor(x / 10.0) AS BIGINT) AS gc, "
+            "CAST(count(*) AS BIGINT) AS cnt FROM pts GROUP BY 1, 2) "
+            "SELECT a.gr, a.gc, CAST(sum(b.cnt) AS BIGINT) AS n_density "
+            "FROM cd_c a JOIN cd_c b ON b.gr BETWEEN a.gr - 2 AND a.gr + 2 "
+            "AND b.gc BETWEEN a.gc - 2 AND a.gc + 2 GROUP BY a.gr, a.gc"
         ),
         "q_salted_tile_summary": (
             f"WITH {pts}, {tiled} "

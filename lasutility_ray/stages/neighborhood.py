@@ -196,3 +196,140 @@ def neighborhood_peaks_ds(points_ds, lo: int, hi: int, radius: int = RADIUS_CELL
     return partials.groupby("tile_id").map_groups(
         _peaks_in_tile(radius), batch_format="pandas"
     )
+
+
+class _PartialCounts:
+    """Density sibling of ``_PartialPeaks``: per-batch per-cell point
+    COUNT partials (sums are associative, so the same halo
+    replication is exact) — no class filter."""
+
+    def __init__(self, radius: int):
+        self.radius = radius
+
+    @staticmethod
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "tile_id": pa.array([], pa.string()),
+                "gr": pa.array([], pa.int64()),
+                "gc": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy()
+        y = t.column("y").to_numpy()
+        if len(x) == 0:
+            return self._empty()
+        gr = np.floor(y / CELL_SIZE_M).astype(np.int64)
+        gc = np.floor(x / CELL_SIZE_M).astype(np.int64)
+        key = gr * (1 << 32) + gc
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        starts = np.flatnonzero(np.diff(ks, prepend=ks[0] - 1) != 0)
+        cnt = np.diff(np.append(starts, len(ks)))
+        ugr = gr[order][starts]
+        ugc = gc[order][starts]
+
+        cells_per_tile = CELLS_PER_EDGE
+        tr = ugr // cells_per_tile
+        tc = ugc // cells_per_tile
+        lr = ugr - tr * cells_per_tile
+        lc = ugc - tc * cells_per_tile
+
+        out_gr, out_gc, out_cnt, out_te, out_tn = [], [], [], [], []
+        r = self.radius
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                m = np.ones(len(ugr), dtype=bool)
+                if dr == -1:
+                    m &= lr < r
+                elif dr == 1:
+                    m &= lr >= cells_per_tile - r
+                if dc == -1:
+                    m &= lc < r
+                elif dc == 1:
+                    m &= lc >= cells_per_tile - r
+                if not m.any():
+                    continue
+                te = (tc[m] + dc) * TILE_SIZE_M
+                tn = (tr[m] + dr) * TILE_SIZE_M
+                ok = (
+                    (te >= tilenamer.MIN_ALLOWED_EAST)
+                    & (te < tilenamer.MAX_ALLOWED_EAST)
+                    & (tn >= tilenamer.MIN_ALLOWED_NORTH)
+                    & (tn < tilenamer.MAX_ALLOWED_NORTH)
+                )
+                if not ok.any():
+                    continue
+                idx = np.flatnonzero(m)[ok]
+                out_gr.append(ugr[idx])
+                out_gc.append(ugc[idx])
+                out_cnt.append(cnt[idx])
+                out_te.append(te[ok].astype(np.float64))
+                out_tn.append(tn[ok].astype(np.float64))
+        if not out_te:
+            return self._empty()
+        te = np.concatenate(out_te)
+        tn = np.concatenate(out_tn)
+        tile_id = tilenamer.encode(te, tn, TILE_SIZE_M)
+        return pa.table(
+            {
+                "tile_id": pa.array(tile_id, pa.string()),
+                "gr": pa.array(np.concatenate(out_gr), pa.int64()),
+                "gc": pa.array(np.concatenate(out_gc), pa.int64()),
+                "cnt": pa.array(np.concatenate(out_cnt).astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def _density_in_tile(radius: int):
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["gr", "gc"], sort=True)["cnt"].sum().reset_index()
+        gr = agg["gr"].to_numpy()
+        gc = agg["gc"].to_numpy()
+        cnt = agg["cnt"].to_numpy(np.int64)
+
+        tile_id = g["tile_id"].iloc[0]
+        env = tilenamer.decode(tile_id)
+        r0 = int(env[1]) // int(CELL_SIZE_M)
+        c0 = int(env[0]) // int(CELL_SIZE_M)
+        n = CELLS_PER_EDGE
+        pad = radius
+        grid = np.zeros((n + 2 * pad, n + 2 * pad), np.int64)
+        rr = gr - r0 + pad
+        cc = gc - c0 + pad
+        inb = (rr >= 0) & (rr < n + 2 * pad) & (cc >= 0) & (cc < n + 2 * pad)
+        grid[rr[inb], cc[inb]] = cnt[inb]
+
+        dens = np.zeros((n, n), np.int64)
+        for dr in range(-radius, radius + 1):
+            for dc in range(-radius, radius + 1):
+                dens += grid[pad + dr : pad + dr + n, pad + dc : pad + dc + n]
+        center = grid[pad : pad + n, pad : pad + n]
+        pr, pc_ = np.nonzero(center > 0)  # owned OCCUPIED cells only
+        return pd.DataFrame(
+            {
+                "gr": pd.Series(pr + r0, dtype="int64"),
+                "gc": pd.Series(pc_ + c0, dtype="int64"),
+                "n_density": pd.Series(dens[pr, pc_], dtype="int64"),
+            }
+        )
+
+    return fn
+
+
+def cell_density_ds(points_ds, radius: int = RADIUS_CELLS):
+    """(gr, gc, n_density) box-sum point density per occupied cell —
+    the kernel-density-lite heatmap raster, exact across tile borders
+    via the same halo exchange as the peaks query (sums associate, so
+    partial counts replicate losslessly)."""
+    if not 0 < radius <= CELLS_PER_EDGE:
+        raise ValueError("radius must be within one tile edge")
+    partials = points_ds.map_batches(
+        _PartialCounts(radius), batch_format="pyarrow"
+    )
+    return partials.groupby("tile_id").map_groups(
+        _density_in_tile(radius), batch_format="pandas"
+    )

@@ -780,3 +780,24 @@ def test_interarrival_discrete_median_convention(ray_session):
     assert out.loc[1, "n_gaps"] == 3
     assert out.loc[1, "median_gap_us"] == 30_000_000
     assert out.loc[2, "median_gap_us"] == 5_000_000
+
+
+# ------------------------------------------------------- cell density
+
+
+def test_cell_density_matches_duckdb(ray_session):
+    import duckdb
+    import __ray_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    df = entry.queries()["q_cell_density"](SF).to_pandas()
+    ref = con.execute(entry.oracle_sql()["q_cell_density"]).df()
+    a, b = _sorted(df), _sorted(ref)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(df) > 0
+    # density includes the cell itself
+    assert (df["n_density"] >= 1).all()
