@@ -1649,6 +1649,22 @@ def q_interarrival(sf_dir: str):
     return interarrival_medians(ev)
 
 
+def q_total_sort(sf_dir: str):
+    """Exact distributed total order — the terasort shape
+    (stages/totalsort.py): sampled range splits (balance only, never
+    correctness) -> one range-bucket shuffle -> local sort + bounded
+    per-bucket offsets -> exact global ranks. Value-exact
+    (row_number mirror)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.totalsort import total_sort_ranks
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return total_sort_ranks(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3365,6 +3381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_trending_hosts": q_trending_hosts,
         "q_interarrival": q_interarrival,
         "q_cell_density": q_cell_density,
+        "q_total_sort": q_total_sort,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -3810,6 +3827,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.events import props_stats_sql as _props_sql
     from lasutility_ray.stages.webcorpus import trending_hosts_sql as _trend_sql
     from lasutility_ray.stages.events import interarrival_sql as _ia_sql
+    from lasutility_ray.stages.totalsort import total_sort_sql as _ts_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -4042,6 +4060,7 @@ def oracle_sql() -> dict[str, str]:
         "q_props_stats": _props_sql(),
         "q_trending_hosts": _trend_sql(),
         "q_interarrival": _ia_sql(),
+        "q_total_sort": _ts_sql(),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

@@ -801,3 +801,36 @@ def test_cell_density_matches_duckdb(ray_session):
     assert len(df) > 0
     # density includes the cell itself
     assert (df["n_density"] >= 1).all()
+
+
+# --------------------------------------------------------- total sort
+
+
+def test_total_sort_matches_duckdb(ray_session):
+    df = _match("q_total_sort")
+    assert len(df) == 500
+    assert df["rank"].min() == 1 and df["rank"].max() == 500
+    assert not df["rank"].duplicated().any()
+
+
+def test_total_sort_split_invariance(ray_session):
+    from lasutility_ray.stages.totalsort import total_sort_ranks
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    a = (
+        total_sort_ranks(docs, sample_n=4096)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    # degenerate splits (tiny sample) must give the SAME ranks —
+    # split points affect balance only, never correctness
+    b = (
+        total_sort_ranks(docs, sample_n=2)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
