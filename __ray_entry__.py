@@ -1665,6 +1665,27 @@ def q_total_sort(sf_dir: str):
     return total_sort_ranks(docs)
 
 
+def q_jsonl_roundtrip(sf_dir: str):
+    """JSONL interchange round trip (sources/jsonl.py): documents ->
+    sharded .jsonl (vectorized pandas dump, atomic publish) -> Ray
+    read_json -> the source columns back. Value-exact vs the source
+    table (newlines/unicode escapes included)."""
+    import tempfile
+
+    import ray.data as rd
+
+    from lasutility_ray.sources.jsonl import read_jsonl, write_jsonl_shards
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=cols)
+    path = tempfile.mkdtemp(prefix="jsonl_docs_")
+    write_jsonl_shards(docs, path, cols)
+    out = read_jsonl(path)
+    return out.map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow"
+    )
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3382,6 +3403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_interarrival": q_interarrival,
         "q_cell_density": q_cell_density,
         "q_total_sort": q_total_sort,
+        "q_jsonl_roundtrip": q_jsonl_roundtrip,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4061,6 +4083,9 @@ def oracle_sql() -> dict[str, str]:
         "q_trending_hosts": _trend_sql(),
         "q_interarrival": _ia_sql(),
         "q_total_sort": _ts_sql(),
+        "q_jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + (event_id % 900 + 60) * 1000000 AS e "

@@ -834,3 +834,28 @@ def test_total_sort_split_invariance(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ------------------------------------------------------ jsonl source
+
+
+def test_jsonl_roundtrip_matches_source(ray_session):
+    df = _match("q_jsonl_roundtrip")
+    assert len(df) == 500
+
+
+def test_jsonl_preserves_newlines_and_unicode(ray_session, tmp_path):
+    from lasutility_ray.sources.jsonl import read_jsonl, write_jsonl_shards
+
+    src = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2], np.int64),
+            "text": ["line one\nline two", "ünïcödé → ✓"],
+        }
+    )
+    path = str(tmp_path / "jl")
+    write_jsonl_shards(rd.from_pandas(src), path)
+    out = (
+        read_jsonl(path).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, src, check_dtype=False)
