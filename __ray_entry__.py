@@ -1686,6 +1686,36 @@ def q_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def q_schema_evolution(sf_dir: str):
+    """Mixed-schema lake read (sources/evolve.py): even doc_ids are
+    written as a v1 shard (no lang column, int32 n_chars), odd as v2
+    (full schema); the declared-target read widens ints and fills the
+    missing column with typed nulls. Value-exact vs a CASE mirror."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lasutility_ray.sources.evolve import read_evolving_parquet
+
+    src = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    ids = src.column("doc_id").to_numpy()
+    even = src.filter(pa.array(ids % 2 == 0))
+    odd = src.filter(pa.array(ids % 2 == 1))
+    d = tempfile.mkdtemp(prefix="evolve_")
+    v1 = even.drop_columns(["lang"]).set_column(
+        1, "n_chars", even.column("n_chars").cast(pa.int32())
+    )
+    pq.write_table(v1, f"{d}/v1.parquet")
+    pq.write_table(odd, f"{d}/v2.parquet")
+    target = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("n_chars", pa.int64())]
+    )
+    return read_evolving_parquet([f"{d}/v1.parquet", f"{d}/v2.parquet"], target)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3404,6 +3434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cell_density": q_cell_density,
         "q_total_sort": q_total_sort,
         "q_jsonl_roundtrip": q_jsonl_roundtrip,
+        "q_schema_evolution": q_schema_evolution,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4085,6 +4116,10 @@ def oracle_sql() -> dict[str, str]:
         "q_total_sort": _ts_sql(),
         "q_jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "q_schema_evolution": (
+            "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END "
+            "AS lang, n_chars FROM documents"
         ),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "

@@ -859,3 +859,15 @@ def test_jsonl_preserves_newlines_and_unicode(ray_session, tmp_path):
         read_jsonl(path).to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(out, src, check_dtype=False)
+
+
+# -------------------------------------------------- schema evolution
+
+
+def test_schema_evolution_matches_duckdb(ray_session):
+    df = _match("q_schema_evolution")
+    assert len(df) == 500
+    # v1 rows (even ids) carry NULL lang; v2 rows keep theirs
+    assert df[df["doc_id"] % 2 == 0]["lang"].isna().all()
+    assert df[df["doc_id"] % 2 == 1]["lang"].notna().all()
+    assert str(df["n_chars"].dtype) == "int64"  # widened from int32
