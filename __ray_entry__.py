@@ -1716,6 +1716,40 @@ def q_schema_evolution(sf_dir: str):
     return read_evolving_parquet([f"{d}/v1.parquet", f"{d}/v2.parquet"], target)
 
 
+def q_quarantine(sf_dir: str):
+    """Poison-row quarantine (stages/quarantine.py): a transform that
+    RAISES on every 100th doc runs to completion — poison rows bisect
+    out to an atomic quarantine sink, clean rows flow through.
+    Value-exact vs the oracle of the clean subset."""
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lasutility_ray.stages.quarantine import quarantine_map_batches
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def poisoned_transform(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        if (d % 100 == 13).any():
+            raise ValueError("malformed document payload")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars2": pa.array(
+                    t.column("n_chars").to_numpy() * 2, pa.int64()
+                ),
+            }
+        )
+
+    qdir = tempfile.mkdtemp(prefix="quarantine_")
+    return quarantine_map_batches(docs, poisoned_transform, qdir)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3435,6 +3469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_total_sort": q_total_sort,
         "q_jsonl_roundtrip": q_jsonl_roundtrip,
         "q_schema_evolution": q_schema_evolution,
+        "q_quarantine": q_quarantine,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4120,6 +4155,10 @@ def oracle_sql() -> dict[str, str]:
         "q_schema_evolution": (
             "SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END "
             "AS lang, n_chars FROM documents"
+        ),
+        "q_quarantine": (
+            "SELECT doc_id, CAST(n_chars * 2 AS BIGINT) AS n_chars2 "
+            "FROM documents WHERE doc_id % 100 <> 13"
         ),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "

@@ -871,3 +871,36 @@ def test_schema_evolution_matches_duckdb(ray_session):
     assert df[df["doc_id"] % 2 == 0]["lang"].isna().all()
     assert df[df["doc_id"] % 2 == 1]["lang"].notna().all()
     assert str(df["n_chars"].dtype) == "int64"  # widened from int32
+
+
+# --------------------------------------------------------- quarantine
+
+
+def test_quarantine_matches_duckdb(ray_session):
+    df = _match("q_quarantine")
+    assert len(df) == 495  # 5 poison docs at sf0.01
+    assert not (df["doc_id"] % 100 == 13).any()
+
+
+def test_quarantine_sink_holds_exactly_the_poison(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lasutility_ray.stages.quarantine import quarantine_map_batches
+
+    src = pd.DataFrame({"doc_id": np.arange(50, dtype=np.int64)})
+
+    def f(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy()
+        if np.isin(d, (7, 23)).any():
+            raise RuntimeError("boom")
+        return t
+
+    qdir = str(tmp_path / "q")
+    out = quarantine_map_batches(
+        rd.from_pandas(src), f, qdir, batch_size=16
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [i for i in range(50) if i not in (7, 23)]
+    bad = pq.read_table(qdir).to_pandas()
+    assert sorted(bad["doc_id"]) == [7, 23]
+    assert bad["__error"].str.contains("boom").all()
