@@ -1750,6 +1750,61 @@ def q_quarantine(sf_dir: str):
     return quarantine_map_batches(docs, poisoned_transform, qdir)
 
 
+def q_merge_upsert(sf_dir: str):
+    """MERGE INTO / lakehouse upsert (stages/scd.py merge_upsert):
+    a synthesized change table (updates + delete tombstones + new
+    keys, all derived deterministically from orders) applies onto the
+    base snapshot in ONE key-bucket shuffle; delta beats base at
+    equal version. Value-exact (QUALIFY winner mirror)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from lasutility_ray.stages.scd import merge_upsert
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy()
+        p = t.column("o_totalprice").to_numpy()
+        return pa.table(
+            {
+                "k": pa.array(k, pa.int64()),
+                "price_c": pa.array(
+                    np.floor(p * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+                "version": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+            }
+        )
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        b = base_rows(t)
+        k = b.column("k").to_numpy()
+        p = b.column("price_c").to_numpy()
+        upd = (k % 10 == 0) & (k % 97 != 0)
+        dele = k % 97 == 0
+        new = k % 503 == 0
+        ks = np.concatenate([k[upd], k[dele], k[new] + 10_000_000])
+        ps = np.concatenate(
+            [p[upd] + 100, p[dele], np.full(int(new.sum()), 4200, np.int64)]
+        )
+        ops = (["U"] * int(upd.sum()) + ["D"] * int(dele.sum())
+               + ["U"] * int(new.sum()))
+        return pa.table(
+            {
+                "k": pa.array(ks, pa.int64()),
+                "price_c": pa.array(ps, pa.int64()),
+                "version": pa.array(np.ones(len(ks), np.int64), pa.int64()),
+                "op": pa.array(ops, pa.string()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    base = orders.map_batches(base_rows, batch_format="pyarrow")
+    delta = orders.map_batches(delta_rows, batch_format="pyarrow")
+    return merge_upsert(base, delta, key_col="k", version_col="version")
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3470,6 +3525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_jsonl_roundtrip": q_jsonl_roundtrip,
         "q_schema_evolution": q_schema_evolution,
         "q_quarantine": q_quarantine,
+        "q_merge_upsert": q_merge_upsert,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4159,6 +4215,22 @@ def oracle_sql() -> dict[str, str]:
         "q_quarantine": (
             "SELECT doc_id, CAST(n_chars * 2 AS BIGINT) AS n_chars2 "
             "FROM documents WHERE doc_id % 100 <> 13"
+        ),
+        "q_merge_upsert": (
+            "WITH mu_b AS (SELECT o_orderkey AS k, "
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c, "
+            "CAST(0 AS BIGINT) AS version, 'U' AS op, 0 AS side FROM orders), "
+            "mu_d AS ("
+            "SELECT k, price_c + 100, CAST(1 AS BIGINT), 'U', 1 FROM mu_b "
+            "WHERE k % 10 = 0 AND k % 97 <> 0 "
+            "UNION ALL SELECT k, price_c, CAST(1 AS BIGINT), 'D', 1 FROM mu_b "
+            "WHERE k % 97 = 0 "
+            "UNION ALL SELECT k + 10000000, CAST(4200 AS BIGINT), "
+            "CAST(1 AS BIGINT), 'U', 1 FROM mu_b WHERE k % 503 = 0), "
+            "mu_a AS (SELECT * FROM mu_b UNION ALL SELECT * FROM mu_d) "
+            "SELECT k, price_c, version FROM mu_a "
+            "QUALIFY row_number() OVER (PARTITION BY k "
+            "ORDER BY version DESC, side DESC) = 1 AND op <> 'D'"
         ),
         "q_interval_overlap": (
             "WITH io_a AS (SELECT event_id AS a_id, epoch_us(ts) AS s, "

@@ -124,3 +124,61 @@ def scd2_sql(source: str = "events") -> str:
         "CAST(lead(valid_from_us) OVER (PARTITION BY user_id "
         "ORDER BY version) AS DOUBLE) AS valid_to_us, n_events FROM r"
     )
+
+
+def merge_upsert(base_ds, delta_ds, key_col: str, version_col: str,
+                 op_col: str = "op"):
+    """MERGE INTO semantics (the lakehouse upsert): apply a change
+    table — rows tagged ``'U'`` (upsert) or ``'D'`` (delete
+    tombstone) with a monotone version — onto a base snapshot. Winner
+    per key = the row with the highest (version, is_delta) under the
+    standard "delta beats base at equal version" rule; a winning
+    tombstone removes the key.
+
+    ONE coarse-bucket shuffle of tagged slim rows co-locates each
+    key; the per-bucket winner scan is a vectorized sort + first.
+    Output: the merged snapshot (base schema, no op/version columns
+    beyond ``version_col``)."""
+    from .cogroup import default_n_buckets
+
+    nb = default_n_buckets()
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            if side == 0 and op_col not in t.column_names:
+                t = t.append_column(
+                    "__op", pa.array(["U"] * t.num_rows, pa.string())
+                )
+            else:
+                t = t.append_column(
+                    "__op",
+                    t.column(op_col) if op_col in t.column_names
+                    else pa.array(["U"] * t.num_rows, pa.string()),
+                )
+            if op_col in t.column_names:
+                t = t.drop_columns([op_col])
+            k = t.column(key_col).to_numpy().astype(np.uint64)
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, np.int8), pa.int8())
+            ).append_column(
+                "__bucket",
+                pa.array((((k * mix) >> np.uint64(33)) % np.uint64(nb)).astype(np.int64)),
+            )
+
+        return f
+
+    def winner(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [key_col, version_col, "__side"],
+            ascending=[True, False, False],
+            kind="mergesort",
+        )
+        w = g.drop_duplicates(key_col, keep="first")
+        w = w[w["__op"] != "D"]
+        return w.drop(columns=["__op", "__side", "__bucket"])
+
+    tagged = base_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        delta_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return tagged.groupby("__bucket").map_groups(winner, batch_format="pandas")

@@ -904,3 +904,31 @@ def test_quarantine_sink_holds_exactly_the_poison(ray_session, tmp_path):
     bad = pq.read_table(qdir).to_pandas()
     assert sorted(bad["doc_id"]) == [7, 23]
     assert bad["__error"].str.contains("boom").all()
+
+
+# ------------------------------------------------------ merge upsert
+
+
+def test_merge_upsert_matches_duckdb(ray_session):
+    df = _match("q_merge_upsert", tables=("orders",))
+    assert not (df["k"] % 97 == 0).any()  # tombstoned keys gone
+    assert (df[df["k"] >= 10_000_000]["price_c"] == 4200).all()  # inserts
+    upd = df[(df["k"] % 10 == 0) & (df["k"] % 97 != 0) & (df["k"] < 10_000_000)]
+    assert (upd["version"] == 1).all()  # delta won
+
+
+def test_merge_upsert_delta_beats_base_at_equal_version(ray_session):
+    from lasutility_ray.stages.scd import merge_upsert
+
+    base = pd.DataFrame(
+        {"k": np.array([1], np.int64), "v": np.array([5], np.int64),
+         "version": np.array([3], np.int64)}
+    )
+    delta = pd.DataFrame(
+        {"k": np.array([1], np.int64), "v": np.array([9], np.int64),
+         "version": np.array([3], np.int64), "op": ["U"]}
+    )
+    out = merge_upsert(
+        rd.from_pandas(base), rd.from_pandas(delta), "k", "version"
+    ).to_pandas()
+    assert out["v"].tolist() == [9]
