@@ -1805,6 +1805,36 @@ def q_merge_upsert(sf_dir: str):
     return merge_upsert(base, delta, key_col="k", version_col="version")
 
 
+_LOOKUP_KEYS = [3, 77, 191, 404, 499, 250, 111]
+
+
+def q_bloom_index(sf_dir: str):
+    """Per-shard Bloom point lookups (state/shardindex.py): documents
+    sharded with .bloom sidecars, a 7-key fetch opens only the shards
+    whose filters might match (false positives cost a read, never
+    correctness — the exact in-shard filter follows). Value-exact vs
+    WHERE IN."""
+    import tempfile
+
+    import numpy as np
+    import ray.data as rd
+
+    from lasutility_ray.state.shardindex import (
+        point_lookup,
+        write_indexed_shards,
+    )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    path = tempfile.mkdtemp(prefix="bloomidx_")
+    write_indexed_shards(docs, path, "doc_id")
+    out, n_read, n_total = point_lookup(
+        path, "doc_id", np.array(_LOOKUP_KEYS, np.int64)
+    )
+    return out
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3526,6 +3556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_schema_evolution": q_schema_evolution,
         "q_quarantine": q_quarantine,
         "q_merge_upsert": q_merge_upsert,
+        "q_bloom_index": q_bloom_index,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4215,6 +4246,11 @@ def oracle_sql() -> dict[str, str]:
         "q_quarantine": (
             "SELECT doc_id, CAST(n_chars * 2 AS BIGINT) AS n_chars2 "
             "FROM documents WHERE doc_id % 100 <> 13"
+        ),
+        "q_bloom_index": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN ("
+            + ",".join(str(k) for k in _LOOKUP_KEYS)
+            + ")"
         ),
         "q_merge_upsert": (
             "WITH mu_b AS (SELECT o_orderkey AS k, "

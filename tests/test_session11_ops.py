@@ -932,3 +932,32 @@ def test_merge_upsert_delta_beats_base_at_equal_version(ray_session):
         rd.from_pandas(base), rd.from_pandas(delta), "k", "version"
     ).to_pandas()
     assert out["v"].tolist() == [9]
+
+
+# -------------------------------------------------------- bloom index
+
+
+def test_bloom_index_matches_duckdb(ray_session):
+    df = _match("q_bloom_index")
+    assert len(df) == 7
+
+
+def test_bloom_index_prunes_shards(ray_session, tmp_path):
+    from lasutility_ray.state.shardindex import (
+        point_lookup,
+        write_indexed_shards,
+    )
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    path = str(tmp_path / "idx")
+    write_indexed_shards(docs, path, "doc_id", rows_per_shard=32)
+    out, n_read, n_total = point_lookup(path, "doc_id", np.array([42], np.int64))
+    got = out.to_pandas()
+    assert got["doc_id"].tolist() == [42]
+    assert n_total >= 15  # 500 rows / 32 per shard
+    assert n_read < n_total  # the index actually pruned
+    # absent key: typically zero shards open (fp-rate ~ (k m_set/m)^k)
+    out2, n2, _ = point_lookup(path, "doc_id", np.array([10**9], np.int64))
+    assert len(out2.to_pandas()) == 0
