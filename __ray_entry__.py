@@ -1835,6 +1835,36 @@ def q_bloom_index(sf_dir: str):
     return out
 
 
+def q_pseudonymize(sf_dir: str):
+    """Keyed pseudonymization (stages/pii.py pseudonymize): user ids
+    replaced by an affine mod-Mersenne-61 bijection — joins/distincts
+    on tokens equal the raw table's; per-token event counts prove it.
+    Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.pii import pseudonymize
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+    toks = pseudonymize(ev, ["user_id"])
+    return (
+        toks.groupby("user_id")
+        .count()
+        .map_batches(
+            lambda t: __import__("pyarrow").table(
+                {
+                    "user_token": t.column("user_id"),
+                    "n_events": t.column("count()").cast(
+                        __import__("pyarrow").int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3557,6 +3587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quarantine": q_quarantine,
         "q_merge_upsert": q_merge_upsert,
         "q_bloom_index": q_bloom_index,
+        "q_pseudonymize": q_pseudonymize,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4003,6 +4034,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.webcorpus import trending_hosts_sql as _trend_sql
     from lasutility_ray.stages.events import interarrival_sql as _ia_sql
     from lasutility_ray.stages.totalsort import total_sort_sql as _ts_sql
+    from lasutility_ray.stages.pii import pseudonymize_sql_expr as _pseudo_expr
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -4251,6 +4283,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id IN ("
             + ",".join(str(k) for k in _LOOKUP_KEYS)
             + ")"
+        ),
+        "q_pseudonymize": (
+            f"SELECT {_pseudo_expr('user_id')} AS user_token, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1"
         ),
         "q_merge_upsert": (
             "WITH mu_b AS (SELECT o_orderkey AS k, "

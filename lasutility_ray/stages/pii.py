@@ -136,3 +136,43 @@ def pii_redact_sql(source_sql: str) -> str:
         f"WITH s0 AS ({source_sql}), " + ", ".join(steps) + " "
         f"SELECT doc_id, n_email, n_ipv4, n_phone, t AS text_redacted FROM {prev}"
     )
+
+
+# ------------------------------------------------- pseudonymization
+
+PSEUDO_P = (1 << 61) - 1  # Mersenne prime: x -> (a*x + b) mod p is a
+PSEUDO_A = 2_862_933_555_777_941_757  # bijection for ids < p, so joins
+PSEUDO_B = 3_037_000_493  # and distinct-counts survive tokenization
+
+
+def pseudonymize(ds, cols: list[str], a: int = PSEUDO_A, b: int = PSEUDO_B):
+    """Deterministic keyed pseudonymization of integer identifier
+    columns: token = (a*x + b) mod p (affine bijection over the
+    Mersenne-61 field — collision-free, so equality joins, groupbys
+    and distinct counts on the tokenized table equal the raw table's,
+    which is the whole point of pseudonymized analytics). Map-only,
+    key broadcast by closure. A production deployment swaps the
+    affine map for keyed SipHash/FF1 behind the SAME stage contract;
+    the affine form keeps the oracle value-exact."""
+
+    import pyarrow as pa
+
+    def tok(t: "pa.Table") -> "pa.Table":
+        out = t
+        for c in cols:
+            # object-int elementwise keeps the 122-bit product exact
+            # (the a*x intermediate overflows int64); ids are slim
+            x = out.column(c).to_numpy(zero_copy_only=False).astype(object)
+            v = ((x * a + b) % PSEUDO_P).astype(np.int64)
+            idx = out.column_names.index(c)
+            out = out.set_column(idx, c, pa.array(v, pa.int64()))
+        return out
+
+    return ds.map_batches(tok, batch_format="pyarrow")
+
+
+def pseudonymize_sql_expr(col: str, a: int = PSEUDO_A, b: int = PSEUDO_B) -> str:
+    """DuckDB mirror of one pseudonymized column (HUGEINT mod-p)."""
+    return (
+        f"CAST(((CAST({col} AS HUGEINT) * {a} + {b}) % {PSEUDO_P}) AS BIGINT)"
+    )

@@ -961,3 +961,20 @@ def test_bloom_index_prunes_shards(ray_session, tmp_path):
     # absent key: typically zero shards open (fp-rate ~ (k m_set/m)^k)
     out2, n2, _ = point_lookup(path, "doc_id", np.array([10**9], np.int64))
     assert len(out2.to_pandas()) == 0
+
+
+# ------------------------------------------------------ pseudonymize
+
+
+def test_pseudonymize_matches_duckdb(ray_session):
+    df = _match("q_pseudonymize", tables=("events",))
+    assert len(df) > 0
+
+
+def test_pseudonymize_is_bijective(ray_session):
+    from lasutility_ray.stages.pii import pseudonymize
+
+    src = pd.DataFrame({"user_id": np.arange(1000, dtype=np.int64)})
+    out = pseudonymize(rd.from_pandas(src), ["user_id"]).to_pandas()
+    assert out["user_id"].nunique() == 1000  # no collisions
+    assert not set(out["user_id"]) & set(range(1000))  # actually tokenized
