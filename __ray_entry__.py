@@ -1865,6 +1865,21 @@ def q_pseudonymize(sf_dir: str):
     )
 
 
+def q_negative_samples(sf_dir: str):
+    """Deterministic contrastive negative sampling (stages/dsir.py
+    negative_samples): k=2 arithmetic-hop negatives per anchor,
+    self-skipping, RNG-free so a resumed job regenerates identical
+    pairs. Map-only. Value-exact."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from lasutility_ray.stages.dsir import negative_samples
+
+    n = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return negative_samples(docs, n_docs=n)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3588,6 +3603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_merge_upsert": q_merge_upsert,
         "q_bloom_index": q_bloom_index,
         "q_pseudonymize": q_pseudonymize,
+        "q_negative_samples": q_negative_samples,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4035,6 +4051,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.events import interarrival_sql as _ia_sql
     from lasutility_ray.stages.totalsort import total_sort_sql as _ts_sql
     from lasutility_ray.stages.pii import pseudonymize_sql_expr as _pseudo_expr
+    from lasutility_ray.stages.dsir import negative_samples_sql as _negsql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -4289,6 +4306,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY 1"
         ),
+        "q_negative_samples": _negsql(500),
         "q_merge_upsert": (
             "WITH mu_b AS (SELECT o_orderkey AS k, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c, "

@@ -243,3 +243,68 @@ def dsir_select_sql(
         f"FROM ({dsir_weights_sql(table, target_value)}) "
         f"ORDER BY logw_millibits DESC, doc_id LIMIT {k}"
     )
+
+
+# ------------------------------------------------ negative sampling
+
+NEG_K = 2
+NEG_MIX = 0x9E3779B97F4A7C15
+
+
+def negative_samples(docs_ds, n_docs: int, k: int = NEG_K):
+    """Deterministic negative sampling for contrastive training: each
+    anchor doc gets ``k`` pseudo-random negatives drawn by a Lehmer-
+    style arithmetic hop over the id space, skipping self (and
+    collisions) by open addressing — fully reproducible across runs
+    and engines (the hash IS the sampler; no RNG state anywhere), so
+    a resumed job regenerates identical pairs. Map-only; ``n_docs``
+    is the corpus id-space size (one driver scalar).
+
+    Contract mirrored in SQL: candidate_j = (doc_id * MIX + j) mod
+    n_docs for j = 1.., keep the first k candidates != doc_id."""
+
+    # reduce the multiplier mod n_docs FIRST: (d * MIX + j) mod n ==
+    # (d * (MIX mod n) + j) mod n, and the reduced product stays
+    # int64-safe for any n_docs <= ~3e9 (beyond that, object ints)
+    mix_red = NEG_MIX % n_docs
+
+    def sample(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow as pa
+
+        d = t.column("doc_id").to_numpy()
+        # probe k+2 hops: at most ONE can collide with the anchor, so
+        # k survivors always exist among the first k+1; j starts at 1
+        js = np.arange(1, k + 2, dtype=np.int64)
+        cand = (d[:, None] * np.int64(mix_red) + js[None, :]) % np.int64(n_docs)
+        ok = cand != d[:, None]
+        # rank valid candidates per row, keep the first k
+        rank = np.cumsum(ok, axis=1)
+        keep = ok & (rank <= k)
+        rows, cols = np.nonzero(keep)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[rows], pa.int64()),
+                "neg_id": pa.array(cand[rows, cols], pa.int64()),
+                "slot": pa.array((rank[rows, cols] - 1).astype(np.int64)),
+            }
+        )
+
+    return docs_ds.map_batches(sample, batch_format="pyarrow")
+
+
+def negative_samples_sql(n_docs: int, k: int = NEG_K,
+                         source: str = "documents") -> str:
+    """DuckDB mirror of :func:`negative_samples` (HUGEINT carries the
+    full-width product; the engine's mod-reduced multiplier is
+    congruent)."""
+    return (
+        f"WITH ns_c AS (SELECT doc_id, "
+        f"(CAST(doc_id AS HUGEINT) * {NEG_MIX} + j) % {n_docs} AS neg_id, j "
+        f"FROM {source}, unnest(range(1, {k + 2})) t(j)), "
+        "ns_r AS (SELECT doc_id, CAST(neg_id AS BIGINT) AS neg_id, "
+        "row_number() OVER (PARTITION BY doc_id ORDER BY j) - 1 AS slot "
+        "FROM ns_c WHERE neg_id <> doc_id) "
+        f"SELECT doc_id, neg_id, CAST(slot AS BIGINT) AS slot FROM ns_r "
+        f"WHERE slot < {k}"
+    )

@@ -978,3 +978,32 @@ def test_pseudonymize_is_bijective(ray_session):
     out = pseudonymize(rd.from_pandas(src), ["user_id"]).to_pandas()
     assert out["user_id"].nunique() == 1000  # no collisions
     assert not set(out["user_id"]) & set(range(1000))  # actually tokenized
+
+
+# -------------------------------------------------- negative samples
+
+
+def test_negative_samples_match_duckdb(ray_session):
+    df = _match("q_negative_samples")
+    assert len(df) == 500 * 2
+    assert not (df["doc_id"] == df["neg_id"]).any()
+    assert set(df["slot"]) == {0, 1}
+
+
+def test_negative_samples_deterministic_across_partitioning(ray_session):
+    from lasutility_ray.stages.dsir import negative_samples
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    a = (
+        negative_samples(docs, 500)
+        .to_pandas()
+        .sort_values(["doc_id", "slot"])
+        .reset_index(drop=True)
+    )
+    b = (
+        negative_samples(docs.repartition(13), 500)
+        .to_pandas()
+        .sort_values(["doc_id", "slot"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
