@@ -1880,6 +1880,22 @@ def q_negative_samples(sf_dir: str):
     return negative_samples(docs, n_docs=n)
 
 
+def q_distribution_drift(sf_dir: str):
+    """Exact data-drift monitor (stages/skewprof.py
+    distribution_drift): total-variation distance between the lang
+    distribution of the corpus's two id-parity halves, evaluated
+    entirely in integers (TVD instead of PSI — ln() is float-
+    unmirrorable). Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.skewprof import distribution_drift
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return distribution_drift(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3604,6 +3620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bloom_index": q_bloom_index,
         "q_pseudonymize": q_pseudonymize,
         "q_negative_samples": q_negative_samples,
+        "q_distribution_drift": q_distribution_drift,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4052,6 +4069,9 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.totalsort import total_sort_sql as _ts_sql
     from lasutility_ray.stages.pii import pseudonymize_sql_expr as _pseudo_expr
     from lasutility_ray.stages.dsir import negative_samples_sql as _negsql
+    from lasutility_ray.stages.skewprof import (
+        distribution_drift_sql as _drift_sql,
+    )
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -4307,6 +4327,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1"
         ),
         "q_negative_samples": _negsql(500),
+        "q_distribution_drift": _drift_sql(),
         "q_merge_upsert": (
             "WITH mu_b AS (SELECT o_orderkey AS k, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c, "

@@ -139,3 +139,88 @@ def user_skew_profile_sql(source: str = "events") -> str:
         "// (CAST(g.n AS HUGEINT) * g.total) AS BIGINT) AS gini_micro "
         "FROM g, t10, qs"
     )
+
+
+# ------------------------------------------------ distribution drift
+
+
+def distribution_drift(docs_ds, cat_col: str = "lang",
+                       split_col: str = "doc_id"):
+    """Exact data-drift monitor: the TOTAL VARIATION DISTANCE between
+    a categorical column's distribution in the corpus's two halves
+    (split by id parity — in production, yesterday's shard vs
+    today's). TVD = (1/2) sum |p_i - q_i| evaluated WITHOUT floats:
+    with category counts c1/c2 and totals n1/n2,
+    ``tvd_e6 = (1e6 * sum |n2*c1_i - n1*c2_i|) // (2*n1*n2)`` — one
+    integer per category, one floor division at the end (PSI's ln()
+    makes it float-unmirrorable; TVD bounds PSI's decision power for
+    alerting and stays exact).
+
+    Shape: per-batch (category, side) count partials -> one tiny
+    fused-key groupby (categories x 2) -> a single driver row."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        side = (t.column(split_col).to_numpy() % 2).astype(np.int64)
+        df = (
+            pd.DataFrame(
+                {"cat": t.column(cat_col).to_pandas(), "side": side}
+            )
+            .groupby(["cat", "side"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        df["key"] = df["cat"] + "|" + df["side"].astype(str)
+        return pa.Table.from_pandas(
+            df[["key", "n"]], preserve_index=False
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keys = t.column("key").to_pylist()
+        ns = t.column("sum(n)").to_numpy().astype(np.int64)
+        cats = sorted({k.rsplit("|", 1)[0] for k in keys})
+        c1 = {c: 0 for c in cats}
+        c2 = {c: 0 for c in cats}
+        for k, n in zip(keys, ns.tolist()):
+            c, s = k.rsplit("|", 1)
+            (c1 if s == "0" else c2)[c] = n
+        n1 = sum(c1.values())
+        n2 = sum(c2.values())
+        num = sum(abs(n2 * c1[c] - n1 * c2[c]) for c in cats)
+        tvd_e6 = (1_000_000 * num) // (2 * n1 * n2) if n1 and n2 else 0
+        return pa.table(
+            {
+                "n_even": pa.array([n1], pa.int64()),
+                "n_odd": pa.array([n2], pa.int64()),
+                "n_categories": pa.array([len(cats)], pa.int64()),
+                "tvd_e6": pa.array([tvd_e6], pa.int64()),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="sum(n)"))
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def distribution_drift_sql(cat_col: str = "lang",
+                           source: str = "documents") -> str:
+    """DuckDB mirror of :func:`distribution_drift`."""
+    return (
+        f"WITH dd_c AS (SELECT {cat_col} AS cat, doc_id % 2 AS side, "
+        f"CAST(count(*) AS BIGINT) AS n FROM {source} GROUP BY 1, 2), "
+        "dd_p AS (SELECT cat, "
+        "CAST(sum(CASE WHEN side = 0 THEN n ELSE 0 END) AS BIGINT) AS c1, "
+        "CAST(sum(CASE WHEN side = 1 THEN n ELSE 0 END) AS BIGINT) AS c2 "
+        "FROM dd_c GROUP BY cat), "
+        "dd_t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, "
+        "CAST(sum(c2) AS BIGINT) AS n2, "
+        "CAST(count(*) AS BIGINT) AS k FROM dd_p) "
+        "SELECT t.n1 AS n_even, t.n2 AS n_odd, t.k AS n_categories, "
+        "CAST((1000000 * (SELECT sum(abs(t.n2 * p.c1 - t.n1 * p.c2)) "
+        "FROM dd_p p)) // (2 * t.n1 * t.n2) AS BIGINT) AS tvd_e6 "
+        "FROM dd_t t"
+    )

@@ -1007,3 +1007,33 @@ def test_negative_samples_deterministic_across_partitioning(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+# ------------------------------------------------ distribution drift
+
+
+def test_distribution_drift_matches_duckdb(ray_session):
+    df = _match("q_distribution_drift")
+    assert len(df) == 1
+    assert 0 <= df.iloc[0]["tvd_e6"] <= 1_000_000
+
+
+def test_distribution_drift_extremes(ray_session):
+    from lasutility_ray.stages.skewprof import distribution_drift
+
+    # identical halves -> TVD 0; disjoint categories -> TVD 1
+    same = pd.DataFrame(
+        {"doc_id": np.arange(8, dtype=np.int64),
+         "lang": ["en", "fi"] * 4}
+    )
+    # parity split: even ids all 'en'? construct: even ids get 'en',
+    # odd ids get 'en' too -> identical distributions
+    same["lang"] = "en"
+    out0 = distribution_drift(rd.from_pandas(same)).to_pandas()
+    assert out0.iloc[0]["tvd_e6"] == 0
+    disj = pd.DataFrame(
+        {"doc_id": np.arange(8, dtype=np.int64),
+         "lang": ["en", "fi"] * 4}
+    )  # even ids en, odd ids fi -> disjoint
+    out1 = distribution_drift(rd.from_pandas(disj)).to_pandas()
+    assert out1.iloc[0]["tvd_e6"] == 1_000_000
