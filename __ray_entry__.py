@@ -1896,6 +1896,19 @@ def q_distribution_drift(sf_dir: str):
     return distribution_drift(docs)
 
 
+def q_cocitation(sf_dir: str):
+    """Co-citation pairs (stages/kcore.py cocitation_pairs): host
+    pairs with >= 2 common neighbors in the 4-target host graph —
+    one apex-bucket wedge explode + one pair-bucket count.
+    Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.kcore import cocitation_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return cocitation_pairs(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3621,6 +3634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pseudonymize": q_pseudonymize,
         "q_negative_samples": q_negative_samples,
         "q_distribution_drift": q_distribution_drift,
+        "q_cocitation": q_cocitation,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4072,6 +4086,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.skewprof import (
         distribution_drift_sql as _drift_sql,
     )
+    from lasutility_ray.stages.kcore import cocitation_sql as _cocite_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -4328,6 +4343,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_negative_samples": _negsql(500),
         "q_distribution_drift": _drift_sql(),
+        "q_cocitation": _cocite_sql(),
         "q_merge_upsert": (
             "WITH mu_b AS (SELECT o_orderkey AS k, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c, "

@@ -217,3 +217,112 @@ def kcore_sql(k: int = K_CORE, rounds: int = ROUNDS, src: str = "documents") -> 
         f"SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) "
         "GROUP BY node"
     )
+
+
+CO_MIN_COMMON = 2
+
+
+def cocitation_pairs(docs_ds, min_common: int = CO_MIN_COMMON):
+    """Co-citation strength: host pairs endorsed by >= ``min_common``
+    COMMON neighbors in the (4-target) host graph — the bibliometric
+    coupling signal behind related-site discovery and link-ring
+    corroboration (two sites repeatedly cited together are related
+    even if they never link each other).
+
+    Shape: one apex-bucket shuffle emits each apex's neighbor PAIRS
+    (the wedge explode — volume sum C(deg, 2); a hub-heavy graph
+    needs the degree-cap salting of stages/salting.py, documented not
+    automated), then the pair-bucket count + threshold. All wedges of
+    an apex stay in one bucket (bucket = f(apex)), so the count is
+    exact."""
+    from .cogroup import default_n_buckets
+    from .dedup import _pair_indices
+
+    nb = default_n_buckets()
+    mix = np.uint64(0x9E3779B97F4A7C15)
+    mix2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+    edges = kcore_edges(docs_ds).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        b = ((src.astype(np.uint64) * mix) >> np.uint64(33)) % np.uint64(nb)
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "__bucket": pa.array(b.astype(np.int64)),
+            }
+        )
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["src", "dst"], kind="mergesort")
+        s = g["src"].to_numpy(np.int64)
+        d = g["dst"].to_numpy(np.int64)
+        new = np.empty(len(g), dtype=bool)
+        new[0] = True
+        new[1:] = s[1:] != s[:-1]
+        ai, bi = _pair_indices(new)
+        if len(ai) == 0:
+            return pd.DataFrame({"x": [], "y": []}, dtype=np.int64)
+        return pd.DataFrame({"x": d[ai], "y": d[bi]})
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy().astype(np.uint64)
+        y = t.column("y").to_numpy().astype(np.uint64)
+        h = x * mix ^ y * mix2
+        return t.append_column(
+            "__bucket",
+            pa.array(((h >> np.uint64(33)) % np.uint64(nb)).astype(np.int64)),
+        )
+
+    def count_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (
+            g.groupby(["x", "y"], sort=False).size().reset_index(name="n_common")
+        )
+        cnt = cnt[cnt["n_common"] >= min_common]
+        return cnt.rename(columns={"x": "host_a", "y": "host_b"}).astype(
+            {"host_a": np.int64, "host_b": np.int64, "n_common": np.int64}
+        )
+
+    return (
+        edges.map_batches(sym, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(wedges, batch_format="pandas")
+        .map_batches(tag_pair, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(count_pairs, batch_format="pandas")
+    )
+
+
+def cocitation_sql(min_common: int = CO_MIN_COMMON,
+                   src: str = "documents") -> str:
+    """DuckDB mirror of :func:`cocitation_pairs` (same 4-target edge
+    derivation as kcore_sql)."""
+    from ..corpus.geocode import H1_MUL, H2_ADD, H2_MUL, M32
+    from .graph import N_HOST_SITES
+
+    h1 = f"((doc_id * {H1_MUL}) % {M32})"
+    h2 = f"((doc_id * {H2_MUL} + {H2_ADD}) % {M32})"
+    return (
+        f"WITH co_raw AS (SELECT doc_id % {N_HOST_SITES} AS src, "
+        f"{h1} % {N_HOST_SITES} AS d1, "
+        f"({h1} // {N_HOST_SITES}) % {N_HOST_SITES} AS d2, "
+        f"{h2} % {N_HOST_SITES} AS d3, "
+        f"({h2} // {N_HOST_SITES}) % {N_HOST_SITES} AS d4 FROM {src}), "
+        "co_e AS (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM ("
+        "SELECT src, d1 AS dst FROM co_raw UNION ALL "
+        "SELECT src, d2 AS dst FROM co_raw UNION ALL "
+        "SELECT src, d3 AS dst FROM co_raw UNION ALL "
+        "SELECT src, d4 AS dst FROM co_raw) WHERE src <> dst), "
+        "co_s AS (SELECT u AS src, v AS dst FROM co_e "
+        "UNION ALL SELECT v, u FROM co_e) "
+        "SELECT a.dst AS host_a, b.dst AS host_b, "
+        "CAST(count(*) AS BIGINT) AS n_common "
+        "FROM co_s a JOIN co_s b ON b.src = a.src AND a.dst < b.dst "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_common}"
+    )

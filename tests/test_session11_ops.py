@@ -1037,3 +1037,13 @@ def test_distribution_drift_extremes(ray_session):
     )  # even ids en, odd ids fi -> disjoint
     out1 = distribution_drift(rd.from_pandas(disj)).to_pandas()
     assert out1.iloc[0]["tvd_e6"] == 1_000_000
+
+
+# --------------------------------------------------------- cocitation
+
+
+def test_cocitation_matches_duckdb(ray_session):
+    df = _match("q_cocitation")
+    assert len(df) > 0
+    assert (df["n_common"] >= 2).all()
+    assert (df["host_a"] < df["host_b"]).all()
