@@ -1909,6 +1909,20 @@ def q_cocitation(sf_dir: str):
     return cocitation_pairs(docs)
 
 
+def q_winsorize(sf_dir: str):
+    """Per-type winsorized event values (stages/quantiles.py
+    winsorize): values clip to the exact [p05, p95] group fences —
+    iqr_filter's keep-the-row sibling. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.quantiles import winsorize
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return winsorize(ev, "event_type", "value", passthrough=["event_id"])
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3635,6 +3649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_negative_samples": q_negative_samples,
         "q_distribution_drift": q_distribution_drift,
         "q_cocitation": q_cocitation,
+        "q_winsorize": q_winsorize,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4087,6 +4102,7 @@ def oracle_sql() -> dict[str, str]:
         distribution_drift_sql as _drift_sql,
     )
     from lasutility_ray.stages.kcore import cocitation_sql as _cocite_sql
+    from lasutility_ray.stages.quantiles import winsorize_sql as _wz_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -4344,6 +4360,9 @@ def oracle_sql() -> dict[str, str]:
         "q_negative_samples": _negsql(500),
         "q_distribution_drift": _drift_sql(),
         "q_cocitation": _cocite_sql(),
+        "q_winsorize": _wz_sql(
+            "event_type", "value", "events", ["event_id"]
+        ),
         "q_merge_upsert": (
             "WITH mu_b AS (SELECT o_orderkey AS k, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c, "

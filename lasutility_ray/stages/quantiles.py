@@ -332,3 +332,65 @@ def iqr_filter_sql(
         f"WHERE CAST(d.{value_col} AS DOUBLE) >= q.q1 - {k!r}*(q.q3 - q.q1) "
         f"AND CAST(d.{value_col} AS DOUBLE) <= q.q3 + {k!r}*(q.q3 - q.q1)"
     )
+
+
+def winsorize(
+    ds,
+    group_col: str,
+    value_col: str,
+    passthrough: list[str] | None = None,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+):
+    """Per-group winsorization: values CLIP to their group's exact
+    [p_lo, p_hi] quantile fences instead of dropping (iqr_filter's
+    sibling — keeps the row count, tames the tails; the standard
+    robust-mean preprocessor). Same shape: one exact
+    :func:`group_quantiles` pass, fences broadcast once, map-only
+    clip; fence arithmetic in float64 matching the SQL mirror's
+    least/greatest, so clipped values are value-exact."""
+    import ray as _ray
+
+    q = group_quantiles(
+        ds, group_col, value_col, {"lo": p_lo, "hi": p_hi}
+    ).to_pandas()
+    fence_ref = _ray.put(
+        (
+            dict(zip(q[group_col].tolist(), q["lo"].tolist())),
+            dict(zip(q[group_col].tolist(), q["hi"].tolist())),
+        )
+    )
+    keep_cols = passthrough
+
+    def clip(t: pa.Table) -> pa.Table:
+        lo_m, hi_m = _ray.get(fence_ref)
+        g = t.column(group_col).to_pandas()
+        v = t.column(value_col).to_numpy().astype(np.float64)
+        lo = g.map(lo_m).to_numpy(dtype=np.float64)
+        hi = g.map(hi_m).to_numpy(dtype=np.float64)
+        w = np.minimum(np.maximum(v, lo), hi)
+        cols = {group_col: t.column(group_col)}
+        for c in keep_cols or []:
+            cols[c] = t.column(c)
+        cols[f"{value_col}_w"] = pa.array(w, pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def winsorize_sql(
+    group_col: str, value_col: str, source: str,
+    out_cols: list[str], p_lo: float = 0.05, p_hi: float = 0.95,
+) -> str:
+    """DuckDB mirror of :func:`winsorize`."""
+    cols = ", ".join(f"d.{c}" for c in out_cols)
+    return (
+        f"WITH wz_q AS (SELECT {group_col}, "
+        f"quantile_cont(CAST({value_col} AS DOUBLE), {p_lo}) AS lo, "
+        f"quantile_cont(CAST({value_col} AS DOUBLE), {p_hi}) AS hi "
+        f"FROM {source} GROUP BY {group_col}) "
+        f"SELECT d.{group_col}{', ' + cols if cols else ''}, "
+        f"least(greatest(CAST(d.{value_col} AS DOUBLE), q.lo), q.hi) "
+        f"AS {value_col}_w "
+        f"FROM {source} d JOIN wz_q q ON q.{group_col} = d.{group_col}"
+    )

@@ -1047,3 +1047,18 @@ def test_cocitation_matches_duckdb(ray_session):
     assert len(df) > 0
     assert (df["n_common"] >= 2).all()
     assert (df["host_a"] < df["host_b"]).all()
+
+
+# ---------------------------------------------------------- winsorize
+
+
+def test_winsorize_matches_duckdb(ray_session):
+    df = _match("q_winsorize", tables=("events",))
+    assert len(df) == 10000
+    # clipping happened at both tails
+    import duckdb
+
+    con = _oracle_con(tables=("events",), sf=SF)
+    raw = con.execute("SELECT min(value), max(value) FROM events").fetchone()
+    assert df["value_w"].min() > raw[0]
+    assert df["value_w"].max() < raw[1]
