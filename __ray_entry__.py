@@ -1923,6 +1923,21 @@ def q_winsorize(sf_dir: str):
     return winsorize(ev, "event_type", "value", passthrough=["event_id"])
 
 
+def q_ab_chisq(sf_dir: str):
+    """Integer-exact A/B chi-square readout (stages/hourlyanom.py
+    ab_chisq): 2x2 contingency of id-parity arms vs purchase events,
+    one floor division at the end — no float statistic ever forms.
+    Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.hourlyanom import ab_chisq
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return ab_chisq(ev)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3650,6 +3665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distribution_drift": q_distribution_drift,
         "q_cocitation": q_cocitation,
         "q_winsorize": q_winsorize,
+        "q_ab_chisq": q_ab_chisq,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4103,6 +4119,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from lasutility_ray.stages.kcore import cocitation_sql as _cocite_sql
     from lasutility_ray.stages.quantiles import winsorize_sql as _wz_sql
+    from lasutility_ray.stages.hourlyanom import ab_chisq_sql as _ab_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -4363,6 +4380,7 @@ def oracle_sql() -> dict[str, str]:
         "q_winsorize": _wz_sql(
             "event_type", "value", "events", ["event_id"]
         ),
+        "q_ab_chisq": _ab_sql(),
         "q_merge_upsert": (
             "WITH mu_b AS (SELECT o_orderkey AS k, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c, "

@@ -90,3 +90,94 @@ def hourly_anomalies_sql(k: int = K_SIGMA, source: str = "events") -> str:
         f"> {k * k} * (p.n * p.q - p.s * p.s) AS is_anomaly "
         "FROM ha_c c JOIN ha_p p ON p.hod = c.hr % 24"
     )
+
+
+# ------------------------------------------------------ A/B chi-square
+
+CHI2_95_E6 = 3_841_459  # 3.841459 * 1e6: chi2(1) 95% critical value
+
+
+def ab_chisq(events_ds, success_type: str = "purchase"):
+    """Integer-exact A/B experiment readout: users split into arms by
+    id parity, success = emitting a ``success_type`` event; the 2x2
+    chi-square statistic computes as
+    ``chi2 = n*(ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))`` — one floor
+    division at the very end (numerator/denominator are exact python
+    ints; a, b, c, d are EVENT counts, the classic contingency), so
+    the mirror is bit-trivial. Output: the four cells, chi2_e6, and
+    the 95% significance flag.
+
+    Shape: per-batch 4-cell partials -> one 4-row groupby -> a single
+    driver row. Nothing is corpus-proportional after the scan."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy()
+        et = t.column("event_type").to_pandas()
+        arm = (uid % 2).astype(np.int64)
+        succ = (et == success_type).to_numpy().astype(np.int64)
+        df = (
+            pd.DataFrame({"cell": arm * 2 + succ})
+            .groupby("cell", sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(t: pa.Table) -> pa.Table:
+        cells = dict(
+            zip(
+                t.column("cell").to_numpy().tolist(),
+                t.column("sum(n)").to_numpy().tolist(),
+            )
+        )
+        # a = arm0 success, b = arm0 other, c = arm1 success, d = other
+        a = int(cells.get(1, 0))
+        b = int(cells.get(0, 0))
+        c = int(cells.get(3, 0))
+        d = int(cells.get(2, 0))
+        n = a + b + c + d
+        denom = (a + b) * (c + d) * (a + c) * (b + d)
+        chi2_e6 = (1_000_000 * n * (a * d - b * c) ** 2) // denom if denom else 0
+        return pa.table(
+            {
+                "a_succ": pa.array([a], pa.int64()),
+                "a_other": pa.array([b], pa.int64()),
+                "b_succ": pa.array([c], pa.int64()),
+                "b_other": pa.array([d], pa.int64()),
+                "chi2_e6": pa.array([chi2_e6], pa.int64()),
+                "significant": pa.array([chi2_e6 > CHI2_95_E6]),
+            }
+        )
+
+    return (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("n", alias_name="sum(n)"))
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def ab_chisq_sql(success_type: str = "purchase",
+                 source: str = "events") -> str:
+    """DuckDB mirror of :func:`ab_chisq`."""
+    return (
+        f"WITH ab_c AS (SELECT "
+        "CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type = "
+        f"'{success_type}' THEN 1 ELSE 0 END) AS HUGEINT) AS a, "
+        "CAST(sum(CASE WHEN user_id % 2 = 0 AND event_type <> "
+        f"'{success_type}' THEN 1 ELSE 0 END) AS HUGEINT) AS b, "
+        "CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type = "
+        f"'{success_type}' THEN 1 ELSE 0 END) AS HUGEINT) AS c, "
+        "CAST(sum(CASE WHEN user_id % 2 = 1 AND event_type <> "
+        f"'{success_type}' THEN 1 ELSE 0 END) AS HUGEINT) AS d "
+        f"FROM {source}) "
+        "SELECT CAST(a AS BIGINT) AS a_succ, CAST(b AS BIGINT) AS a_other, "
+        "CAST(c AS BIGINT) AS b_succ, CAST(d AS BIGINT) AS b_other, "
+        "CAST((1000000 * (a+b+c+d) * (a*d - b*c) * (a*d - b*c)) "
+        "// ((a+b) * (c+d) * (a+c) * (b+d)) AS BIGINT) AS chi2_e6, "
+        "(1000000 * (a+b+c+d) * (a*d - b*c) * (a*d - b*c)) "
+        f"// ((a+b) * (c+d) * (a+c) * (b+d)) > {CHI2_95_E6} AS significant "
+        "FROM ab_c"
+    )

@@ -1062,3 +1062,32 @@ def test_winsorize_matches_duckdb(ray_session):
     raw = con.execute("SELECT min(value), max(value) FROM events").fetchone()
     assert df["value_w"].min() > raw[0]
     assert df["value_w"].max() < raw[1]
+
+
+# ----------------------------------------------------------- ab chisq
+
+
+def test_ab_chisq_matches_duckdb(ray_session):
+    df = _match("q_ab_chisq", tables=("events",))
+    assert len(df) == 1
+    r = df.iloc[0]
+    assert r[["a_succ", "a_other", "b_succ", "b_other"]].sum() == 10000
+    # the fixture's hash coupling lands just over the 95% line
+    # (chi2_e6 = 4 921 748); the flag must agree with the statistic
+    assert bool(r["significant"]) == (r["chi2_e6"] > 3_841_459)
+
+
+def test_ab_chisq_detects_planted_effect(ray_session):
+    from lasutility_ray.stages.hourlyanom import ab_chisq
+
+    # arm 0 converts 50%, arm 1 converts 10% -> obviously significant
+    rows = []
+    for u in range(200):
+        arm = u % 2
+        n_succ = 5 if arm == 0 else 1
+        rows += [(u, "purchase")] * n_succ + [(u, "view")] * (10 - n_succ)
+    ev = pd.DataFrame(rows, columns=["user_id", "event_type"])
+    ev["user_id"] = ev["user_id"].astype(np.int64)
+    out = ab_chisq(rd.from_pandas(ev)).to_pandas().iloc[0]
+    assert out["significant"]
+    assert out["chi2_e6"] > 100 * 1_000_000
