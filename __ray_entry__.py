@@ -1938,6 +1938,16 @@ def q_ab_chisq(sf_dir: str):
     return ab_chisq(ev)
 
 
+def q_daily_top_terms(sf_dir: str):
+    """Trending terms per crawl day (stages/chunking.py
+    daily_top_terms): per-day top-5 tokens under the integer-only
+    (count DESC, token) total order; day-bucket shuffle of count
+    partials. Value-exact."""
+    from lasutility_ray.stages.chunking import daily_top_terms
+
+    return daily_top_terms(_pages(sf_dir))
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3666,6 +3676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cocitation": q_cocitation,
         "q_winsorize": q_winsorize,
         "q_ab_chisq": q_ab_chisq,
+        "q_daily_top_terms": q_daily_top_terms,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4120,6 +4131,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.kcore import cocitation_sql as _cocite_sql
     from lasutility_ray.stages.quantiles import winsorize_sql as _wz_sql
     from lasutility_ray.stages.hourlyanom import ab_chisq_sql as _ab_sql
+    from lasutility_ray.stages.chunking import daily_top_terms_sql as _dtt_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -4381,6 +4393,7 @@ def oracle_sql() -> dict[str, str]:
             "event_type", "value", "events", ["event_id"]
         ),
         "q_ab_chisq": _ab_sql(),
+        "q_daily_top_terms": _dtt_sql(),
         "q_merge_upsert": (
             "WITH mu_b AS (SELECT o_orderkey AS k, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c, "

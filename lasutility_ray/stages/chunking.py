@@ -404,3 +404,78 @@ def phrase_search_sql(phrase: str, source: str = "documents") -> str:
         f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM ps_l "
         f"WHERE {conds} GROUP BY doc_id"
     )
+
+
+def daily_top_terms(pages_ds, k: int = 5):
+    """Trending terms per crawl day: each day's top-``k`` tokens by
+    count with the integer-only total order (count DESC, token ASC —
+    the distinctive_terms rule, so the ranking is SQL-exact). Shape:
+    per-batch (day, token) count partials -> one day-bucket shuffle
+    (a day's counts co-locate) -> per-day merge + head(k)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .cogroup import default_n_buckets
+
+    nb = default_n_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = (
+            t.column("warc_ts")
+            .cast(pa.timestamp("ms"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 86_400_000
+        )
+        texts = t.column("text").to_pylist()
+        toks: list = []
+        days: list = []
+        for d, tx in zip(day.tolist(), texts):
+            ws = tx.split()
+            toks.extend(ws)
+            days.extend([d] * len(ws))
+        df = (
+            pd.DataFrame({"day": np.array(days, np.int64), "token": toks})
+            .groupby(["day", "token"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        df["__bucket"] = (df["day"] % nb).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (
+            g.groupby(["day", "token"], sort=False)["n"].sum().reset_index()
+        )
+        cnt = cnt.sort_values(
+            ["day", "n", "token"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = cnt.groupby("day", sort=False).head(k).copy()
+        out["rank"] = out.groupby("day", sort=False).cumcount() + 1
+        return out.astype(
+            {"day": np.int64, "n": np.int64, "rank": np.int64}
+        )
+
+    return (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def daily_top_terms_sql(k: int = 5) -> str:
+    """DuckDB mirror of :func:`daily_top_terms` (pages reconstructed
+    per the corpus contract)."""
+    from ..corpus.pages import warc_ts_sql
+
+    return (
+        f"WITH dt_p AS (SELECT epoch_ms({warc_ts_sql()}) // 86400000 AS day, "
+        "unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents), "
+        "dt_c AS (SELECT day, token, CAST(count(*) AS BIGINT) AS n "
+        "FROM dt_p GROUP BY 1, 2) "
+        "SELECT day, token, n, CAST(row_number() OVER "
+        "(PARTITION BY day ORDER BY n DESC, token) AS BIGINT) AS rank "
+        f"FROM dt_c QUALIFY rank <= {k}"
+    )

@@ -1091,3 +1091,16 @@ def test_ab_chisq_detects_planted_effect(ray_session):
     out = ab_chisq(rd.from_pandas(ev)).to_pandas().iloc[0]
     assert out["significant"]
     assert out["chi2_e6"] > 100 * 1_000_000
+
+
+# ----------------------------------------------------- daily top terms
+
+
+def test_daily_top_terms_match_duckdb(ray_session):
+    df = _match("q_daily_top_terms")
+    assert len(df) > 0
+    assert (df["rank"] <= 5).all()
+    # within a day, counts are non-increasing by rank
+    for _, g in df.groupby("day"):
+        s = g.sort_values("rank")["n"].to_numpy()
+        assert (s[:-1] >= s[1:]).all()
