@@ -1948,6 +1948,20 @@ def q_daily_top_terms(sf_dir: str):
     return daily_top_terms(_pages(sf_dir))
 
 
+def q_contours(sf_dir: str):
+    """DEM contour segments by midpoint marching squares
+    (stages/contours.py): doubled-integer endpoints, fixed saddle
+    convention, 4-way block assembly via anchor union (no halo
+    machinery needed — a cell rides to at most 4 anchors).
+    Value-exact (literal case-table mirror)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.contours import contour_segments
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return contour_segments(docs)
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): map-side partials,
     one tiny fused-key groupby, super-aggregates derived by
@@ -3677,6 +3691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_winsorize": q_winsorize,
         "q_ab_chisq": q_ab_chisq,
         "q_daily_top_terms": q_daily_top_terms,
+        "q_contours": q_contours,
         "q_frame_window": q_frame_window,
         "q_user_entropy": q_user_entropy,
         "q_vocab_overlap": q_vocab_overlap,
@@ -4132,6 +4147,7 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.quantiles import winsorize_sql as _wz_sql
     from lasutility_ray.stages.hourlyanom import ab_chisq_sql as _ab_sql
     from lasutility_ray.stages.chunking import daily_top_terms_sql as _dtt_sql
+    from lasutility_ray.stages.contours import contour_sql as _contour_sql
 
     def _zonemap_sql() -> str:
         return _hourly_sql(_PRUNE_LO_HR, _PRUNE_HI_HR)
@@ -4394,6 +4410,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_ab_chisq": _ab_sql(),
         "q_daily_top_terms": _dtt_sql(),
+        "q_contours": _contour_sql(),
         "q_merge_upsert": (
             "WITH mu_b AS (SELECT o_orderkey AS k, "
             "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c, "

@@ -1104,3 +1104,30 @@ def test_daily_top_terms_match_duckdb(ray_session):
     for _, g in df.groupby("day"):
         s = g.sort_values("rank")["n"].to_numpy()
         assert (s[:-1] >= s[1:]).all()
+
+
+# ------------------------------------------------------------ contours
+
+
+def test_contours_match_duckdb(ray_session):
+    df = _match("q_contours")
+    assert len(df) > 0
+    # segments connect adjacent edge midpoints: Chebyshev length <= 2
+    d = np.maximum(
+        (df["r2"] - df["r1"]).abs(), (df["c2"] - df["c1"]).abs()
+    )
+    assert (d >= 1).all() and (d <= 2).all()
+
+
+def test_contours_hand_block():
+    from lasutility_ray.stages.contours import _E1, _E2, _EDGE_ID, _SEGS
+
+    # case 5 (a+c inside) must emit TWO segments under the fixed
+    # saddle convention; case 9 (a+d) a single top-bottom cut
+    assert (_E1[5 * 2] >= 0) and (_E1[5 * 2 + 1] >= 0)
+    assert _SEGS[9] == [("T", "B")]
+    # every case's segments use valid edges
+    for case, pairs in _SEGS.items():
+        for s, (x, y) in enumerate(pairs):
+            assert _E1[case * 2 + s] == _EDGE_ID[x]
+            assert _E2[case * 2 + s] == _EDGE_ID[y]
