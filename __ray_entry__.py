@@ -3507,16 +3507,125 @@ def q_image_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING IS EVIDENCE ROTATION, NOT AESTHETICS: the driver
     # evaluates the first 50 entries against the DuckDB oracle each
-    # round. Round 2 evaluated the first 50 of the then-77 in original
-    # order, leaving the LLM-curation + multimodal tail (everything
-    # from q_contamination on) with no CORRECTNESS rows. Round 3 leads
-    # with exactly that 27-query tail, then the queries whose
-    # implementations changed this round (dedup/ANN/kmeans/semantic
-    # scale-path rewrites), then the flagship-core geospatial set. The
-    # 27 entries past position 50 all have green rows_match+hash_match
-    # rows in CORRECTNESS_r02.json and unchanged implementations.
+    # round. Rounds 1-3 accumulated green CORRECTNESS rows for 103
+    # of the 204 queries (84 value-exact, 19 rows-only by nature,
+    # zero failures). Round 4 leads with 50 never-driver-checked
+    # queries that ALL carry SQL oracles (the sessions-5..11
+    # analytics surface: windows/graph/geohash/temporal/lake ops,
+    # plus the ADVICE-flagged q_negative_samples / q_quarantine /
+    # q_props_stats / q_late_events so this round's fixes get
+    # driver rows). Positions 51-87 hold the remaining 37
+    # never-checked SQL-oracle queries (the round-5 window), then
+    # the 14 never-checked rows-only queries (pytest-pinned), then
+    # everything with a green row from rounds 1-3.
     return {
-        # -- round-2 unverified tail: LLM curation family (1-19)
+        # -- round-4 evaluated window: 50 never-driver-checked, all with SQL oracles
+        # -- round-4 window 1-22: VERDICT-named analytics + ADVICE-affected
+        "q_ranking_window": q_ranking_window,
+        "q_merge_intervals": q_merge_intervals,
+        "q_skyline_orders": q_skyline_orders,
+        "q_ed1_hosts": q_ed1_hosts,
+        "q_envelope_join": q_envelope_join,
+        "q_triangle_counts": q_triangle_counts,
+        "q_bfs_hops": q_bfs_hops,
+        "q_sssp_hosts": q_sssp_hosts,
+        "q_tpch_q1": q_tpch_q1,
+        "q_tpch_q5": q_tpch_q5,
+        "q_scd2_intervals": q_scd2_intervals,
+        "q_pit_version_join": q_pit_version_join,
+        "q_resample_locf": q_resample_locf,
+        "q_resample_linear": q_resample_linear,
+        "q_geohash_counts": q_geohash_counts,
+        "q_geohash_rollup": q_geohash_rollup,
+        "q_morans_i": q_morans_i,
+        "q_total_sort": q_total_sort,
+        "q_negative_samples": q_negative_samples,
+        "q_quarantine": q_quarantine,
+        "q_props_stats": q_props_stats,
+        "q_late_events": q_late_events,
+        # -- round-4 window 23-50: sessions 6-10 analytics (never checked)
+        "q_mode_per_user": q_mode_per_user,
+        "q_funnel_conversion": q_funnel_conversion,
+        "q_collocations": q_collocations,
+        "q_polygon_areas": q_polygon_areas,
+        "q_event_transitions": q_event_transitions,
+        "q_cohort_retention": q_cohort_retention,
+        "q_snap_roads": q_snap_roads,
+        "q_grid_clusters": q_grid_clusters,
+        "q_attribution": q_attribution,
+        "q_hex_counts": q_hex_counts,
+        "q_session_paths": q_session_paths,
+        "q_rrf_fusion": q_rrf_fusion,
+        "q_zonal_stats": q_zonal_stats,
+        "q_exif_geotags": q_exif_geotags,
+        "q_bloom_semi_join": q_bloom_semi_join,
+        "q_rfm_segments": q_rfm_segments,
+        "q_longest_streaks": q_longest_streaks,
+        "q_basket_rules": q_basket_rules,
+        "q_key_skew_profile": q_key_skew_profile,
+        "q_convex_hull": q_convex_hull,
+        "q_vocab_growth": q_vocab_growth,
+        "q_calibration_bins": q_calibration_bins,
+        "q_quantile_normalize": q_quantile_normalize,
+        "q_dem_slope": q_dem_slope,
+        "q_mad_outliers": q_mad_outliers,
+        "q_kcore_hosts": q_kcore_hosts,
+        "q_flow_accumulation": q_flow_accumulation,
+        "q_hits_hosts": q_hits_hosts,
+        # -- positions 51-87: remaining never-checked SQL-oracle queries (round-5 window)
+        "q_cusum_changepoints": q_cusum_changepoints,
+        "q_skipgram_counts": q_skipgram_counts,
+        "q_containment_pairs": q_containment_pairs,
+        "q_anchor_tokens": q_anchor_tokens,
+        "q_clustering_coeff": q_clustering_coeff,
+        "q_sliding_distinct": q_sliding_distinct,
+        "q_similar_hosts": q_similar_hosts,
+        "q_watersheds": q_watersheds,
+        "q_interval_overlap": q_interval_overlap,
+        "q_region_labels": q_region_labels,
+        "q_sliding_median": q_sliding_median,
+        "q_zonemap_prune": q_zonemap_prune,
+        "q_profile_table": q_profile_table,
+        "q_mutual_nn": q_mutual_nn,
+        "q_phrase_search": q_phrase_search,
+        "q_two_hop": q_two_hop,
+        "q_dem_pyramid": q_dem_pyramid,
+        "q_hourly_anomalies": q_hourly_anomalies,
+        "q_unpivot": q_unpivot,
+        "q_trending_hosts": q_trending_hosts,
+        "q_interarrival": q_interarrival,
+        "q_cell_density": q_cell_density,
+        "q_jsonl_roundtrip": q_jsonl_roundtrip,
+        "q_schema_evolution": q_schema_evolution,
+        "q_merge_upsert": q_merge_upsert,
+        "q_bloom_index": q_bloom_index,
+        "q_pseudonymize": q_pseudonymize,
+        "q_distribution_drift": q_distribution_drift,
+        "q_cocitation": q_cocitation,
+        "q_winsorize": q_winsorize,
+        "q_ab_chisq": q_ab_chisq,
+        "q_daily_top_terms": q_daily_top_terms,
+        "q_contours": q_contours,
+        "q_frame_window": q_frame_window,
+        "q_user_entropy": q_user_entropy,
+        "q_vocab_overlap": q_vocab_overlap,
+        "q_user_trend": q_user_trend,
+        # -- never-checked rows-only queries (pytest/golden-pinned; no SQL residue yet)
+        "q_tile_viewsheds": q_tile_viewsheds,
+        "q_audio_neardup": q_audio_neardup,
+        "q_mst_forest": q_mst_forest,
+        "q_audio_dedup": q_audio_dedup,
+        "q_bpe_tokens": q_bpe_tokens,
+        "q_bpe_vocab": q_bpe_vocab,
+        "q_ann_pq_recall": q_ann_pq_recall,
+        "q_kmeans_clusters": q_kmeans_clusters,
+        "q_bloom_contamination": q_bloom_contamination,
+        "q_train_quality": q_train_quality,
+        "q_image_reencode": q_image_reencode,
+        "q_pca_project": q_pca_project,
+        "q_image_phash": q_image_phash,
+        "q_audio_spectrogram": q_audio_spectrogram,
+        # -- green driver rows in rounds 1-3 (rows+schema+hash or rows-only by nature)
         "q_contamination": q_contamination,
         "q_pii_redact": q_pii_redact,
         "q_unigram_lm": q_unigram_lm,
@@ -3534,21 +3643,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_curate_for_training": q_curate_for_training,
         "q_line_dedup": q_line_dedup,
         "q_stratified_sample": q_stratified_sample,
-        # q_orders_customer_left / q_s2_cap_join were added after the
-        # round-3 window filled; rotated in here (value-exact oracles,
-        # no prior driver row) in place of q_bpe_vocab / q_ann_pq_recall
-        # whose machinery stays window-covered by q_bpe_tokens /
-        # q_ann_topk_pq and whose rows-only checks are pytest-pinned.
         "q_orders_customer_left": q_orders_customer_left,
-        # new session-5 value-exact ops take window slots from four
-        # rows-only queries (q_kmeans_clusters, q_bloom_contamination,
-        # q_image_resize, q_audio_features — each family keeps another
-        # in-window representative and all four are pytest-pinned)
         "q_window_functions": q_window_functions,
         "q_semantic_dedup": q_semantic_dedup,
         "q_incremental_dedup": q_incremental_dedup,
         "q_rollup_agg": q_rollup_agg,
-        # -- new in round 3: model scoring + training, PQ ANN, ExactSubstr
         "q_substring_dedup": q_substring_dedup,
         "q_quality_score": q_quality_score,
         "q_pivot_lang_source": q_pivot_lang_source,
@@ -3565,7 +3664,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_weighted_sample": q_weighted_sample,
         "q_ann_topk_pq": q_ann_topk_pq,
         "q_s2_cap_join": q_s2_cap_join,
-        # -- round-2 unverified tail: multimodal + checkpoint
         "q_gopher_rules": q_gopher_rules,
         "q_budget_select": q_budget_select,
         "q_iqr_filter": q_iqr_filter,
@@ -3573,12 +3671,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_metadata": q_media_metadata,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_checkpoint_manifest": q_checkpoint_manifest,
-        # -- session-5/6 value-exact additions (driver-unseen)
         "q_orders_customer_full": q_orders_customer_full,
         "q_gopher_budget_curate": q_gopher_budget_curate,
         "q_topk_orders_per_cust": q_topk_orders_per_cust,
         "q_cube_agg": q_cube_agg,
-        # -- implementations changed in round 3: must stay verified
         "q_dedup_survivors": q_dedup_survivors,
         "q_embed_nn_pairs": q_embed_nn_pairs,
         "q_embed_lsh_pairs": q_embed_lsh_pairs,
@@ -3591,7 +3687,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "q_dup_components": q_dup_components,
-        # -- flagship-core geospatial set (40-50)
         "q_tile_counts": q_tile_counts,
         "q_bbox": q_bbox,
         "q_cell_ground_max": q_cell_ground_max,
@@ -3603,111 +3698,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_raster_lookup_rect": q_raster_lookup_rect,
         "q_knn_spatial": q_knn_spatial,
         "q_idw_interpolate": q_idw_interpolate,
-        # -- session-6 additions (value-exact; past the 50-window this
-        #    round, rotate in next)
-        "q_ranking_window": q_ranking_window,
-        "q_merge_intervals": q_merge_intervals,
-        "q_mode_per_user": q_mode_per_user,
-        "q_skyline_orders": q_skyline_orders,
-        "q_ed1_hosts": q_ed1_hosts,
-        "q_envelope_join": q_envelope_join,
-        "q_triangle_counts": q_triangle_counts,
-        "q_funnel_conversion": q_funnel_conversion,
-        "q_collocations": q_collocations,
-        "q_polygon_areas": q_polygon_areas,
-        "q_event_transitions": q_event_transitions,
-        "q_cohort_retention": q_cohort_retention,
-        "q_snap_roads": q_snap_roads,
-        "q_grid_clusters": q_grid_clusters,
-        "q_attribution": q_attribution,
-        "q_hex_counts": q_hex_counts,
-        "q_session_paths": q_session_paths,
-        "q_rrf_fusion": q_rrf_fusion,
-        "q_zonal_stats": q_zonal_stats,
-        "q_exif_geotags": q_exif_geotags,
-        "q_bloom_semi_join": q_bloom_semi_join,
-        "q_rfm_segments": q_rfm_segments,
-        # -- session-8 additions (value-exact; past the 50-window,
-        #    rotate in next round)
-        "q_bfs_hops": q_bfs_hops,
-        "q_sssp_hosts": q_sssp_hosts,
-        "q_scd2_intervals": q_scd2_intervals,
-        "q_longest_streaks": q_longest_streaks,
-        "q_basket_rules": q_basket_rules,
-        "q_key_skew_profile": q_key_skew_profile,
-        "q_resample_locf": q_resample_locf,
-        "q_geohash_counts": q_geohash_counts,
-        "q_geohash_rollup": q_geohash_rollup,
-        "q_convex_hull": q_convex_hull,
-        "q_vocab_growth": q_vocab_growth,
-        "q_pit_version_join": q_pit_version_join,
-        "q_tile_viewsheds": q_tile_viewsheds,
-        "q_calibration_bins": q_calibration_bins,
-        "q_quantile_normalize": q_quantile_normalize,
-        "q_dem_slope": q_dem_slope,
-        "q_mad_outliers": q_mad_outliers,
-        "q_kcore_hosts": q_kcore_hosts,
-        "q_flow_accumulation": q_flow_accumulation,
-        "q_resample_linear": q_resample_linear,
-        "q_hits_hosts": q_hits_hosts,
-        "q_cusum_changepoints": q_cusum_changepoints,
-        "q_skipgram_counts": q_skipgram_counts,
-        "q_containment_pairs": q_containment_pairs,
-        "q_anchor_tokens": q_anchor_tokens,
-        "q_clustering_coeff": q_clustering_coeff,
-        "q_morans_i": q_morans_i,
-        "q_sliding_distinct": q_sliding_distinct,
-        "q_similar_hosts": q_similar_hosts,
-        "q_watersheds": q_watersheds,
-        "q_interval_overlap": q_interval_overlap,
-        "q_audio_neardup": q_audio_neardup,
-        "q_region_labels": q_region_labels,
-        "q_sliding_median": q_sliding_median,
-        "q_zonemap_prune": q_zonemap_prune,
-        "q_late_events": q_late_events,
-        "q_profile_table": q_profile_table,
-        "q_mutual_nn": q_mutual_nn,
-        "q_phrase_search": q_phrase_search,
-        "q_two_hop": q_two_hop,
-        "q_dem_pyramid": q_dem_pyramid,
-        "q_hourly_anomalies": q_hourly_anomalies,
-        "q_tpch_q1": q_tpch_q1,
-        "q_unpivot": q_unpivot,
-        "q_mst_forest": q_mst_forest,
-        "q_props_stats": q_props_stats,
-        "q_trending_hosts": q_trending_hosts,
-        "q_interarrival": q_interarrival,
-        "q_cell_density": q_cell_density,
-        "q_total_sort": q_total_sort,
-        "q_jsonl_roundtrip": q_jsonl_roundtrip,
-        "q_schema_evolution": q_schema_evolution,
-        "q_quarantine": q_quarantine,
-        "q_merge_upsert": q_merge_upsert,
-        "q_bloom_index": q_bloom_index,
-        "q_pseudonymize": q_pseudonymize,
-        "q_negative_samples": q_negative_samples,
-        "q_distribution_drift": q_distribution_drift,
-        "q_cocitation": q_cocitation,
-        "q_winsorize": q_winsorize,
-        "q_ab_chisq": q_ab_chisq,
-        "q_daily_top_terms": q_daily_top_terms,
-        "q_contours": q_contours,
-        "q_frame_window": q_frame_window,
-        "q_user_entropy": q_user_entropy,
-        "q_vocab_overlap": q_vocab_overlap,
-        "q_user_trend": q_user_trend,
-        "q_tpch_q5": q_tpch_q5,
-        # -- rows-only queries rotated out of the 50-window in session 6
-        #    to admit the four value-exact additions above; every code
-        #    path stays pytest-pinned (codec round trips, brute-force
-        #    BPE reference) and q_image_dedup keeps the multimodal
-        #    decode surface inside the window
         "q_image_features": q_image_features,
         "q_frame_sample": q_frame_sample,
-        "q_audio_dedup": q_audio_dedup,
-        "q_bpe_tokens": q_bpe_tokens,
-        # -- past the 50-window: unchanged since round 2, all green in
-        #    CORRECTNESS_r02.json (rows+schema+hash or rows-only by nature)
         "q_tile_counts_3km": q_tile_counts_3km,
         "q_cell_top1_class35": q_cell_top1_class35,
         "q_sliding_windows": q_sliding_windows,
@@ -3719,17 +3711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_neighborhood_peaks": q_neighborhood_peaks,
         "q_orders_customer_join": q_orders_customer_join,
         "q_customer_nation_broadcast": q_customer_nation_broadcast,
-        "q_bpe_vocab": q_bpe_vocab,
-        "q_ann_pq_recall": q_ann_pq_recall,
-        "q_kmeans_clusters": q_kmeans_clusters,
-        "q_bloom_contamination": q_bloom_contamination,
         "q_image_resize": q_image_resize,
         "q_audio_features": q_audio_features,
-        "q_train_quality": q_train_quality,
-        "q_image_reencode": q_image_reencode,
-        "q_pca_project": q_pca_project,
-        "q_image_phash": q_image_phash,
-        "q_audio_spectrogram": q_audio_spectrogram,
         "q_lineitem_agg": q_lineitem_agg,
         "q_topk_orders": q_topk_orders,
         "q_hll_distinct": q_hll_distinct,
@@ -4402,7 +4385,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY 1"
         ),
-        "q_negative_samples": _negsql(500),
+        # no n_docs arg -> the oracle derives it from count(*), so it
+        # matches the Ray query's parquet-derived n at ANY scale factor
+        "q_negative_samples": _negsql(),
         "q_distribution_drift": _drift_sql(),
         "q_cocitation": _cocite_sql(),
         "q_winsorize": _wz_sql(

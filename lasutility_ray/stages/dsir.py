@@ -293,14 +293,20 @@ def negative_samples(docs_ds, n_docs: int, k: int = NEG_K):
     return docs_ds.map_batches(sample, batch_format="pyarrow")
 
 
-def negative_samples_sql(n_docs: int, k: int = NEG_K,
+def negative_samples_sql(n_docs: int | None = None, k: int = NEG_K,
                          source: str = "documents") -> str:
     """DuckDB mirror of :func:`negative_samples` (HUGEINT carries the
     full-width product; the engine's mod-reduced multiplier is
-    congruent)."""
+    congruent for ANY modulus, so the default derives n_docs from the
+    table itself — scale-factor independent)."""
+    n_expr = (
+        str(n_docs)
+        if n_docs is not None
+        else f"(SELECT count(*) FROM {source})"
+    )
     return (
         f"WITH ns_c AS (SELECT doc_id, "
-        f"(CAST(doc_id AS HUGEINT) * {NEG_MIX} + j) % {n_docs} AS neg_id, j "
+        f"(CAST(doc_id AS HUGEINT) * {NEG_MIX} + j) % {n_expr} AS neg_id, j "
         f"FROM {source}, unnest(range(1, {k + 2})) t(j)), "
         "ns_r AS (SELECT doc_id, CAST(neg_id AS BIGINT) AS neg_id, "
         "row_number() OVER (PARTITION BY doc_id ORDER BY j) - 1 AS slot "

@@ -222,6 +222,10 @@ def props_stats(events_ds):
     )
 
     def tag(t: pa.Table) -> pa.Table:
+        # null k (props with no digit) must be skipped, matching the
+        # SQL mirror's count(DISTINCT k) null semantics — and a null
+        # would raise in the uint64 cast anyway.
+        t = t.filter(pc.is_valid(t.column("k")))
         k = t.column("k").to_numpy().astype(np.uint64)
         et = np.asarray(
             t.column("event_type").to_numpy(zero_copy_only=False), dtype=object

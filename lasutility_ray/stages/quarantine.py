@@ -15,6 +15,7 @@ exactly the poison rows."""
 
 from __future__ import annotations
 
+import hashlib
 import os
 import uuid
 
@@ -27,8 +28,16 @@ def _publish_quarantine(rows: pa.Table, path: str, err: str) -> None:
     out = rows.append_column(
         "__error", pa.array([err[:500]] * rows.num_rows, pa.string())
     )
-    name = os.path.join(path, f"poison-{uuid.uuid4().hex}.parquet")
-    tmp = name + ".tmp"
+    # part name is a pure function of the poison row content + error,
+    # so a Ray task retry / speculative re-execution REPUBLISHES the
+    # same file (os.replace overwrite) instead of duplicating the row.
+    h = hashlib.blake2b(digest_size=16)
+    h.update(err[:500].encode("utf-8", "replace"))
+    for name_ in rows.schema.names:
+        h.update(name_.encode())
+        h.update(repr(rows.column(name_).to_pylist()).encode("utf-8", "replace"))
+    name = os.path.join(path, f"poison-{h.hexdigest()}.parquet")
+    tmp = f"{name}.{uuid.uuid4().hex}.tmp"
     pq.write_table(out, tmp)
     os.replace(tmp, name)
 

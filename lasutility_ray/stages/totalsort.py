@@ -32,6 +32,15 @@ def total_sort_ranks(docs_ds, sample_n: int = 4096):
     def keyed(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy()
         c = t.column("n_chars").to_numpy()
+        # the fused key is only a total order when both components fit
+        # their bit fields: (MAXC - n_chars) needs n_chars >= 1 to stay
+        # below 2^31 (n_chars == 0 would overflow int64 after the
+        # shift) and doc_id needs < 2^32 to not bleed into the
+        # n_chars field. Refuse loudly instead of mis-ranking.
+        if len(c) and (c.min() < 1 or c.max() >= MAXC):
+            raise ValueError("total_sort_ranks: n_chars outside [1, 2^31)")
+        if len(d) and (d.min() < 0 or d.max() >= (1 << 32)):
+            raise ValueError("total_sort_ranks: doc_id outside [0, 2^32)")
         key = (MAXC - c.astype(np.int64)) * (np.int64(1) << 32) + d
         return pa.table(
             {

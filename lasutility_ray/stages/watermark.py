@@ -48,7 +48,14 @@ def late_events(events_ds, lateness_us: int = LATENESS_US):
             .astype("datetime64[us]")
             .astype(np.int64)
         )
-        arr = (eid * ARR_MUL) % ARR_MOD
+        # uint64 product mod 2^32 == the full-width product mod 2^32
+        # (2^32 | 2^64), so this never wraps wrong for any int64 id;
+        # the SQL mirror carries the product in HUGEINT for the same
+        # congruence.
+        arr = (
+            (eid.astype(np.uint64) * np.uint64(ARR_MUL))
+            & np.uint64(ARR_MOD - 1)
+        ).astype(np.int64)
         return pa.table(
             {
                 "event_id": pa.array(eid, pa.int64()),
@@ -98,7 +105,7 @@ def late_events_sql(
     return (
         "WITH wm_w AS (SELECT event_id, epoch_us(ts) AS us, "
         "max(epoch_us(ts)) OVER ("
-        f"ORDER BY (event_id * {ARR_MUL}) % {ARR_MOD}, event_id "
+        f"ORDER BY (CAST(event_id AS HUGEINT) * {ARR_MUL}) % {ARR_MOD}, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm "
         f"FROM {source}) "
         "SELECT event_id, wm - us AS lag_us FROM wm_w "
