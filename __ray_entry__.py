@@ -2342,7 +2342,17 @@ def q_ann_topk_pq(sf_dir: str):
 
 
 def q_ann_pq_recall(sf_dir: str):
-    """PQ+re-rank recall vs the brute-force ground truth (one row)."""
+    """PQ+re-rank recall vs the brute-force ground truth (one row).
+
+    Carries a hash-checked oracle: the SQL side computes n_truth from
+    the exact top-k CTE and asserts full recall (n_hit == n_truth,
+    recall 1.0). That prediction is MEASURED fixture behavior (the
+    q_ab_chisq precedent), not an assumption: with the default
+    refine_factor=96 shortlist the ADC+R path recovers the exact
+    top-5 at sf0.001, sf0.01 and sf0.1 deterministically (codebooks
+    train on an id-range head sample — no RNG, no partitioning
+    sensitivity). If a regression ever drops a true neighbor from
+    the shortlist, this row fails loudly."""
     import pandas as pd
 
     import ray.data as rd
@@ -3226,6 +3236,108 @@ def q_checkpoint_manifest(sf_dir: str):
     return manifest.select(["key", "n_rows", "n_points", "n_triangles"])
 
 
+def q_manifest_counts(sf_dir: str):
+    """The SQL-expressible residue of q_checkpoint_manifest (the
+    q_tin_tile_counts pattern): the per-tile point/ground counters
+    carried by the CHECKPOINTED + RESUMED manifest, value-checked
+    against a plain GROUP BY oracle. Proves the atomic-commit +
+    resume path preserves per-partition lineage counters exactly
+    (wall_s / content_hash / n_triangles stay rows-only in
+    q_checkpoint_manifest)."""
+    import hashlib as _hl
+    import shutil
+
+    from lasutility_ray.state import resumable_tin_tiles
+
+    out_dir = f"/tmp/ckpt_counts_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    pts = _points(sf_dir)
+    resumable_tin_tiles(pts, out_dir)
+    manifest = resumable_tin_tiles(pts, out_dir)  # resume: no recompute
+    return manifest.select(["key", "n_points", "n_ground"])
+
+
+def q_cdc_coverage(sf_dir: str):
+    """The SQL-expressible residue of q_cdc_dedup: CDC chunks must
+    TILE each document exactly — per doc, the chunk lengths sum to
+    the payload byte length (Gear boundaries move bytes between
+    chunks, never create or drop them). The oracle recomputes the
+    payload length from the documents table, so a chunker that
+    dropped, duplicated or mis-sliced a single byte hash-mismatches.
+    Boundary positions themselves stay rows-only in q_cdc_dedup
+    (pinned by the byte-at-a-time reference in tests/test_cdc.py)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from lasutility_ray.corpus.pages import pages_from_documents
+    from lasutility_ray.stages.cdc import cdc_chunks
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pages = docs.map_batches(pages_from_documents, batch_format="pyarrow")
+    chunks = cdc_chunks(pages, col="html", min_size=32, avg_bits=6, max_size=512)
+    return (
+        chunks.groupby("doc_id")
+        .aggregate(Sum("length", alias_name="n_bytes"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "n_bytes": t.column("n_bytes").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_image_dup_groups(sf_dir: str):
+    """The SQL-expressible residue of q_image_dedup: the duplicate
+    GROUP STRUCTURE (keeper id + copy count) is fully determined by
+    the corpus construction — doc d%10==9 carries its predecessor's
+    pixels re-encoded as PNG (d%20==9) or lossless WebP (d%20==19) —
+    so a plain doc_id-arithmetic GROUP BY predicts it. Equality is a
+    real check of the decode path: if the PNG or VP8L decoder (or the
+    canonical-pixel hash) mis-decoded one payload, a group would
+    split or merge and the hash would differ. The pixel_hash column
+    stays rows-only in q_image_dedup."""
+    return q_image_dedup(sf_dir).select_columns(["keep_id", "n_copies"])
+
+
+def q_semdedup_isolated(sf_dir: str):
+    """The SQL-expressible residue of q_semantic_dedup (soundness):
+    a vector with NO corpus partner at cosine >= threshold can never
+    be dropped by SemDeDup (every drop requires an over-threshold
+    cluster-mate, and clusters are subsets of the corpus) — so the
+    isolated set must survive verbatim, for ANY cluster partition.
+    The Ray side derives the result THROUGH the semantic_dedup run
+    (isolated ∩ kept); the oracle computes the isolated set directly,
+    so a SemDeDup that wrongly dropped an isolated vector is missing
+    a row. The cluster-dependent pruning choices stay rows-only in
+    q_semantic_dedup. The exact all-pairs step is the labeled oracle
+    baseline (embedding_nn_pairs), driver-scale only."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.dedup import embedding_nn_pairs
+    from lasutility_ray.stages.similarity import semantic_dedup
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sem = semantic_dedup(emb, 8, threshold=0.45).to_pandas()
+    pairs = embedding_nn_pairs(emb, threshold=0.45).to_pandas()
+    paired = set(pairs["a"]) | set(pairs["b"])
+    kept = set(sem.loc[sem["is_kept"], "vec_id"])
+    all_ids = set(sem["vec_id"])
+    isolated_kept = sorted((all_ids - paired) & kept)
+    return pd.DataFrame({"vec_id": pd.array(isolated_kept, dtype="int64")})
+
+
 def q_image_resize(sf_dir: str):
     """Multimodal resize stage (actor pool over binary image
     column)."""
@@ -3572,7 +3684,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kcore_hosts": q_kcore_hosts,
         "q_flow_accumulation": q_flow_accumulation,
         "q_hits_hosts": q_hits_hosts,
-        # -- positions 51-87: remaining never-checked SQL-oracle queries (round-5 window)
+        # -- positions 51+: remaining never-checked SQL-oracle queries (round-5 window)
+        # round-4 residue queries: SQL-expressible carve-outs of the
+        # five queries that burned driver slots as no_oracle rows
+        # (VERDICT r3 #2; the q_tin_tile_counts pattern)
+        "q_manifest_counts": q_manifest_counts,
+        "q_cdc_coverage": q_cdc_coverage,
+        "q_image_dup_groups": q_image_dup_groups,
+        "q_semdedup_isolated": q_semdedup_isolated,
         "q_cusum_changepoints": q_cusum_changepoints,
         "q_skipgram_counts": q_skipgram_counts,
         "q_containment_pairs": q_containment_pairs,
@@ -4610,6 +4729,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tile_id, count(*) AS n_points, "
             "CAST(sum(CASE WHEN is_ground THEN 1 ELSE 0 END) AS BIGINT) "
             "AS n_ground FROM tiled GROUP BY tile_id"
+        ),
+        # -- round-4 residues of formerly rows-only queries
+        "q_manifest_counts": (
+            f"WITH {pts}, {tiled} "
+            "SELECT tile_id AS key, count(*) AS n_points, "
+            "CAST(sum(CASE WHEN is_ground THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_ground FROM tiled GROUP BY tile_id"
+        ),
+        "q_cdc_coverage": (
+            # CDC chunks tile each page payload exactly; the payload
+            # is the utf-8 html construction from corpus/pages.py
+            "SELECT doc_id, CAST(octet_length(encode("
+            f"'{HTML_PREFIX}' || text || '{HTML_SUFFIX}')) AS BIGINT) "
+            "AS n_bytes FROM documents"
+        ),
+        "q_image_dup_groups": (
+            # duplicate groups are doc_id arithmetic by construction:
+            # d%10==9 carries d-1's pixels in a different container
+            "SELECT min(doc_id) AS keep_id, "
+            "CAST(count(*) AS BIGINT) AS n_copies FROM documents "
+            "GROUP BY doc_id - CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END"
+        ),
+        "q_semdedup_isolated": (
+            # vectors with no >=0.45 corpus partner must survive
+            # SemDeDup for ANY cluster partition (soundness residue)
+            "WITH prs AS (SELECT a.vec_id AS u, b.vec_id AS v "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.45), "
+            "tied AS (SELECT u FROM prs UNION SELECT v FROM prs) "
+            "SELECT vec_id FROM embeddings "
+            "WHERE vec_id NOT IN (SELECT u FROM tied)"
+        ),
+        "q_ann_pq_recall": (
+            # full recall is MEASURED deterministic fixture behavior
+            # at refine_factor=96 (see the query docstring); n_truth
+            # comes from the exact top-k CTE
+            "WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings ORDER BY vec_id LIMIT 10), "
+            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS cosine "
+            "FROM qs q JOIN embeddings e ON e.vec_id <> q.query_id), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cosine DESC, neighbor_id) AS rank FROM scored) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_truth, "
+            "CAST(count(*) AS BIGINT) AS n_hit, "
+            "CAST(1.0 AS DOUBLE) AS recall_at_5 FROM ranked WHERE rank <= 5"
         ),
         "q_raster_lookup_rect": (
             # rect fill covers rows (y0, y1] x cols [x0, x1) of the 1 m
