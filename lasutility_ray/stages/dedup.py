@@ -142,6 +142,114 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     return _shingle_hashes_words(_word_hashes(text.split()), k)
 
 
+def _word_hashes_flat(words: pa.Array) -> np.ndarray:
+    """Batch-level sibling of :func:`_word_hashes` over a FLAT Arrow
+    string array: the padded-first-16-bytes polynomial hash is
+    computed straight off the Arrow offsets/data buffers with one
+    (n, 16) gather — no per-word Python encode loop. Bit-identical
+    to the per-word path (pinned in tests)."""
+    import pyarrow.compute as pc
+
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n = len(words)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    # char lengths BEFORE touching bytes (the hash mixes len(w))
+    lens = pc.utf8_length(words).to_numpy().astype(np.uint64)
+    bufs = words.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32)[
+        words.offset : words.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    starts = offsets[:-1]
+    blen = np.minimum(np.diff(offsets), _WORD_W)
+    j = np.arange(_WORD_W, dtype=np.int64)
+    idx = np.minimum(starts[:, None] + j[None, :], len(data) - 1)
+    mat = data[idx] * (j[None, :] < blen[:, None])
+    h = (mat.astype(np.uint64) * _POW16[None, :]).sum(axis=1)
+    h = (h ^ (lens * _MIX2)) * _MIX1
+    return h ^ (h >> np.uint64(29))
+
+
+def _shingle_hashes_batch(
+    texts, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-batch shingle kernel: texts -> (flat uint64 shingle
+    hashes, per-doc shingle counts), each doc's slice bit-identical
+    to ``_shingle_hashes(text)`` — word split via Python str.split()
+    semantics, word hashing and k-windows fully vectorized over the
+    flat word array (the ``_split_words`` shape; no per-doc Python
+    iteration). The k-window pass runs ONCE over the concatenated
+    hashes and cross-doc windows are masked out by offsets."""
+    from itertools import chain
+
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = texts.to_pylist()
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    toks = [t.split() for t in texts]
+    counts = np.fromiter((len(w) for w in toks), dtype=np.int64, count=n_docs)
+    flat_words = pa.array(chain.from_iterable(toks), type=pa.string())
+    hw = _word_hashes_flat(flat_words)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    # every doc yields max(1, n-k+1) shingles (the _shingle_hashes_words
+    # contract: empty and short docs fold to a single value)
+    sh_counts = np.maximum(counts - k + 1, 1)
+    out = np.zeros(int(sh_counts.sum()), dtype=np.uint64)
+    out_starts = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(sh_counts[:-1], out=out_starts[1:])
+    total = len(hw)
+    # main path: full k-windows over the flat array, gathered per doc
+    if total >= k:
+        acc = np.zeros(total - k + 1, dtype=np.uint64)
+        for jj in range(k):
+            acc += hw[jj : total - k + 1 + jj] * _SH_C[jj]
+        acc >>= np.uint64(32)
+        long_mask = counts >= k
+        if long_mask.any():
+            nw = (counts - k + 1)[long_mask]
+            src0 = starts[long_mask]
+            dst0 = out_starts[long_mask]
+            pos = np.arange(int(nw.sum()), dtype=np.int64)
+            seg = np.repeat(np.arange(len(nw), dtype=np.int64), nw)
+            seg_starts = np.zeros(len(nw), dtype=np.int64)
+            np.cumsum(nw[:-1], out=seg_starts[1:])
+            within = pos - seg_starts[seg]
+            out[dst0[seg] + within] = acc[src0[seg] + within]
+    # short docs: 0 < n < k folds (hw*_SH_C[:n]).sum() >> 32; n == 0 -> 0
+    for nshort in range(1, k):
+        m = counts == nshort
+        if not m.any():
+            continue
+        s0 = starts[m]
+        v = np.zeros(int(m.sum()), dtype=np.uint64)
+        for jj in range(nshort):
+            v += hw[s0 + jj] * _SH_C[jj]
+        out[out_starts[m]] = v >> np.uint64(32)
+    return out, sh_counts
+
+
+def _shingle_sets_batch(
+    texts, k: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc SORTED-UNIQUE shingle sets as (flat values, per-doc
+    counts) — the batch-level form of ``np.unique(_shingle_hashes(t))``
+    per doc, deduped with one lexsort over the whole batch."""
+    flat, cnt = _shingle_hashes_batch(texts, k)
+    if len(flat) == 0:
+        return flat, cnt
+    doc_idx = np.repeat(np.arange(len(cnt), dtype=np.int64), cnt)
+    order = np.lexsort((flat, doc_idx))
+    fs = flat[order]
+    ds = doc_idx[order]
+    keep = np.ones(len(fs), dtype=bool)
+    keep[1:] = (fs[1:] != fs[:-1]) | (ds[1:] != ds[:-1])
+    return fs[keep], np.bincount(ds[keep], minlength=len(cnt)).astype(np.int64)
+
+
 def minhash_signature(text: str) -> np.ndarray:
     """64 min-hash values via universal hashing (a*x+b mod 2^61-1);
     x < 2^32 and a < 2^31 keep every product inside uint64."""
@@ -163,9 +271,7 @@ def _signatures_batch(texts: list[str], chunk_docs: int = 512) -> np.ndarray:
     out = np.empty((len(texts), N_PERM), dtype=np.uint64)
     for lo in range(0, len(texts), chunk_docs):
         part = texts[lo : lo + chunk_docs]
-        sh_list = [_shingle_hashes(t) for t in part]
-        counts = np.array([len(s) for s in sh_list], dtype=np.int64)
-        flat = np.concatenate(sh_list)
+        flat, counts = _shingle_hashes_batch(part)
         vals = (flat[:, None] * _PERM_A[None, :] + _PERM_B[None, :]) % MERSENNE
         starts = np.zeros(len(part), dtype=np.int64)
         np.cumsum(counts[:-1], out=starts[1:])
@@ -327,7 +433,10 @@ def _shingle_set_rows(ds, id_col: str, text_col: str):
 
     def sigs(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
-        sh = [np.unique(_shingle_hashes(t)).tobytes() for t in texts]
+        flat, cnt = _shingle_sets_batch(texts)
+        st = np.zeros(len(cnt), dtype=np.int64)
+        np.cumsum(cnt[:-1], out=st[1:])
+        sh = [flat[s : s + c].tobytes() for s, c in zip(st, cnt)]
         # binary, not list<uint64>: Acero hash joins reject list-typed
         # payload columns
         return pa.table(
@@ -622,11 +731,7 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     sample_texts = (
         ds.limit(freq_sample_docs).select_columns([text_col]).to_pandas()[text_col]
     )
-    all_sh = (
-        np.concatenate([np.unique(_shingle_hashes(t)) for t in sample_texts])
-        if len(sample_texts)
-        else np.empty(0, np.uint64)
-    )
+    all_sh, _ = _shingle_sets_batch(sample_texts.tolist())
     f_sh, f_df = np.unique(all_sh, return_counts=True)
     keep_f = f_df >= 2  # singletons carry no ordering signal
     freq_ref = ray.put((f_sh[keep_f], f_df[keep_f]))
@@ -639,11 +744,14 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         f_sh_b, f_df_b = ray.get(freq_ref)
         ids = batch.column(id_col).to_numpy()
         texts = batch.column(text_col).to_pylist()
+        flat_b, cnt_b = _shingle_sets_batch(texts)
+        st_b = np.zeros(len(cnt_b), dtype=np.int64)
+        np.cumsum(cnt_b[:-1], out=st_b[1:])
         out_sh: list = []
         out_id: list = []
         out_n: list = []
-        for i, t in enumerate(texts):
-            sh = np.unique(_shingle_hashes(t))
+        for i in range(len(texts)):
+            sh = flat_b[st_b[i] : st_b[i] + cnt_b[i]]
             if len(f_sh_b):
                 pos = np.minimum(np.searchsorted(f_sh_b, sh), len(f_sh_b) - 1)
                 df = np.where(f_sh_b[pos] == sh, f_df_b[pos], 0)
@@ -729,11 +837,7 @@ def containment_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     sample_texts = (
         ds.limit(freq_sample_docs).select_columns([text_col]).to_pandas()[text_col]
     )
-    all_sh = (
-        np.concatenate([np.unique(_shingle_hashes(t)) for t in sample_texts])
-        if len(sample_texts)
-        else np.empty(0, np.uint64)
-    )
+    all_sh, _ = _shingle_sets_batch(sample_texts.tolist())
     f_sh, f_df = np.unique(all_sh, return_counts=True)
     keep_f = f_df >= 2
     freq_ref = ray.put((f_sh[keep_f], f_df[keep_f]))
@@ -748,11 +852,14 @@ def containment_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         f_sh_b, f_df_b = ray.get(freq_ref)
         ids = batch.column(id_col).to_numpy()
         texts = batch.column(text_col).to_pylist()
+        flat_b, cnt_b = _shingle_sets_batch(texts)
+        st_b = np.zeros(len(cnt_b), dtype=np.int64)
+        np.cumsum(cnt_b[:-1], out=st_b[1:])
         out_sh: list = []
         out_id: list = []
         out_role: list = []
-        for i, t in enumerate(texts):
-            sh = np.unique(_shingle_hashes(t))
+        for i in range(len(texts)):
+            sh = flat_b[st_b[i] : st_b[i] + cnt_b[i]]
             n_sh_i = len(sh)
             if not n_sh_i:
                 continue

@@ -98,6 +98,76 @@ def test_mutual_nn_ivf_narrow_probe_still_sound(ray_session):
     assert out["a"].is_unique and out["b"].is_unique
 
 
+def test_batch_shingle_kernel_bit_identical():
+    """The flat batch shingle kernel (no per-doc Python iteration)
+    must reproduce the per-doc reference bit-for-bit, including the
+    empty/short-doc folds, unicode, 16-byte prefix truncation and
+    whitespace-split semantics."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lasutility_ray.stages.dedup import (
+        _shingle_hashes,
+        _shingle_hashes_batch,
+        _shingle_sets_batch,
+    )
+
+    texts = [
+        "",
+        "one",
+        "two words",
+        "a b c d e",
+        "tab\tsep\nnewline",
+        "héllo wörld ünïcode",
+        "x" * 40 + " " + "y" * 3,
+        "  leading and trailing  ",
+        "emoji \U0001f389 mix \U0001f38a done",
+        "sixteenbytesplusmore exactly16bytes!!",
+    ]
+    texts += (
+        pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()[:100]
+    )
+    flat, cnt = _shingle_hashes_batch(texts)
+    starts = np.zeros(len(cnt), np.int64)
+    np.cumsum(cnt[:-1], out=starts[1:])
+    for i, tx in enumerate(texts):
+        assert np.array_equal(
+            _shingle_hashes(tx), flat[starts[i] : starts[i] + cnt[i]]
+        )
+    fu, cu = _shingle_sets_batch(texts)
+    su = np.zeros(len(cu), np.int64)
+    np.cumsum(cu[:-1], out=su[1:])
+    for i, tx in enumerate(texts):
+        assert np.array_equal(
+            np.unique(_shingle_hashes(tx)), fu[su[i] : su[i] + cu[i]]
+        )
+
+
+def test_similar_hosts_fast_path_equal(ray_session):
+    """The one-task fast path (vocab table under fast_limit) is
+    pinned identical to the forced-distributed bucketed path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lasutility_ray.corpus.pages import pages_from_documents
+    from lasutility_ray.stages.hostsim import similar_hosts
+
+    docs = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pages = docs.map_batches(
+        pages_from_documents, batch_format="pyarrow"
+    ).materialize()
+    fast = similar_hosts(pages).to_pandas()
+    dist = similar_hosts(pages, force_distributed=True).to_pandas()
+    canon = lambda d: d.sort_values(["host_a", "host_b"]).reset_index(drop=True)
+    assert len(fast) == len(dist)
+    if len(fast):
+        pd.testing.assert_frame_equal(canon(fast), canon(dist))
+
+
 def test_pq_full_recall_is_measured_not_assumed(ray_session):
     """The q_ann_pq_recall oracle hard-asserts recall 1.0; pin the
     measured behavior the assertion rests on at a second scale."""
