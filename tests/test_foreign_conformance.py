@@ -431,3 +431,40 @@ def test_fuzz_audio_decoders_truncation_and_bitflips():
                 fn(mut)
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_progressive_jpeg_foreign_streams():
+    """FOREIGN progressive (SOF2) streams: the two white-stripe
+    images shipped with the nodejs documentation (MIT-licensed doc
+    assets, copied from /usr/share/doc/nodejs/ — the only SOF2
+    streams in the sandbox; no baseline-JPEG sibling of the same
+    image exists, so content invariants + a decode-regression pin
+    stand in for a pixel diff):
+
+    - dimensions must match the SOF header exactly,
+    - the content is a white stripe on white: the decoded image must
+      be white-dominant (a broken successive-approximation or
+      spectral-selection pass scrambles AC refinement and destroys
+      this), with all three channels near-equal in the white region,
+    - the full decode is pinned by hash against this decoder's output
+      at fixture-creation time (regression pin: any future change to
+      the progressive path that alters one pixel fails loudly)."""
+    import hashlib
+
+    from lasutility_ray.geom.jpeg import decode_jpeg
+
+    pins = {
+        "thin-white-stripe.jpg": (
+            (58, 493, 3), "d7aa174819b83b65669174931574910b", 0.80
+        ),
+        "full-white-stripe.jpg": (
+            (312, 493, 3), "85b122593b02b705b60a049d13266fd9", 0.95
+        ),
+    }
+    for name, (shape, md5, min_white) in pins.items():
+        a = np.asarray(decode_jpeg(_load(name)))
+        assert a.shape == shape
+        assert float((a >= 250).mean()) >= min_white
+        white = a[(a >= 250).all(axis=2)]
+        assert len(white) > 0 and np.ptp(white, axis=1).max() <= 5
+        assert hashlib.md5(a.tobytes()).hexdigest() == md5
