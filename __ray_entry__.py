@@ -3505,6 +3505,16 @@ def q_audio_dedup(sf_dir: str):
     return audio_dedup(with_audio.map_batches(inject, batch_format="pyarrow"))
 
 
+def q_audio_dup_groups(sf_dir: str):
+    """The SQL-expressible residue of q_audio_dedup (the
+    q_image_dup_groups pattern): duplicate group structure (keeper +
+    copy count) is doc_id arithmetic by construction — d%10==9
+    carries d-1's PCM wrapped as RIFF/WAV — so equality vs the
+    GROUP BY oracle is a real check of the WAV decode + canonical-PCM
+    hash path."""
+    return q_audio_dedup(sf_dir).select_columns(["keep_id", "n_copies"])
+
+
 def q_media_metadata(sf_dir: str):
     """Container-level media profiling WITHOUT payload decode: each
     doc carries a real MP4 (ISO-BMFF sample tables, geom/mp4.py), MP3
@@ -3725,6 +3735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_image_dup_groups": q_image_dup_groups,
         "q_semdedup_isolated": q_semdedup_isolated,
         "q_mutual_nn_recall": q_mutual_nn_recall,
+        "q_audio_dup_groups": q_audio_dup_groups,
         "q_cusum_changepoints": q_cusum_changepoints,
         "q_skipgram_counts": q_skipgram_counts,
         "q_containment_pairs": q_containment_pairs,
@@ -4788,6 +4799,13 @@ def oracle_sql() -> dict[str, str]:
         "q_image_dup_groups": (
             # duplicate groups are doc_id arithmetic by construction:
             # d%10==9 carries d-1's pixels in a different container
+            "SELECT min(doc_id) AS keep_id, "
+            "CAST(count(*) AS BIGINT) AS n_copies FROM documents "
+            "GROUP BY doc_id - CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END"
+        ),
+        "q_audio_dup_groups": (
+            # same construction arithmetic on the audio side (d%10==9
+            # carries d-1's PCM wrapped as RIFF/WAV)
             "SELECT min(doc_id) AS keep_id, "
             "CAST(count(*) AS BIGINT) AS n_copies FROM documents "
             "GROUP BY doc_id - CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END"

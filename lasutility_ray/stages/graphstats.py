@@ -146,7 +146,25 @@ def clustering_sql(src: str = "documents") -> str:
     )
 
 
-def two_hop_sizes(docs_ds):
+def _two_hop_local(edges_df: pd.DataFrame) -> pd.DataFrame:
+    """Whole 2-hop reach in one process on the symmetric edge frame
+    (friends-of-friends merge + distinct + size) — the graph.py
+    one-task fast-path shape, pinned equal to the distributed chain."""
+    hop2 = edges_df.merge(
+        edges_df.rename(columns={"src": "dst", "dst": "dst2"}), on="dst"
+    )[["src", "dst2"]].rename(columns={"dst2": "dst"})
+    both = pd.concat([edges_df, hop2], ignore_index=True)
+    both = both[both["src"] != both["dst"]].drop_duplicates(["src", "dst"])
+    out = both.groupby("src", sort=False).size().reset_index(name="n_reach2")
+    return pd.DataFrame(
+        {
+            "host_id": out["src"].astype(np.int64),
+            "n_reach2": out["n_reach2"].astype(np.int64),
+        }
+    )
+
+
+def two_hop_sizes(docs_ds, local_edge_limit: int | None = None):
     """Per-host 2-hop neighborhood size: |{nodes reachable in <= 2
     undirected hops}| excluding the host itself — the local reach
     metric behind influence estimates and supernode detection.
@@ -157,9 +175,16 @@ def two_hop_sizes(docs_ds):
     neighbor degree, bounded by the degree cap of real host graphs —
     salt supernodes per stages/salting.py if not); the union of 1-hop
     and 2-hop rows collapses through a coarse-bucket distinct before
-    one single-key count. No multi-key aggregate anywhere."""
+    one single-key count. No multi-key aggregate anywhere. Below
+    ``local_edge_limit`` symmetric edges (graph.py
+    FAST_PATH_MAX_EDGES default) the whole chain runs in ONE task —
+    4 wide stages of fixed shuffle overhead on a bounded edge table
+    (pass 0 to force the distributed path; pinned equal)."""
     from .cogroup import default_n_buckets, lookup_join
-    from .graph import undirected_host_edges
+    from .graph import FAST_PATH_MAX_EDGES, undirected_host_edges
+
+    if local_edge_limit is None:
+        local_edge_limit = FAST_PATH_MAX_EDGES
 
     nb = default_n_buckets()
 
@@ -178,6 +203,10 @@ def two_hop_sizes(docs_ds):
         .map_batches(sym, batch_format="pyarrow")
         .materialize()
     )
+    if edges.count() <= local_edge_limit:
+        import ray.data as rd
+
+        return rd.from_pandas(_two_hop_local(edges.to_pandas()))
     hop2 = lookup_join(
         edges, edges, "dst", "src", {"dst": "dst2"}, multi=True
     )

@@ -18,6 +18,7 @@ RESIDUES = [
     "q_manifest_counts",
     "q_cdc_coverage",
     "q_image_dup_groups",
+    "q_audio_dup_groups",
     "q_semdedup_isolated",
     "q_ann_pq_recall",
 ]
@@ -176,3 +177,19 @@ def test_pq_full_recall_is_measured_not_assumed(ray_session):
     row = e.q_ann_pq_recall(SF)
     assert int(row["n_hit"].iloc[0]) == int(row["n_truth"].iloc[0])
     assert float(row["recall_at_5"].iloc[0]) == 1.0
+
+
+def test_two_hop_fast_path_equal(ray_session):
+    """The one-task 2-hop fast path is pinned identical to the
+    forced-distributed lookup_join chain."""
+    import pandas as pd
+    import ray.data as rd
+
+    from lasutility_ray.stages.graphstats import two_hop_sizes
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    fast = two_hop_sizes(docs).to_pandas()
+    dist = two_hop_sizes(docs, local_edge_limit=0).to_pandas()
+    canon = lambda d: d.sort_values("host_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(canon(fast), canon(dist))
+    assert len(fast) > 0
