@@ -772,8 +772,10 @@ def mutual_nn_ivf(
         )
     if n_lists is None:
         n_lists = max(8, int(np.ceil(n_total / 2048)))
-    n_probe = min(n_probe, n_lists)
     centroids = _train_centroids(ds, n_lists)
+    # a tiny corpus trains fewer centroids than requested (stride
+    # seeding caps k at the sample size) — probe width must follow
+    n_probe = min(n_probe, len(centroids))
     cref = ray.put(centroids)
 
     def fanout(batch: pa.Table) -> pa.Table:
