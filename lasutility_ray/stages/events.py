@@ -285,7 +285,11 @@ def props_stats(events_ds):
 
 def props_stats_sql(source: str = "events") -> str:
     """DuckDB mirror of :func:`props_stats` (same regex extraction)."""
-    k = "CAST(regexp_extract(props, '[0-9]+') AS BIGINT)"
+    # NULLIF: DuckDB regexp_extract yields '' (not NULL) on no match
+    # and CAST('' AS BIGINT) errors — digitless props must become
+    # NULL so sum/min/max/count(DISTINCT) skip them exactly like the
+    # engine's null-k drop (advisory fix parity)
+    k = "CAST(NULLIF(regexp_extract(props, '[0-9]+'), '') AS BIGINT)"
     return (
         f"SELECT event_type, CAST(count(*) AS BIGINT) AS n_events, "
         f"CAST(sum({k}) AS BIGINT) AS sum_k, "
