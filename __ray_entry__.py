@@ -2324,6 +2324,98 @@ def q_dup_components(sf_dir: str):
     return duplicate_components(embedding_nn_pairs(emb, threshold=0.45))
 
 
+def q_dup_cluster_sizes(sf_dir: str):
+    """Size histogram of the near-dup components — (size,
+    n_components): how much of the corpus sits in pairs vs big
+    mirror clusters, the rollup dedup capacity planning reads. Two
+    tiny single-key groupbys over the bounded component table; the
+    oracle wraps the same recursive-CTE closure."""
+    import pyarrow as pa
+
+    comp = q_dup_components(sf_dir)
+    return (
+        comp.groupby("component")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"size": t.column("count()").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("size")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "size": t.column("size"),
+                    "n_components": t.column("count()").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def q_length_buckets(sf_dir: str):
+    """Power-of-two sequence-length bucketing + padding-waste rollup
+    (stages/lengthbuckets.py): map-side 9-row ladder partials -> one
+    tiny groupby. Value-exact (integer ladder, no float log2)."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.lengthbuckets import length_buckets
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return length_buckets(docs)
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Anti join: customers that never placed a large order
+    (stages/relational.py customers_without_orders) —
+    lookup_join(how=\"anti\") against the slim distinct qualifying-key
+    table. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import customers_without_orders
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return customers_without_orders(cust, orders)
+
+
+def q_cume_dist(sf_dir: str):
+    """CUME_DIST over order value per customer (ties-aware;
+    stages/windowfn.py cume_dist_orders). Integer numerator and
+    denominator carried next to the standard IEEE double (same
+    int64/int64 division both engines). Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.windowfn import cume_dist_orders
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return cume_dist_orders(orders)
+
+
+def q_user_first_last(sf_dir: str):
+    """Per-user first/last event by the unique (ts, event_id) order +
+    count (stages/windowfn.py user_first_last): one-candidate-per-
+    batch partials, tiny merge. Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.windowfn import user_first_last
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return user_first_last(ev)
+
+
 def q_dedup_survivors(sf_dir: str):
     """End-to-end corpus dedup (the "switch to the deduplicated
     corpus" pipeline): exact content-hash dedup composed with near-dup
@@ -3736,6 +3828,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semdedup_isolated": q_semdedup_isolated,
         "q_mutual_nn_recall": q_mutual_nn_recall,
         "q_audio_dup_groups": q_audio_dup_groups,
+        "q_dup_cluster_sizes": q_dup_cluster_sizes,
+        "q_length_buckets": q_length_buckets,
+        "q_customers_no_orders": q_customers_no_orders,
+        "q_cume_dist": q_cume_dist,
+        "q_user_first_last": q_user_first_last,
         "q_cusum_changepoints": q_cusum_changepoints,
         "q_skipgram_counts": q_skipgram_counts,
         "q_containment_pairs": q_containment_pairs,
@@ -4228,6 +4325,12 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.pii import inject_pii_sql, pii_redact_sql
     from lasutility_ray.stages.text import FP_MOD
     from lasutility_ray.stages.relational import mode_per_group_sql as _mode_sql
+    from lasutility_ray.stages.lengthbuckets import length_buckets_sql as _length_buckets_sql
+    from lasutility_ray.stages.relational import (
+        customers_without_orders_sql as _cust_no_orders_sql,
+    )
+    from lasutility_ray.stages.windowfn import cume_dist_sql as _cume_dist_sql
+    from lasutility_ray.stages.windowfn import user_first_last_sql as _user_first_last_sql
     from lasutility_ray.stages.temporal import merge_intervals_sql as _mi_sql
     from lasutility_ray.stages.windowfn import partitioned_window_sql as _windowfn_sql
     from lasutility_ray.stages.windowfn import ranking_window_sql as _rank_sql
@@ -4810,6 +4913,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_copies FROM documents "
             "GROUP BY doc_id - CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END"
         ),
+        "q_dup_cluster_sizes": (
+            "WITH RECURSIVE edges AS ("
+            "  SELECT a.vec_id AS u, b.vec_id AS v FROM embeddings a "
+            "  JOIN embeddings b ON a.vec_id < b.vec_id "
+            "  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "  CAST(b.embedding AS DOUBLE[])) >= 0.45), "
+            "sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
+            "reach AS ("
+            "  SELECT u AS node, v AS r FROM sym "
+            "  UNION SELECT node, node FROM (SELECT DISTINCT u AS node FROM sym) "
+            "  UNION SELECT reach.node, sym.v FROM reach JOIN sym ON reach.r = sym.u), "
+            "comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node), "
+            "sz AS (SELECT component, count(*) AS size FROM comp GROUP BY component) "
+            "SELECT CAST(size AS BIGINT) AS size, "
+            "CAST(count(*) AS BIGINT) AS n_components FROM sz GROUP BY size"
+        ),
+        "q_length_buckets": _length_buckets_sql(),
+        "q_customers_no_orders": _cust_no_orders_sql(),
+        "q_cume_dist": _cume_dist_sql(),
+        "q_user_first_last": _user_first_last_sql(),
         "q_semdedup_isolated": (
             # vectors with no >=0.45 corpus partner must survive
             # SemDeDup for ANY cluster partition (soundness residue)

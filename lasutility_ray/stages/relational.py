@@ -749,3 +749,71 @@ def unpivot_sql(id_cols: list[str], value_cols: list[str], source: str,
         for c in value_cols
     )
     return arms
+
+
+LARGE_ORDER_CENTS = 45_000_000  # $450k: splits every fixture sf non-trivially
+
+
+def customers_without_orders(customer_ds, orders_ds,
+                             min_price_cents: int = LARGE_ORDER_CENTS):
+    """Anti join: customers that never placed a LARGE order
+    (o_totalprice >= the threshold; every fixture customer has SOME
+    order, so the unfiltered complement is empty) — the membership
+    complement the gap-fill/anti-join family (J5) expresses over
+    relational keys. Qualifying order custkeys reduce to a slim
+    distinct-key table FIRST (orders >> customers), then one
+    ``lookup_join(how="anti")`` keeps non-members; only key columns
+    ever shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .cogroup import lookup_join
+
+    def big(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        return pa.table({"o_custkey": t.column("o_custkey")}).filter(
+            pc.greater_equal(cents, min_price_cents)
+        )
+
+    keys = (
+        orders_ds.map_batches(big, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"__k": t.column("o_custkey").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()  # slim aggregate pinned before the join probe
+    )
+    slim = customer_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "c_acctbal_cents": pa.compute.cast(
+                    pa.compute.round(
+                        pa.compute.multiply(t.column("c_acctbal"), 100.0)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return lookup_join(slim, keys, "c_custkey", "__k", {}, how="anti")
+
+
+def customers_without_orders_sql(
+    min_price_cents: int = LARGE_ORDER_CENTS,
+) -> str:
+    """DuckDB mirror of :func:`customers_without_orders`."""
+    return (
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+        "CAST(round(c_acctbal*100) AS BIGINT) AS c_acctbal_cents "
+        "FROM customer WHERE c_custkey NOT IN "
+        "(SELECT o_custkey FROM orders "
+        f"WHERE CAST(round(o_totalprice*100) AS BIGINT) >= {min_price_cents})"
+    )

@@ -327,3 +327,171 @@ def frame_window_sql(source: str = "events", preceding: int = 2) -> str:
         "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
         f"ROWS BETWEEN {int(preceding)} PRECEDING AND CURRENT ROW)"
     )
+
+
+def cume_dist_orders(orders_ds):
+    """CUME_DIST over order value per customer — the ties-aware
+    sibling of ranking_window's percent_rank (prices repeat, so
+    cume_dist genuinely diverges from rank/n). Emits the integer
+    numerator (rows with value <= mine in my partition) and
+    denominator alongside the IEEE double the SQL standard defines;
+    the double is the SAME int64/int64 division in both engines, so
+    it is value-exact (the pct_rank precedent).
+
+    Same one-shuffle coarse-bucket shape as the other window ops:
+    slim int64 rows, hash(custkey) buckets, one vectorized scan per
+    bucket."""
+    from .cogroup import _bucket_of, default_n_buckets
+
+    n_buckets = default_n_buckets()
+
+    def slim(t: pa.Table) -> pa.Table:
+        ck = t.column("o_custkey").to_numpy().astype(np.int64)
+        cents = np.round(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": pa.array(ck),
+                "__cents": pa.array(cents),
+                "__b": pa.array(_bucket_of(ck, n_buckets)),
+            }
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "__cents"], kind="mergesort")
+        ck = g["o_custkey"].to_numpy()
+        cents = g["__cents"].to_numpy()
+        n = len(g)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = ck[1:] != ck[:-1]
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        counts = np.bincount(seg).astype(np.int64)
+        pos = np.arange(n, dtype=np.int64) - starts[seg]
+        # cume numerator = index AFTER the last row tying my value
+        newv = np.empty(n, dtype=bool)
+        newv[0] = True
+        newv[1:] = new[1:] | (cents[1:] != cents[:-1])
+        vseg = np.cumsum(newv) - 1
+        # last position of each distinct-value run, broadcast back
+        run_last = np.zeros(vseg[-1] + 1, dtype=np.int64)
+        np.maximum.at(run_last, vseg, pos)
+        num = run_last[vseg] + 1
+        den = counts[seg]
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "o_custkey": ck,
+                "cume_num": num,
+                "cume_den": den,
+                "cume_dist": num / den,
+            }
+        )
+
+    return (
+        orders_ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
+def cume_dist_sql(source: str = "orders") -> str:
+    """DuckDB mirror of :func:`cume_dist_orders`."""
+    return (
+        "WITH cd AS (SELECT o_orderkey, o_custkey, "
+        f"CAST(round(o_totalprice*100) AS BIGINT) AS cents FROM {source}) "
+        "SELECT o_orderkey, o_custkey, "
+        "CAST(count(*) FILTER (WHERE TRUE) OVER "
+        "(PARTITION BY o_custkey ORDER BY cents "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cume_num, "
+        "CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS cume_den, "
+        "cume_dist() OVER (PARTITION BY o_custkey ORDER BY cents) AS cume_dist "
+        "FROM cd"
+    )
+
+
+def user_first_last(events_ds):
+    """Per-user first/last event (arg-min/arg-max by the (ts,
+    event_id) total order) + event count — the session-boundary
+    lookup behind retention joins. Map-side partials carry ONE
+    candidate pair per (batch, user); the final merge is a tiny
+    single-key groupby scan. Deterministic because the order key is
+    unique (event_id tiebreak)."""
+    from .cogroup import _bucket_of, default_n_buckets
+
+    n_buckets = default_n_buckets()
+
+    def slim(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = (
+            t.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = t.column("event_id").to_numpy().astype(np.int64)
+        import pandas as pd_
+
+        df = pd_.DataFrame({"u": uid, "us": us, "e": eid})
+        df = df.sort_values(["u", "us", "e"], kind="mergesort")
+        g = df.groupby("u", sort=False)
+        agg = g.agg(
+            first_us=("us", "first"),
+            first_e=("e", "first"),
+            last_us=("us", "last"),
+            last_e=("e", "last"),
+            n=("e", "size"),
+        ).reset_index()
+        return pa.table(
+            {
+                "u": pa.array(agg["u"].to_numpy(np.int64)),
+                "first_us": pa.array(agg["first_us"].to_numpy(np.int64)),
+                "first_e": pa.array(agg["first_e"].to_numpy(np.int64)),
+                "last_us": pa.array(agg["last_us"].to_numpy(np.int64)),
+                "last_e": pa.array(agg["last_e"].to_numpy(np.int64)),
+                "n": pa.array(agg["n"].to_numpy(np.int64)),
+                "__b": pa.array(_bucket_of(agg["u"].to_numpy(np.int64), n_buckets)),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "first_us", "first_e"], kind="mergesort")
+        firsts = g.groupby("u", sort=False).first()
+        g2 = g.sort_values(["u", "last_us", "last_e"], kind="mergesort")
+        lasts = g2.groupby("u", sort=False).last()
+        ns = g.groupby("u", sort=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                "user_id": firsts.index.to_numpy(np.int64),
+                "first_event_id": firsts["first_e"].to_numpy(np.int64),
+                "last_event_id": lasts["last_e"].to_numpy(np.int64),
+                "n_events": ns.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        events_ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("__b")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def user_first_last_sql(source: str = "events") -> str:
+    """DuckDB mirror of :func:`user_first_last` (window-first/last
+    over the unique (ts, event_id) order)."""
+    return (
+        "WITH fl AS (SELECT user_id, event_id, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rrn, "
+        "count(*) OVER (PARTITION BY user_id) AS n "
+        f"FROM {source}) "
+        "SELECT user_id, "
+        "CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS first_event_id, "
+        "CAST(max(CASE WHEN rrn = 1 THEN event_id END) AS BIGINT) AS last_event_id, "
+        "CAST(max(n) AS BIGINT) AS n_events "
+        "FROM fl GROUP BY user_id"
+    )

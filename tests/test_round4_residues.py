@@ -21,6 +21,12 @@ RESIDUES = [
     "q_audio_dup_groups",
     "q_semdedup_isolated",
     "q_ann_pq_recall",
+    # round-4 batch 2: new value-exact operators
+    "q_dup_cluster_sizes",
+    "q_length_buckets",
+    "q_customers_no_orders",
+    "q_cume_dist",
+    "q_user_first_last",
 ]
 
 
@@ -34,7 +40,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.fixture(scope="module")
 def oracle_con():
     con = duckdb.connect()
-    for t in ["documents", "embeddings"]:
+    for t in ["documents", "embeddings", "orders", "customer", "events"]:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
