@@ -2386,6 +2386,24 @@ def q_customers_no_orders(sf_dir: str):
     return customers_without_orders(cust, orders)
 
 
+def q_customers_large_orders(sf_dir: str):
+    """Semi join (EXISTS): customers with at least one large order —
+    the exact complement of q_customers_no_orders via
+    lookup_join(how=\"semi\"); the two partition the customer table
+    (pinned). Value-exact."""
+    import ray.data as rd
+
+    from lasutility_ray.stages.relational import customers_with_orders
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return customers_with_orders(cust, orders)
+
+
 def q_cume_dist(sf_dir: str):
     """CUME_DIST over order value per customer (ties-aware;
     stages/windowfn.py cume_dist_orders). Integer numerator and
@@ -3831,6 +3849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dup_cluster_sizes": q_dup_cluster_sizes,
         "q_length_buckets": q_length_buckets,
         "q_customers_no_orders": q_customers_no_orders,
+        "q_customers_large_orders": q_customers_large_orders,
         "q_cume_dist": q_cume_dist,
         "q_user_first_last": q_user_first_last,
         "q_cusum_changepoints": q_cusum_changepoints,
@@ -4328,6 +4347,9 @@ def oracle_sql() -> dict[str, str]:
     from lasutility_ray.stages.lengthbuckets import length_buckets_sql as _length_buckets_sql
     from lasutility_ray.stages.relational import (
         customers_without_orders_sql as _cust_no_orders_sql,
+    )
+    from lasutility_ray.stages.relational import (
+        customers_with_orders_sql as _cust_with_orders_sql,
     )
     from lasutility_ray.stages.windowfn import cume_dist_sql as _cume_dist_sql
     from lasutility_ray.stages.windowfn import user_first_last_sql as _user_first_last_sql
@@ -4931,6 +4953,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_length_buckets": _length_buckets_sql(),
         "q_customers_no_orders": _cust_no_orders_sql(),
+        "q_customers_large_orders": _cust_with_orders_sql(),
         "q_cume_dist": _cume_dist_sql(),
         "q_user_first_last": _user_first_last_sql(),
         "q_semdedup_isolated": (

@@ -817,3 +817,65 @@ def customers_without_orders_sql(
         "(SELECT o_custkey FROM orders "
         f"WHERE CAST(round(o_totalprice*100) AS BIGINT) >= {min_price_cents})"
     )
+
+
+def customers_with_orders(customer_ds, orders_ds,
+                          min_price_cents: int = LARGE_ORDER_CENTS):
+    """Semi join: the EXISTS complement of
+    :func:`customers_without_orders` — customers that placed at least
+    one large order, via ``lookup_join(how="semi")`` against the same
+    slim distinct qualifying-key table. Together the two queries
+    partition the customer table exactly (pinned in tests)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .cogroup import lookup_join
+
+    def big(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64()
+        )
+        return pa.table({"o_custkey": t.column("o_custkey")}).filter(
+            pc.greater_equal(cents, min_price_cents)
+        )
+
+    keys = (
+        orders_ds.map_batches(big, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"__k": t.column("o_custkey").cast(pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    slim = customer_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t.column("c_custkey").cast(pa.int64()),
+                "c_acctbal_cents": pa.compute.cast(
+                    pa.compute.round(
+                        pa.compute.multiply(t.column("c_acctbal"), 100.0)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return lookup_join(slim, keys, "c_custkey", "__k", {}, how="semi")
+
+
+def customers_with_orders_sql(
+    min_price_cents: int = LARGE_ORDER_CENTS,
+) -> str:
+    """DuckDB mirror of :func:`customers_with_orders`."""
+    return (
+        "SELECT CAST(c_custkey AS BIGINT) AS c_custkey, "
+        "CAST(round(c_acctbal*100) AS BIGINT) AS c_acctbal_cents "
+        "FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders "
+        f"WHERE CAST(round(o_totalprice*100) AS BIGINT) >= {min_price_cents})"
+    )

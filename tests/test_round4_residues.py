@@ -25,6 +25,7 @@ RESIDUES = [
     "q_dup_cluster_sizes",
     "q_length_buckets",
     "q_customers_no_orders",
+    "q_customers_large_orders",
     "q_cume_dist",
     "q_user_first_last",
 ]
@@ -183,6 +184,25 @@ def test_pq_full_recall_is_measured_not_assumed(ray_session):
     row = e.q_ann_pq_recall(SF)
     assert int(row["n_hit"].iloc[0]) == int(row["n_truth"].iloc[0])
     assert float(row["recall_at_5"].iloc[0]) == 1.0
+
+
+def test_semi_anti_partition_customer_table(ray_session):
+    """The semi and anti joins partition the customer table exactly:
+    disjoint, and their union is every customer."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    no = set(e.q_customers_no_orders(SF).to_pandas()["c_custkey"])
+    yes = set(e.q_customers_large_orders(SF).to_pandas()["c_custkey"])
+    allc = set(
+        pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey"])
+        .column("c_custkey")
+        .to_pylist()
+    )
+    assert no.isdisjoint(yes)
+    assert (no | yes) == allc
+    assert no and yes  # threshold splits non-trivially
 
 
 def test_two_hop_fast_path_equal(ray_session):
