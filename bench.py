@@ -284,7 +284,13 @@ def run_queries(sf_dir: str, workers: int | None = None) -> dict:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "BENCH_QUERIES.json")) as f:
-            prior = json.load(f).get("queries", {})
+            _pj = json.load(f)
+            # classify from SERIAL-equivalent estimates, never from
+            # pooled wall times: a pooled light query times its own
+            # contention (~2x), and feeding that back as "heavy"
+            # flips the whole sweep serial on the next run (measured:
+            # 260 s -> 367 s oscillation before this split)
+            prior = _pj.get("serial_times", _pj.get("queries", {}))
     except Exception:
         prior = {}
     # unknown queries (no prior row) default HEAVY: a new query's cost
@@ -339,7 +345,17 @@ def run_queries(sf_dir: str, workers: int | None = None) -> dict:
             t.join()
     if errors:
         raise RuntimeError(f"query sweep failures: {errors}")
-    return out
+    heavy_names = {n for n, _ in heavy}
+    # serial-equivalent estimate per query: serial runs measure it
+    # directly; pooled runs keep the last serial estimate (their wall
+    # time includes contention). New pooled queries fall back to the
+    # pooled time — an upper bound that routes them serial once, after
+    # which the measured serial time takes over (self-correcting).
+    serial_est = {
+        n: (out[n] if n in heavy_names else min(prior.get(n, out[n]), out[n]))
+        for n in out
+    }
+    return out, serial_est
 
 
 def main() -> None:
@@ -385,9 +401,10 @@ def main() -> None:
             )
         head = min(runs, key=lambda r: r["sec"])
         tq = time.perf_counter()
-        queries = (
-            {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries(sf_dir)
-        )
+        if os.environ.get("GRAFT_SKIP_QUERIES"):
+            queries, serial_times = {}, {}
+        else:
+            queries, serial_times = run_queries(sf_dir)
         queries_wall = round(time.perf_counter() - tq, 1)
         sf = sf_dir.rstrip("/").split("sf")[-1]
         payload = {
@@ -414,6 +431,7 @@ def main() -> None:
             "queries_total_sec": queries_wall,
             "queries_sum_sec": round(sum(queries.values()), 1),
             "query_workers": int(os.environ.get("GRAFT_QUERY_WORKERS", "3")),
+            "serial_times": serial_times,
             "heavy_sec_threshold": float(os.environ.get("GRAFT_HEAVY_SEC", "4.0")),
             "queries": queries,
         }
@@ -432,6 +450,9 @@ def main() -> None:
             payload["queries_full"] = "BENCH_QUERIES.json"
         except OSError:
             pass
+        # serial_times lives in the file only — 216 extra entries
+        # would defeat the 1800-char line trim below
+        payload.pop("serial_times", None)
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) > 1800:
             by_time = sorted(queries, key=queries.get)  # fastest first
