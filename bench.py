@@ -289,8 +289,14 @@ def run_queries(sf_dir: str, workers: int | None = None) -> dict:
             # pooled wall times: a pooled light query times its own
             # contention (~2x), and feeding that back as "heavy"
             # flips the whole sweep serial on the next run (measured:
-            # 260 s -> 367 s oscillation before this split)
-            prior = _pj.get("serial_times", _pj.get("queries", {}))
+            # 260 s -> 367 s oscillation before this split). Estimates
+            # are SCALE-FACTOR-SCOPED: an sf0.001 smoke run must not
+            # poison the sf0.1 classification (and min() across sfs
+            # would keep the small-sf time forever).
+            if _pj.get("serial_sf") == os.path.basename(sf_dir.rstrip("/")):
+                prior = _pj.get("serial_times", _pj.get("queries", {}))
+            else:
+                prior = {}
     except Exception:
         prior = {}
     # unknown queries (no prior row) default HEAVY: a new query's cost
@@ -432,6 +438,7 @@ def main() -> None:
             "queries_sum_sec": round(sum(queries.values()), 1),
             "query_workers": int(os.environ.get("GRAFT_QUERY_WORKERS", "3")),
             "serial_times": serial_times,
+            "serial_sf": os.path.basename(sf_dir.rstrip("/")),
             "heavy_sec_threshold": float(os.environ.get("GRAFT_HEAVY_SEC", "4.0")),
             "queries": queries,
         }
