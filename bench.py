@@ -245,7 +245,9 @@ def _patch_fsspec_http_for_threads() -> None:
     sys.modules["fsspec.implementations.http"] = stub
 
 
-def run_queries(sf_dir: str, workers: int | None = None) -> dict:
+def run_queries(
+    sf_dir: str, workers: int | None = None
+) -> tuple[dict, dict, dict]:
     """Time every query over ``sf_dir``. The sweep floor is Ray Data
     pipeline-startup overhead (~0.5-0.75 s/query measured steady-state
     at 32 cpus — parquet metadata is cached after the first read), so
@@ -361,7 +363,11 @@ def run_queries(sf_dir: str, workers: int | None = None) -> dict:
         n: (out[n] if n in heavy_names else min(prior.get(n, out[n]), out[n]))
         for n in out
     }
-    return out, serial_est
+    # per-query phase tag so pooled (contention-inflated) walls are
+    # mechanically distinguishable from contention-free serial walls
+    # in the artifact (round-4 advice)
+    phase = {n: ("serial" if n in heavy_names else "pooled") for n in out}
+    return out, serial_est, phase
 
 
 def main() -> None:
@@ -408,9 +414,9 @@ def main() -> None:
         head = min(runs, key=lambda r: r["sec"])
         tq = time.perf_counter()
         if os.environ.get("GRAFT_SKIP_QUERIES"):
-            queries, serial_times = {}, {}
+            queries, serial_times, query_phase = {}, {}, {}
         else:
-            queries, serial_times = run_queries(sf_dir)
+            queries, serial_times, query_phase = run_queries(sf_dir)
         queries_wall = round(time.perf_counter() - tq, 1)
         sf = sf_dir.rstrip("/").split("sf")[-1]
         payload = {
@@ -436,8 +442,14 @@ def main() -> None:
             # contention)
             "queries_total_sec": queries_wall,
             "queries_sum_sec": round(sum(queries.values()), 1),
+            # HEADLINE for cross-round comparison (VERDICT r4 #7):
+            # sum of contention-free serial-equivalent times — walls
+            # and pooled sums are run-shape artifacts, this is the
+            # like-for-like number
+            "queries_serial_sum_sec": round(sum(serial_times.values()), 1),
             "query_workers": int(os.environ.get("GRAFT_QUERY_WORKERS", "3")),
             "serial_times": serial_times,
+            "query_phase": query_phase,
             "serial_sf": os.path.basename(sf_dir.rstrip("/")),
             "heavy_sec_threshold": float(os.environ.get("GRAFT_HEAVY_SEC", "4.0")),
             "queries": queries,
@@ -457,9 +469,10 @@ def main() -> None:
             payload["queries_full"] = "BENCH_QUERIES.json"
         except OSError:
             pass
-        # serial_times lives in the file only — 216 extra entries
-        # would defeat the 1800-char line trim below
+        # serial_times/query_phase live in the file only — 2x216
+        # extra entries would defeat the 1800-char line trim below
         payload.pop("serial_times", None)
+        payload.pop("query_phase", None)
         line = json.dumps(payload, separators=(",", ":"))
         if len(line) > 1800:
             by_time = sorted(queries, key=queries.get)  # fastest first

@@ -158,6 +158,17 @@ def _similar_pairs_local(
 def _similar_pairs_task(blocks: list, f_sh, f_df, threshold_e6: int) -> pa.Table:
     # refs nested in a list are NOT auto-resolved by Ray
     blocks = ray.get([b for b in blocks])
+    if not blocks:
+        # empty pages input produces a zero-block vocab dataset (its
+        # sum("n_sh") is None -> 0, which takes this fast path);
+        # concat_tables([]) would raise instead of short-circuiting
+        return pa.table(
+            {
+                "host_a": pa.array([], pa.string()),
+                "host_b": pa.array([], pa.string()),
+                "jaccard_e6": pa.array([], pa.int64()),
+            }
+        )
     tbl = pa.concat_tables(
         [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b) for b in blocks]
     )

@@ -23,23 +23,35 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def _publish_quarantine(rows: pa.Table, path: str, err: str) -> None:
-    os.makedirs(path, exist_ok=True)
-    out = rows.append_column(
-        "__error", pa.array([err[:500]] * rows.num_rows, pa.string())
-    )
-    # part name is a pure function of the poison row content + error,
-    # so a Ray task retry / speculative re-execution REPUBLISHES the
-    # same file (os.replace overwrite) instead of duplicating the row.
+def _row_digest(row: pa.Table, err: str) -> str:
+    """Content hash of ONE serialized row + error text. Streaming
+    over the Arrow IPC bytes (deterministic for a given schema +
+    values), never ``repr(to_pylist())`` — no Python-object
+    materialization of binary payloads (round-4 advice)."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, row.schema) as w:
+        w.write_table(row)
     h = hashlib.blake2b(digest_size=16)
     h.update(err[:500].encode("utf-8", "replace"))
-    for name_ in rows.schema.names:
-        h.update(name_.encode())
-        h.update(repr(rows.column(name_).to_pylist()).encode("utf-8", "replace"))
-    name = os.path.join(path, f"poison-{h.hexdigest()}.parquet")
-    tmp = f"{name}.{uuid.uuid4().hex}.tmp"
-    pq.write_table(out, tmp)
-    os.replace(tmp, name)
+    h.update(sink.getvalue())
+    return h.hexdigest()
+
+
+def _publish_quarantine(rows: pa.Table, path: str, err: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    # Part names are a pure function of EACH poison row's content +
+    # error — one part file PER ROW — so any retry that isolates the
+    # same row republishes the same file (os.replace overwrite)
+    # regardless of how the retry re-bisected the surrounding batch
+    # boundaries (round-4 advice: batch-level hashes only deduped
+    # retries that replayed the identical batch).
+    for i in range(rows.num_rows):
+        row = rows.slice(i, 1)
+        out = row.append_column("__error", pa.array([err[:500]], pa.string()))
+        name = os.path.join(path, f"poison-{_row_digest(row, err)}.parquet")
+        tmp = f"{name}.{uuid.uuid4().hex}.tmp"
+        pq.write_table(out, tmp)
+        os.replace(tmp, name)
 
 
 def quarantine_map_batches(ds, fn, quarantine_path: str, batch_size: int = 4096):
