@@ -3531,7 +3531,13 @@ def q_image_reencode(sf_dir: str):
 
     from lasutility_ray.stages.multimodal import attach_images, image_reencode_stage
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    # fan the tiny single-file read out so the actor pool has
+    # parallel input from t=0 (the default 1-block read serializes
+    # the pipeline head behind dynamic block splitting: measured
+    # 3.9 s vs 1.9 s at sf0.1/32cpus)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"], override_num_blocks=24
+    )
     with_imgs = docs.map_batches(attach_images, batch_format="pyarrow")
     return image_reencode_stage(with_imgs).drop_columns(["image", "image_meta"])
 

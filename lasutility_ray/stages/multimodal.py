@@ -319,15 +319,27 @@ class ImageReencode:
         )
 
 
-def image_reencode_stage(ds, quality: int = 85, concurrency: int = 8, batch_size: int = 64):
-    # smaller batches + a wider pool: the per-image python huffman
-    # kernel (~2 ms) dominates, so spread batches across actors
+def image_reencode_stage(ds, quality: int = 85, concurrency: int = 16, batch_size: int = 24):
+    # smaller batches + a wider pool: the per-image python entropy
+    # kernel (~1.2 ms after the LUT16 decode rewrite) dominates, so
+    # spread batches across actors (measured best at sf0.1/32cpus:
+    # 24-row batches over a 24-block read, 1.9 s end to end vs 3.8 s
+    # before the rewrite). The pool MINIMUM matters as much
+    # as the cap: a (1, 16) pool scales up too slowly for a ~5 s
+    # stage (measured 3.4 s vs 1.9 s with min 8 on 32 cpus) — but a
+    # fixed large minimum deadlocks small clusters (the round-2
+    # curation lesson), so the floor adapts to the cluster: ~1/4 of
+    # the CPUs, capped at 8, at least 1.
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    lo = max(1, min(8, ncpu // 4))
     return ds.map_batches(
         ImageReencode,
         fn_constructor_kwargs={"quality": quality},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, concurrency),
+        concurrency=(lo, max(lo, concurrency)),
     )
 
 
