@@ -158,10 +158,13 @@ def _similar_pairs_local(
 def _similar_pairs_task(blocks: list, f_sh, f_df, threshold_e6: int) -> pa.Table:
     # refs nested in a list are NOT auto-resolved by Ray
     blocks = ray.get([b for b in blocks])
-    if not blocks:
-        # empty pages input produces a zero-block vocab dataset (its
-        # sum("n_sh") is None -> 0, which takes this fast path);
-        # concat_tables([]) would raise instead of short-circuiting
+    if not blocks or all(
+        (b.num_rows if isinstance(b, pa.Table) else len(b)) == 0 for b in blocks
+    ):
+        # empty pages input produces a zero-block (or zero-row) vocab
+        # dataset (its sum("n_sh") is None -> 0, which takes this
+        # fast path); concat_tables([]) would raise and a 0-row block
+        # has no usable schema — short-circuit to the empty result
         return pa.table(
             {
                 "host_a": pa.array([], pa.string()),
@@ -202,10 +205,15 @@ def similar_hosts(
     # sampled shingle-frequency table for the shared rarest-first
     # total order (fixed size, broadcast once; any deterministic
     # shared order keeps the prefix theorem exact)
+    sample_df = (
+        pages_ds.limit(freq_sample_pages).select_columns([text_col]).to_pandas()
+    )
+    # a zero-row dataset loses its schema through to_pandas (bare
+    # RangeIndex columns) — treat it as an empty sample
     sample_texts = (
-        pages_ds.limit(freq_sample_pages)
-        .select_columns([text_col])
-        .to_pandas()[text_col]
+        sample_df[text_col]
+        if text_col in sample_df.columns
+        else pd.Series([], dtype=object)
     )
     all_sh, _ = _shingle_sets_batch(sample_texts.tolist())
     f_sh, f_df = np.unique(all_sh, return_counts=True)

@@ -35,7 +35,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = os.path.join(REPO, "tools", "flagship_child.py")
 N_DOCS = int(os.environ.get("GRAFT_KILLTEST_DOCS", "300000"))
-N_CPUS = 4
+N_CPUS = int(os.environ.get("GRAFT_KILLTEST_CPUS", "4"))
 
 
 def _run_child(out_dir: str, resume: bool = False) -> dict:
