@@ -195,18 +195,133 @@ def tpch_q3(sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", 
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     ).map_batches(line_rev, batch_format="pyarrow")
 
-    joined = lookup_join(
-        li,
-        orders.materialize(),  # slim keyed right side: pin before the join
-        "l_orderkey",
-        "o_orderkey",
-        {"o_orderdate_ms": "o_orderdate_ms", "o_orderpriority": "o_orderpriority"},
-    )
+    # Aggregate BEFORE joining, and finish in ONE task when the
+    # qualifying-orders side fits (round-5 rewrite). The original
+    # shape joined every line item and ran a 3-key groupby after —
+    # Ray 2.49's multi-column aggregate is the known expensive
+    # exchange (the _dedup_pairs lesson; measured 15.3 s on 310k
+    # joined rows at the 10x corpus), the single-key replacement
+    # still paid ~10 s of sort-shuffle on 2.9M partial rows, and
+    # even a 64-bucket coarse groupby cost 5.5 s of fixed exchange
+    # on 300k slim partials. Revenue is additive per order and
+    # date/priority are FUNCTIONALLY DEPENDENT on l_orderkey, so
+    # under the gate: semi-filter line items per batch against the
+    # broadcast qualifying-order keys, partial-sum per batch (the
+    # map-side combine — what actually shrinks the data), then gather
+    # the SLIM partials (16 B per distinct order per block, bounded
+    # by the gate) into one task that sums, merges date/priority and
+    # ranks top-k — the triangle_counts/similar_hosts size-adaptive
+    # fast-path shape. 10x-corpus wall 37 s -> ~5 s, value-exact
+    # (int cents are order-independent). Above the gate the general
+    # path runs: single-key groupby + bucketed lookup_join + the
+    # partial-top-k ranking — the 100 TB shape when qualifying
+    # orders outgrow worker memory.
+    import pandas as pd
+
     from ray.data.aggregate import Sum
 
-    per_order = (
-        joined.groupby(["l_orderkey", "o_orderdate_ms", "o_orderpriority"])
+    om = orders.materialize()  # slim qualifying orders, pinned once
+    broadcast_limit = 20_000_000  # ~500 MB of 3-col rows
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": t.column("l_orderkey").to_numpy(),
+                "r": t.column("rev_cents").to_numpy(),
+            }
+        )
+        g = df.groupby("k", sort=False)["r"].sum()
+        return pa.table(
+            {
+                "l_orderkey": pa.array(g.index.to_numpy(), pa.int64()),
+                "rev_cents": pa.array(g.to_numpy(), pa.int64()),
+            }
+        )
+
+    if om.count() <= broadcast_limit:
+        otab = pa.concat_tables(ray.get(om.to_arrow_refs()))
+        oref = ray.put(otab.combine_chunks())
+
+        def semi_partial(t: pa.Table, ref=oref) -> pa.Table:
+            kset = ray.get(ref).column("o_orderkey")
+            t = t.filter(
+                pc.is_valid(pc.index_in(t.column("l_orderkey"), value_set=kset))
+            )
+            return rev_partial(t)
+
+        @ray.remote
+        def finish(blocks: list, ref, k_: int) -> pa.Table:
+            blocks = ray.get([b for b in blocks])
+            tabs = [
+                b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                for b in blocks
+                if (b.num_rows if isinstance(b, pa.Table) else len(b))
+            ]
+            if not tabs:
+                return pa.table(
+                    {
+                        "l_orderkey": pa.array([], pa.int64()),
+                        "o_orderdate_ms": pa.array([], pa.int64()),
+                        "o_orderpriority": pa.array([], pa.string()),
+                        "revenue_cents": pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.int64()),
+                    }
+                )
+            all_p = pa.concat_tables(tabs).to_pandas()
+            s = (
+                all_p.groupby("l_orderkey", sort=False)["rev_cents"]
+                .sum()
+                .rename("revenue_cents")
+                .reset_index()
+            )
+            # Ray auto-resolves a top-level ObjectRef arg, so ref IS
+            # the table here; keep the ray.get for defensive reuse
+            ot = ref if isinstance(ref, pa.Table) else ray.get(ref)
+            odf = pd.DataFrame(
+                {
+                    "l_orderkey": ot.column("o_orderkey").to_numpy(),
+                    "o_orderdate_ms": ot.column("o_orderdate_ms").to_numpy(),
+                    "o_orderpriority": ot.column("o_orderpriority")
+                    .to_pandas()
+                    .to_numpy(),
+                }
+            )
+            out = s.merge(odf, on="l_orderkey", how="inner")
+            out["revenue_cents"] = out["revenue_cents"].astype("int64")
+            out = out.sort_values(
+                ["revenue_cents", "l_orderkey"], ascending=[False, True],
+                kind="stable",
+            ).head(k_)
+            out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+            out = out[
+                [
+                    "l_orderkey",
+                    "o_orderdate_ms",
+                    "o_orderpriority",
+                    "revenue_cents",
+                    "rank",
+                ]
+            ]
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        partials = li.map_batches(semi_partial, batch_format="pyarrow")
+        result = ray.get(finish.remote(partials.to_arrow_refs(), oref, k))
+        return rd.from_arrow(result)
+
+    per_order_rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
         .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    )
+    per_order = lookup_join(
+        per_order_rev,
+        om,
+        "l_orderkey",
+        "o_orderkey",
+        {
+            "o_orderdate_ms": "o_orderdate_ms",
+            "o_orderpriority": "o_orderpriority",
+        },
     )
     topk = topk_per_group(
         per_order.map_batches(
@@ -541,9 +656,50 @@ def tpch_q5(sf_dir: str, region: str = "ASIA"):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).map_batches(line_rev, batch_format="pyarrow")
 
-    li_n = lookup_join(
-        li, order_nation, "l_orderkey", "o_orderkey", {"c_nationkey": "c_nationkey"}
-    )
+    # The lineitem⋈order_nation edge is the only corpus-sized
+    # exchange — and its right side is bounded by the QUALIFYING
+    # orders (region-filtered customers' orders), so when it fits
+    # the broadcast gate the join becomes a map-only sorted-array
+    # probe (searchsorted per batch against the ray.put table): the
+    # bucketed lookup_join cost 13.4 s at the 10x corpus vs ~2 s
+    # map-only (round-5 measurement). Above the gate the bucketed
+    # join remains the 100 TB shape.
+    broadcast_limit = 20_000_000
+    if order_nation.count() <= broadcast_limit:
+        blocks = ray.get(order_nation.to_arrow_refs())
+        ontab = pa.concat_tables(
+            [
+                b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                for b in blocks
+                if (b.num_rows if isinstance(b, pa.Table) else len(b))
+            ]
+        ).combine_chunks()
+        order_sorted = ontab.take(
+            pc.sort_indices(ontab, sort_keys=[("o_orderkey", "ascending")])
+        )
+        on_ref = ray.put(order_sorted)
+
+        def attach_nation(t: pa.Table, ref=on_ref) -> pa.Table:
+            ot = ray.get(ref)
+            ok = ot.column("o_orderkey").to_numpy()
+            onat = ot.column("c_nationkey").to_numpy()
+            lk = t.column("l_orderkey").to_numpy()
+            pos = np.minimum(np.searchsorted(ok, lk), len(ok) - 1)
+            hit = ok[pos] == lk
+            t = t.filter(pa.array(hit))
+            return t.append_column(
+                "c_nationkey", pa.array(onat[pos[hit]], pa.int64())
+            )
+
+        li_n = li.map_batches(attach_nation, batch_format="pyarrow")
+    else:
+        li_n = lookup_join(
+            li,
+            order_nation,
+            "l_orderkey",
+            "o_orderkey",
+            {"c_nationkey": "c_nationkey"},
+        )
 
     def supplier_match(t: pa.Table, ref=sup_ref) -> pa.Table:
         s = ray.get(ref)
@@ -555,13 +711,27 @@ def tpch_q5(sf_dir: str, region: str = "ASIA"):
         cn = t.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
         s_nat = np.where(lsk < len(lut), lut[np.minimum(lsk, len(lut) - 1)], -1)
         keep = s_nat == cn
+        # map-side combine (round-5, the q3 lesson): the final
+        # groupby's input must be key-space-bounded partials (<= 25
+        # nation rows per batch), never per-line-item rows — Ray's
+        # sort exchange on the raw 6M slim rows cost seconds for a
+        # 25-key aggregate
+        cnk = cn[keep]
+        rev = t.column("rev_e4").to_numpy(zero_copy_only=False)[keep]
+        if len(cnk) == 0:
+            return pa.table(
+                {
+                    "nationkey": pa.array([], pa.int64()),
+                    "rev_e4": pa.array([], pa.int64()),
+                }
+            )
+        uk, inv = np.unique(cnk, return_inverse=True)
+        sums = np.zeros(len(uk), np.int64)
+        np.add.at(sums, inv, rev)  # int64-exact accumulation
         return pa.table(
             {
-                "nationkey": pa.array(cn[keep], pa.int64()),
-                "rev_e4": pa.array(
-                    t.column("rev_e4").to_numpy(zero_copy_only=False)[keep],
-                    pa.int64(),
-                ),
+                "nationkey": pa.array(uk, pa.int64()),
+                "rev_e4": pa.array(sums, pa.int64()),
             }
         )
 
