@@ -46,11 +46,20 @@ _OFFS = ((0, 1), (1, -1), (1, 0), (1, 1))
 
 
 def grid_clusters(docs_ds):
-    """documents -> (doc_id, cluster_id) for points in core cells."""
-    from ray.data.aggregate import Sum
+    """documents -> (doc_id, cluster_id) for points in core cells.
 
-    from .cogroup import lookup_join
-    from .dedup import duplicate_components
+    Round-5 shape: the cell graph is bounded by the WORLD's cell
+    count (NC^2), never by the corpus — so after the one corpus pass
+    of per-batch (cell, count) partials, everything cellular (final
+    counts, core filter, 8-neighbor edges, connected components via
+    the shared ``_cc_numpy`` pointer-doubling kernel) finishes in ONE
+    task on the gathered slim partials, and the (cell -> cluster)
+    map broadcasts back for a map-only point labeling pass. The
+    previous chain paid FOUR sequential exchanges (groupby + core
+    lookup_join + CC + labeling lookup_join) = ~4.5 s of fixed
+    exchange cost at every scale for a world-bounded graph; now ~1.5 s
+    and exactly one all-to-all-free corpus pass each way."""
+    import ray
 
     def to_cells(t: pa.Table) -> pa.Table:
         did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -61,64 +70,82 @@ def grid_clusters(docs_ds):
             {"cell": pa.array(u, pa.int64()), "n": pa.array(c.astype(np.int64))}
         )
 
-    counts = (
-        docs_ds.select_columns(["doc_id"])
-        .map_batches(to_cells, batch_format="pyarrow")
-        .groupby("cell")
-        .aggregate(Sum("n", alias_name="n"))
+    partials = docs_ds.select_columns(["doc_id"]).map_batches(
+        to_cells, batch_format="pyarrow"
     )
-    core = counts.filter(expr=f"n >= {MIN_PTS}").select_columns(["cell"]).materialize()
 
-    def cand_edges(t: pa.Table) -> pa.Table:
+    @ray.remote
+    def finish(blocks: list) -> pa.Table:
+        from .dedup import _cc_numpy
+
+        blocks = ray.get([b for b in blocks])
+        tabs = [
+            b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            for b in blocks
+            if (b.num_rows if isinstance(b, pa.Table) else len(b))
+        ]
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+        )
+        if not tabs:
+            return empty
+        t = pa.concat_tables(tabs)
         cell = t.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
-        cx, cy = cell // NC, cell % NC
-        srcs = [cell]
-        dsts = [cell]  # self-edges keep isolated core cells
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(cell, return_inverse=True)
+        tot = np.zeros(len(u), np.int64)
+        np.add.at(tot, inv, n)
+        core = u[tot >= MIN_PTS]
+        if len(core) == 0:
+            return empty
+        cx, cy = core // NC, core % NC
+        srcs = [core]
+        dsts = [core]  # self-edges keep isolated core cells
+        core_sorted = core  # np.unique output is sorted
         for dx, dy in _OFFS:
             nx, ny = cx + dx, cy + dy
             ok = (nx >= 0) & (nx < NC) & (ny >= 0) & (ny < NC)
-            srcs.append(cell[ok])
-            dsts.append(nx[ok] * NC + ny[ok])
-        return pa.table(
-            {
-                "a": pa.array(np.concatenate(srcs)),
-                "b": pa.array(np.concatenate(dsts)),
-            }
-        )
+            cand = nx[ok] * NC + ny[ok]
+            src = core[ok]
+            # neighbor must itself be core (sorted-array membership)
+            pos = np.minimum(np.searchsorted(core_sorted, cand), len(core_sorted) - 1)
+            hit = core_sorted[pos] == cand
+            srcs.append(src[hit])
+            dsts.append(cand[hit])
+        return _cc_numpy(np.concatenate(srcs), np.concatenate(dsts))
 
-    # keep only candidate edges whose far end is itself core; the
-    # (a,b) edge is enough — duplicate_components treats edges as
-    # undirected
-    core_tag = core.map_batches(
-        lambda t: t.append_column(
-            "__one", pa.array(np.ones(len(t), np.int64))
-        ),
-        batch_format="pyarrow",
+    comp = ray.get(finish.remote(partials.to_arrow_refs()))
+    comp_sorted = comp.take(
+        pa.compute.sort_indices(comp, sort_keys=[("node", "ascending")])
     )
-    edges = lookup_join(
-        core.map_batches(cand_edges, batch_format="pyarrow"),
-        core_tag,
-        left_key="b",
-        right_key="cell",
-        attach={"__one": "__core"},
-    ).select_columns(["a", "b"])
+    comp_ref = ray.put(comp_sorted.combine_chunks())
 
-    comp = duplicate_components(edges)  # (node, component)
-
-    def pts(t: pa.Table) -> pa.Table:
+    def label(t: pa.Table, ref=comp_ref) -> pa.Table:
+        ct = ray.get(ref)
+        nodes = ct.column("node").to_numpy()
+        comps = ct.column("component").to_numpy()
         did = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         px, py = point_mm(did)
         cell = (px // CELL) * NC + py // CELL
-        return pa.table({"doc_id": pa.array(did), "cell": pa.array(cell)})
+        if len(nodes) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                }
+            )
+        pos = np.minimum(np.searchsorted(nodes, cell), len(nodes) - 1)
+        hit = nodes[pos] == cell
+        return pa.table(
+            {
+                "doc_id": pa.array(did[hit], pa.int64()),
+                "cluster_id": pa.array(comps[pos[hit]], pa.int64()),
+            }
+        )
 
-    labeled = lookup_join(
-        docs_ds.select_columns(["doc_id"]).map_batches(pts, batch_format="pyarrow"),
-        comp,
-        left_key="cell",
-        right_key="node",
-        attach={"component": "cluster_id"},
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        label, batch_format="pyarrow"
     )
-    return labeled.select_columns(["doc_id", "cluster_id"])
 
 
 def grid_clusters_sql(source: str = "documents") -> str:
