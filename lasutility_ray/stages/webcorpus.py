@@ -429,17 +429,23 @@ def line_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
     reconstructed from their surviving lines in order (docs losing all
     lines vanish).
 
-    Shape: explode to (id, line_idx, line) -> ONE line-keyed groupby
-    computes each line's packed winner key (min of id<<20 | idx) ->
-    a string-keyed ``lookup_join`` attaches the winner back to the
-    exploded rows (filter packed == winner) -> one id-keyed groupby
-    reassembles texts. Three slim exchanges; text lines move twice,
-    never whole documents."""
-    from ray.data.aggregate import Min
+    Shape (round-5 rewrite): keep-first is a MIN — so the map side
+    combines before any exchange. Explode to (id, line_idx, line) and
+    within the SAME batch keep only each line's min-packed row (every
+    other same-batch occurrence is a guaranteed global loser); the
+    survivors shuffle ONCE on a line-hash bucket (all occurrences of
+    a line co-locate by construction) and the in-bucket pandas min
+    picks the global winner — its row IS the surviving line, so there
+    is no join back at all. The previous chain paid a string-keyed
+    Ray groupby + an auto-salted string lookup_join (with its
+    counting pre-pass) + two materializations for the same result.
+    Hot boilerplate lines ("", headers) are pre-shrunk to <= one row
+    per input batch by the map-side combine, which is exactly the
+    salting the join needed. Two slim exchanges total (winner bucket
+    + doc-reassembly bucket); text lines move once each way, never
+    whole documents."""
 
-    from .cogroup import lookup_join
-
-    def explode(t: pa.Table) -> pa.Table:
+    def explode_combine(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         lines = t.column(text_col).to_pandas().str.split("\n")
         counts = lines.map(len).to_numpy(dtype=np.int64)
@@ -450,41 +456,45 @@ def line_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
         li = np.concatenate([np.arange(c, dtype=np.int64) for c in counts]) if len(
             counts
         ) else np.empty(0, dtype=np.int64)
+        df = pd.DataFrame(
+            {
+                id_col: d,
+                "li": li,
+                "line": flat,
+                "packed": (d << LINE_IDX_BITS) | li,
+            }
+        )
+        # map-side combine: per-batch min per line (guaranteed-loser
+        # rows never reach the exchange)
+        if len(df):
+            df = df.loc[df.groupby("line", sort=False)["packed"].idxmin()]
+        # deterministic line-hash bucket (co-location only — which
+        # bucket a line lands in never affects the result)
+        from .cogroup import default_n_buckets
+
+        nb = default_n_buckets()
+        h = pd.util.hash_pandas_object(df["line"], index=False).to_numpy()
         return pa.table(
             {
-                id_col: pa.array(d, pa.int64()),
-                "li": pa.array(li, pa.int64()),
-                "line": pa.array(flat, pa.string()),
-                "packed": pa.array((d << LINE_IDX_BITS) | li, pa.int64()),
+                id_col: pa.array(df[id_col].to_numpy(), pa.int64()),
+                "li": pa.array(df["li"].to_numpy(), pa.int64()),
+                "line": pa.array(df["line"].to_numpy(), pa.string()),
+                "packed": pa.array(df["packed"].to_numpy(), pa.int64()),
+                "__wb": pa.array(
+                    (h % np.uint64(nb)).astype(np.int64), pa.int64()
+                ),
             }
         )
 
-    # ex feeds BOTH the winner aggregate and the join's left side; a
-    # lazy dataset would re-execute the entire upstream pipeline (e.g.
-    # a full curation chain) once per consumer. Materialize the slim
-    # exploded table instead: id+line columns only, object-store
-    # backed (spills to disk at corpus scale) — the cheaper of the two
-    # costs by construction.
-    ex = docs_ds.map_batches(explode, batch_format="pyarrow").materialize()
-    # materialize: the join machinery schema-probes and consumes the
-    # right side more than once — a lazy Aggregate would re-run the
-    # whole groupby each time (measured 3x on the substring variant)
-    winners = ex.groupby("line").aggregate(Min("packed", alias_name="keep")).materialize()
-    # boilerplate lines ("", headers, nav text) repeat across a large
-    # fraction of a web corpus — exactly the hot-left-key case, so the
-    # join self-salts (the counting pre-pass reads the materialized
-    # exploded table, not the upstream pipeline)
-    joined = lookup_join(
-        ex, winners, "line", "line", {"keep": "keep"},
-        type_overrides={"line": pa.large_string()},
-        n_salt="auto",
+    def bucket_winner(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.loc[g.groupby("line", sort=False)["packed"].idxmin()]
+        return w[[id_col, "li", "line"]]
+
+    kept = (
+        docs_ds.map_batches(explode_combine, batch_format="pyarrow")
+        .groupby("__wb")
+        .map_groups(bucket_winner, batch_format="pandas")
     )
-
-    def keep_first(t: pa.Table) -> pa.Table:
-        m = t.column("packed").to_numpy() == t.column("keep").to_numpy()
-        return t.filter(pa.array(m)).select([id_col, "li", "line"])
-
-    kept = joined.map_batches(keep_first, batch_format="pyarrow")
 
     # reassembly shuffles on a coarse doc-hash bucket (one python group
     # per BUCKET, C-speed inner groupby) — a per-doc map_groups would
@@ -524,89 +534,128 @@ def substring_dedup(
     tokens joined by single spaces (token-level dedup canonicalizes
     whitespace — same convention as the paper's implementation).
 
-    Shape (the line_dedup skeleton): explode rolling windows to
-    (id, pos, md5(window)) — 16-byte hex hashes on the wire, never
-    window text — ONE hash-keyed groupby computes each window's
-    occurrence count and packed winner, a lookup_join attaches them
-    back, covered positions expand to cut sets, and one id-bucketed
-    groupby rebuilds texts. The md5 is shared with the DuckDB mirror
-    (md5() over the same space-joined window), so the whole operator
-    is value-exact against SQL.
+    Shape (round-5 rewrite, the line_dedup lesson applied to a case
+    that DOES need per-occurrence verdicts): a window occurrence is
+    cut iff its hash occurs >= 2 times corpus-wide AND it is not the
+    global min-packed occurrence. A batch-local non-min occurrence is
+    therefore a GUARANTEED cut — decidable map-side with no global
+    information (some other occurrence of the same hash precedes it).
+    Only each batch's local winner (plus its local occurrence count)
+    shuffles, ONCE, on an md5-derived bucket; the in-bucket pandas
+    pass computes the global count and min and emits the remaining
+    cut rows directly. No string-keyed Ray groupby, no join back, and
+    hot boilerplate windows pre-shrink to <= one row per input batch.
+    16-byte hex hashes on the wire, never window text; the md5 is
+    shared with the DuckDB mirror (md5() over the same space-joined
+    window), so the whole operator stays value-exact against SQL.
 
     Docs shorter than ``window`` tokens emit no windows and pass
     through intact (canonical whitespace only)."""
     import hashlib
 
-    from ray.data.aggregate import Count, Min
-
-    from .cogroup import _bucket_of, default_n_buckets, lookup_join
+    from .cogroup import _bucket_of, default_n_buckets
 
     if window < 2:
         raise ValueError("window must be >= 2 tokens")
 
-    def explode(t: pa.Table) -> pa.Table:
+    nb_w = default_n_buckets()
+    arange_w = np.arange(window)
+
+    def _expand_cuts(ids: np.ndarray, pos: np.ndarray) -> pa.Table:
+        # expand [pos, pos+window) coverage
+        d = np.repeat(ids, window)
+        c = (pos[:, None] + arange_w[None, :]).ravel()
+        return pa.table(
+            {id_col: pa.array(d, pa.int64()), "cut": pa.array(c, pa.int64())}
+        )
+
+    def explode_combine(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         toks = t.column(text_col).to_pandas().str.findall(r"\S+")
         counts = toks.map(len).to_numpy(dtype=np.int64)
         if (counts >= (1 << LINE_IDX_BITS)).any():
             raise ValueError(f"doc exceeds {1 << LINE_IDX_BITS} tokens")
-        d_out, p_out, h_out = [], [], []
+        d_out, p_out, h_out, b_out = [], [], [], []
         for did, ws in zip(ids, toks):
             n = len(ws)
             for pos in range(n - window + 1):
+                dig = hashlib.md5(" ".join(ws[pos : pos + window]).encode())
                 d_out.append(did)
                 p_out.append(pos)
-                h_out.append(
-                    hashlib.md5(" ".join(ws[pos : pos + window]).encode()).hexdigest()
-                )
+                h_out.append(dig.hexdigest())
+                b_out.append(int.from_bytes(dig.digest()[:8], "big") % nb_w)
         d = np.array(d_out, np.int64) if d_out else np.empty(0, np.int64)
         p = np.array(p_out, np.int64) if p_out else np.empty(0, np.int64)
-        return pa.table(
+        df = pd.DataFrame(
             {
-                id_col: pa.array(d, pa.int64()),
-                "pos": pa.array(p, pa.int64()),
-                "whash": pa.array(h_out, pa.string()),
-                "packed": pa.array((d << LINE_IDX_BITS) | p, pa.int64()),
+                id_col: d,
+                "pos": p,
+                "whash": np.array(h_out, object),
+                "packed": (d << LINE_IDX_BITS) | p,
+                "__wb": np.array(b_out, np.int64)
+                if b_out
+                else np.empty(0, np.int64),
             }
         )
+        if not len(df):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "whash": pa.array([], pa.string()),
+                    "packed": pa.array([], pa.int64()),
+                    "lcnt": pa.array([], pa.int64()),
+                    "__wb": pa.array([], pa.int64()),
+                    "is_loser_cut": pa.array([], pa.bool_()),
+                }
+            )
+        grp = df.groupby("whash", sort=False)["packed"]
+        win_idx = grp.idxmin()
+        lcnt = grp.transform("size").to_numpy().astype(np.int64)
+        is_win = np.zeros(len(df), bool)
+        is_win[df.index.get_indexer(win_idx)] = True
+        out = df.assign(lcnt=lcnt, is_loser_cut=~is_win)
+        # local losers are guaranteed global cuts; only local winners
+        # (with their local counts) need the exchange
+        return pa.Table.from_pandas(
+            out[
+                [id_col, "pos", "whash", "packed", "lcnt", "__wb", "is_loser_cut"]
+            ],
+            preserve_index=False,
+        )
 
-    ex = docs_ds.map_batches(explode, batch_format="pyarrow").materialize()
+    ex = docs_ds.map_batches(explode_combine, batch_format="pyarrow").materialize()
     if ex.count() == 0:  # every doc shorter than the window
         return docs_ds.select_columns([id_col, text_col]).map_batches(
             lambda df: _rebuild_substring(df, None, id_col, text_col),
             batch_format="pandas",
         )
-    # materialize: the join machinery probes schema() and consumes
-    # the right side in more than one pass — a lazy Aggregate would
-    # re-run the whole groupby each time
-    winners = ex.groupby("whash").aggregate(
-        Min("packed", alias_name="keep"), Count(alias_name="cnt")
-    ).materialize()
-    joined = lookup_join(
-        ex,
-        winners,
-        "whash",
-        "whash",
-        {"keep": "keep", "cnt": "cnt"},
-        type_overrides={"whash": pa.large_string()},
-        n_salt="auto",
-    )
 
-    def cut_positions(t: pa.Table) -> pa.Table:
-        cnt = t.column("cnt").to_numpy()
-        packed = t.column("packed").to_numpy()
-        keep = t.column("keep").to_numpy()
-        m = (cnt >= 2) & (packed != keep)
-        ids = t.column(id_col).to_numpy()[m]
-        pos = t.column("pos").to_numpy()[m]
-        # expand [pos, pos+window) coverage
-        d = np.repeat(ids, window)
-        c = (pos[:, None] + np.arange(window)[None, :]).ravel()
-        return pa.table(
-            {id_col: pa.array(d, pa.int64()), "cut": pa.array(c, pa.int64())}
+    def local_loser_cuts(t: pa.Table) -> pa.Table:
+        m = t.column("is_loser_cut").to_numpy(zero_copy_only=False)
+        return _expand_cuts(
+            t.column(id_col).to_numpy()[m], t.column("pos").to_numpy()[m]
         )
 
-    cuts = joined.map_batches(cut_positions, batch_format="pyarrow")
+    def winner_rows(t: pa.Table) -> pa.Table:
+        m = ~t.column("is_loser_cut").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(m)).select(
+            [id_col, "pos", "whash", "packed", "lcnt", "__wb"]
+        )
+
+    def bucket_cuts(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("whash", sort=False)
+        gcnt = grp["lcnt"].transform("sum").to_numpy()
+        gmin = grp["packed"].transform("min").to_numpy()
+        m = (gcnt >= 2) & (g["packed"].to_numpy() != gmin)
+        t = _expand_cuts(g[id_col].to_numpy()[m], g["pos"].to_numpy()[m])
+        return t.to_pandas()
+
+    cuts = ex.map_batches(local_loser_cuts, batch_format="pyarrow").union(
+        ex.map_batches(winner_rows, batch_format="pyarrow")
+        .groupby("__wb")
+        .map_groups(bucket_cuts, batch_format="pandas")
+    )
 
     # ONE bucketed cogroup rebuilds everything: doc rows (side 0,
     # carrying text) and raw cut rows (side 1) shuffle together on a
