@@ -80,19 +80,88 @@ def _pair_partial(t: pa.Table, pat) -> pa.Table:
     )
 
 
-def collocations(docs_ds, k: int = 25, min_count: int = 5):
+def collocations(docs_ds, k: int = 25, min_count: int = 5,
+                 onetask_limit: int = 20_000_000):
     """documents -> top-``k`` (a, b, c_ab, lift_e6) collocations with
-    c_ab >= ``min_count``, ordered by (lift_e6 DESC, a, b)."""
+    c_ab >= ``min_count``, ordered by (lift_e6 DESC, a, b).
+
+    Round-5 shape: the per-batch distinct-bigram partials are
+    vocabulary-bounded, not corpus-bounded, so below
+    ``onetask_limit`` partial rows the entire tail (bigram sum,
+    marginals, lift, top-k) finishes in ONE task on the gathered slim
+    partials — the previous chain paid a multi-key STRING aggregate
+    (the known ~10 s Ray 2.49 exchange), two more string groupbys and
+    two string lookup_joins for a vocabulary-sized problem. Above the
+    limit the distributed chain remains (the 100 TB shape when the
+    bigram space outgrows one worker)."""
+    import ray as _ray
+
     from ray.data.aggregate import Sum
 
     from .cogroup import lookup_join
 
     pat = re.compile(TOKEN_RE)
 
-    cab = (
+    parts = (
         docs_ds.select_columns(["text"])
         .map_batches(lambda t: _pair_partial(t, pat), batch_format="pyarrow")
-        .groupby(["a", "b"])
+        .materialize()
+    )
+    if parts.count() <= onetask_limit:
+
+        @_ray.remote
+        def finish(blocks: list, k_: int, min_count_: int) -> pa.Table:
+            blocks = _ray.get([b for b in blocks])
+            tabs = [
+                b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                for b in blocks
+                if (b.num_rows if isinstance(b, pa.Table) else len(b))
+            ]
+            if not tabs:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.string()),
+                        "b": pa.array([], pa.string()),
+                        "c_ab": pa.array([], pa.int64()),
+                        "lift_e6": pa.array([], pa.int64()),
+                    }
+                )
+            df = pa.concat_tables(tabs).to_pandas()
+            cab_l = (
+                df.groupby(["a", "b"], sort=False)["c"].sum().reset_index(name="c_ab")
+            )
+            n_tot = np.int64(cab_l["c_ab"].sum())
+            c_a = cab_l.groupby("a", sort=False)["c_ab"].transform("sum").to_numpy()
+            c_b = cab_l.groupby("b", sort=False)["c_ab"].transform("sum").to_numpy()
+            c_ab_v = cab_l["c_ab"].to_numpy().astype(np.int64)
+            keep = c_ab_v >= min_count_
+            num = c_ab_v[keep] * n_tot
+            assert (
+                not len(num) or num.max() <= (2**63 - 1) // SCALE
+            ), "lift_e6 overflow: drop SCALE at this corpus size"
+            lift = (num * np.int64(SCALE)) // (
+                c_a[keep].astype(np.int64) * c_b[keep].astype(np.int64)
+            )
+            out = pd.DataFrame(
+                {
+                    "a": cab_l["a"].to_numpy()[keep],
+                    "b": cab_l["b"].to_numpy()[keep],
+                    "c_ab": c_ab_v[keep],
+                    "lift_e6": lift,
+                }
+            ).sort_values(
+                ["lift_e6", "a", "b"], ascending=[False, True, True], kind="stable"
+            ).head(k_)
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            _ray.get(finish.remote(parts.to_arrow_refs(), k, min_count))
+        )
+
+    cab = (
+        parts.groupby(["a", "b"])
         .aggregate(Sum("c", alias_name="c_ab"))
         .materialize()  # slim (distinct bigrams); reused 4x below
     )
