@@ -462,11 +462,16 @@ def main() -> None:
         # FASTEST queries first — the slow tail is the informative
         # part) until the line fits with margin.
         try:
-            with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_QUERIES.json"), "w") as f:
-                json.dump(payload, f, indent=1, sort_keys=True)
-            payload["queries_full"] = "BENCH_QUERIES.json"
+            # never clobber the full artifact with a queries-skipped
+            # run (the --scaling legs run with GRAFT_SKIP_QUERIES=1
+            # and used to overwrite the 220-query timings with an
+            # empty dict)
+            if queries:
+                with open(
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_QUERIES.json"), "w") as f:
+                    json.dump(payload, f, indent=1, sort_keys=True)
+                payload["queries_full"] = "BENCH_QUERIES.json"
         except OSError:
             pass
         # serial_times/query_phase live in the file only — 2x216
