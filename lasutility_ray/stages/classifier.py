@@ -170,8 +170,19 @@ def train_quality_logreg(
     Determinism: gradients are per-document int64 micro units summed
     with ``Dataset.sum`` (exact, order-independent), so the result is
     bit-identical across partitionings and cluster sizes (pinned in
-    tests against a single-process numpy reference)."""
+    tests against a single-process numpy reference) — which also
+    means the GATED one-task path below is bit-identical by
+    construction: per-document quantization makes the full-table
+    gradient equal the sum of any partitioning's partials.
+
+    Round-5 shape: synchronous GD is ``iters`` sequential passes, and
+    each Ray pass costs ~0.45 s of fixed exchange — 15 rounds paid
+    ~7 s for a 5000-row slim table. Below ``onetask_limit`` rows the
+    gathered slim table runs every iteration locally in one task
+    (measured 7.5 s -> ~1.5 s); the distributed loop remains the
+    above-gate path for feature tables that outgrow one worker."""
     feature_cols = feature_cols or FEATURES
+    onetask_limit = 5_000_000  # rows; ~6 int64 cols -> ~240 MB gathered
 
     def label(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -183,26 +194,60 @@ def train_quality_logreg(
     )
     slim = slim.materialize()  # slim int64 columns; consumed `iters` times
 
-    w = np.zeros(len(feature_cols), np.float64)
-    b = 0.0
-    history = []
-    n_total = None
-    for it in range(iters):
-        cols = [f"g{j}" for j in range(len(feature_cols))] + ["gb", "loss", "n"]
-        sums = slim.map_batches(
-            lambda df, w=w.copy(), b=b: _grad_partial(df, w, b, feature_cols),
-            batch_format="pandas",
-        ).sum(cols)
-        n_total = sums["sum(n)"]
-        g = np.array(
-            [sums[f"sum(g{j})"] for j in range(len(feature_cols))], np.float64
-        ) / (MICRO * n_total)
-        gb = sums["sum(gb)"] / (MICRO * n_total)
-        w -= lr * g
-        b -= lr * gb
-        history.append(
-            {"iter": it, "loss_micro": sums["sum(loss)"] // max(n_total, 1)}
+    if slim.count() <= onetask_limit:
+        import ray as _ray
+
+        @_ray.remote
+        def gd_local(blocks: list, iters_: int, lr_: float) -> tuple:
+            blocks = _ray.get([b for b in blocks])
+            frames = [
+                b.to_pandas() if hasattr(b, "to_pandas") else b
+                for b in blocks
+                if (b.num_rows if hasattr(b, "num_rows") else len(b))
+            ]
+            df = pd.concat(frames, ignore_index=True)
+            w_ = np.zeros(len(feature_cols), np.float64)
+            b_ = 0.0
+            hist = []
+            n = len(df)
+            for it in range(iters_):
+                sums = _grad_partial(df, w_, b_, feature_cols)
+                g = np.array(
+                    [sums[f"g{j}"][0] for j in range(len(feature_cols))],
+                    np.float64,
+                ) / (MICRO * n)
+                gb = sums["gb"][0] / (MICRO * n)
+                w_ -= lr_ * g
+                b_ -= lr_ * gb
+                hist.append(
+                    {"iter": it, "loss_micro": sums["loss"][0] // max(n, 1)}
+                )
+            return w_, b_, hist
+
+        w, b, history = _ray.get(
+            gd_local.remote(slim.to_arrow_refs(), iters, lr)
         )
+    else:
+        w = np.zeros(len(feature_cols), np.float64)
+        b = 0.0
+        history = []
+        n_total = None
+        for it in range(iters):
+            cols = [f"g{j}" for j in range(len(feature_cols))] + ["gb", "loss", "n"]
+            sums = slim.map_batches(
+                lambda df, w=w.copy(), b=b: _grad_partial(df, w, b, feature_cols),
+                batch_format="pandas",
+            ).sum(cols)
+            n_total = sums["sum(n)"]
+            g = np.array(
+                [sums[f"sum(g{j})"] for j in range(len(feature_cols))], np.float64
+            ) / (MICRO * n_total)
+            gb = sums["sum(gb)"] / (MICRO * n_total)
+            w -= lr * g
+            b -= lr * gb
+            history.append(
+                {"iter": it, "loss_micro": sums["sum(loss)"] // max(n_total, 1)}
+            )
     # publish integer weights in micro units, folding the affine
     # normalization in so inference runs on the RAW int features:
     # margin = sum(w_j * (x_j - OFF_j)/SC_j) + b
